@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect). A warmup query amortizes JVM/codegen startup so the
+numbers reflect steady-state engine throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rust_cdc_spark.queries import load_all
+from rust_cdc_spark.session import get_spark
+
+HEADLINE = [
+    "cdc_normalize",
+    "cdc_collapse_last",
+    "cdc_merge_upsert",
+    "cdc_op_stats",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_topk_orders_per_customer",
+    "agg_rollup_returns",
+    "dedup_exact_documents",
+    "text_stats",
+    "similarity_topk_cosine",
+    "dedup_ngram_jaccard_pairs",
+    "events_tumbling_window",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("rust_cdc_spark_bench")
+    registry = load_all()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        df = registry[name].spark_fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run("q1_pricing_summary")  # warmup: JVM + codegen + parquet footer cache
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name in registry:
+            times[name] = round(run(name), 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

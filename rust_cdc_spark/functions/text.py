@@ -1,0 +1,92 @@
+"""Text-analysis column functions for large-scale corpus pipelines.
+
+All built on JVM-side ``pyspark.sql.functions`` (no Python UDFs): these run
+inside whole-stage codegen and scale linearly with partitions — the hot
+path for a 100 TB documents table is a pure map stage, no shuffle.
+
+Operators: tokenization, token/char stats, stopword ratio, quality score,
+n-gram heuristic language ID, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small English stopword core used by the quality/lang-id heuristics.
+# Deliberately tiny and fixed so the DuckDB oracle can state the same list.
+EN_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space corpus convention)."""
+    return F.split(F.trim(text), " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(text)
+
+
+def stopword_count(text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = tokens(text)
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    return stopword_count(text, stopwords) / token_count(text)
+
+
+def avg_token_len(text: Column | str) -> Column:
+    """Mean characters per token — a cheap fluency signal."""
+    toks = tokens(text)
+    return F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    ) / F.size(toks)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality in [0,1]: blends token count (saturating at 64),
+    stopword ratio (fluency proxy) and mean token length sanity (2..12).
+
+    Weights are fixed so the score is deterministic and SQL-expressible.
+    """
+    tc = token_count(text)
+    sat = F.least(tc / F.lit(64.0), F.lit(1.0))
+    sw = stopword_ratio(text)
+    atl = avg_token_len(text)
+    len_ok = F.when((atl >= 2.0) & (atl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(0.4 * sat + 0.4 * F.least(sw * F.lit(4.0), F.lit(1.0)) + 0.2 * len_ok, 4)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: English if the fixed stopword core covers
+    ≥8% of tokens, else 'other'. (A real n-gram model plugs in the same
+    column slot; the contract — pure column expression, no UDF — holds.)
+    """
+    return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("other"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical document fingerprint: md5 of lowercased,
+    whitespace-collapsed text. Stable across engines (md5 is bit-exact),
+    used as the exact-dedup key at scale."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as an array<string> — the MinHash/Jaccard unit.
+
+    Built with sequence+transform (codegen) rather than a UDF: positions
+    1..n-k+1 each yield the k-token slice joined by spaces.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )

@@ -1,0 +1,48 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+Pure ``pyspark.sql.functions`` higher-order functions (zip_with +
+aggregate) — JVM-side, codegen'd, no Python round-trip. Computation is
+done in DOUBLE regardless of storage type so results are stable and match
+the DuckDB oracle bit-for-bit after rounding.
+
+At 100 TB scale these are map-only expressions; the expensive part of
+similarity search is the pairing strategy (see operators/similarity.py),
+not the arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _d(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_d(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(_d(a), _d(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )

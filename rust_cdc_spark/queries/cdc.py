@@ -1,0 +1,207 @@
+"""CDC pipeline queries — the reference's own operator surface.
+
+Each query pairs the DataFrame implementation (sources/events_cdc +
+operators/{router,collapse,merge}) with the equivalent ANSI SQL oracle.
+The change stream is derived deterministically from the ``events`` table
+(see sources/events_cdc.py) so both engines see identical input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rust_cdc_spark.operators.collapse import collapse_last_image
+from rust_cdc_spark.operators.merge import merge_upsert
+from rust_cdc_spark.operators.router import route
+from rust_cdc_spark.queries import register, utc
+from rust_cdc_spark.sources.events_cdc import events_as_cdc
+from rust_cdc_spark.sources.tables import load_table
+
+# Shared CASE expression (DuckDB side) for event_type → op.
+_OP_SQL = "CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END"
+
+
+@register(
+    "cdc_normalize",
+    oracle=f"""
+    SELECT event_id AS log_pos,
+           user_id  AS key,
+           'app'    AS "database",
+           'users'  AS "table",
+           {_OP_SQL} AS op,
+           event_type,
+           value
+    FROM events
+    """,
+)
+def cdc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 analog: raw change events → normalized CDC envelope rows
+    (flattened row image; update/insert carry after, delete carries
+    before — reference RowType semantics, event/mod.rs:208-229)."""
+    cdc = events_as_cdc(spark, sf_dir)
+    img = lambda f: F.coalesce(F.col(f"after.{f}"), F.col(f"before.{f}"))  # noqa: E731
+    return cdc.select(
+        "log_pos",
+        "key",
+        "database",
+        "table",
+        "op",
+        img("event_type").alias("event_type"),
+        img("value").alias("value"),
+    )
+
+
+@register(
+    "cdc_route_regex",
+    oracle=f"""
+    SELECT event_id AS log_pos,
+           user_id  AS key,
+           'users_' || CAST(user_id % 4 AS VARCHAR) AS "table",
+           {_OP_SQL} AS op
+    FROM events
+    WHERE regexp_matches('app.users_' || CAST(user_id % 4 AS VARCHAR),
+                         '^(app\\.users_1|app\\.u.*_3)$')
+    """,
+)
+def cdc_route_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 analog: regex database/table router with glob patterns
+    (MatchStrategy, /root/reference/src/mysql/mod.rs:21-90). The virtual
+    table is sharded users_<user_id%4>; patterns keep shards 1 and 3
+    (the second via a ``u*_3`` glob)."""
+    cdc = events_as_cdc(spark, sf_dir).withColumn(
+        "table", F.concat(F.lit("users_"), (F.col("key") % 4).cast("string"))
+    )
+    routed = route(cdc, dbs=["app"], tables=["users_1", "u*_3"])
+    return routed.select("log_pos", "key", "table", "op")
+
+
+@register(
+    "cdc_collapse_last",
+    oracle=f"""
+    SELECT user_id AS key,
+           event_id AS log_pos,
+           {_OP_SQL} AS op,
+           event_type,
+           value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    """,
+)
+def cdc_collapse_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 analog: last-writer-wins collapse per key in binlog order
+    (ValueBuffers, /root/reference/src/delta/value_buffer.rs:15-83)."""
+    cdc = events_as_cdc(spark, sf_dir)
+    img = lambda f: F.coalesce(F.col(f"after.{f}"), F.col(f"before.{f}"))  # noqa: E731
+    return collapse_last_image(cdc, ["key"]).select(
+        "key",
+        "log_pos",
+        "op",
+        img("event_type").alias("event_type"),
+        img("value").alias("value"),
+    )
+
+
+@register(
+    "cdc_current_state",
+    oracle="""
+    SELECT user_id, event_type, value
+    FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "current table state" view: final image per key, deletes
+    dropped — what the reference's upsert loop leaves in Delta."""
+    cdc = events_as_cdc(spark, sf_dir)
+    return (
+        collapse_last_image(cdc, ["key"], keep_deletes=False)
+        .select(F.col("key").alias("user_id"), "after.event_type", "after.value")
+    )
+
+
+@register(
+    "cdc_merge_upsert",
+    oracle="""
+    SELECT user_id, event_type, value, props
+    FROM (
+        SELECT user_id, event_type, value, props,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+K5 analog, end-to-end MERGE invariant: state(first half of the
+    log) MERGE changes(second half) == collapse(whole log). The oracle is
+    the full-log collapse; the Spark side actually executes the
+    target/changes merge (anti-join ∪ upserts, operators/merge.py)."""
+    cdc = events_as_cdc(spark, sf_dir)
+    mid = load_table(spark, "events", sf_dir).agg(
+        (F.max("event_id") / 2).cast("long")
+    ).collect()[0][0]
+    first = cdc.filter(F.col("log_pos") <= mid)
+    second = cdc.filter(F.col("log_pos") > mid)
+    target = (
+        collapse_last_image(first, ["key"], keep_deletes=False)
+        .select(F.col("after.*"))
+    )
+    return merge_upsert(target, second, ["user_id"])
+
+
+@register(
+    "cdc_op_stats",
+    oracle=f"""
+    SELECT {_OP_SQL} AS op,
+           count(*) AS n,
+           min(event_id) AS min_pos,
+           max(event_id) AS max_pos,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+    FROM events
+    GROUP BY 1
+    """,
+)
+def cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational telemetry over the stream (the reference exposes
+    counters via statsd, /root/reference/src/delta/mod.rs:205-216):
+    per-op event counts, offset ranges, distinct keys."""
+    cdc = events_as_cdc(spark, sf_dir)
+    return cdc.groupBy("op").agg(
+        F.count("*").alias("n"),
+        F.min("log_pos").alias("min_pos"),
+        F.max("log_pos").alias("max_pos"),
+        F.countDistinct("key").alias("n_keys"),
+    )
+
+
+@register(
+    "cdc_ddl_comment_strip",
+    oracle="""
+    SELECT event_id AS log_pos,
+           trim(regexp_replace(
+               '/* gh-ost */ ALTER TABLE users ADD COLUMN c' || CAST(event_id % 5 AS VARCHAR)
+               || ' INT /* tail */', '(/\\*)(.*?)(\\*/)(\\s)*', '', 'g')) AS query
+    FROM events
+    WHERE event_id % 100 = 0
+    """,
+)
+def cdc_ddl_comment_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 analog: QueryEvent comment stripping
+    (``replace_note`` regex, /root/reference/src/mysql/event/mod.rs:18-23).
+    Synthesizes DDL text deterministically from event ids, then strips
+    ``/* .. */`` comments exactly as the reference does."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") % 100 == 0)
+    ddl = F.concat(
+        F.lit("/* gh-ost */ ALTER TABLE users ADD COLUMN c"),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit(" INT /* tail */"),
+    )
+    return ev.select(
+        F.col("event_id").alias("log_pos"),
+        F.trim(F.regexp_replace(ddl, r"(/\*)(.*?)(\*/)(\s)*", "")).alias("query"),
+    )

@@ -1,0 +1,388 @@
+"""Standard relational surface (SURVEY.md §2.7) — joins, aggregations,
+windows, set ops, scalar functions — exercised TPC-H-style over the
+driver's star schema. Each is pure DataFrame API (Catalyst plans them);
+the oracle states the identical ANSI SQL for DuckDB.
+
+Scale notes per query are in the docstrings: broadcast vs shuffle sides,
+partial aggregation, AQE reliance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rust_cdc_spark.queries import register, utc
+from rust_cdc_spark.sources.tables import load_table
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2)      AS sum_qty,
+           round(sum(l_extendedprice), 2)                 AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2)                      AS avg_qty,
+           round(avg(l_extendedprice), 2)                 AS avg_price,
+           round(avg(l_discount), 4)                      AS avg_disc,
+           count(*)                                       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation. Partial (map-side)
+    aggregation collapses 6 groups before the shuffle — at 100 TB the
+    exchange moves ~6 rows per task regardless of input size."""
+    utc(spark)
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → top-k. customer
+    (filtered) is small → broadcast to both fact joins; lineitem never
+    shuffles. Top-k via sort+limit (Spark's TakeOrderedAndProject)."""
+    utc(spark)
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join, all dims broadcast — lineitem (the
+    100 TB side) is touched by exactly one scan and one shuffle (the final
+    25-group agg, which partial-aggregates map-side)."""
+    utc(spark)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, "nation", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    dims = (
+        cust.join(F.broadcast(nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    # Only the genuinely-constant-size dims (region, nation) are forced
+    # broadcast; customer/orders/supplier grow with SF, so their join
+    # strategy is left to Catalyst + AQE (auto-broadcast when small,
+    # shuffle join at 100 TB).
+    return (
+        li.join(orders.join(dims, F.col("o_custkey") == F.col("c_custkey")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(sup,
+              (F.col("s_suppkey") == F.col("l_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window — the same primitive the CDC
+    collapse uses. One shuffle on the partition key; deterministic
+    tie-break on the unique orderkey."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS). The orders side reduces to its join
+    key — Catalyst prunes to one column before the exchange."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_semi_parts_ordered",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_parts_ordered
+    FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+)
+def join_semi_parts_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) + global count."""
+    part = load_table(spark, "part", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .agg(F.count("*").alias("n_parts_ordered"))
+    )
+
+
+@register(
+    "agg_rollup_returns",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregates via ROLLUP (grand total + per-flag +
+    per-flag/status). Spark expands grouping sets map-side; still one
+    shuffle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_cube_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "orders", sf_dir)
+    return li.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
+@register(
+    "set_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    sup = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(sup)
+
+
+@register(
+    "set_except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    sup = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.subtract(sup)  # EXCEPT (set semantics)
+
+
+@register(
+    "scalar_functions_orders",
+    oracle="""
+    SELECT o_orderkey,
+           upper(substr(o_orderpriority, 3)) AS priority_name,
+           CAST(year(o_orderdate) AS INT)  AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           round(o_totalprice * 2, 2)      AS total_doubled,
+           length(o_orderstatus) + abs(-1) AS status_len_plus,
+           concat(CAST(o_orderkey AS VARCHAR), ':', o_orderstatus) AS tagged
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+)
+def scalar_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function coverage: string (upper/substr/concat/length),
+    temporal (year/month), math (round/abs) — all codegen'd built-ins."""
+    utc(spark)
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") % 10 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 3, 2147483647)).alias("priority_name"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        # *2 not *1.1: doubling is exact in binary FP, so Spark and the
+        # oracle round identical doubles (no half-point divergence).
+        F.round(F.col("o_totalprice") * 2, 2).alias("total_doubled"),
+        (F.length("o_orderstatus") + F.abs(F.lit(-1))).cast("long").alias("status_len_plus"),
+        F.concat(
+            F.col("o_orderkey").cast("string"), F.lit(":"), F.col("o_orderstatus")
+        ).alias("tagged"),
+    )
+
+
+@register(
+    "agg_distinct_lineitem",
+    oracle="""
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def agg_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase). The approximate
+    variant (approx_count_distinct / HLL) is exposed separately without an
+    oracle since DuckDB's sketch differs."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register("agg_approx_distinct_lineitem", oracle=None)
+def agg_approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the scale path (no expand, one pass).
+    Rows-only check: DuckDB's approx sketch is a different algorithm."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("n_orders_approx"),
+    )
+
+
+@register(
+    "order_by_limit_top_orders",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def order_by_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heap + driver merge of k rows, never a full sort at scale."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )

@@ -1,0 +1,97 @@
+"""Event-time operators over the ``events`` stream table — the batch
+shape of the streaming surface (streaming/ wires the same expressions
+behind readStream + watermarks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rust_cdc_spark.queries import register, utc
+from rust_cdc_spark.sources.tables import load_table
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per event type — identical
+    expression runs under readStream+withWatermark (see streaming/).
+    Window start serialized to string so both engines hash identically."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30 min gap. Batch
+    form = lag window + sum; streaming form = session_window(ts, '30
+    minutes'). One shuffle on user_id shared by both window and agg."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    return (
+        ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"))
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON path extraction + aggregation. The
+    reference ships row images as JSON objects into its sink
+    (/root/reference/src/delta/mod.rs:61-63); get_json_object is the
+    column-level analog."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[N]`` in one JVM; the configuration is chosen so
+the same code scales to a multi-executor cluster: AQE on (runtime
+coalescing + skew-join handling), shuffle partitions sized to cores for
+local runs (on a cluster you'd size to ~2-3× total cores), UTC session
+timezone (binlog timestamps are UTC — the reference forces
+``time_zone='+00:00'`` on its replica session, see
+/root/reference/src/mysql/conn.rs:606-632), and Arrow enabled for the
+Pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "rust_cdc_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores. All settings
+    are cluster-safe: nothing here assumes single-node execution.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Shuffle sizing: ~cores locally. At 100 TB you'd raise this (or let
+        # AQE coalesce from a high initial number); AQE makes the exact value
+        # non-critical.
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
