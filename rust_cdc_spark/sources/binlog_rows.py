@@ -1,0 +1,190 @@
+"""Binlog ROWS_EVENT / TABLE_MAP payload decode → typed row images.
+
+Implements the publicly documented binlog row formats (MySQL
+libbinlogevents: Table_map_event, Rows_event v1/v2) — the engine analog
+of the reference's ``parse_rows_event``/``parse_one_row``
+(/root/reference/src/mysql/event/decode.rs:352-452) and
+``decode_table_map`` (:287-322), re-derived from the public format, not
+translated.
+
+These functions are pure Python and run batch-at-a-time inside the
+streaming source (one call per event, not per analytic row) — the CDC
+ingest path, never the query hot path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from rust_cdc_spark.functions import mysql_types as MT
+
+# Event type codes (public constants; reference enum at
+# /root/reference/src/mysql/event/mod.rs:257-367).
+TABLE_MAP_EVENT = 0x13
+WRITE_ROWS_V1 = 0x17
+UPDATE_ROWS_V1 = 0x18
+DELETE_ROWS_V1 = 0x19
+WRITE_ROWS_V2 = 0x1E
+UPDATE_ROWS_V2 = 0x1F
+DELETE_ROWS_V2 = 0x20
+
+_V2_EVENTS = {WRITE_ROWS_V2, UPDATE_ROWS_V2, DELETE_ROWS_V2}
+_UPDATE_EVENTS = {UPDATE_ROWS_V1, UPDATE_ROWS_V2}
+_WRITE_EVENTS = {WRITE_ROWS_V1, WRITE_ROWS_V2}
+_DELETE_EVENTS = {DELETE_ROWS_V1, DELETE_ROWS_V2}
+
+
+@dataclass
+class TableMapEntry:
+    """Schema registry entry (reference ``SingleTableMap``,
+    /root/reference/src/mysql/connection/mod.rs:32-49). Column names are
+    absent on the wire — enrich from information_schema out of band."""
+
+    table_id: int
+    schema_name: str
+    table_name: str
+    column_types: list[int]
+    column_metas: list[tuple]
+    nullable: list[bool]
+    column_names: list[str] | None = None
+
+
+@dataclass
+class TableRegistry:
+    """table_id → TableMapEntry, fed by TABLE_MAP events (reference
+    ``TableMap::handle``, connection/mod.rs:51-85). Persisted in the
+    stream checkpoint so restarts can decode rows without re-seeing
+    TABLE_MAP (reference snapshot ``LogEntry.tables``)."""
+
+    inner: dict[int, TableMapEntry] = field(default_factory=dict)
+
+    def handle(self, entry: TableMapEntry) -> None:
+        self.inner[entry.table_id] = entry
+
+    def get(self, table_id: int) -> TableMapEntry | None:
+        return self.inner.get(table_id)
+
+
+def _meta_for(type_code: int, meta_buf: bytes, pos: int) -> tuple[tuple, int]:
+    """Per-type metadata widths (public TABLE_MAP optional-metadata
+    layout; reference read at event/mod.rs:442-458)."""
+    if type_code in (MT.FLOAT, MT.DOUBLE, MT.BLOB, MT.GEOMETRY, MT.JSON):
+        return (meta_buf[pos],), pos + 1
+    if type_code in (MT.VARCHAR, MT.VAR_STRING):
+        return (int.from_bytes(meta_buf[pos : pos + 2], "little"),), pos + 2
+    if type_code in (MT.STRING,):
+        # real_type byte + length byte (ENUM/SET piggyback here)
+        b1, b2 = meta_buf[pos], meta_buf[pos + 1]
+        return (b1, b2), pos + 2
+    if type_code == MT.NEWDECIMAL:
+        return (meta_buf[pos], meta_buf[pos + 1]), pos + 2
+    if type_code == MT.BIT:
+        return (meta_buf[pos], meta_buf[pos + 1]), pos + 2
+    if type_code in (MT.TIMESTAMP2, MT.DATETIME2, MT.TIME2):
+        return (meta_buf[pos],), pos + 1
+    return (), pos
+
+
+def decode_table_map(body: bytes) -> TableMapEntry:
+    """TABLE_MAP body (post-header + payload, checksum stripped)."""
+    table_id = int.from_bytes(body[0:6], "little")
+    pos = 8  # 6-byte table id + 2-byte flags
+    schema_len = body[pos]
+    pos += 1
+    schema = body[pos : pos + schema_len].decode()
+    pos += schema_len + 1  # trailing NUL
+    table_len = body[pos]
+    pos += 1
+    table = body[pos : pos + table_len].decode()
+    pos += table_len + 1
+    col_count, pos = MT.read_lenenc_int(body, pos)
+    col_types = list(body[pos : pos + col_count])
+    pos += col_count
+    meta_len, pos = MT.read_lenenc_int(body, pos)
+    meta_buf = body[pos : pos + meta_len]
+    pos += meta_len
+    metas: list[tuple] = []
+    mpos = 0
+    for tc in col_types:
+        m, mpos = _meta_for(tc, meta_buf, mpos)
+        metas.append(m)
+    null_bitmap = body[pos : pos + (col_count + 7) // 8]
+    nullable = [bool(null_bitmap[i // 8] >> (i % 8) & 1) for i in range(col_count)]
+    return TableMapEntry(table_id, schema, table, col_types, metas, nullable)
+
+
+def _bitmap_get(bitmap: bytes, i: int) -> bool:
+    return bool(bitmap[i // 8] >> (i % 8) & 1)
+
+
+def _decode_image(
+    body: bytes, pos: int, entry: TableMapEntry, present: bytes
+) -> tuple[dict, int]:
+    """One row image: null bitmap over present columns, then values
+    positionally (reference ``parse_one_row``, decode.rs:428-452)."""
+    n_present = sum(
+        1 for i in range(len(entry.column_types)) if _bitmap_get(present, i)
+    )
+    null_bitmap = body[pos : pos + (n_present + 7) // 8]
+    pos += (n_present + 7) // 8
+    values: dict = {}
+    j = 0  # index among present columns
+    for i, tc in enumerate(entry.column_types):
+        if not _bitmap_get(present, i):
+            continue
+        name = (
+            entry.column_names[i]
+            if entry.column_names
+            else f"col_{i}"
+        )
+        if _bitmap_get(null_bitmap, j):
+            values[name] = None
+        else:
+            values[name], pos = MT.decode_value(
+                body, pos, tc, entry.column_metas[i]
+            )
+        j += 1
+    return values, pos
+
+
+def decode_rows_event(
+    body: bytes, event_type: int, registry: TableRegistry
+) -> tuple[int, list[dict]]:
+    """ROWS_EVENT body → (table_id, row dicts).
+
+    Insert rows → {"after": {...}}; delete rows → {"before": {...}};
+    update rows → {"before": {...}, "after": {...}} (two images back to
+    back, reference decode.rs:398-423).
+    """
+    table_id = int.from_bytes(body[0:6], "little")
+    pos = 8  # table id + flags
+    if event_type in _V2_EVENTS:
+        extra_len = int.from_bytes(body[pos : pos + 2], "little")
+        pos += extra_len  # includes the 2 length bytes
+    col_count, pos = MT.read_lenenc_int(body, pos)
+    bm_len = (col_count + 7) // 8
+    present1 = body[pos : pos + bm_len]
+    pos += bm_len
+    present2 = present1
+    if event_type in _UPDATE_EVENTS:
+        present2 = body[pos : pos + bm_len]
+        pos += bm_len
+
+    entry = registry.get(table_id)
+    if entry is None:
+        raise KeyError(f"no TABLE_MAP for table id {table_id}")
+
+    rows: list[dict] = []
+    end = len(body)
+    while pos < end:
+        if event_type in _UPDATE_EVENTS:
+            before, pos = _decode_image(body, pos, entry, present1)
+            after, pos = _decode_image(body, pos, entry, present2)
+            rows.append({"before": before, "after": after})
+        elif event_type in _WRITE_EVENTS:
+            after, pos = _decode_image(body, pos, entry, present1)
+            rows.append({"after": after})
+        else:
+            before, pos = _decode_image(body, pos, entry, present1)
+            rows.append({"before": before})
+    return table_id, rows

@@ -1,0 +1,158 @@
+"""``mysql-cdc-replay`` — a Structured Streaming CDC source (Python Data
+Source API, Spark 4).
+
+The reference's source is a live MySQL replica connection: handshake →
+COM_BINLOG_DUMP → event loop with offset checkpointing
+(/root/reference/src/mysql/conn.rs:133-157,307-356). This engine models
+the identical contract against a *recorded* binlog: a directory of JSONL
+event files (one JSON event per line, named ``<binlog_file>.jsonl``),
+which is both the test harness the reference uses (golden binlog files
+replayed from disk, tests/events/*) and the shape of a production
+spool/Kafka topic. A live PyMySQL-based reader drops into the same class
+by replacing ``_read_lines`` — offsets, schema registry, decode, and
+checkpoint semantics are already exactly those of the reference:
+
+- offset        = {"file": str, "pos": int}  (reference ``LogEntry``,
+                  /root/reference/src/snapshot/mod.rs:18-23)
+- initialOffset = start of the earliest recorded file (reference falls
+                  back to ``show master status``; a replay has a real
+                  beginning)
+- latestOffset  = end of the newest file — each microbatch replays
+                  [start, end) exactly once; Spark's offset+commit logs
+                  give the exactly-once property the reference
+                  approximates with its 5 s recorder
+                  (/root/reference/src/mysql/conn.rs:272-295)
+- partitions()  = ONE partition per microbatch: a binlog is a single
+                  totally-ordered log; parallelism comes downstream
+                  (per-table routing, the merge shuffle), never from
+                  splitting the log (which would break per-key ordering)
+
+Event JSON lines carry the normalized envelope fields (FIXTURES.md F6):
+``{"ts": epoch_sec, "server_id": int, "pos": int, "gtid": str|null,
+"xid": int|null, "database": str, "table": str, "op": "I|U|D|DDL",
+"before": {..}|null, "after": {..}|null, "query": str|null}``.
+Images are JSON objects (map<string,string> fallback envelope — typed
+casting happens downstream against the schema registry).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from rust_cdc_spark.datamodel import CDC_SCHEMA
+
+
+@dataclass
+class RangePartition(InputPartition):
+    files: list  # [(file_name, start_line, end_line)]
+    directory: str
+
+
+def _file_key(name: str) -> str:
+    return name  # binlog names sort lexicographically (binlog.000001 …)
+
+
+class BinlogReplayReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.directory = options["path"]
+        self.batch_lines = int(options.get("maxeventspertrigger", "100000"))
+
+    # offsets are {"file": name, "line": n} — "line" is the replay analog
+    # of the binlog byte position (monotone within a file).
+    def _files(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.directory) if f.endswith(".jsonl")
+        )
+
+    def _line_count(self, fname: str) -> int:
+        with open(os.path.join(self.directory, fname), "rb") as fh:
+            return sum(1 for _ in fh)
+
+    def initialOffset(self) -> dict:
+        files = self._files()
+        if not files:
+            raise RuntimeError(f"no .jsonl binlog recordings in {self.directory}")
+        return {"file": files[0], "line": 0}
+
+    def latestOffset(self) -> dict:
+        files = self._files()
+        last = files[-1]
+        return {"file": last, "line": self._line_count(last)}
+
+    def partitions(self, start: dict, end: dict):
+        """One ordered partition covering [start, end) across file
+        rotations (reference RotateEvent handling,
+        /root/reference/src/mysql/conn.rs:311-317)."""
+        files = [
+            f for f in self._files()
+            if _file_key(start["file"]) <= _file_key(f) <= _file_key(end["file"])
+        ]
+        spans = []
+        for f in files:
+            lo = start["line"] if f == start["file"] else 0
+            hi = end["line"] if f == end["file"] else self._line_count(f)
+            if hi > lo:
+                spans.append((f, lo, hi))
+        return [RangePartition(spans, self.directory)]
+
+    def read(self, partition: RangePartition):
+        import datetime
+
+        for fname, lo, hi in partition.files:
+            with open(os.path.join(partition.directory, fname)) as fh:
+                for i, line in enumerate(fh):
+                    if i < lo or i >= hi:
+                        continue
+                    ev = json.loads(line)
+                    yield (
+                        datetime.datetime.utcfromtimestamp(ev["ts"]),
+                        ev.get("server_id"),
+                        fname.rsplit(".jsonl", 1)[0],
+                        ev["pos"],
+                        ev.get("gtid"),
+                        ev.get("xid"),
+                        ev["database"],
+                        ev["table"],
+                        ev["op"],
+                        _stringify(ev.get("before")),
+                        _stringify(ev.get("after")),
+                        ev.get("query"),
+                    )
+
+    def commit(self, end: dict) -> None:
+        # Spark's checkpoint commit log is the durable record; nothing to
+        # do (the reference needs its own recorder task here).
+        pass
+
+
+def _stringify(image: dict | None) -> dict | None:
+    if image is None:
+        return None
+    return {k: (None if v is None else str(v)) for k, v in image.items()}
+
+
+class BinlogReplaySource(DataSource):
+    """spark.readStream.format("mysql-cdc-replay").option("path", dir)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mysql-cdc-replay"
+
+    def schema(self) -> StructType:
+        return CDC_SCHEMA
+
+    def streamReader(self, schema: StructType) -> BinlogReplayReader:
+        return BinlogReplayReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(BinlogReplaySource)

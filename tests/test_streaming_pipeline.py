@@ -1,0 +1,162 @@
+"""End-to-end streaming CDC test — the reference's whole dataflow:
+recorded binlog (JSONL) → streaming source → regex route → foreachBatch
+collapse+MERGE → SQL over the resulting table. Includes the
+checkpoint/restart replay property SURVEY.md §5 calls out (the reference
+only approximates it with its 5 s recorder).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rust_cdc_spark.streaming.pipeline import ParquetUpsertTable, start_cdc_pipeline
+
+USERS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("balance", T.DoubleType()),
+    ]
+)
+
+
+def _ev(pos, op, db="app", table="users", before=None, after=None, xid=None):
+    return {
+        "ts": 1700000000 + pos,
+        "server_id": 1,
+        "pos": pos,
+        "gtid": f"uuid:{pos}",
+        "xid": xid,
+        "database": db,
+        "table": table,
+        "op": op,
+        "before": before,
+        "after": after,
+        "query": None,
+    }
+
+
+def _write_binlog(directory, fname, events):
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, fname), "w") as fh:
+        for e in events:
+            fh.write(json.dumps(e) + "\n")
+
+
+@pytest.fixture()
+def binlog_dir(tmp_path):
+    d = str(tmp_path / "binlog")
+    _write_binlog(
+        d,
+        "binlog.000001.jsonl",
+        [
+            _ev(1, "I", after={"id": 1, "name": "ann", "balance": 10.0}),
+            _ev(2, "I", after={"id": 2, "name": "bob", "balance": 20.0}),
+            _ev(3, "U", before={"id": 1, "name": "ann", "balance": 10.0},
+                after={"id": 1, "name": "ann", "balance": 15.0}),
+            # other-table noise the router must drop:
+            _ev(4, "I", table="audit", after={"id": 99, "name": "x", "balance": 0.0}),
+        ],
+    )
+    _write_binlog(
+        d,
+        "binlog.000002.jsonl",  # file rotation
+        [
+            _ev(5, "D", before={"id": 2, "name": "bob", "balance": 20.0}),
+            _ev(6, "I", after={"id": 3, "name": "cyd", "balance": 30.0}),
+        ],
+    )
+    return d
+
+
+def _run_pipeline(spark, binlog_dir, tmp_path, checkpoint="cp"):
+    table = ParquetUpsertTable(
+        str(tmp_path / "users_table"), ["id"], image_schema=USERS_SCHEMA
+    )
+    q = start_cdc_pipeline(
+        spark,
+        binlog_dir,
+        table,
+        dbs=["app"],
+        tables=["users"],
+        checkpoint_dir=str(tmp_path / checkpoint),
+    )
+    q.processAllAvailable()
+    q.stop()
+    return table
+
+
+def test_end_to_end_state(spark, binlog_dir, tmp_path):
+    table = _run_pipeline(spark, binlog_dir, tmp_path)
+    table.register_view(spark, "users_current")
+    rows = {
+        r.id: (r.name, r.balance)
+        for r in spark.sql("SELECT * FROM users_current").collect()
+    }
+    # oracle: apply the DML by hand — insert 1,2; update 1; delete 2; insert 3
+    assert rows == {1: ("ann", 15.0), 3: ("cyd", 30.0)}
+
+
+def test_restart_resumes_from_checkpoint(spark, binlog_dir, tmp_path):
+    table = _run_pipeline(spark, binlog_dir, tmp_path)
+    v_after_first = table.version()
+
+    # new binlog file arrives after the query stopped
+    _write_binlog(
+        binlog_dir,
+        "binlog.000003.jsonl",
+        [
+            _ev(7, "U", before={"id": 3, "name": "cyd", "balance": 30.0},
+                after={"id": 3, "name": "cyd", "balance": 35.0}),
+        ],
+    )
+    table2 = ParquetUpsertTable(
+        str(tmp_path / "users_table"), ["id"], image_schema=USERS_SCHEMA
+    )
+    q = start_cdc_pipeline(
+        spark,
+        binlog_dir,
+        table2,
+        dbs=["app"],
+        tables=["users"],
+        checkpoint_dir=str(tmp_path / "cp"),  # same checkpoint → resume
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.id: r.balance for r in table2.read(spark).collect()}
+    assert rows == {1: 15.0, 3: 35.0}
+    # resumed run must process only the new file, not replay the old ones
+    assert table2.version() >= v_after_first
+
+
+def test_merge_replay_is_idempotent(spark, binlog_dir, tmp_path):
+    """Re-applying the same epoch (simulated crash between merge and
+    offset commit) must be a no-op thanks to txn_version tracking."""
+    table = ParquetUpsertTable(
+        str(tmp_path / "t2"), ["id"], image_schema=USERS_SCHEMA
+    )
+    from rust_cdc_spark.streaming.replay_source import register
+
+    register(spark)
+    batch = (
+        spark.read.format("json")
+        .schema(
+            "ts long, server_id long, pos long, gtid string, xid long,"
+            "database string, table string, op string,"
+            "before map<string,string>, after map<string,string>, query string"
+        )
+        .load(binlog_dir + "/binlog.000001.jsonl")
+        .withColumnRenamed("pos", "log_pos")
+        .withColumn("ts", F.timestamp_seconds("ts"))
+    )
+    table.merge(batch, txn_version=0)
+    v1 = table.version()
+    state1 = sorted((r.id, r.balance) for r in table.read(spark).collect())
+    table.merge(batch, txn_version=0)  # replay same epoch
+    assert table.version() == v1
+    assert sorted((r.id, r.balance) for r in table.read(spark).collect()) == state1
