@@ -46,7 +46,13 @@ def register(name: str, oracle: str | None = None):
 
 def load_all() -> dict[str, Query]:
     """Import all query modules (idempotent) and return the registry."""
-    from rust_cdc_spark.queries import cdc, llm, relational, timeseries  # noqa: F401
+    from rust_cdc_spark.queries import (  # noqa: F401
+        cdc,
+        llm,
+        multimodal,
+        relational,
+        timeseries,
+    )
 
     return REGISTRY
 

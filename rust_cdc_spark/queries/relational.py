@@ -386,3 +386,200 @@ def order_by_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
     )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation). Explicit value list → Catalyst plans a
+    single-pass pivot agg, no second job to discover values (the
+    discovery scan would be the 100 TB anti-pattern)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+@register(
+    "asof_join_purchase_last_click",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, value,
+               (event_type = 'click') AS is_click,
+               (event_type = 'purchase') AS is_purchase
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    enriched AS (
+        SELECT user_id, ts, event_id, value, is_purchase,
+               last_value(CASE WHEN is_click THEN event_id END IGNORE NULLS)
+                   OVER w AS click_event_id,
+               last_value(CASE WHEN is_click THEN value END IGNORE NULLS)
+                   OVER w AS click_value
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_event_id, user_id,
+           click_event_id, click_value
+    FROM enriched WHERE is_purchase
+    """,
+)
+def asof_join_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY.md §2.7): for each
+    purchase, the most recent prior click of the same user.
+
+    Implemented as the scalable merge-asof: union both sides, ONE
+    shuffle on user_id, last(ignorenulls) running window — never a
+    range cross-join. Works identically under Structured Streaming with
+    a watermark."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        (F.col("event_type") == "click").alias("is_click"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = tagged.select(
+        "user_id",
+        "event_id",
+        "is_purchase",
+        F.last(F.when(F.col("is_click"), F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_event_id"),
+        F.last(F.when(F.col("is_click"), F.col("value")), ignorenulls=True)
+        .over(w)
+        .alias("click_value"),
+    )
+    return enriched.filter(F.col("is_purchase")).select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        "click_event_id",
+        "click_value",
+    )
+
+
+@register(
+    "agg_percentiles_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (interpolated, TPC-H-style sorted-agg shape).
+    The approximate path (percentile_approx / t-digest) is the 100 TB
+    default; exact is used here because the oracle must match
+    bit-for-bit."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@register(
+    "join_left_outer_customer_orders",
+    oracle="""
+    SELECT c_custkey,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(max(o_totalprice), 0.0), 2) AS max_total
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + zero-filled aggregate per customer."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.max("o_totalprice"), F.lit(0.0)), 2).alias("max_total"),
+        )
+    )
+
+
+@register(
+    "set_union_nation_presence",
+    oracle="""
+    SELECT nationkey, CAST(count(*) AS BIGINT) AS n_sides
+    FROM (
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT DISTINCT s_nationkey FROM supplier
+    )
+    GROUP BY nationkey
+    """,
+)
+def set_union_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of deduplicated sides + count — presence on 1 or 2
+    sides per nation."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    sup = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    return cust.unionByName(sup).groupBy("nationkey").agg(
+        F.count("*").alias("n_sides")
+    )
+
+
+@register(
+    "scalar_string_funcs_part",
+    oracle="""
+    SELECT p_partkey,
+           reverse(p_brand) AS brand_rev,
+           lpad(p_brand, 12, '#') AS brand_pad,
+           regexp_extract(p_type, '([A-Z]+)$', 1) AS type_last_word,
+           replace(p_name, ' ', '_') AS name_snake,
+           CAST(length(p_name) - length(replace(p_name, ' ', '')) + 1 AS INT) AS n_words
+    FROM part
+    WHERE p_partkey % 7 = 0
+    """,
+)
+def scalar_string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function coverage: reverse/lpad/regexp_extract/replace +
+    derived word count — all codegen built-ins."""
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_partkey") % 7 == 0)
+    return part.select(
+        "p_partkey",
+        F.reverse("p_brand").alias("brand_rev"),
+        F.lpad("p_brand", 12, "#").alias("brand_pad"),
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_last_word"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        (F.length("p_name") - F.length(F.regexp_replace("p_name", " ", "")) + 1)
+        .cast("int")
+        .alias("n_words"),
+    )
