@@ -1,0 +1,108 @@
+"""Physical-plan quality gates — the 100 TB contract of each operator,
+asserted from its actual Spark plan (SURVEY.md §4: pushdown/pruning/
+broadcast/codegen are Catalyst built-ins *if* the plan is declared
+correctly; these tests catch regressions that would silently turn a
+broadcast join into a 100 TB shuffle).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rust_cdc_spark.plans import explain as X
+from rust_cdc_spark.queries import load_all
+from tests.conftest import SF_SMOKE
+
+REGISTRY = load_all()
+
+
+def q(spark, name):
+    return REGISTRY[name].spark_fn(spark, SF_SMOKE)
+
+
+class TestPushdownAndPruning:
+    def test_q1_filter_reaches_scan(self, spark):
+        pf = X.pushed_filters(q(spark, "q1_pricing_summary"))
+        assert any("l_shipdate" in f for f in pf), pf
+
+    def test_q1_reads_only_needed_columns(self, spark):
+        schemas = X.read_schemas(q(spark, "q1_pricing_summary"))
+        assert schemas, "no ReadSchema found"
+        # 7 needed columns, not all 11
+        cols = schemas[0]
+        assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+
+    def test_q3_selective_filters_pushed(self, spark):
+        pf = X.pushed_filters(q(spark, "q3_shipping_priority"))
+        joined = ",".join(pf)
+        assert "c_mktsegment" in joined and "o_orderdate" in joined, pf
+
+    def test_router_filter_is_narrow(self, spark):
+        df = q(spark, "cdc_route_regex")
+        assert X.count_exchanges(df) == 0, X.plan_text(df)
+
+
+class TestJoinStrategies:
+    def test_q3_broadcasts_dimension(self, spark):
+        assert X.has_broadcast_join(q(spark, "q3_shipping_priority"))
+
+    def test_q5_broadcasts_dims(self, spark):
+        assert X.has_broadcast_join(q(spark, "q5_local_supplier_volume"))
+
+    def test_similarity_broadcasts_probes(self, spark):
+        assert X.has_broadcast_join(q(spark, "similarity_knn_batch"))
+
+
+class TestShuffleBudget:
+    """Each operator's shuffle count is part of its contract: a
+    regression that adds an exchange is a 100 TB regression."""
+
+    @pytest.mark.parametrize(
+        "name,max_exchanges",
+        [
+            ("cdc_normalize", 0),          # pure projection
+            ("cdc_collapse_last", 1),      # one shuffle on the key
+            ("cdc_current_state", 1),
+            ("q1_pricing_summary", 1),     # partial agg → one exchange
+            ("agg_rollup_returns", 1),
+            ("window_topk_orders_per_customer", 1),
+            ("events_sessionize", 1),      # window + agg share the key
+            ("dedup_exact_documents", 2),  # parallelize round-robin + agg
+        ],
+    )
+    def test_exchange_budget(self, spark, name, max_exchanges):
+        df = q(spark, name)
+        got = X.count_exchanges(df)
+        assert got <= max_exchanges, f"{name}: {got} exchanges\n{X.plan_text(df)}"
+
+
+class TestExecutionShape:
+    def test_top_k_avoids_global_sort(self, spark):
+        assert X.uses_top_k(q(spark, "order_by_limit_top_orders"))
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "q1_pricing_summary",
+            "cdc_collapse_last",
+            "text_stats",
+            "dedup_minhash_lsh_pairs",
+            "similarity_topk_cosine",
+            "events_sessionize",
+        ],
+    )
+    def test_no_python_in_analytic_path(self, spark, name):
+        assert not X.has_python_eval(q(spark, name)), name
+
+    def test_multimodal_uses_arrow_batches(self, spark):
+        # the one place Python is allowed: the codec stage, Arrow-batched
+        assert X.has_python_eval(q(spark, "multimodal_feature_extract"))
+
+    def test_q1_stays_in_codegen(self, spark):
+        # AQE defers codegen staging until execution; plan without it to
+        # see the static codegen spans.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            assert X.codegen_stage_count(q(spark, "q1_pricing_summary")) >= 1
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
