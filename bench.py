@@ -31,11 +31,16 @@ HEADLINE = [
     "window_topk_orders_per_customer",
     "agg_rollup_returns",
     "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
     "text_stats",
     "similarity_topk_cosine",
+    "similarity_knn_batch",
     "dedup_ngram_jaccard_pairs",
     "events_tumbling_window",
     "events_sessionize",
+    "asof_join_purchase_last_click",
+    "pivot_status_by_priority",
+    "multimodal_feature_extract",
 ]
 
 
