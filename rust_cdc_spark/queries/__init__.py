@@ -51,6 +51,7 @@ def load_all() -> dict[str, Query]:
         llm,
         multimodal,
         relational,
+        sql_surface,
         timeseries,
     )
 

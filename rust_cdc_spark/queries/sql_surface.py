@@ -1,0 +1,161 @@
+"""Queries expressed through ``spark.sql`` — the engine's DQL surface
+(reference Q1/Q2: DataFusion SQL over the sink table,
+/root/reference/src/delta/mod.rs:428-494). Catalyst parses and plans the
+same relational algebra as the DataFrame API; these queries exercise the
+SQL entry point plus constructs that are most natural in SQL (grouping
+sets, correlated/scalar subqueries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rust_cdc_spark.queries import register, utc
+from rust_cdc_spark.sources.tables import register_views
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg — every predicate must reach the
+    parquet scan (no join, no wide shuffle; the map side reduces to one
+    row per task)."""
+    utc(spark)
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.09
+          AND l_quantity < 24
+        """
+    )
+
+
+@register(
+    "subquery_above_avg_orders",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+    """,
+)
+def subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + correlated EXISTS — Catalyst decorrelates the
+    EXISTS into a left-semi join and evaluates the scalar once (a
+    broadcast of one value, not a per-row subplan)."""
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS total
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        """
+    )
+
+
+@register(
+    "grouping_sets_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-flag, per-status
+    and grand-total aggregates in one pass (one exchange, expand
+    map-side)."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "dense_rank_supplier_balance",
+    oracle="""
+    SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS acctbal, rnk
+    FROM (
+        SELECT s_nationkey, s_suppkey, s_acctbal,
+               dense_rank() OVER (PARTITION BY s_nationkey
+                                  ORDER BY round(s_acctbal, 2) DESC) AS rnk
+        FROM supplier
+    )
+    WHERE rnk <= 2
+    """,
+)
+def dense_rank_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank window (vs row_number elsewhere): ties share ranks.
+    Ranking on the rounded value keeps Spark/DuckDB tie groups
+    identical."""
+    register_views(spark, sf_dir, "supplier")
+    return spark.sql(
+        """
+        SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS acctbal, rnk
+        FROM (
+            SELECT s_nationkey, s_suppkey, s_acctbal,
+                   dense_rank() OVER (PARTITION BY s_nationkey
+                                      ORDER BY round(s_acctbal, 2) DESC) AS rnk
+            FROM supplier
+        )
+        WHERE rnk <= 2
+        """
+    )
+
+
+@register(
+    "lag_lead_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    QUALIFY days_since_prev IS NOT NULL
+    """,
+)
+def lag_lead_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() navigation window: per-customer days between consecutive
+    orders."""
+    utc(spark)
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey,
+                   CAST(datediff(o_orderdate,
+                        lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate, o_orderkey))
+                        AS BIGINT) AS days_since_prev
+            FROM orders
+        )
+        WHERE days_since_prev IS NOT NULL
+        """
+    )

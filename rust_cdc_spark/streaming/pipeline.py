@@ -229,6 +229,17 @@ def start_cdc_pipeline(
     return writer.start()
 
 
+def split_dead_letters(envelope: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """K4 quarantine analog (/root/reference/src/delta/writer.rs:317-338,
+    491-511): rows that failed envelope parsing (NULL log_pos after
+    from_json) split off to the dead-letter side; good rows continue to
+    MERGE. Both sides are DataFrames — route the dead side to its own
+    table (``dlq_table_uri`` in the reference's options)."""
+    ok = envelope.filter(F.col("log_pos").isNotNull())
+    dead = envelope.filter(F.col("log_pos").isNull())
+    return ok, dead
+
+
 def streaming_dedup(stream: DataFrame, key_cols: list[str], watermark_col: str,
                     delay: str = "10 minutes") -> DataFrame:
     """Watermark-bounded streaming dedup — the A4 (bloom-filter) analog

@@ -1,0 +1,134 @@
+"""Streaming analytics surface: the batch queries' streaming twins —
+watermarked tumbling windows, session windows, bounded-state dedup —
+driven through real streaming queries (memory sink, processAllAvailable),
+asserted against the batch result on the same data. Plus the Kafka
+envelope parser (S10) on static data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_cdc_spark.sources.kafka import parse_cdc_json
+from rust_cdc_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(tmp_path_factory, spark):
+    """Events re-laid as a streaming-readable directory with a
+    TimestampType ts (watermarks reject NTZ)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, "events", SF_SMOKE).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_windowed_agg_stream_matches_batch(spark, events_stream_dir):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_stream_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    got = {
+        (str(r["window"]["start"]), r["event_type"]): (r["n"], r["v"])
+        for r in _run_stream(spark, stream, "win_out").collect()
+    }
+    batch = (
+        spark.read.parquet(events_stream_dir)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    want = {
+        (str(r["window"]["start"]), r["event_type"]): (r["n"], r["v"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_session_window_stream(spark, events_stream_dir):
+    """session_window(ts, 30 min) — the streaming sessionizer whose batch
+    twin is events_sessionize. Assert per-user session counts match the
+    batch lag/gap computation."""
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_stream_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_stream(spark, stream, "sess_out")
+    got = {
+        r.user_id: r.n_sessions
+        for r in out.groupBy("user_id").agg(F.count("*").alias("n_sessions")).collect()
+    }
+
+    from rust_cdc_spark.queries import load_all
+
+    batch = load_all()["events_sessionize"].spark_fn(spark, SF_SMOKE)
+    want = {r.user_id: r.n_sessions for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_dedup_bounded_state(spark, events_stream_dir):
+    from rust_cdc_spark.streaming.pipeline import streaming_dedup
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    # duplicate key: user_id+event_type — keep first occurrence
+    deduped = streaming_dedup(stream, ["user_id", "event_type"], "ts", "1 hour")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT user_id || '|' || event_type) AS d FROM dedup_out").collect()[0]
+    assert got.n == got.d  # exactly one row per key survived
+    assert got.n > 0
+
+
+def test_kafka_envelope_parse(spark):
+    """S10: the same JSON envelope parses from any byte transport;
+    malformed records null out (K4 dead-letter path)."""
+    good = json.dumps(
+        {
+            "ts": 1700000100, "server_id": 1, "file": "binlog.000007",
+            "pos": 42, "gtid": "u:1", "xid": 9, "database": "app",
+            "table": "users", "op": "U",
+            "before": {"id": "1", "name": "a"},
+            "after": {"id": "1", "name": "b"}, "query": None,
+        }
+    )
+    df = spark.createDataFrame(
+        [(good.encode(),), (b"not json at all",)], "value binary"
+    )
+    out = parse_cdc_json(df).collect()
+    ok = [r for r in out if r.log_pos is not None]
+    dead = [r for r in out if r.log_pos is None]
+    assert len(ok) == 1 and len(dead) == 1
+    r = ok[0]
+    assert (r.database, r.table, r.op, r.log_pos) == ("app", "users", "U", 42)
+    assert r.after["name"] == "b" and r.before["name"] == "a"
+    assert str(r.ts).startswith("2023-11-14")

@@ -160,3 +160,42 @@ def test_merge_replay_is_idempotent(spark, binlog_dir, tmp_path):
     table.merge(batch, txn_version=0)  # replay same epoch
     assert table.version() == v1
     assert sorted((r.id, r.balance) for r in table.read(spark).collect()) == state1
+
+
+def test_partitioned_sink_layout(spark, tmp_path):
+    """A1/K2 analog: partition column drives the sink directory layout
+    (hive-style), enabling partition pruning on read."""
+    table = ParquetUpsertTable(
+        str(tmp_path / "pt"), ["id"],
+        partition_by=["status"],
+        image_schema=T.StructType(
+            [T.StructField("id", T.LongType()),
+             T.StructField("status", T.StringType())]
+        ),
+    )
+    df = spark.createDataFrame(
+        [(1, 1, "I", None, {"id": "1", "status": "a"}),
+         (2, 2, "I", None, {"id": "2", "status": "b"})],
+        "log_pos long, id long, op string, before map<string,string>, after map<string,string>",
+    )
+    table.merge(df, txn_version=0)
+    snap = os.path.join(table.path, "v=0")
+    assert sorted(d for d in os.listdir(snap) if d.startswith("status=")) == [
+        "status=a", "status=b",
+    ]
+    got = {r.id: r.status for r in table.read(spark).collect()}
+    assert got == {1: "a", 2: "b"}
+
+
+def test_dead_letter_split(spark):
+    from rust_cdc_spark.sources.kafka import parse_cdc_json
+    from rust_cdc_spark.streaming.pipeline import split_dead_letters
+
+    df = spark.createDataFrame(
+        [(json.dumps({"ts": 1, "pos": 5, "database": "d", "table": "t",
+                      "op": "I", "after": {"id": "1"}}).encode(),),
+         (b"garbage",)],
+        "value binary",
+    )
+    ok, dead = split_dead_letters(parse_cdc_json(df))
+    assert ok.count() == 1 and dead.count() == 1
