@@ -205,3 +205,32 @@ def cdc_ddl_comment_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("log_pos"),
         F.trim(F.regexp_replace(ddl, r"(/\*)(.*?)(\*/)(\s)*", "")).alias("query"),
     )
+
+
+@register(
+    "cdc_txn_boundaries",
+    oracle=f"""
+    SELECT event_id // 10 AS xid,
+           CAST(count(*) AS BIGINT) AS n_ops,
+           min(event_id) AS first_pos,
+           max(event_id) AS last_pos,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+    FROM events
+    GROUP BY 1
+    """,
+)
+def cdc_txn_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 analog: transaction markers (GTID/Xid) group row events into
+    commits (Xid ends a transaction — reference decode_xid,
+    /root/reference/src/mysql/event/decode.rs:98-100). The replay stream
+    assigns xid = log_pos div 10 deterministically; the query reports
+    per-transaction op counts and offset spans."""
+    cdc = events_as_cdc(spark, sf_dir).withColumn(
+        "xid", (F.col("log_pos") / 10).cast("long")
+    )
+    return cdc.groupBy("xid").agg(
+        F.count("*").alias("n_ops"),
+        F.min("log_pos").alias("first_pos"),
+        F.max("log_pos").alias("last_pos"),
+        F.countDistinct("key").alias("n_keys"),
+    )

@@ -583,3 +583,193 @@ def scalar_string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_words"),
     )
+
+
+@register(
+    "q4_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join, then a tiny
+    grouped count (5 groups)."""
+    utc(spark)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation."""
+    utc(spark)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%%'
+                              THEN l_extendedprice * (1 - l_discount) END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact⋈dim with LIKE-prefix classification.
+    part is a dim (grows slowly) — AQE broadcasts at small SF."""
+    utc(spark)
+    part = load_table(spark, "part", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_custkey, o_orderkey, round(sum_qty, 2) AS total_qty
+    FROM (
+        SELECT o_custkey, l_orderkey AS o_orderkey, sum(l_quantity) AS sum_qty
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, l_orderkey
+        HAVING sum(l_quantity) > 100
+    ) big
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: grouped HAVING filter feeding a join — the
+    aggregate shrinks the fact side before the customer join."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    big = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 100)
+    )
+    return big.join(cust, big.o_custkey == cust.c_custkey).select(
+        "c_custkey",
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.round("sum_qty", 2).alias("total_qty"),
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — Catalyst
+    extracts the common single-side conjuncts for pushdown below the
+    join."""
+    part = load_table(spark, "part", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    joined = li.join(part, part.p_partkey == li.l_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & (F.col("l_quantity") >= 30))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "table_column_stats",
+    oracle="""
+    SELECT 'c_custkey' AS "column", count(*) AS n_rows,
+           count(*) - count(c_custkey) AS n_nulls,
+           CAST(min(c_custkey) AS VARCHAR) AS min_str,
+           CAST(max(c_custkey) AS VARCHAR) AS max_str
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', count(*), count(*) - count(c_name),
+           min(c_name), max(c_name)
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+           min(c_mktsegment), max(c_mktsegment)
+    FROM customer
+    """,
+)
+def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 analog as a first-class operator: one-pass per-column null
+    counts + min/max (data-skipping stats / quality monitoring) — a
+    single partial-aggregated exchange however many columns are profiled
+    (operators/stats.py)."""
+    from rust_cdc_spark.operators.stats import column_stats
+
+    cust = load_table(spark, "customer", sf_dir)
+    return column_stats(cust, ["c_custkey", "c_name", "c_mktsegment"])

@@ -177,6 +177,24 @@ class ParquetUpsertTable:
         self._commit_meta(meta)
         self._cleanup(keep_from=v)
 
+    def compact(self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024) -> None:
+        """OPTIMIZE analog (reference K8 ``min_bytes_per_file`` 128 MiB,
+        /root/reference/src/delta/mod.rs:200-202): rewrite the current
+        snapshot into ~target-sized files. File count is derived from the
+        on-disk snapshot size — a driver-side stat, not a data scan."""
+        v = self.version()
+        if v < 0:
+            return
+        snap = self._snapshot_dir(v)
+        size = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(snap)
+            for f in files
+        )
+        n_files = max(1, round(size / target_file_bytes))
+        df = spark.read.parquet(snap)
+        self.overwrite(df.repartition(n_files))
+
     def _cleanup(self, keep_from: int, retain: int = 2) -> None:
         """Drop snapshots older than ``retain`` versions (reference
         cleans obsolete logs at checkpoint time, delta/mod.rs:266-292)."""

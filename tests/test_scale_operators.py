@@ -1,0 +1,92 @@
+"""Tests for the scale-hardening operators: salted aggregation/join
+equivalence, one-pass column stats, snapshot compaction."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from rust_cdc_spark.operators.skew import salted_agg, salted_join
+from rust_cdc_spark.operators.stats import column_stats
+from rust_cdc_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+class TestSalting:
+    def test_salted_agg_equals_plain(self, spark):
+        ev = load_table(spark, "events", SF_SMOKE)
+        plain = {
+            (r.user_id,): (r.n, round(r.total, 6))
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total"))
+            .collect()
+        }
+        salted = salted_agg(
+            ev,
+            ["user_id"],
+            partial_aggs=[F.count("*").alias("c"), F.sum("value").alias("s")],
+            final_aggs=[
+                F.sum("c").alias("n"),
+                F.round(F.sum("s"), 6).alias("total"),
+            ],
+            n_salts=8,
+            unique_col="event_id",
+        )
+        got = {(r.user_id,): (r.n, round(r.total, 6)) for r in salted.collect()}
+        assert got == plain
+
+    def test_salted_join_equals_plain(self, spark):
+        li = load_table(spark, "lineitem", SF_SMOKE)
+        sup = load_table(spark, "supplier", SF_SMOKE).select(
+            F.col("s_suppkey").alias("l_suppkey"), "s_name"
+        )
+        plain = li.join(sup, on=["l_suppkey"]).count()
+        salted = salted_join(
+            li, sup, on=["l_suppkey"], n_salts=4, big_unique_col="l_orderkey"
+        )
+        assert salted.count() == plain
+        assert "__salt" not in salted.columns
+
+
+class TestColumnStats:
+    def test_stats_against_duckdb(self, spark):
+        import duckdb
+
+        cust = load_table(spark, "customer", SF_SMOKE)
+        got = {
+            r.column: (r.n_rows, r.n_nulls, r.min_str, r.max_str)
+            for r in column_stats(cust, ["c_custkey", "c_name", "c_acctbal"]).collect()
+        }
+        want = duckdb.sql(
+            f"""SELECT count(*), min(c_custkey), max(c_custkey),
+                       min(c_name), max(c_name),
+                       min(c_acctbal), max(c_acctbal)
+                FROM '{SF_SMOKE}/customer.parquet'"""
+        ).fetchone()
+        n = want[0]
+        assert got["c_custkey"] == (n, 0, str(want[1]), str(want[2]))
+        assert got["c_name"] == (n, 0, want[3], want[4])
+        assert got["c_acctbal"][0] == n
+        assert float(got["c_acctbal"][2]) == want[5]
+        assert float(got["c_acctbal"][3]) == want[6]
+
+
+class TestCompaction:
+    def test_compact_reduces_files(self, spark, tmp_path):
+        from rust_cdc_spark.streaming.pipeline import ParquetUpsertTable
+
+        table = ParquetUpsertTable(str(tmp_path / "t"), ["id"])
+        df = spark.range(10000).select(
+            F.col("id"), (F.col("id") % 7).alias("grp")
+        ).repartition(16)
+        table.overwrite(df)
+        snap0 = table._snapshot_dir(table.version())
+        files0 = [f for f in os.listdir(snap0) if f.endswith(".parquet")]
+        assert len(files0) == 16
+
+        table.compact(spark, target_file_bytes=10 * 1024 * 1024)
+        snap1 = table._snapshot_dir(table.version())
+        files1 = [f for f in os.listdir(snap1) if f.endswith(".parquet")]
+        assert len(files1) == 1  # tiny table → one right-sized file
+        assert table.read(spark).count() == 10000
