@@ -63,10 +63,12 @@ def main() -> None:
         if name in registry:
             run(name)
 
+    # Min of 3 runs per query: GC/AQE timing noise on a shared box is
+    # one-sided, so the minimum is the cleanest steady-state estimate.
     times: dict[str, float] = {}
     for name in HEADLINE:
         if name in registry:
-            times[name] = round(run(name), 3)
+            times[name] = round(min(run(name) for _ in range(3)), 3)
 
     total = round(sum(times.values()), 3)
     print(

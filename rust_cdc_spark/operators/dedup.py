@@ -244,6 +244,50 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return docs.select(F.col(id_col).alias("doc_id"), fingerprint.alias("simhash"))
 
 
+def simhash_md5(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                bits: int = 32, parallelism: int | None = None) -> DataFrame:
+    """SimHash over md5 token hashes (first ``bits/4`` hex chars → bits).
+
+    Functionally identical to :func:`simhash` but built on md5, which is
+    bit-exact in every engine — so the whole fingerprint (and the banded
+    near-pair join on it) is DuckDB-oracle-checkable. Slightly more
+    expensive than crc32; use :func:`simhash` when cross-engine
+    reproducibility isn't needed.
+    """
+    docs = _parallelize(docs, parallelism)
+    n_hex = bits // 4
+    hashes = F.transform(TX.tokens(F.col(text_col)), lambda t: F.md5(t))
+    # bit i of h = (hexdigit(i//4) >> (i%4)) & 1, all arithmetic (lambda
+    # index → no literal-only shift functions).
+    assert n_hex <= 32
+    digit = lambda h, i: F.conv(  # noqa: E731
+        h.substr(((i / 4).cast("int")) + 1, F.lit(1)), 16, 10
+    ).cast("int")
+    bit_of = lambda h, i: (  # noqa: E731
+        (digit(h, i) / F.pow(F.lit(2.0), (i % 4).cast("double"))).cast("int") % 2
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(0), F.lit(bits - 1)), lambda i: bit_of(h, i)),
+            lambda a, bit: a + F.when(bit == 1, 1).otherwise(-1),
+        ),
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, i: F.when(v > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long"))
+            .otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), fingerprint.alias("simhash"))
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -251,14 +295,17 @@ def simhash_near_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     parallelism: int | None = None,
+    use_md5: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming, found by
     banding the fingerprint into max_hamming+1 chunks (pigeonhole: any
     pair within the distance agrees on ≥1 whole chunk) — linear candidate
-    generation, exact hamming verification via bit_count(xor)."""
+    generation, exact hamming verification via bit_count(xor).
+    ``use_md5`` selects the oracle-reproducible fingerprint."""
     nbands = max_hamming + 1
     width = bits // nbands
-    sh = simhash(docs, text_col, id_col, bits, parallelism)
+    fp = simhash_md5 if use_md5 else simhash
+    sh = fp(docs, text_col, id_col, bits, parallelism)
     banded = sh.select(
         "doc_id",
         "simhash",

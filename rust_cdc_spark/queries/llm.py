@@ -226,11 +226,43 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_simhash_fingerprints",
+    oracle="""
+    WITH hashes AS (
+        SELECT doc_id,
+               list_transform(string_split(trim(text), ' '), t -> md5(t)) AS hs
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+               [2 * len(list_filter(hs, h ->
+                    ((strpos('0123456789abcdef', h[i // 4 + 1]) - 1) >> (i % 4)) & 1 = 1))
+                - len(hs)
+                for i in range(0, 32)] AS v
+        FROM hashes
+    )
+    SELECT doc_id,
+           CAST(list_sum([CASE WHEN v[i + 1] > 0
+                          THEN CAST(2 ** i AS BIGINT) ELSE 0 END
+                          for i in range(0, 32)]) AS BIGINT) AS simhash
+    FROM votes
+    """,
+)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) document fingerprints from md5 token hashes — each
+    bit is the sign of the per-bit vote sum over tokens. md5-based so the
+    full fingerprint is oracle-checkable bit-for-bit; the crc32 variant
+    (operators/dedup.simhash) is the cheaper JVM-only path."""
+    return DD.simhash_md5(load_table(spark, "documents", sf_dir))
+
+
 @register("dedup_simhash_pairs", oracle=None)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit, crc32 token hashes) near-dup pairs with hamming ≤ 3
-    via pigeonhole banding. Rows-only check (DuckDB lacks crc32); the
-    pytest suite cross-validates against exact Jaccard instead."""
+    """SimHash near-dup pairs with hamming ≤ 3 via pigeonhole banding
+    (crc32 fingerprints). Rows-only check; fingerprint math is verified
+    bit-exactly by dedup_simhash_fingerprints, and recall is
+    cross-validated in pytest."""
     return DD.simhash_near_pairs(load_table(spark, "documents", sf_dir))
 
 

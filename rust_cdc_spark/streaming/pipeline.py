@@ -247,6 +247,48 @@ def start_cdc_pipeline(
     return writer.start()
 
 
+def start_multi_table_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    tables: dict[tuple[str, str], ParquetUpsertTable],
+    checkpoint_dir: str | None = None,
+):
+    """Fan one CDC stream out to N tables in a single streaming query.
+
+    The reference runs one IngestProcessor per table; here one microbatch
+    is cached once and each (db, table) slice MERGEs into its own sink —
+    same offset log, same epoch id for all tables (a crash replays the
+    epoch into every table idempotently, so the set of tables stays
+    mutually consistent)."""
+    from rust_cdc_spark.streaming.replay_source import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("mysql-cdc-replay")
+        .option("path", source_dir)
+        .load()
+    )
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.persist()
+        try:
+            for (db, tbl), table in tables.items():
+                slice_ = batch.filter(
+                    (F.col("database") == db) & (F.col("table") == tbl)
+                )
+                if not slice_.isEmpty():
+                    table.merge(slice_, txn_version=epoch_id, app_id=f"{db}.{tbl}")
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(apply_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def split_dead_letters(envelope: DataFrame) -> tuple[DataFrame, DataFrame]:
     """K4 quarantine analog (/root/reference/src/delta/writer.rs:317-338,
     491-511): rows that failed envelope parsing (NULL log_pos after

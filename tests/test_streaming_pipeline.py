@@ -199,3 +199,28 @@ def test_dead_letter_split(spark):
     )
     ok, dead = split_dead_letters(parse_cdc_json(df))
     assert ok.count() == 1 and dead.count() == 1
+
+
+def test_multi_table_fanout(spark, binlog_dir, tmp_path):
+    """One stream, two sinks: app.users and app.audit each get their own
+    merged table from a single query/checkpoint."""
+    from rust_cdc_spark.streaming.pipeline import start_multi_table_pipeline
+
+    users = ParquetUpsertTable(
+        str(tmp_path / "users"), ["id"], image_schema=USERS_SCHEMA
+    )
+    audit = ParquetUpsertTable(
+        str(tmp_path / "audit"), ["id"], image_schema=USERS_SCHEMA
+    )
+    q = start_multi_table_pipeline(
+        spark,
+        binlog_dir,
+        {("app", "users"): users, ("app", "audit"): audit},
+        checkpoint_dir=str(tmp_path / "cp_multi"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    u = {r.id: r.balance for r in users.read(spark).collect()}
+    a = {r.id: r.name for r in audit.read(spark).collect()}
+    assert u == {1: 15.0, 3: 30.0}
+    assert a == {99: "x"}
