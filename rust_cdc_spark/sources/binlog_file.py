@@ -1,0 +1,192 @@
+"""Binary binlog *file* parser: the offline replay path.
+
+Parses real MySQL binlog files (magic + v4 event headers + payloads, per
+the public binary-log format) into normalized CDC event dicts — the same
+shape the JSONL replay source and Kafka parser emit, so a recorded binlog
+file can feed the whole pipeline. The reference reads the same files in
+its golden tests (/root/reference/tests/events/*); its event loop decode
+is /root/reference/src/mysql/conn.rs:307-356 + event/mod.rs:155-205 —
+re-derived here from the public format.
+
+This is driver-side ingest tooling (file → event dicts → JSONL/stream);
+the per-event work is O(bytes) once per change, never in the query path.
+"""
+
+from __future__ import annotations
+
+import datetime
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from rust_cdc_spark.functions import mysql_types as MT
+from rust_cdc_spark.sources import binlog_rows as BR
+
+MAGIC = b"\xfebin"
+HEADER_LEN = 19
+
+# event type codes (public constants)
+QUERY_EVENT = 0x02
+ROTATE_EVENT = 0x04
+FORMAT_DESCRIPTION_EVENT = 0x0F
+XID_EVENT = 0x10
+GTID_EVENT = 0x21
+ANONYMOUS_GTID_EVENT = 0x22
+PREVIOUS_GTIDS_EVENT = 0x23
+
+
+@dataclass
+class RawEvent:
+    timestamp: int
+    type_code: int
+    server_id: int
+    event_size: int
+    log_pos: int
+    flags: int
+    body: bytes  # checksum stripped
+
+
+def read_raw_events(path: str) -> Iterator[RawEvent]:
+    """Iterate events; learns the checksum algorithm from the
+    FORMAT_DESCRIPTION event and strips CRC32 suffixes accordingly."""
+    with open(path, "rb") as fh:
+        if fh.read(4) != MAGIC:
+            raise ValueError(f"{path}: not a binlog file (bad magic)")
+        checksum_len = 0
+        while True:
+            header = fh.read(HEADER_LEN)
+            if len(header) < HEADER_LEN:
+                return
+            ts = int.from_bytes(header[0:4], "little")
+            type_code = header[4]
+            server_id = int.from_bytes(header[5:9], "little")
+            event_size = int.from_bytes(header[9:13], "little")
+            log_pos = int.from_bytes(header[13:17], "little")
+            flags = int.from_bytes(header[17:19], "little")
+            body = fh.read(event_size - HEADER_LEN)
+            if type_code == FORMAT_DESCRIPTION_EVENT:
+                # body: 2 ver + 50 server-version + 4 ts + 1 header-len +
+                # per-type post-header lens… + [checksum_alg + crc4]
+                alg = body[-5]
+                checksum_len = 4 if alg == 1 else 0
+            payload = body[:-checksum_len] if checksum_len else body
+            yield RawEvent(ts, type_code, server_id, event_size, log_pos, flags, payload)
+
+
+def _decode_query(body: bytes) -> tuple[str, str]:
+    """QueryEvent → (schema, sql). Post-header: thread_id u32, exec_time
+    u32, schema_len u8, error_code u16, status_vars_len u16."""
+    schema_len = body[8]
+    status_len = int.from_bytes(body[11:13], "little")
+    pos = 13 + status_len
+    schema = body[pos : pos + schema_len].decode()
+    pos += schema_len + 1  # trailing NUL
+    return schema, body[pos:].decode("utf-8", errors="replace")
+
+
+def _decode_gtid(body: bytes) -> str:
+    import uuid as _uuid
+
+    u = str(_uuid.UUID(bytes=bytes(body[1:17])))
+    gno = int.from_bytes(body[17:25], "little")
+    return f"{u}:{gno}"
+
+
+def parse_binlog_file(path: str, file_name: str | None = None,
+                      registry: BR.TableRegistry | None = None) -> Iterator[dict]:
+    """Binlog file → normalized CDC event dicts (the replay-source wire
+    shape): row events become op I/U/D with image dicts; QueryEvents
+    become op DDL; GTID/Xid attach to subsequent/preceding rows the same
+    way the reference surfaces them (metadata columns)."""
+    registry = registry or BR.TableRegistry()
+    file_name = file_name or path.rsplit("/", 1)[-1]
+    current_gtid: str | None = None
+    row_event_types = {
+        BR.WRITE_ROWS_V1, BR.WRITE_ROWS_V2, BR.UPDATE_ROWS_V1,
+        BR.UPDATE_ROWS_V2, BR.DELETE_ROWS_V1, BR.DELETE_ROWS_V2,
+    }
+    for ev in read_raw_events(path):
+        if ev.type_code in (GTID_EVENT, ANONYMOUS_GTID_EVENT):
+            current_gtid = _decode_gtid(ev.body) if ev.type_code == GTID_EVENT else None
+            continue
+        if ev.type_code == BR.TABLE_MAP_EVENT:
+            registry.handle(BR.decode_table_map(ev.body))
+            continue
+        base = {
+            "ts": ev.timestamp,
+            "server_id": ev.server_id,
+            "file": file_name,
+            "pos": ev.log_pos,
+            "gtid": current_gtid,
+            "xid": None,
+            "query": None,
+        }
+        if ev.type_code in row_event_types:
+            table_id, rows = BR.decode_rows_event(ev.body, ev.type_code, registry)
+            entry = registry.get(table_id)
+            if ev.type_code in BR._WRITE_EVENTS:
+                op = "I"
+            elif ev.type_code in BR._UPDATE_EVENTS:
+                op = "U"
+            else:
+                op = "D"
+            for row in rows:
+                yield {
+                    **base,
+                    "database": entry.schema_name,
+                    "table": entry.table_name,
+                    "op": op,
+                    "before": _jsonable(row.get("before")),
+                    "after": _jsonable(row.get("after")),
+                }
+        elif ev.type_code == QUERY_EVENT:
+            schema, sql = _decode_query(ev.body)
+            if sql.strip().upper() in ("BEGIN", "COMMIT"):
+                continue
+            yield {
+                **base,
+                "database": schema,
+                "table": "",
+                "op": "DDL",
+                "before": None,
+                "after": None,
+                "query": sql,
+            }
+        elif ev.type_code == XID_EVENT:
+            yield {
+                **base,
+                "xid": int.from_bytes(ev.body[0:8], "little"),
+                "database": "",
+                "table": "",
+                "op": "TXN",
+                "before": None,
+                "after": None,
+            }
+        # Rotate / FDE / heartbeat / previous-gtids: positional metadata,
+        # consumed internally (reference conn.rs:311-317 does the same).
+
+
+def _jsonable(image: dict | None) -> dict | None:
+    if image is None:
+        return None
+    out = {}
+    for k, v in image.items():
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            out[k] = v.isoformat()
+        elif v is None or isinstance(v, (int, float, str, bool)):
+            out[k] = v
+        else:  # Decimal, bytes…
+            out[k] = str(v)
+    return out
+
+
+def binlog_file_to_jsonl(binlog_path: str, out_path: str) -> int:
+    """Convert a binary binlog into the JSONL the streaming replay source
+    consumes. Returns the number of events written."""
+    import json
+
+    n = 0
+    with open(out_path, "w") as fh:
+        for ev in parse_binlog_file(binlog_path):
+            fh.write(json.dumps(ev) + "\n")
+            n += 1
+    return n
