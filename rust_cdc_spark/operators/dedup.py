@@ -20,7 +20,7 @@ AQE skew-join handles residual imbalance.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rust_cdc_spark.functions import text as TX
@@ -49,6 +49,72 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def _canonical_reps(
+    docs: DataFrame, text_col: str, id_col: str, parallelism: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse byte-identical texts to one representative each.
+
+    Returns (reps, members): reps carry (doc_id, <text_col>) for one
+    canonical doc per distinct text; members map every doc to its group
+    (``__fp``, doc_id). Pairwise similarity ops run on reps only and
+    expand results back across members — identical texts have identical
+    shingle sets/signatures, so the expansion is *exactly* equivalent to
+    the naive all-pairs computation while staying linear in the
+    duplication factor (the thing that explodes on real crawls: a corpus
+    where every page has k copies costs k² under naive all-pairs).
+    """
+    docs = _parallelize(docs, parallelism)
+    with_fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col),
+        F.md5(F.col(text_col)).alias("__fp"),
+    )
+    w = Window.partitionBy("__fp").orderBy("doc_id")
+    marked = with_fp.withColumn("__rn", F.row_number().over(w))
+    reps = marked.filter(F.col("__rn") == 1).select("doc_id", text_col, "__fp")
+    members = marked.select("__fp", "doc_id")
+    return reps, members
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame,  # (doc_a, doc_b, <score>) over rep doc ids
+    reps: DataFrame,
+    members: DataFrame,
+    score_col: str,
+    identical_score,
+) -> DataFrame:
+    """Expand representative-level pairs to all member pairs, plus the
+    intra-group pairs (identical texts → ``identical_score``)."""
+    rep_fp = reps.select(F.col("doc_id").alias("__rep_id"), "__fp")
+    pairs_fp = (
+        rep_pairs.join(rep_fp.withColumnsRenamed({"__rep_id": "doc_a", "__fp": "__fp_a"}), "doc_a")
+        .join(rep_fp.withColumnsRenamed({"__rep_id": "doc_b", "__fp": "__fp_b"}), "doc_b")
+        .select("__fp_a", "__fp_b", score_col)
+    )
+    ma = members.withColumnsRenamed({"__fp": "__fp_a", "doc_id": "__m_a"})
+    mb = members.withColumnsRenamed({"__fp": "__fp_b", "doc_id": "__m_b"})
+    inter = (
+        pairs_fp.join(ma, "__fp_a")
+        .join(mb, "__fp_b")
+        .select(
+            F.least("__m_a", "__m_b").alias("doc_a"),
+            F.greatest("__m_a", "__m_b").alias("doc_b"),
+            score_col,
+        )
+    )
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    intra = (
+        m1.join(m2, on="__fp")
+        .filter(F.col("m1.doc_id") < F.col("m2.doc_id"))
+        .select(
+            F.col("m1.doc_id").alias("doc_a"),
+            F.col("m2.doc_id").alias("doc_b"),
+            F.lit(identical_score).alias(score_col),
+        )
+    )
+    return inter.unionByName(intra)
+
+
 def shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  k: int = 3, parallelism: int | None = None) -> DataFrame:
     """(id, shingle_set, set_size) — the unit for Jaccard/MinHash."""
@@ -72,9 +138,27 @@ def jaccard_pairs(
     Never materializes the O(n²) cross product: only pairs sharing ≥1
     shingle are generated (sum over buckets of |bucket|²), then the
     Jaccard is computed from co-occurrence counts + set sizes — no second
-    pass over the documents. Returns (doc_a, doc_b, jaccard) with
+    pass over the documents. Byte-identical texts are collapsed to one
+    representative before the pairwise stage and expanded back after
+    (intra-group pairs score exactly 1.0) — equivalent output, linear in
+    the duplication factor. Returns (doc_a, doc_b, jaccard) with
     doc_a < doc_b and jaccard ≥ threshold.
     """
+    reps, members = _canonical_reps(docs, text_col, id_col, parallelism)
+    rep_pairs = _jaccard_pairs_direct(reps, text_col, "doc_id", k, threshold)
+    return _expand_rep_pairs(rep_pairs, reps, members, "jaccard", 1.0).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _jaccard_pairs_direct(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    threshold: float,
+    parallelism: int | None = None,
+) -> DataFrame:
     sh = shingle_sets(docs, text_col, id_col, k, parallelism)
     # Join on xxhash64(shingle), not the string: 8-byte shuffle keys cut
     # exchange volume several-fold. 64-bit collisions are ~zero even at
@@ -159,8 +243,25 @@ def minhash_lsh_pairs(
     Scale shape: explode to (band_id, band_hash) — n·bands rows — then
     a self-join per band bucket. This is the linear-ish path that replaces
     the quadratic exact join at 100 TB; band-bucket skew is bounded
-    because identical band hashes imply near-identical docs.
+    because identical band hashes imply near-identical docs. As in
+    :func:`jaccard_pairs`, byte-identical texts run the LSH stage once
+    via a canonical representative and expand afterwards (identical
+    signatures ⇒ sim_est exactly 1.0) — same output, duplication-proof.
     """
+    reps, members = _canonical_reps(docs, text_col, id_col, parallelism)
+    rep_pairs = _minhash_lsh_direct(reps, text_col, "doc_id", k, num_hashes, bands)
+    return _expand_rep_pairs(rep_pairs, reps, members, "sim_est", 1.0)
+
+
+def _minhash_lsh_direct(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    parallelism: int | None = None,
+) -> DataFrame:
     r = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, k, num_hashes, parallelism)
     banded = sig.select(

@@ -39,16 +39,26 @@ def load_table(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     if name == "events":
         configure_reader(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) read as ns-long
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":  # writer variance (e.g. duckdb)
+            # NTZ wall-clock is UTC by corpus convention; session tz is
+            # pinned UTC in configure_reader so this cast is exact.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+
 
 
 def configure_reader(spark: SparkSession) -> None:
     """Session-level reader conf needed before the first events scan."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -90,3 +90,50 @@ class TestCompaction:
         files1 = [f for f in os.listdir(snap1) if f.endswith(".parquet")]
         assert len(files1) == 1  # tiny table → one right-sized file
         assert table.read(spark).count() == 10000
+
+
+class TestDuplicationProofPairs:
+    """The rep-collapse optimization must be output-identical to the
+    naive all-pairs computation on a corpus WITH duplicate texts."""
+
+    def _dup_corpus(self, spark):
+        docs = load_table(spark, "documents", SF_SMOKE).limit(40)
+        copies = docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang",
+            "source", "n_chars",
+        )
+        return docs.unionByName(copies)
+
+    def test_jaccard_rep_equals_direct(self, spark):
+        from rust_cdc_spark.operators.dedup import (
+            _jaccard_pairs_direct,
+            jaccard_pairs,
+        )
+
+        corpus = self._dup_corpus(spark)
+        fast = {
+            (r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(corpus).collect()
+        }
+        naive = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in _jaccard_pairs_direct(corpus, "text", "doc_id", 3, 0.5).collect()
+        }
+        assert fast == naive
+        assert len(fast) >= 40  # every duplicated doc pairs with its copy
+
+    def test_minhash_rep_equals_direct(self, spark):
+        from rust_cdc_spark.operators.dedup import (
+            _minhash_lsh_direct,
+            minhash_lsh_pairs,
+        )
+
+        corpus = self._dup_corpus(spark)
+        fast = {
+            (r.doc_a, r.doc_b): r.sim_est
+            for r in minhash_lsh_pairs(corpus, num_hashes=16, bands=4).collect()
+        }
+        naive = {
+            (r.doc_a, r.doc_b): r.sim_est
+            for r in _minhash_lsh_direct(corpus, "text", "doc_id", 3, 16, 4).collect()
+        }
+        assert fast == naive
