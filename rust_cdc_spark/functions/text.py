@@ -78,6 +78,31 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: alphanumeric runs + each punctuation
+    mark counted separately (the regex approximation of a BPE
+    pre-tokenizer; the real tokenizer slots into the same column)."""
+    return F.regexp_count(
+        F.col(text) if isinstance(text, str) else text,
+        F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"),
+    )
+
+
+def rolling_hash(text: Column | str, mod: int = 2147483647) -> Column:
+    """Karp-Rabin rolling hash over the character stream
+    (acc*31 + codepoint, mod 2^31-1) — the order-sensitive fingerprint
+    complement to the md5 set-style fingerprint. Pure codegen fold."""
+    chars = F.filter(
+        F.split(F.col(text) if isinstance(text, str) else text, ""),
+        lambda c: c != "",
+    )
+    return F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % F.lit(mod).cast("long"),
+    )
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Word k-shingles as an array<string> — the MinHash/Jaccard unit.
 

@@ -323,3 +323,42 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass at small SF."""
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.embedding_near_dup_pairs(emb, threshold=0.9, n_bits=6, n_tables=4)
+
+
+@register(
+    "text_token_bpe_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+               AS n_bpe_tokens,
+           CAST(len(string_split(trim(text), ' ')) AS INT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_token_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both flavors the pipeline needs: whitespace and
+    BPE-ish regex (alnum runs + individual punctuation)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        TX.token_count("text").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "text_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 2147483647) AS rhash
+    FROM documents
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Karp-Rabin document fingerprint (rolling hash) —
+    bit-identical across engines, complements the md5 set fingerprint."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", TX.rolling_hash("text").alias("rhash"))
