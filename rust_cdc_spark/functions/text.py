@@ -17,6 +17,17 @@ from pyspark.sql import functions as F
 # Deliberately tiny and fixed so the DuckDB oracle can state the same list.
 EN_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
+# Per-language stopword cores for the multi-class language ID. Fixed tiny
+# lists (same reproducibility rationale); a char-n-gram profile model
+# slots into the same operator shape.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": EN_STOPWORDS,
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"),
+}
+
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization (single-space corpus convention)."""
@@ -69,6 +80,32 @@ def lang_id(text: Column | str) -> Column:
     column slot; the contract — pure column expression, no UDF — holds.)
     """
     return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("other"))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-coverage scores (fraction of tokens in each
+    language's core list)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(
+            F.filter(toks, lambda t: F.array_contains(arr, F.lower(t)))
+        ) / n
+    return out
+
+
+def lang_id_multi(text: Column | str, min_score: float = 0.04) -> Column:
+    """Multi-class language ID: argmax of per-language stopword coverage,
+    'other' when nothing clears ``min_score``. Deterministic tie-break by
+    language code order (sorted), so the oracle can state the same rule."""
+    scores = lang_scores(text)
+    best = None
+    for lang in sorted(scores):
+        cand = F.struct(scores[lang].alias("s"), F.lit(lang).alias("l"))
+        best = cand if best is None else F.when(scores[lang] > best["s"], cand).otherwise(best)
+    return F.when(best["s"] >= min_score, best["l"]).otherwise(F.lit("other"))
 
 
 def fingerprint(text: Column | str) -> Column:

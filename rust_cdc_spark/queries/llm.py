@@ -362,3 +362,42 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines, complements the md5 set fingerprint."""
     docs = load_table(spark, "documents", sf_dir)
     return docs.select("doc_id", TX.rolling_hash("text").alias("rhash"))
+
+
+_LANG_SCORE_SQL = {
+    "de": "['der','die','das','und','ist','nicht','ein','zu','mit','auf']",
+    "en": _SW_SQL,
+    "es": "['el','la','los','las','y','es','un','una','que','por']",
+    "fr": "['le','la','les','et','est','un','une','que','pour','dans']",
+    "zh": "['的','是','了','在','和','有','我','不','这','他']",
+}
+_SCORES = ", ".join(
+    f"CAST(len(list_filter({_TOKENS_SQL}, t -> list_contains({lst}, lower(t)))) AS DOUBLE)"
+    f" / len({_TOKENS_SQL}) AS s_{lang}"
+    for lang, lst in _LANG_SCORE_SQL.items()
+)
+
+
+@register(
+    "lang_id_multiclass",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, lang, {_SCORES} FROM documents),
+    m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM s)
+    SELECT doc_id, lang,
+           CASE WHEN mx < 0.04 THEN 'other'
+                WHEN s_de = mx THEN 'de'
+                WHEN s_en = mx THEN 'en'
+                WHEN s_es = mx THEN 'es'
+                WHEN s_fr = mx THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM m
+    """,
+)
+def lang_id_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class language ID: argmax of per-language stopword coverage
+    over {de,en,es,fr,zh}, 'other' below threshold — deterministic
+    first-in-sorted-order tie-break, matching the oracle's CASE order."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", "lang", TX.lang_id_multi("text").alias("lang_pred")
+    )

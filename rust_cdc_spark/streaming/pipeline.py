@@ -109,11 +109,27 @@ class ParquetUpsertTable:
         return os.path.join(self.path, f"v={version}")
 
     # ── read ────────────────────────────────────────────────────────────
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        v = self.version()
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        """Read the current snapshot, or time-travel to ``version`` if it
+        is still retained (Delta ``VERSION AS OF`` analog)."""
+        v = self.version() if version is None else version
         if v < 0:
             return None
-        return spark.read.parquet(self._snapshot_dir(v))
+        snap = self._snapshot_dir(v)
+        if not os.path.isdir(snap):
+            raise ValueError(
+                f"version {v} not retained (older than the retention window)"
+            )
+        return spark.read.parquet(snap)
+
+    def history(self) -> list[int]:
+        """Retained snapshot versions, oldest first (DESCRIBE HISTORY
+        analog)."""
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            int(d.split("=")[1]) for d in os.listdir(self.path) if d.startswith("v=")
+        )
 
     def register_view(self, spark: SparkSession, name: str) -> None:
         df = self.read(spark)
@@ -245,6 +261,18 @@ def start_cdc_pipeline(
     if processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def bootstrap_from_snapshot(
+    table: ParquetUpsertTable, snapshot: DataFrame
+) -> None:
+    """Debezium-style initial-snapshot bootstrap: seed the target with a
+    consistent snapshot of the source table, then let the CDC stream
+    catch up from the snapshot's binlog position (the reference's
+    ``show master status`` start, /root/reference/src/mysql/conn.rs:419,
+    plus a full-table read the reference leaves to the operator).
+    Merges from the stream are idempotent over the seed."""
+    table.overwrite(snapshot)
 
 
 def start_multi_table_pipeline(

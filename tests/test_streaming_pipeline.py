@@ -224,3 +224,39 @@ def test_multi_table_fanout(spark, binlog_dir, tmp_path):
     a = {r.id: r.name for r in audit.read(spark).collect()}
     assert u == {1: 15.0, 3: 30.0}
     assert a == {99: "x"}
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    table = ParquetUpsertTable(str(tmp_path / "tt"), ["id"], image_schema=USERS_SCHEMA)
+    for i, bal in enumerate([10.0, 20.0, 30.0]):
+        df = spark.createDataFrame(
+            [(i, 1, "U", None, {"id": "1", "name": "a", "balance": str(bal)})],
+            "log_pos long, id long, op string, before map<string,string>, after map<string,string>",
+        )
+        table.merge(df, txn_version=i)
+    assert table.history() == [1, 2]  # retention keeps last 2
+    assert table.read(spark).collect()[0].balance == 30.0
+    assert table.read(spark, version=1).collect()[0].balance == 20.0
+    with pytest.raises(ValueError):
+        table.read(spark, version=0)  # aged out
+
+
+def test_bootstrap_snapshot_then_stream(spark, binlog_dir, tmp_path):
+    """Snapshot seed + CDC catch-up: stream merges land on top of the
+    bootstrap image."""
+    from rust_cdc_spark.streaming.pipeline import bootstrap_from_snapshot
+
+    table = ParquetUpsertTable(str(tmp_path / "bs"), ["id"], image_schema=USERS_SCHEMA)
+    snapshot = spark.createDataFrame(
+        [(1, "ann", 10.0), (7, "old", 70.0)], ["id", "name", "balance"]
+    )
+    bootstrap_from_snapshot(table, snapshot)
+    q = start_cdc_pipeline(
+        spark, binlog_dir, table, dbs=["app"], tables=["users"],
+        checkpoint_dir=str(tmp_path / "cp_bs"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.id: r.balance for r in table.read(spark).collect()}
+    # stream: upd 1→15, del 2 (absent anyway), ins 3; key 7 untouched seed
+    assert got == {1: 15.0, 3: 30.0, 7: 70.0}
