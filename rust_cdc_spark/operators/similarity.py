@@ -13,6 +13,13 @@ Two tiers, same contract (query vectors × corpus → top-k neighbors):
 Hyperplanes are generated deterministically (seeded) on the driver as
 literal arrays — tiny (n_tables × n_bits × dim floats), broadcast with
 the plan; no driver-side data loops.
+
+Distributed top-k background: candidate pruning before exact scoring is
+the standard scale approach in the literature (e.g. "Incremental Based
+Framework for Efficient Top-K Similarity Search", EDBT 2020; REPOSE's
+reference-point pruning for distributed trajectory top-k, ICDE 2021 —
+see PAPERS.md); hyperplane LSH is the embedding-space instance of the
+same candidate-then-verify shape.
 """
 
 from __future__ import annotations

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from rust_cdc_spark.operators.collapse import collapse_last_image
 from rust_cdc_spark.operators.merge import merge_upsert
 from rust_cdc_spark.operators.router import route
-from rust_cdc_spark.queries import register, utc
+from rust_cdc_spark.queries import register
 from rust_cdc_spark.sources.events_cdc import events_as_cdc
 from rust_cdc_spark.sources.tables import load_table
 

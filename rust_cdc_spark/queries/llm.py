@@ -401,3 +401,41 @@ def lang_id_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", TX.lang_id_multi("text").alias("lang_pred")
     )
+
+
+@register(
+    "embedding_near_dup_exact",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(
+             list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                              list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+             / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+                * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(b.embedding, x -> CAST(x AS DOUBLE))))),
+             4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                           list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+          / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                   list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+             * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                                     list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
+          >= 0.35
+    """,
+)
+def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cos ≥ 0.35) — the
+    correctness baseline the LSH variant (embedding_near_dup) is measured
+    against. O(n²) scoring, pruned by a per-pair codegen expression; at
+    100 TB only the LSH path runs."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim_raw", V.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim_raw") >= 0.35)
+        .select("vec_a", "vec_b", F.round("cos_sim_raw", 4).alias("cos_sim"))
+    )

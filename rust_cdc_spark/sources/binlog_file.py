@@ -18,7 +18,6 @@ import datetime
 from collections.abc import Iterator
 from dataclasses import dataclass
 
-from rust_cdc_spark.functions import mysql_types as MT
 from rust_cdc_spark.sources import binlog_rows as BR
 
 MAGIC = b"\xfebin"
