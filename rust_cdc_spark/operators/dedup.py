@@ -69,10 +69,14 @@ def _canonical_reps(
         F.col(text_col),
         F.md5(F.col(text_col)).alias("__fp"),
     )
-    w = Window.partitionBy("__fp").orderBy("doc_id")
-    marked = with_fp.withColumn("__rn", F.row_number().over(w))
-    reps = marked.filter(F.col("__rn") == 1).select("doc_id", text_col, "__fp")
-    members = marked.select("__fp", "doc_id")
+    # Hash aggregation, not a rank window: partial agg collapses
+    # duplicates map-side, and texts within a group are identical so
+    # any_value is deterministic in effect.
+    reps = with_fp.groupBy("__fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.any_value(text_col).alias(text_col),
+    )
+    members = with_fp.select("__fp", "doc_id")
     return reps, members
 
 

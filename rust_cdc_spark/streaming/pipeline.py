@@ -211,6 +211,44 @@ class ParquetUpsertTable:
         df = spark.read.parquet(snap)
         self.overwrite(df.repartition(n_files))
 
+    def diff(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change Data Feed analog: row-level changes between two
+        retained versions as CDC envelope ops — insert/update/delete per
+        key (full-outer join on keys + image comparison). The engine can
+        therefore *re-emit* a change stream from any table it maintains,
+        closing the loop source→table→source."""
+        to_version = self.version() if to_version is None else to_version
+        old = self.read(spark, from_version)
+        new = self.read(spark, to_version)
+        keys = self.key_cols
+        o = old.select(
+            *[F.col(k).alias(f"__ok_{k}") for k in keys],
+            F.struct(*old.columns).alias("before"),
+        )
+        n = new.select(
+            *[F.col(k).alias(f"__nk_{k}") for k in keys],
+            F.struct(*new.columns).alias("after"),
+        )
+        cond = [F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}")) for k in keys]
+        joined = o.join(n, on=cond[0] if len(cond) == 1 else F.expr(" AND ".join(
+            f"__ok_{k} <=> __nk_{k}" for k in keys)), how="full_outer")
+        op = (
+            F.when(F.col("before").isNull(), F.lit("I"))
+            .when(F.col("after").isNull(), F.lit("D"))
+            .otherwise(F.lit("U"))
+        )
+        return (
+            joined.withColumn("op", op)
+            .filter(
+                F.col("before").isNull()
+                | F.col("after").isNull()
+                | (F.col("before") != F.col("after"))
+            )
+            .select("op", "before", "after")
+        )
+
     def _cleanup(self, keep_from: int, retain: int = 2) -> None:
         """Drop snapshots older than ``retain`` versions (reference
         cleans obsolete logs at checkpoint time, delta/mod.rs:266-292)."""
@@ -231,22 +269,24 @@ def start_cdc_pipeline(
     tables: list[str] | None = None,
     checkpoint_dir: str | None = None,
     processing_time: str | None = None,
+    max_events_per_trigger: int | None = None,
 ):
     """Wire the full reference pipeline as one streaming query.
 
     Returns the StreamingQuery; callers stop it or
     ``processAllAvailable()`` it. Routing happens on the stream (narrow
     filter); collapse+MERGE per microbatch in foreachBatch.
+    ``max_events_per_trigger`` bounds each microbatch (reference
+    ``max_messages_per_batch``).
     """
     from rust_cdc_spark.operators.router import route
     from rust_cdc_spark.streaming.replay_source import register
 
     register(spark)
-    stream = (
-        spark.readStream.format("mysql-cdc-replay")
-        .option("path", source_dir)
-        .load()
-    )
+    reader = spark.readStream.format("mysql-cdc-replay").option("path", source_dir)
+    if max_events_per_trigger:
+        reader = reader.option("maxeventspertrigger", str(max_events_per_trigger))
+    stream = reader.load()
     if dbs or tables:
         stream = route(stream, dbs or ["*"], tables or ["*"])
 

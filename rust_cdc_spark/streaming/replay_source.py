@@ -83,10 +83,37 @@ class BinlogReplayReader(DataSourceStreamReader):
             raise RuntimeError(f"no .jsonl binlog recordings in {self.directory}")
         return {"file": files[0], "line": 0}
 
+    def _advance(self, start: dict, max_lines: int) -> dict:
+        """Walk at most ``max_lines`` events forward from ``start`` across
+        file rotations."""
+        remaining = max_lines
+        cur_file, cur_line = start["file"], start["line"]
+        for f in self._files():
+            if _file_key(f) < _file_key(cur_file):
+                continue
+            lo = cur_line if f == cur_file else 0
+            n = self._line_count(f)
+            take = min(n - lo, remaining)
+            remaining -= take
+            cur_file, cur_line = f, lo + take
+            if remaining == 0:
+                break
+        return {"file": cur_file, "line": cur_line}
+
     def latestOffset(self) -> dict:
+        """End offset for the next microbatch: at most
+        ``maxeventspertrigger`` events past the last end we handed out
+        (the reference's ``max_messages_per_batch``, 5000 default —
+        /root/reference/src/delta/mod.rs:198-199). ``commit`` re-syncs
+        the cursor to the durable checkpoint on restart."""
         files = self._files()
-        last = files[-1]
-        return {"file": last, "line": self._line_count(last)}
+        tail = {"file": files[-1], "line": self._line_count(files[-1])}
+        if self.batch_lines <= 0:
+            return tail
+        cursor = getattr(self, "_cursor", None) or self.initialOffset()
+        nxt = self._advance(cursor, self.batch_lines)
+        self._cursor = nxt
+        return nxt
 
     def partitions(self, start: dict, end: dict):
         """One ordered partition covering [start, end) across file
@@ -129,9 +156,15 @@ class BinlogReplayReader(DataSourceStreamReader):
                     )
 
     def commit(self, end: dict) -> None:
-        # Spark's checkpoint commit log is the durable record; nothing to
-        # do (the reference needs its own recorder task here).
-        pass
+        # Spark's checkpoint commit log is the durable record; just keep
+        # the rate-limit cursor at least at the committed point so a
+        # restarted reader resumes from durable state, not from zero.
+        cur = getattr(self, "_cursor", None)
+        if cur is None or (_file_key(cur["file"]), cur["line"]) < (
+            _file_key(end["file"]),
+            end["line"],
+        ):
+            self._cursor = end
 
 
 def _stringify(image: dict | None) -> dict | None:

@@ -260,3 +260,45 @@ def test_bootstrap_snapshot_then_stream(spark, binlog_dir, tmp_path):
     got = {r.id: r.balance for r in table.read(spark).collect()}
     # stream: upd 1→15, del 2 (absent anyway), ins 3; key 7 untouched seed
     assert got == {1: 15.0, 3: 30.0, 7: 70.0}
+
+
+def test_max_events_per_trigger_bounds_batches(spark, binlog_dir, tmp_path):
+    """K8 analog: max_messages_per_batch — 6 events with a 2-event cap
+    must take >= 3 microbatches, and still converge to the same state."""
+    table = ParquetUpsertTable(
+        str(tmp_path / "rate"), ["id"], image_schema=USERS_SCHEMA
+    )
+    cp = str(tmp_path / "cp_rate")
+    q = start_cdc_pipeline(
+        spark, binlog_dir, table, dbs=["app"], tables=["users"],
+        checkpoint_dir=cp, max_events_per_trigger=2,
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.id: r.balance for r in table.read(spark).collect()}
+    assert rows == {1: 15.0, 3: 30.0}
+    n_batches = len([f for f in os.listdir(os.path.join(cp, "offsets")) if f.isdigit()])
+    assert n_batches >= 3, f"only {n_batches} microbatches for 6 events @ cap 2"
+
+
+def test_table_diff_cdf(spark, tmp_path):
+    """CDF analog: diff(v1, v2) re-derives the change set between
+    snapshots."""
+    table = ParquetUpsertTable(str(tmp_path / "cdf"), ["id"], image_schema=USERS_SCHEMA)
+    df1 = spark.createDataFrame(
+        [(1, 1, "I", None, {"id": "1", "name": "a", "balance": "10.0"}),
+         (2, 2, "I", None, {"id": "2", "name": "b", "balance": "20.0"})],
+        "log_pos long, id long, op string, before map<string,string>, after map<string,string>",
+    )
+    table.merge(df1, txn_version=0)
+    df2 = spark.createDataFrame(
+        [(3, 1, "U", None, {"id": "1", "name": "a", "balance": "11.0"}),
+         (4, 2, "D", {"id": "2", "name": "b", "balance": "20.0"}, None),
+         (5, 3, "I", None, {"id": "3", "name": "c", "balance": "30.0"})],
+        "log_pos long, id long, op string, before map<string,string>, after map<string,string>",
+    )
+    table.merge(df2, txn_version=1)
+    changes = {(r.op, (r.after or r.before)["id"]): r for r in
+               table.diff(spark, from_version=0, to_version=1).collect()}
+    assert set(changes) == {("U", 1), ("D", 2), ("I", 3)}
+    assert changes[("U", 1)].after["balance"] == 11.0
