@@ -132,3 +132,52 @@ def test_kafka_envelope_parse(spark):
     assert (r.database, r.table, r.op, r.log_pos) == ("app", "users", "U", 42)
     assert r.after["name"] == "b" and r.before["name"] == "a"
     assert str(r.ts).startswith("2023-11-14")
+
+
+def test_transaction_assembly(spark, tmp_path):
+    """S9 stateful op: rows grouped into whole commits keyed by GTID,
+    emitted on the Xid marker — driven through a real streaming query."""
+    import json as _json
+
+    from rust_cdc_spark.streaming.replay_source import register
+    from rust_cdc_spark.streaming.txn_assembly import assemble_transactions
+
+    d = str(tmp_path / "txn_binlog")
+    os.makedirs(d)
+    evs = [
+        # txn g1: two row ops + commit
+        {"ts": 1, "pos": 1, "gtid": "u:1", "database": "app", "table": "users",
+         "op": "I", "after": {"id": "1"}},
+        {"ts": 1, "pos": 2, "gtid": "u:1", "database": "app", "table": "orders",
+         "op": "U", "before": {"id": "2"}, "after": {"id": "2"}},
+        {"ts": 1, "pos": 3, "gtid": "u:1", "database": "", "table": "",
+         "op": "TXN", "xid": 77},
+        # txn g2: one op + commit
+        {"ts": 2, "pos": 4, "gtid": "u:2", "database": "app", "table": "users",
+         "op": "D", "before": {"id": "1"}},
+        {"ts": 2, "pos": 5, "gtid": "u:2", "database": "", "table": "",
+         "op": "TXN", "xid": 78},
+    ]
+    with open(os.path.join(d, "binlog.000001.jsonl"), "w") as fh:
+        for e in evs:
+            fh.write(_json.dumps({"server_id": 1, "before": None, "after": None,
+                                  "xid": None, "query": None, **e}) + "\n")
+
+    register(spark)
+    stream = spark.readStream.format("mysql-cdc-replay").option("path", d).load()
+    out = assemble_transactions(stream)
+    # availableNow, not processAllAvailable: registered processing-time
+    # timeouts keep triggering batches, so "all available" never settles.
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("txn_out")
+        .option("checkpointLocation", str(tmp_path / "cp_txn"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = {r.gtid: r for r in spark.sql("SELECT * FROM txn_out").collect()}
+    assert rows["u:1"].xid == 77 and rows["u:1"].n_ops == 2
+    assert sorted(rows["u:1"].tables) == ["orders", "users"]
+    assert rows["u:1"].complete and (rows["u:1"].first_pos, rows["u:1"].last_pos) == (1, 3)
+    assert rows["u:2"].xid == 78 and rows["u:2"].n_ops == 1
