@@ -166,10 +166,44 @@ class ParquetUpsertTable:
         if txn_version is not None and meta["txn"].get(app_id, -1) >= txn_version:
             return  # already applied — replayed microbatch
         spark = changes.sparkSession
-        if self.image_schema is not None and isinstance(
-            changes.schema["before"].dataType, T.MapType
-        ):
-            changes = typed_images(changes, self.image_schema)
+        if isinstance(changes.schema["before"].dataType, T.MapType):
+            schema = self.image_schema
+            if schema is None:
+                # Schema-on-read fallback: infer an all-string struct from
+                # the keys observed in this batch (unioned with the target
+                # table's columns so late-arriving columns never shrink
+                # the schema). Key columns must be present.
+                observed = [
+                    r[0]
+                    for r in changes.select(
+                        F.explode(
+                            F.map_keys(F.coalesce(F.col("after"), F.col("before")))
+                        )
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                existing = self.read(spark)
+                cols = list(
+                    dict.fromkeys(
+                        (existing.columns if existing is not None else [])
+                        + self.key_cols
+                        + sorted(observed)
+                    )
+                )
+                schema = T.StructType(
+                    [
+                        T.StructField(
+                            c,
+                            existing.schema[c].dataType
+                            if existing is not None and c in existing.columns
+                            else T.StringType(),
+                        )
+                        for c in cols
+                    ]
+                )
+                self.image_schema = schema
+            changes = typed_images(changes, schema)
         target = self.read(spark)
         if target is None:
             from rust_cdc_spark.operators.collapse import collapse_last_image
