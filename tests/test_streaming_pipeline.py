@@ -302,3 +302,26 @@ def test_table_diff_cdf(spark, tmp_path):
                table.diff(spark, from_version=0, to_version=1).collect()}
     assert set(changes) == {("U", 1), ("D", 2), ("I", 3)}
     assert changes[("U", 1)].after["balance"] == 11.0
+
+
+def test_ingest_metrics_listener(spark, binlog_dir, tmp_path):
+    """K8 statsd analog: per-microbatch metrics captured by a
+    StreamingQueryListener during a real pipeline run."""
+    from rust_cdc_spark.streaming.metrics import IngestMetricsListener
+
+    listener = IngestMetricsListener(path=str(tmp_path / "metrics.jsonl"))
+    spark.streams.addListener(listener)
+    try:
+        _run_pipeline(spark, binlog_dir, tmp_path, checkpoint="cp_metrics")
+        # listener bus is async — wait for progress delivery
+        import time
+
+        for _ in range(40):
+            if any(p["num_input_rows"] > 0 for p in listener.progress):
+                break
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+    assert any(p["num_input_rows"] > 0 for p in listener.progress)
+    lines = open(str(tmp_path / "metrics.jsonl")).read().strip().splitlines()
+    assert len(lines) == len(listener.progress)
