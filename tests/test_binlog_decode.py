@@ -38,7 +38,7 @@ def enc_newdecimal(text: str, p: int, s: int) -> bytes:
     negative = d < 0
     d = abs(d)
     int_digits, frac_digits = p - s, s
-    q = str(d.quantize(Decimal(1).scaleb(-s)) if s else d.to_integral_value())
+    q = f"{d:.{s}f}"  # fixed-point, never scientific notation
     if "." in q:
         ip, fp = q.split(".")
     else:
@@ -306,3 +306,39 @@ class TestTableMapAndRows:
         b, a = rows[0]["before"], rows[0]["after"]
         assert (b["col_1"], b["col_2"], b["col_3"]) == (1.0, 2.0, Decimal("3.0000"))
         assert (a["col_1"], a["col_2"], a["col_3"]) == (4.0, 4.0, Decimal("4.0000"))
+
+
+class TestPropertyDecimal:
+    """Property-based NewDecimal coverage: random (precision, scale,
+    value) triples round-trip through the independent test encoder and
+    the engine decoder."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @staticmethod
+    @st.composite
+    def decimals(draw):
+        from tests.test_binlog_decode import TestPropertyDecimal as _T  # noqa
+        p = draw(_T.st.integers(min_value=1, max_value=30))
+        s = draw(_T.st.integers(min_value=0, max_value=min(p, 20)))
+        int_digits = p - s
+        int_part = draw(_T.st.integers(min_value=0, max_value=10**int_digits - 1)) if int_digits else 0
+        frac_part = draw(_T.st.integers(min_value=0, max_value=10**s - 1)) if s else 0
+        sign = draw(_T.st.sampled_from(["", "-"]))
+        text = f"{sign}{int_part}"
+        if s:
+            text += f".{frac_part:0{s}d}"
+        return text, p, s
+
+    @settings(max_examples=200, deadline=None)
+    @given(case=decimals())
+    def test_roundtrip(self, case):
+        from decimal import Decimal
+
+        text, p, s = case
+        buf = enc_newdecimal(text, p, s)
+        assert len(buf) == MT.decimal_binary_size(p, s)
+        v, off = MT.decode_newdecimal(buf, 0, p, s)
+        assert off == len(buf)
+        assert v == Decimal(text), (text, p, s, v)
