@@ -438,3 +438,86 @@ def simhash_near_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → dedup clusters.
+
+    Near-dup *pairs* aren't the end product of corpus dedup — clusters
+    are (keep one canonical doc per component). This is the iterative-
+    algorithm pattern: min-label propagation, each iteration a
+    distributed join+agg, driver only checks the convergence counter.
+    Converges in O(component diameter) iterations; near-dup components
+    are shallow (cliques-ish), so typically 2-3 rounds.
+
+    Returns (node, cluster_id) with cluster_id = min doc id reachable.
+    """
+    edges = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nb = (
+            edges.join(
+                labels.withColumnsRenamed({"node": "dst_node", "cluster_id": "dst_label"}),
+                edges.dst == F.col("dst_node"),
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb, labels.node == nb.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nb_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.withColumnsRenamed({"cluster_id": "new_id"})
+            .join(labels, "node")
+            .filter(F.col("new_id") != F.col("cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """End-to-end near-dup clustering: Jaccard pairs → connected
+    components → (doc_id, cluster_id, is_canonical). Singleton documents
+    (no near-dup) are their own cluster."""
+    pairs = jaccard_pairs(docs, text_col, id_col, k, threshold, parallelism)
+    comp = connected_components(pairs)
+    all_docs = docs.select(F.col(id_col).alias("doc_id"))
+    clustered = all_docs.join(
+        comp.withColumnsRenamed({"node": "doc_id"}), "doc_id", "left"
+    ).withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    return clustered.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    )

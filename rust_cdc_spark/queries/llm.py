@@ -439,3 +439,13 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim_raw") >= 0.35)
         .select("vec_a", "vec_b", F.round("cos_sim_raw", 4).alias("cos_sim"))
     )
+
+
+@register("dedup_clusters", oracle=None)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: Jaccard pairs → iterative connected
+    components (min-label propagation) → (doc_id, cluster_id,
+    is_canonical). An iterative algorithm — rows-only check per the
+    driver contract; correctness is validated against an in-test
+    union-find (tests/test_scale_operators.py::TestDedupClusters)."""
+    return DD.dedup_clusters(load_table(spark, "documents", sf_dir))

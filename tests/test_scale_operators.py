@@ -137,3 +137,74 @@ class TestDuplicationProofPairs:
             for r in _minhash_lsh_direct(corpus, "text", "doc_id", 3, 16, 4).collect()
         }
         assert fast == naive
+
+
+class TestDedupClusters:
+    def test_components_match_union_find(self, spark):
+        """Distributed min-label propagation vs an in-test union-find on
+        the same pair set (duplicated corpus → non-trivial components)."""
+        from rust_cdc_spark.operators.dedup import (
+            connected_components,
+            jaccard_pairs,
+        )
+
+        docs = load_table(spark, "documents", SF_SMOKE).limit(60)
+        corpus = docs.unionByName(
+            docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text",
+                        "lang", "source", "n_chars")
+        ).unionByName(
+            docs.select((F.col("doc_id") + 2000).alias("doc_id"), "text",
+                        "lang", "source", "n_chars")
+        )
+        pairs = [(r.doc_a, r.doc_b) for r in jaccard_pairs(corpus).collect()]
+        assert pairs, "expected near-dup pairs in the tripled corpus"
+
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for a, b in pairs:
+            union(a, b)
+        want = {x: find(x) for x in parent}
+        # canonicalize: min element of each set
+        roots = {}
+        for x in want:
+            r = find(x)
+            roots.setdefault(r, []).append(x)
+        expected = {x: min(m) for r, m in roots.items() for x in m}
+
+        got = {
+            r.node: r.cluster_id
+            for r in connected_components(
+                jaccard_pairs(corpus)
+            ).collect()
+        }
+        assert got == expected
+
+    def test_dedup_clusters_canonicals(self, spark):
+        from rust_cdc_spark.operators.dedup import dedup_clusters
+
+        docs = load_table(spark, "documents", SF_SMOKE).limit(30)
+        corpus = docs.unionByName(
+            docs.select((F.col("doc_id") + 500).alias("doc_id"), "text",
+                        "lang", "source", "n_chars")
+        )
+        out = dedup_clusters(corpus).collect()
+        assert len(out) == 60
+        canon = [r for r in out if r.is_canonical]
+        # every duplicated doc joins its copy's cluster → at most 30
+        # clusters (fewer if base docs are near-dups of each other, which
+        # does happen in the synthetic corpus)
+        assert 1 <= len(canon) <= 30
+        # no copy (id >= 500) may ever be canonical — its base doc has a
+        # smaller id and identical text
+        assert all(r.doc_id < 500 for r in canon)
+        for r in out:
+            assert r.cluster_id <= r.doc_id
