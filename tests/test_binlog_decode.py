@@ -36,7 +36,7 @@ def enc_newdecimal(text: str, p: int, s: int) -> bytes:
     """Hand-packed BCD per the documented format."""
     d = Decimal(text)
     negative = d < 0
-    d = abs(d)
+    d = d.copy_abs()  # context-free; abs() rounds to context precision (28 digits)
     int_digits, frac_digits = p - s, s
     q = f"{d:.{s}f}"  # fixed-point, never scientific notation
     if "." in q:
