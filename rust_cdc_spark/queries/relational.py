@@ -791,8 +791,8 @@ def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN customer ON c_custkey = o_custkey
         JOIN nation n1 ON s_nationkey = n1.n_nationkey
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        WHERE ((n1.n_name = 'CHINA' AND n2.n_name = 'JAPAN')
-            OR (n1.n_name = 'JAPAN' AND n2.n_name = 'CHINA'))
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
           AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
@@ -821,8 +821,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(
-            ((F.col("supp_nation") == "CHINA") & (F.col("cust_nation") == "JAPAN"))
-            | ((F.col("supp_nation") == "JAPAN") & (F.col("cust_nation") == "CHINA"))
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
         )
     )
     return (
@@ -878,4 +878,252 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT DISTINCT p_partkey, p_name, s_name, s_acctbal, n_name
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_type = 'SMALL' AND p_size <= 15 AND r_name = 'EUROPE'
+      AND l_extendedprice = (
+        SELECT min(l2.l_extendedprice)
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, p_partkey, s_name
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table in this schema — lineitem is the
+    part-supplier bridge): for each part in a type/size slice, the
+    EUROPE supplier(s) offering the minimum observed price. The
+    correlated min subquery becomes a window min over the part key —
+    one shuffle on l_partkey serves both the min and the equality
+    filter; dims broadcast. Equality compares *stored* doubles (no
+    arithmetic), so Spark and the oracle agree bit-for-bit."""
+    utc(spark)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, "nation", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 15)
+    )
+    eu_sup = sup.join(
+        F.broadcast(nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    joined = li.join(F.broadcast(eu_sup), li.l_suppkey == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        joined.withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+        .distinct()
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for a
+    part-name slice (no ps_supplycost here, so amount = discounted
+    revenue). The part filter broadcasts and prunes lineitem *before*
+    the orders join — the only big-big shuffle is lineitem⋈orders on
+    orderkey; nation (25 rows) broadcasts; final agg is 25×years rows."""
+    utc(spark)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    SELECT l_partkey AS partkey,
+           round(sum(l_extendedprice * l_quantity), 2) AS part_value
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * l_quantity) > (
+        SELECT sum(l_extendedprice * l_quantity) * 0.001
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7')
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value held by one nation's suppliers,
+    kept only when above a fraction of the nation's total (scalar
+    subquery over the same aggregate). Spark computes the per-part agg
+    once and derives the global threshold from it with a second tiny
+    agg — the sf-scaled fact is scanned once, not twice like the
+    literal SQL; the threshold (1 row) cross-joins back broadcast."""
+    utc(spark)
+    sup = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_7")
+    li = load_table(spark, "lineitem", sf_dir)
+    per_part = (
+        li.join(
+            F.broadcast(
+                sup.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("raw_value"))
+    )
+    threshold = per_part.agg((F.sum("raw_value") * F.lit(0.001)).alias("thr"))
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("raw_value") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("raw_value", 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@register(
+    "q16_part_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 7, 10, 14, 19, 25, 31)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 500.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group, excluding a supplier denylist (NOT IN → broadcast left-anti
+    join — never a shuffle for the exclusion). countDistinct expands to
+    a two-phase partial/final aggregate; the only shuffle is on the
+    (brand,type,size) grouping key."""
+    utc(spark)
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 25, 31)
+    )
+    denied = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 500.0
+    ).select("s_suppkey")
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(F.broadcast(denied), li.l_suppkey == denied.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%bolt%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    part_total AS (
+        SELECT l_partkey AS tp, sum(qty) AS total_qty
+        FROM shipped GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    JOIN shipped    ON s_suppkey = l_suppkey
+    JOIN part_total ON l_partkey = tp
+    WHERE qty > 0.3 * total_qty
+    ORDER BY s_suppkey
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than 30% of a
+    part's yearly volume for a part-name slice (nested aggregate over
+    an aggregate, then a semi-style join back to supplier). Quantities
+    are integral doubles, so the sums — and the 0.3× threshold — are
+    exact in both engines. The part-total re-agg reuses the shipped
+    partitioning (same l_partkey key → AQE coalesces, no extra wide
+    shuffle); supplier joins broadcast."""
+    utc(spark)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%bolt%"))
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("tp")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    sup = load_table(spark, "supplier", sf_dir)
+    return (
+        shipped.join(part_total, shipped.l_partkey == part_total.tp)
+        .filter(F.col("qty") > 0.3 * F.col("total_qty"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .distinct()
+        .orderBy("s_suppkey")
     )
