@@ -318,11 +318,14 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_near_dup", oracle=None)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.9) via LSH
-    self-join. Rows-only check; pytest validates against a brute-force
-    pass at small SF."""
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.35, the same
+    cutoff as the oracle-checked exact baseline) via LSH self-join.
+    Rows-only check; pytest validates recall against the brute-force
+    pass at small SF. 4 bits × 8 tables targets ~70% collision recall
+    at cos 0.35; at larger corpora raise n_bits so buckets stay small
+    (recall is recovered by adding tables, not widening buckets)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return SIM.embedding_near_dup_pairs(emb, threshold=0.9, n_bits=6, n_tables=4)
+    return SIM.embedding_near_dup_pairs(emb, threshold=0.35, n_bits=4, n_tables=8)
 
 
 @register(

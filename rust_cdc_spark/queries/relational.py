@@ -196,14 +196,21 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
     """,
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS). The orders side reduces to its join
-    key — Catalyst prunes to one column before the exchange."""
+    """Left-anti join (NOT EXISTS): customers with no orders since
+    2000-01-01 (every customer has *some* order in this data, so the
+    unfiltered variant proves nothing). The orders side is filtered and
+    reduces to its join key — Catalyst prunes to one column before the
+    exchange."""
+    utc(spark)
     cust = load_table(spark, "customer", sf_dir)
-    orders = load_table(spark, "orders", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -287,19 +294,27 @@ def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_except_nations",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01'
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
     """,
 )
 def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, "customer", sf_dir).select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    sup = load_table(spark, "supplier", sf_dir).select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return cust.subtract(sup)  # EXCEPT (set semantics)
+    """EXCEPT (set difference) as a churn query: customers who ordered
+    before 1996 but not since 2000. (The original nations variant was
+    always empty — every nation has both customers and suppliers.)
+    Spark plans EXCEPT as a left-anti join after per-side distinct."""
+    utc(spark)
+    orders = load_table(spark, "orders", sf_dir)
+    early = orders.filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return early.subtract(recent)  # EXCEPT (set semantics)
 
 
 @register(

@@ -275,14 +275,18 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT substr(c_name, 10, 1) AS cntry, c_acctbal
         FROM customer
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01')
     )
     GROUP BY cntry
     """,
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar subquery threshold + anti join + grouped
-    aggregate over a derived column."""
+    aggregate over a derived column. Lapsed high-balance customers: the
+    NOT EXISTS is windowed to orders since 2000 because every customer
+    in this data has at least one historical order."""
+    utc(spark)
     register_views(spark, sf_dir, "customer", "orders")
     return spark.sql(
         """
@@ -291,7 +295,8 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT substr(c_name, 10, 1) AS cntry, c_acctbal
             FROM customer
             WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderdate >= TIMESTAMP '2000-01-01')
         )
         GROUP BY cntry
         """
