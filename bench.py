@@ -35,6 +35,7 @@ HEADLINE = [
     "text_stats",
     "similarity_topk_cosine",
     "similarity_knn_batch",
+    "similarity_ivf_topk",
     "dedup_ngram_jaccard_pairs",
     "events_tumbling_window",
     "events_sessionize",

