@@ -75,6 +75,49 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_click_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           CAST(count(c.event_id) AS BIGINT) AS n_clicks
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+      ON c.ts > p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+    GROUP BY 1
+    """,
+)
+def range_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: clicks attributed to any purchase whose
+    30-minute window contains them. Spark would plan the raw non-equi
+    predicate as a nested-loop join; operators/rangejoin.py bin-buckets
+    both sides (one bin per point, ≤2 bins per interval) so it runs as
+    a hash equi-join + residual filter — linear in true window
+    co-occupancy at any scale. Zero-click purchases are kept via a
+    left join back to the purchase set."""
+    from rust_cdc_spark.operators.rangejoin import range_join
+
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    matched = range_join(
+        clicks, purchases, "click_ts", "w_start", "w_end", bin_seconds=1800
+    )
+    counts = matched.groupBy("purchase_id").agg(
+        F.count("click_id").alias("n_matched")
+    )
+    return purchases.join(counts, on="purchase_id", how="left").select(
+        "purchase_id",
+        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_clicks"),
+    )
+
+
+@register(
     "events_json_props",
     oracle="""
     SELECT event_type,

@@ -175,3 +175,66 @@ class TestSimilarity:
         )
         top = SIM.brute_force_topk(emb, probes, k=1).collect()
         assert top[0].vec_id == 7 and top[0].cos_sim == 1.0
+
+
+class TestRangeJoin:
+    def _data(self, spark):
+        from rust_cdc_spark.sources.tables import load_table
+
+        ev = load_table(spark, "events", SF_SMOKE)
+        points = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+        )
+        intervals = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("iid"),
+            (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("istart"),
+            F.col("ts").alias("iend"),
+        )
+        return points, intervals
+
+    def test_matches_naive_theta_join(self, spark):
+        from rust_cdc_spark.operators.rangejoin import range_join
+
+        points, intervals = self._data(spark)
+        binned = {
+            (r.pid, r.iid)
+            for r in range_join(
+                points, intervals, "pts", "istart", "iend", bin_seconds=1800
+            ).collect()
+        }
+        naive = {
+            (r.pid, r.iid)
+            for r in points.join(
+                intervals,
+                (F.col("pts") > F.col("istart")) & (F.col("pts") <= F.col("iend")),
+            ).collect()
+        }
+        assert binned == naive and len(binned) > 0
+
+    def test_bin_width_does_not_change_result(self, spark):
+        from rust_cdc_spark.operators.rangejoin import range_join
+
+        points, intervals = self._data(spark)
+        a = {
+            (r.pid, r.iid)
+            for r in range_join(
+                points, intervals, "pts", "istart", "iend", bin_seconds=600
+            ).collect()
+        }
+        b = {
+            (r.pid, r.iid)
+            for r in range_join(
+                points, intervals, "pts", "istart", "iend", bin_seconds=7200
+            ).collect()
+        }
+        assert a == b
+
+    def test_plan_is_hash_join_not_nested_loop(self, spark):
+        from rust_cdc_spark.operators.rangejoin import range_join
+        from rust_cdc_spark.plans import explain as X
+
+        points, intervals = self._data(spark)
+        txt = X.plan_text(
+            range_join(points, intervals, "pts", "istart", "iend")
+        )
+        assert "NestedLoop" not in txt and "Cartesian" not in txt, txt
