@@ -1130,12 +1130,13 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
-    part_total = shipped.groupBy(F.col("l_partkey").alias("tp")).agg(
-        F.sum("qty").alias("total_qty")
-    )
+    # part totals as a window over the (suppkey,partkey) aggregate — one
+    # partkey exchange instead of a second aggregate plus a join back
     sup = load_table(spark, "supplier", sf_dir)
     return (
-        shipped.join(part_total, shipped.l_partkey == part_total.tp)
+        shipped.withColumn(
+            "total_qty", F.sum("qty").over(Window.partitionBy("l_partkey"))
+        )
         .filter(F.col("qty") > 0.3 * F.col("total_qty"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "s_acctbal")

@@ -90,6 +90,20 @@ class TestShuffleBudget:
             ("window_topk_orders_per_customer", 1),
             ("events_sessionize", 1),      # window + agg share the key
             ("dedup_exact_documents", 2),  # parallelize round-robin + agg
+            ("q3_shipping_priority", 1),   # dims broadcast; agg exchange only
+            ("q5_local_supplier_volume", 1),
+            ("q9_product_type_profit", 1),
+            ("q2_min_cost_supplier", 2),   # partkey window + top-k sort
+            ("q16_part_supplier_counts", 3),  # 2-phase distinct + sort
+            ("q20_excess_suppliers", 4),   # agg, partkey window, distinct, sort
+            ("q11_important_parts", 4),    # per-part agg, 1-row global agg, sort
+            ("pivot_status_by_priority", 2),
+            ("asof_join_purchase_last_click", 1),
+            ("range_join_click_attribution", 2),  # bin join + count agg
+            ("similarity_topk_cosine", 0),  # broadcast probes, rank window map-side
+            ("text_stats", 0),             # pure map
+            ("events_tumbling_window", 1),
+            ("agg_percentiles_by_status", 1),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
