@@ -238,3 +238,97 @@ class TestRangeJoin:
             range_join(points, intervals, "pts", "istart", "iend")
         )
         assert "NestedLoop" not in txt and "Cartesian" not in txt, txt
+
+    def _mk(self, spark, points, intervals):
+        """points: [(pid, sec)], intervals: [(iid, start_sec, end_sec)] —
+        integer seconds cast to timestamps."""
+        p = spark.createDataFrame(points, ["pid", "psec"]).select(
+            "pid", F.timestamp_seconds("psec").alias("pts")
+        )
+        i = spark.createDataFrame(intervals, ["iid", "ssec", "esec"]).select(
+            "iid",
+            F.timestamp_seconds("ssec").alias("istart"),
+            F.timestamp_seconds("esec").alias("iend"),
+        )
+        return p, i
+
+    def test_boundary_semantics_right_closed(self, spark):
+        from rust_cdc_spark.operators.rangejoin import range_join
+
+        # interval (1000, 2000]: point at 1000 excluded, at 2000 included
+        p, i = self._mk(
+            spark,
+            [(1, 1000), (2, 2000), (3, 1001), (4, 2001)],
+            [(10, 1000, 2000)],
+        )
+        got = {
+            r.pid
+            for r in range_join(p, i, "pts", "istart", "iend", bin_seconds=600).collect()
+        }
+        assert got == {2, 3}
+
+    def test_zero_length_interval(self, spark):
+        from rust_cdc_spark.operators.rangejoin import range_join
+
+        p, i = self._mk(spark, [(1, 500)], [(10, 500, 500)])
+        right = range_join(p, i, "pts", "istart", "iend", closed="right").collect()
+        both = range_join(p, i, "pts", "istart", "iend", closed="both").collect()
+        assert right == [] and [r.pid for r in both] == [1]
+
+    def test_points_and_edges_on_bin_boundaries(self, spark):
+        from rust_cdc_spark.operators.rangejoin import range_join
+
+        # bin_seconds=100; everything lands exactly on bin edges
+        p, i = self._mk(
+            spark,
+            [(1, 100), (2, 200), (3, 300)],
+            [(10, 100, 300), (11, 200, 200)],
+        )
+        got = sorted(
+            (r.pid, r.iid)
+            for r in range_join(p, i, "pts", "istart", "iend", bin_seconds=100).collect()
+        )
+        # (100,300] holds 200 and 300; (200,200] is empty under right-closed
+        assert got == [(2, 10), (3, 10)]
+        both = sorted(
+            (r.pid, r.iid)
+            for r in range_join(
+                p, i, "pts", "istart", "iend", bin_seconds=100, closed="both"
+            ).collect()
+        )
+        assert both == [(1, 10), (2, 10), (2, 11), (3, 10)]
+
+    def test_property_binned_equals_python_oracle(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        from rust_cdc_spark.operators.rangejoin import range_join
+
+        @settings(max_examples=12, deadline=None)
+        @given(
+            pts=st.lists(st.integers(0, 7200), min_size=1, max_size=12),
+            ivs=st.lists(
+                st.tuples(st.integers(0, 7200), st.integers(0, 3600)),
+                min_size=1,
+                max_size=8,
+            ),
+            bin_s=st.sampled_from([60, 600, 1800, 7200]),
+        )
+        def check(pts, ivs, bin_s):
+            points = [(n, s) for n, s in enumerate(pts)]
+            intervals = [(n, s, s + d) for n, (s, d) in enumerate(ivs)]
+            p, i = self._mk(spark, points, intervals)
+            got = {
+                (r.pid, r.iid)
+                for r in range_join(
+                    p, i, "pts", "istart", "iend", bin_seconds=bin_s
+                ).collect()
+            }
+            want = {
+                (pid, iid)
+                for pid, psec in points
+                for iid, ssec, esec in intervals
+                if ssec < psec <= esec
+            }
+            assert got == want
+
+        check()
