@@ -40,6 +40,7 @@ HEADLINE = [
     "events_tumbling_window",
     "events_sessionize",
     "asof_join_purchase_last_click",
+    "range_join_click_attribution",
     "pivot_status_by_priority",
     "multimodal_feature_extract",
 ]

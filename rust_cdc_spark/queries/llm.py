@@ -477,3 +477,47 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver contract; correctness is validated against an in-test
     union-find (tests/test_scale_operators.py::TestDedupClusters)."""
     return DD.dedup_clusters(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "sample_stratified_documents",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 25
+    """,
+)
+def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 25 uniformly-drawn docs per
+    language via md5-hash order (operators/sampling.py) — reproducible
+    across runs, retries, and engines (rand() is none of those), which
+    is what dataset-curation quotas need. One group-key shuffle."""
+    from rust_cdc_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return stratified_sample(docs, ["lang"], 25, "doc_id")
+
+
+@register(
+    "sample_bernoulli_documents",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) < '1999999999999a000000000000000000'
+    """,
+)
+def sample_bernoulli_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample, map-only (no shuffle): keep
+    rows whose id-digest sorts below the 10% hex threshold — a plain
+    string comparison, bit-identical in every engine."""
+    from rust_cdc_spark.operators.sampling import bernoulli_sample
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    return bernoulli_sample(docs, 0.1, "doc_id")
