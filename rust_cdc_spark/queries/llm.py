@@ -521,3 +521,37 @@ def sample_bernoulli_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
     return bernoulli_sample(docs, 0.1, "doc_id")
+
+
+@register(
+    "corpus_profile",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+           round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+           CAST(count(*) - count(DISTINCT
+                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS BIGINT)
+               AS n_dup_docs
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card profile per (lang, source) stratum: doc count, total
+    tokens, mean length, and exact-duplicate count (docs minus distinct
+    canonical fingerprints). One grouped aggregate with a two-phase
+    distinct — the whole corpus profile in a single pass whatever the
+    corpus size."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TX.token_count("text")).cast("bigint").alias("total_tokens"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+            (F.count("*") - F.countDistinct(TX.fingerprint("text")))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+        )
+    )
