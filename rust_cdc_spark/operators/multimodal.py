@@ -95,6 +95,47 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: stride-subsample the
+    payload to exactly ``width*height`` bytes (pad with zeros when the
+    source is smaller). Pure function of (payload, w, h) — the real
+    codec (Pillow thumbnail/resample) slots into the same signature."""
+    target = width * height
+    if payload is None:
+        return bytes(target)
+    if len(payload) >= target:
+        stride = len(payload) / target
+        return bytes(payload[int(i * stride)] for i in range(target))
+    return bytes(payload) + bytes(target - len(payload))
+
+
+def resize_images(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Arrow-batched resize over mapInPandas: image rows get a
+    ``width``×``height`` payload and updated metadata; non-image rows
+    pass through untouched. Same iterator contract as
+    :func:`extract_features` — one Arrow batch in flight per task,
+    map-only (no shuffle), schema identical to the input so resize
+    stages compose/chain."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            for idx in out.index:
+                meta = out.at[idx, "meta"]
+                if meta is None or meta.get("media_type") != "image":
+                    continue
+                out.at[idx, "payload"] = fake_resize(
+                    out.at[idx, "payload"], width, height
+                )
+                new_meta = dict(meta)
+                new_meta["width"] = width
+                new_meta["height"] = height
+                out.at[idx, "meta"] = new_meta
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expands each video row into frame
     timestamps (codegen sequence — no UDF); the actual frame decode is

@@ -69,3 +69,19 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return MM.frame_sample_plan(media, every_ms=500)
+
+
+@register("multimodal_resize", oracle=None)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched image resize plumbing (deterministic stub codec):
+    every image payload re-emitted at 16x16 with updated metadata,
+    schema-identical to the input so resize stages chain. Rows-only
+    check; payload determinism and metadata updates are asserted in
+    pytest."""
+    media = MM.documents_as_media(load_table(spark, "documents", sf_dir))
+    return MM.resize_images(media, width=16, height=16).select(
+        "media_id",
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )

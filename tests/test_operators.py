@@ -332,3 +332,39 @@ class TestRangeJoin:
             assert got == want
 
         check()
+
+
+class TestMultimodalResize:
+    def test_resize_updates_payload_and_meta(self, spark):
+        from rust_cdc_spark.operators import multimodal as MM
+        from rust_cdc_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", SF_SMOKE).limit(20)
+        media = MM.documents_as_media(docs)
+        out = MM.resize_images(media, width=4, height=4).collect()
+        assert len(out) == 20
+        for r in out:
+            assert len(r.payload) == 16
+            assert r.meta.width == 4 and r.meta.height == 4
+            assert r.meta.media_type == "image"
+
+    def test_resize_is_deterministic_and_chains(self, spark):
+        from rust_cdc_spark.operators import multimodal as MM
+        from rust_cdc_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", SF_SMOKE).limit(5)
+        media = MM.documents_as_media(docs)
+        once = MM.resize_images(media, 8, 8)
+        a = {r.media_id: bytes(r.payload) for r in once.collect()}
+        b = {r.media_id: bytes(r.payload) for r in once.collect()}
+        assert a == b
+        # schema-identical output → a second resize composes
+        twice = MM.resize_images(once, 2, 2).collect()
+        assert all(len(r.payload) == 4 for r in twice)
+
+    def test_fake_resize_pads_small_payloads(self):
+        from rust_cdc_spark.operators.multimodal import fake_resize
+
+        assert fake_resize(b"ab", 2, 2) == b"ab\x00\x00"
+        assert fake_resize(None, 2, 2) == b"\x00\x00\x00\x00"
+        assert len(fake_resize(bytes(range(256)), 3, 3)) == 9
