@@ -368,3 +368,49 @@ class TestMultimodalResize:
         assert fake_resize(b"ab", 2, 2) == b"ab\x00\x00"
         assert fake_resize(None, 2, 2) == b"\x00\x00\x00\x00"
         assert len(fake_resize(bytes(range(256)), 3, 3)) == 9
+
+
+class TestSampling:
+    def test_stratified_quota_and_determinism(self, spark):
+        from rust_cdc_spark.operators.sampling import stratified_sample
+        from rust_cdc_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "lang")
+        s1 = stratified_sample(docs, ["lang"], 10, "doc_id")
+        s2 = stratified_sample(docs, ["lang"], 10, "doc_id")
+        a = sorted((r.lang, r.doc_id) for r in s1.collect())
+        assert a == sorted((r.lang, r.doc_id) for r in s2.collect())
+        per_group = {}
+        for lang, _ in a:
+            per_group[lang] = per_group.get(lang, 0) + 1
+        assert all(n <= 10 for n in per_group.values()) and per_group
+
+    def test_salt_draws_independent_sample(self, spark):
+        from rust_cdc_spark.operators.sampling import stratified_sample
+        from rust_cdc_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "lang")
+        a = {r.doc_id for r in stratified_sample(docs, ["lang"], 10, "doc_id").collect()}
+        b = {r.doc_id for r in stratified_sample(docs, ["lang"], 10, "doc_id", salt="2").collect()}
+        assert a != b  # different salt → different draw (w.h.p.)
+
+    def test_bernoulli_fraction_and_subset_property(self, spark):
+        from rust_cdc_spark.operators.sampling import bernoulli_sample
+        from rust_cdc_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", SF_SMOKE).select("doc_id")
+        n = docs.count()
+        s10 = {r.doc_id for r in bernoulli_sample(docs, 0.1, "doc_id").collect()}
+        s30 = {r.doc_id for r in bernoulli_sample(docs, 0.3, "doc_id").collect()}
+        # fraction is approximate (binomial), bounded loosely
+        assert 0.02 * n <= len(s10) <= 0.25 * n
+        # threshold sampling nests: the 10% sample is inside the 30% one
+        assert s10 <= s30
+
+    def test_bernoulli_is_map_only(self, spark):
+        from rust_cdc_spark.operators.sampling import bernoulli_sample
+        from rust_cdc_spark.plans import explain as X
+        from rust_cdc_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", SF_SMOKE).select("doc_id")
+        assert X.count_exchanges(bernoulli_sample(docs, 0.1, "doc_id")) == 0
