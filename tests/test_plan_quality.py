@@ -104,6 +104,27 @@ class TestShuffleBudget:
             ("text_stats", 0),             # pure map
             ("events_tumbling_window", 1),
             ("agg_percentiles_by_status", 1),
+            ("q4_order_priority_check", 1),
+            ("q6_forecast_revenue", 1),
+            ("q8_market_share", 1),
+            ("q12_shipmode_priority", 1),
+            ("q13_customer_distribution", 2),
+            ("q14_promo_revenue", 1),
+            ("q15_top_supplier", 3),
+            ("q17_small_quantity_revenue", 2),
+            ("q18_large_volume_customers", 1),
+            ("q19_disjunctive_predicates", 1),
+            ("q21_waiting_orders", 1),
+            ("q22_global_sales_opportunity", 2),
+            ("subquery_above_avg_orders", 1),
+            ("grouping_sets_lineitem", 1),
+            ("scalar_functions_orders", 0),   # pure map
+            ("set_union_nation_presence", 2),
+            ("corpus_profile", 2),            # two-phase distinct
+            ("sample_stratified_documents", 1),
+            ("sample_bernoulli_documents", 0),  # map-only by design
+            ("lag_lead_order_gaps", 1),
+            ("dense_rank_supplier_balance", 1),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
