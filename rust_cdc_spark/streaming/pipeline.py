@@ -155,13 +155,17 @@ class ParquetUpsertTable:
     def merge(
         self,
         changes: DataFrame,
-        order_col: str = "log_pos",
+        order_by: str | list[str] | None = None,
         app_id: str = "cdc",
         txn_version: int | None = None,
     ) -> None:
         """MERGE an envelope change set. ``txn_version`` (the foreachBatch
         epoch id) makes replays no-ops — the Delta txnAppId/txnVersion
         idempotence pattern."""
+        from rust_cdc_spark.operators.collapse import DEFAULT_ORDER
+
+        if order_by is None:
+            order_by = DEFAULT_ORDER
         meta = self._meta()
         if txn_version is not None and meta["txn"].get(app_id, -1) >= txn_version:
             return  # already applied — replayed microbatch
@@ -214,11 +218,11 @@ class ParquetUpsertTable:
                      for k in self.key_cols}
                 ),
                 self.key_cols,
-                order_col,
+                order_by,
             )
             merged = final.filter(F.col("op") != "D").select(F.col("after.*"))
         else:
-            merged = merge_upsert(target, changes, self.key_cols, order_col)
+            merged = merge_upsert(target, changes, self.key_cols, order_by)
         v = meta["version"] + 1
         self._write_snapshot(merged, v)
         meta["version"] = v

@@ -108,6 +108,103 @@ class TestCollapseMerge:
         }
         assert got == {1: 10, 2: 21, 4: 41}
 
+    def _cdc_files(self, spark, rows):
+        """rows: (log_file, log_pos, key, op, val) — envelope frame that
+        spans binlog file rotations (log_pos restarts per file, as in a
+        real binlog)."""
+        df = spark.createDataFrame(
+            rows, ["log_file", "log_pos", "k", "op", "val"]
+        )
+        img = F.struct(F.col("k").alias("k"), F.col("val").alias("val"))
+        return df.select(
+            "log_file",
+            "log_pos",
+            "k",
+            "op",
+            F.when(F.col("op") == "D", img).alias("before"),
+            F.when(F.col("op") != "D", img).alias("after"),
+        )
+
+    def test_collapse_across_file_rotation(self, spark):
+        """log_pos resets at every rotation: an event at pos 4 of file
+        000002 is NEWER than pos 900 of file 000001. Ordering by pos alone
+        would pick the older image — the rotation bug."""
+        cdc = self._cdc_files(
+            spark,
+            [
+                ("binlog.000001", 900, 1, "I", 10),
+                ("binlog.000002", 4, 1, "U", 11),   # newer despite smaller pos
+                ("binlog.000001", 850, 2, "U", 20),
+                ("binlog.000002", 30, 2, "D", 20),  # final op: tombstone
+            ],
+        )
+        got = {
+            r.k: (r.op, r.after.val if r.after else None)
+            for r in collapse_last_image(cdc, ["k"]).collect()
+        }
+        assert got == {1: ("U", 11), 2: ("D", None)}
+
+    def test_merge_across_file_rotation(self, spark):
+        target = spark.createDataFrame([(1, 10), (2, 20)], ["k", "val"])
+        changes = self._cdc_files(
+            spark,
+            [
+                ("binlog.000001", 900, 1, "U", 11),
+                ("binlog.000002", 4, 1, "U", 12),  # rotation: this wins
+            ],
+        )
+        got = {r.k: r.val for r in merge_upsert(target, changes, ["k"]).collect()}
+        assert got == {1: 12, 2: 20}
+
+    def test_single_column_order_still_supported(self, spark):
+        cdc = self._cdc(spark, [(1, 1, "I", 10), (2, 1, "U", 20)])
+        got = collapse_last_image(cdc, ["k"], order_by="log_pos").collect()
+        assert got[0].after.val == 20
+
+    def _cdc_both_images(self, spark, rows):
+        """rows: (log_pos, op, bk, bval, ak, aval) — envelope with full
+        before AND after images, so updates can change the key."""
+        df = spark.createDataFrame(
+            rows, ["log_pos", "op", "bk", "bval", "ak", "aval"]
+        )
+        before = F.when(
+            F.col("bk").isNotNull(),
+            F.struct(F.col("bk").alias("k"), F.col("bval").alias("val")),
+        )
+        after = F.when(
+            F.col("ak").isNotNull(),
+            F.struct(F.col("ak").alias("k"), F.col("aval").alias("val")),
+        )
+        return df.select(
+            "log_pos", "op", before.alias("before"), after.alias("after")
+        )
+
+    def test_pk_changing_update_removes_old_key(self, spark):
+        """ValueBuffers does remove(before-key) on every update
+        (/root/reference/src/delta/value_buffer.rs:36-40): an update that
+        changes the primary key must delete the OLD key's row, not leave
+        a ghost."""
+        target = spark.createDataFrame([(1, 10), (2, 20)], ["k", "val"])
+        changes = self._cdc_both_images(
+            spark, [(5, "U", 1, 10, 9, 99)]  # update moves key 1 → 9
+        )
+        got = {r.k: r.val for r in merge_upsert(target, changes, ["k"]).collect()}
+        assert got == {9: 99, 2: 20}  # no ghost row under k=1
+
+    def test_pk_change_then_reinsert_old_key(self, spark):
+        """A later insert re-establishes the old key: the remove must not
+        clobber the newer image."""
+        target = spark.createDataFrame([(1, 10)], ["k", "val"])
+        changes = self._cdc_both_images(
+            spark,
+            [
+                (5, "U", 1, 10, 9, 99),      # key 1 → 9
+                (6, "I", None, None, 1, 77),  # key 1 re-inserted after
+            ],
+        )
+        got = {r.k: r.val for r in merge_upsert(target, changes, ["k"]).collect()}
+        assert got == {9: 99, 1: 77}
+
     def test_merge_idempotent_replay(self, spark):
         """Replaying the same change set must not change the result —
         the exactly-once property the reference only approximates with
