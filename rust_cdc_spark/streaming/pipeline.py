@@ -324,6 +324,10 @@ def start_cdc_pipeline(
     reader = spark.readStream.format("mysql-cdc-replay").option("path", source_dir)
     if max_events_per_trigger:
         reader = reader.option("maxeventspertrigger", str(max_events_per_trigger))
+    if checkpoint_dir:
+        # Let the source's rate limiter resume from the durable offset log
+        # on restart (see BinlogReplayReader._durable_start).
+        reader = reader.option("checkpointlocation", checkpoint_dir)
     stream = reader.load()
     if dbs or tables:
         stream = route(stream, dbs or ["*"], tables or ["*"])
@@ -369,11 +373,10 @@ def start_multi_table_pipeline(
     from rust_cdc_spark.streaming.replay_source import register
 
     register(spark)
-    stream = (
-        spark.readStream.format("mysql-cdc-replay")
-        .option("path", source_dir)
-        .load()
-    )
+    reader = spark.readStream.format("mysql-cdc-replay").option("path", source_dir)
+    if checkpoint_dir:
+        reader = reader.option("checkpointlocation", checkpoint_dir)
+    stream = reader.load()
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():

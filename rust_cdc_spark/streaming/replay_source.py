@@ -61,10 +61,26 @@ def _file_key(name: str) -> str:
     return name  # binlog names sort lexicographically (binlog.000001 …)
 
 
+def _off_key(off: dict) -> tuple:
+    return (_file_key(off["file"]), off["line"])
+
+
 class BinlogReplayReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.directory = options["path"]
         self.batch_lines = int(options.get("maxeventspertrigger", "100000"))
+        # Where the streaming query checkpoints. latestOffset() must never
+        # return an end behind the durable start, or a restarted query with
+        # a backlog re-delivers already-merged events under new epoch ids
+        # (bypassing txn_version idempotence) — but Spark calls
+        # latestOffset() before anything tells the reader the checkpointed
+        # start, so the reader peeks at the offset log itself.
+        # start_cdc_pipeline wires this automatically.
+        self.checkpoint = options.get("checkpointlocation")
+        # _cursor: last end offset handed out. _seen_start: greatest start
+        # Spark has reported via partitions()/commit() this run.
+        self._cursor: dict | None = None
+        self._seen_start: dict | None = None
 
     # offsets are {"file": name, "line": n} — "line" is the replay analog
     # of the binlog byte position (monotone within a file).
@@ -82,6 +98,27 @@ class BinlogReplayReader(DataSourceStreamReader):
         if not files:
             raise RuntimeError(f"no .jsonl binlog recordings in {self.directory}")
         return {"file": files[0], "line": 0}
+
+    def _durable_start(self) -> dict | None:
+        """Newest end offset in the query's offset log, or None when the
+        query is brand-new (or no checkpoint location was wired through).
+        Mirrors the reference reading its recorded LogEntry on connect
+        (/root/reference/src/mysql/conn.rs:272-295)."""
+        if not self.checkpoint:
+            return None
+        odir = os.path.join(self.checkpoint, "offsets")
+        try:
+            batches = [int(f) for f in os.listdir(odir) if f.isdigit()]
+        except OSError:
+            return None  # no offset log yet → fresh query
+        if not batches:
+            return None
+        with open(os.path.join(odir, str(max(batches)))) as fh:
+            last = fh.read().strip().splitlines()[-1]
+        off = json.loads(last)
+        if isinstance(off, str):  # python-datasource offsets are json-in-json
+            off = json.loads(off)
+        return off
 
     def _advance(self, start: dict, max_lines: int) -> dict:
         """Walk at most ``max_lines`` events forward from ``start`` across
@@ -104,13 +141,33 @@ class BinlogReplayReader(DataSourceStreamReader):
         """End offset for the next microbatch: at most
         ``maxeventspertrigger`` events past the last end we handed out
         (the reference's ``max_messages_per_batch``, 5000 default —
-        /root/reference/src/delta/mod.rs:198-199). ``commit`` re-syncs
-        the cursor to the durable checkpoint on restart."""
+        /root/reference/src/delta/mod.rs:198-199).
+
+        Restart safety: the returned end is clamped to never fall behind
+        the greatest start Spark has reported (``_seen_start``). On a
+        restarted query the first call can arrive before Spark tells us
+        the durable start at all — there the only offset guaranteed not
+        to be behind the checkpoint is the log tail, so that one batch
+        runs unthrottled rather than rewinding and re-delivering."""
         files = self._files()
         tail = {"file": files[-1], "line": self._line_count(files[-1])}
         if self.batch_lines <= 0:
             return tail
-        cursor = getattr(self, "_cursor", None) or self.initialOffset()
+        cursor = self._cursor or self._seen_start
+        if cursor is None:
+            cursor = self._durable_start()  # restart: resume at checkpoint
+        if cursor is None and self.checkpoint:
+            cursor = {"file": files[0], "line": 0}  # provably fresh query
+        if cursor is None:
+            # No checkpoint wired through and nothing seen yet: the only
+            # end guaranteed not to rewind past an unknown durable start
+            # is the tail — one unthrottled batch beats re-delivery.
+            self._cursor = tail
+            return tail
+        if self._seen_start is not None and _off_key(cursor) < _off_key(
+            self._seen_start
+        ):
+            cursor = self._seen_start
         nxt = self._advance(cursor, self.batch_lines)
         self._cursor = nxt
         return nxt
@@ -119,6 +176,8 @@ class BinlogReplayReader(DataSourceStreamReader):
         """One ordered partition covering [start, end) across file
         rotations (reference RotateEvent handling,
         /root/reference/src/mysql/conn.rs:311-317)."""
+        if self._seen_start is None or _off_key(start) > _off_key(self._seen_start):
+            self._seen_start = start  # durable checkpoint state from Spark
         files = [
             f for f in self._files()
             if _file_key(start["file"]) <= _file_key(f) <= _file_key(end["file"])
@@ -159,12 +218,10 @@ class BinlogReplayReader(DataSourceStreamReader):
         # Spark's checkpoint commit log is the durable record; just keep
         # the rate-limit cursor at least at the committed point so a
         # restarted reader resumes from durable state, not from zero.
-        cur = getattr(self, "_cursor", None)
-        if cur is None or (_file_key(cur["file"]), cur["line"]) < (
-            _file_key(end["file"]),
-            end["line"],
-        ):
+        if self._cursor is None or _off_key(self._cursor) < _off_key(end):
             self._cursor = end
+        if self._seen_start is None or _off_key(end) > _off_key(self._seen_start):
+            self._seen_start = end
 
 
 def _stringify(image: dict | None) -> dict | None:

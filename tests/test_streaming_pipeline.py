@@ -281,6 +281,64 @@ def test_max_events_per_trigger_bounds_batches(spark, binlog_dir, tmp_path):
     assert n_batches >= 3, f"only {n_batches} microbatches for 6 events @ cap 2"
 
 
+def _checkpoint_offsets(cp: str) -> list[tuple[str, int]]:
+    """Parse the (file, line) end offset of every batch in the offset log,
+    in batch-id order."""
+    import json as _json
+
+    out = []
+    odir = os.path.join(cp, "offsets")
+    for bid in sorted(int(f) for f in os.listdir(odir) if f.isdigit()):
+        with open(os.path.join(odir, str(bid))) as fh:
+            last = fh.read().strip().splitlines()[-1]
+        off = _json.loads(last)
+        if isinstance(off, str):  # python-datasource offsets are json-in-json
+            off = _json.loads(off)
+        out.append((off["file"], off["line"]))
+    return out
+
+
+def test_restart_with_rate_limit_never_rewinds(spark, binlog_dir, tmp_path):
+    """Restart with a backlog larger than maxeventspertrigger: the
+    rate-limit cursor must resume from the checkpointed offset, not from
+    initialOffset — a rewound end offset re-delivers already-merged
+    events under new epoch ids, bypassing txn_version idempotence."""
+    table = ParquetUpsertTable(
+        str(tmp_path / "rl"), ["id"], image_schema=USERS_SCHEMA
+    )
+    cp = str(tmp_path / "cp_rl")
+    q = start_cdc_pipeline(
+        spark, binlog_dir, table, dbs=["app"], tables=["users"],
+        checkpoint_dir=cp, max_events_per_trigger=2,
+    )
+    q.processAllAvailable()
+    q.stop()
+    # backlog: 10 new events in a third file, far more than the 2-event cap
+    _write_binlog(
+        binlog_dir,
+        "binlog.000003.jsonl",
+        [
+            _ev(pos, "U",
+                before={"id": 3, "name": "cyd", "balance": str(30.0 + pos - 7)},
+                after={"id": 3, "name": "cyd", "balance": str(31.0 + pos - 7)})
+            for pos in range(7, 17)
+        ],
+    )
+    table2 = ParquetUpsertTable(
+        str(tmp_path / "rl"), ["id"], image_schema=USERS_SCHEMA
+    )
+    q = start_cdc_pipeline(
+        spark, binlog_dir, table2, dbs=["app"], tables=["users"],
+        checkpoint_dir=cp, max_events_per_trigger=2,
+    )
+    q.processAllAvailable()
+    q.stop()
+    offsets = _checkpoint_offsets(cp)
+    assert offsets == sorted(offsets), f"offset log rewound: {offsets}"
+    rows = {r.id: r.balance for r in table2.read(spark).collect()}
+    assert rows == {1: 15.0, 3: 40.0}  # last event: pos 16 → 31+16-7
+
+
 def test_table_diff_cdf(spark, tmp_path):
     """CDF analog: diff(v1, v2) re-derives the change set between
     snapshots."""
