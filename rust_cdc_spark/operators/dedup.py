@@ -136,6 +136,7 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     parallelism: int | None = None,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join.
 
@@ -147,11 +148,44 @@ def jaccard_pairs(
     (intra-group pairs score exactly 1.0) — equivalent output, linear in
     the duplication factor. Returns (doc_a, doc_b, jaccard) with
     doc_a < doc_b and jaccard ≥ threshold.
+
+    ``df_cap`` bounds the hot-shingle hazard at corpus scale: a stop
+    shingle shared by millions of *distinct* documents (boilerplate
+    sentences, " the ") makes its inverted-index bucket |bucket|² —
+    the scale-killer a canonical-rep collapse can't touch. With a cap,
+    shingles whose document frequency exceeds it are dropped from
+    *candidate generation only*; surviving candidates are verified by an
+    exact intersection join over their FULL shingle sets, so reported
+    jaccard values stay exact. A pair is missed only if *every* one of
+    its shared shingles is hot — such pairs are boilerplate-only overlaps
+    scoring far below any useful threshold. ``None`` (default) keeps the
+    one-pass exact path.
     """
     reps, members = _canonical_reps(docs, text_col, id_col, parallelism)
-    rep_pairs = _jaccard_pairs_direct(reps, text_col, "doc_id", k, threshold)
+    rep_pairs = _jaccard_pairs_direct(
+        reps, text_col, "doc_id", k, threshold, df_cap=df_cap
+    )
     return _expand_rep_pairs(rep_pairs, reps, members, "jaccard", 1.0).filter(
         F.col("jaccard") >= threshold
+    )
+
+
+def _hashed_inverted_index(sh: DataFrame) -> DataFrame:
+    # Join on xxhash64(shingle), not the string: 8-byte shuffle keys cut
+    # exchange volume several-fold. 64-bit collisions are ~zero even at
+    # 10^9 distinct shingles, so intersection counts stay exact.
+    return sh.select(
+        "doc_id",
+        "set_size",
+        F.explode(
+            F.transform(F.col("shingle_set"), lambda s: F.xxhash64(s))
+        ).alias("shingle"),
+    )
+
+
+def _jaccard_score(n_common: Column, size_a: Column, size_b: Column) -> Column:
+    return F.round(
+        n_common / (size_a + size_b - n_common).cast("double"), 4
     )
 
 
@@ -162,36 +196,78 @@ def _jaccard_pairs_direct(
     k: int,
     threshold: float,
     parallelism: int | None = None,
+    df_cap: int | None = None,
 ) -> DataFrame:
     sh = shingle_sets(docs, text_col, id_col, k, parallelism)
-    # Join on xxhash64(shingle), not the string: 8-byte shuffle keys cut
-    # exchange volume several-fold. 64-bit collisions are ~zero even at
-    # 10^9 distinct shingles, so intersection counts stay exact.
-    inv = sh.select(
-        "doc_id",
-        "set_size",
-        F.explode(
-            F.transform(F.col("shingle_set"), lambda s: F.xxhash64(s))
-        ).alias("shingle"),
+    inv = _hashed_inverted_index(sh)
+    if df_cap is None:
+        # One-pass exact path: the inverted-index join is both candidate
+        # generation and intersection count.
+        a, b = inv.alias("a"), inv.alias("b")
+        return (
+            a.join(b, on="shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.set_size").alias("size_a"),
+                F.col("b.set_size").alias("size_b"),
+            )
+            .agg(F.count("*").alias("n_common"))
+            .withColumn(
+                "jaccard",
+                _jaccard_score(F.col("n_common"), F.col("size_a"), F.col("size_b")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+    # Capped path: candidates from rare shingles only (buckets bounded at
+    # df_cap → ≤ df_cap² candidate rows per shingle), then exact
+    # verification on the full hashed shingle sets of the candidates.
+    hot = (
+        inv.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
     )
-    a, b = inv.alias("a"), inv.alias("b")
-    return (
+    rare = inv.join(hot, on="shingle", how="left_anti")
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
         a.join(b, on="shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.set_size").alias("size_a"),
-            F.col("b.set_size").alias("size_b"),
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("n_common"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
-                4,
+        .distinct()
+    )
+    hset = sh.select(
+        "doc_id",
+        "set_size",
+        F.transform(F.col("shingle_set"), lambda s: F.xxhash64(s)).alias("hset"),
+    )
+    verified = (
+        cand.join(
+            hset.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("set_size").alias("size_a"),
+                F.col("hset").alias("hs_a"),
             ),
+            "doc_a",
+        )
+        .join(
+            hset.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("set_size").alias("size_b"),
+                F.col("hset").alias("hs_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
+    )
+    return (
+        verified.withColumn(
+            "jaccard",
+            _jaccard_score(F.col("n_common"), F.col("size_a"), F.col("size_b")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -48,6 +48,22 @@ class TestSalting:
         assert salted.count() == plain
         assert "__salt" not in salted.columns
 
+    def test_salted_join_rejects_outer_modes(self, spark):
+        """The replicated small side would surface an unmatched row once
+        per salt under right/full outer — must raise, not corrupt."""
+        import pytest
+
+        li = load_table(spark, "lineitem", SF_SMOKE)
+        sup = load_table(spark, "supplier", SF_SMOKE).select(
+            F.col("s_suppkey").alias("l_suppkey"), "s_name"
+        )
+        for how in ("right", "full", "outer", "left_semi", "left_anti"):
+            with pytest.raises(ValueError, match="salted_join supports"):
+                salted_join(
+                    li, sup, on=["l_suppkey"], n_salts=4,
+                    big_unique_col="l_orderkey", how=how,
+                )
+
 
 class TestColumnStats:
     def test_stats_against_duckdb(self, spark):
@@ -120,6 +136,45 @@ class TestDuplicationProofPairs:
         }
         assert fast == naive
         assert len(fast) >= 40  # every duplicated doc pairs with its copy
+
+    def test_jaccard_df_cap_generous_is_identical(self, spark):
+        """A cap no shingle reaches must not change ANY output value —
+        the verification join is exact, not an approximation."""
+        from rust_cdc_spark.operators.dedup import jaccard_pairs
+
+        corpus = self._dup_corpus(spark)
+        uncapped = {
+            (r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(corpus).collect()
+        }
+        capped = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in jaccard_pairs(corpus, df_cap=10_000).collect()
+        }
+        assert capped == uncapped
+
+    def test_jaccard_df_cap_hot_shingle_corpus(self, spark):
+        """Every doc shares one boilerplate sentence (the |bucket|² hazard).
+        With a cap the hot shingles leave candidate generation, but true
+        near-dup pairs (sharing rare shingles) keep their exact scores."""
+        from rust_cdc_spark.operators.dedup import jaccard_pairs
+
+        boiler = " subscribe to our newsletter for updates"
+        rows = [(i, f"unique document body number {i} talks about topic {i}"
+                 + boiler) for i in range(60)]
+        # 3 true near-dup pairs: same rare body, tiny difference
+        for i in range(3):
+            rows.append((100 + i, f"unique document body number {i} talks about topic {i} extra{boiler}"))
+        corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+        uncapped = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in jaccard_pairs(corpus, threshold=0.5).collect()
+        }
+        capped = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in jaccard_pairs(corpus, threshold=0.5, df_cap=10).collect()
+        }
+        assert capped == uncapped  # hot-only overlaps score < 0.5 anyway
+        assert {(i, 100 + i) for i in range(3)} <= set(capped)
 
     def test_minhash_rep_equals_direct(self, spark):
         from rust_cdc_spark.operators.dedup import (
