@@ -59,7 +59,19 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side, replicate the small side
-    across all salts, join on keys + salt."""
+    across all salts, join on keys + salt.
+
+    Only inner and left joins are supported: the small side exists in
+    ``n_salts`` copies, so any join mode that can emit an UNMATCHED
+    small-side row (right/full outer, or the small side of semi/anti
+    semantics flipped) would surface that row once per salt.
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the replicated small side would emit unmatched rows once per "
+            "salt under right/full outer semantics"
+        )
     big_s = with_salt(big, n_salts, big_unique_col)
     small_r = small.crossJoin(
         F.broadcast(
