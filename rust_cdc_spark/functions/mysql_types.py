@@ -139,6 +139,79 @@ def read_lenenc_int(buf: bytes, off: int) -> tuple[int, int]:
     raise ValueError(f"invalid lenenc prefix {first:#x}")
 
 
+# ── Charset / collation ─────────────────────────────────────────────────
+# Collation id → Python codec for the common MySQL character sets. The
+# reference ships the full ~900-line id↔name table
+# (/root/reference/src/mysql/collation.rs:6-900) because it must echo
+# collation names over the wire; for decode we only need the id → codec
+# mapping, and ids not listed here fall back to utf-8-with-replacement
+# (MySQL ≥8 defaults to utf8mb4 everywhere). Ids are the public ones from
+# information_schema.collations. MySQL's "latin1" is cp1252 (its 0x80-0x9F
+# are Windows punctuation, not ISO-8859-1 control codes).
+_CODEC_SPECS: list[tuple[str | None, list[int | range]]] = [
+    ("cp1252", [5, 8, 15, 31, 47, 48, 49, 94]),            # latin1
+    ("ascii", [11, 65]),
+    ("utf-8", [33, 76, 83, range(192, 224)]),              # utf8mb3
+    ("utf-8", [45, 46, range(224, 248), range(255, 324)]),  # utf8mb4
+    (None, [63]),                                           # binary
+    ("gbk", [28, 87]),
+    ("gb2312", [24, 86]),
+    ("gb18030", [248, 249, 250]),
+    ("big5", [1, 84]),
+    ("shift_jis", [13, 88]),                                # sjis
+    ("cp932", [95, 96]),
+    ("euc_jp", [12, 91]),                                   # ujis
+    ("euc_kr", [19, 85]),
+    ("iso8859-2", [2, 9, 21, 27, 77]),                      # latin2
+    ("iso8859-7", [25, 70]),                                # greek
+    ("iso8859-8", [16, 71]),                                # hebrew
+    ("iso8859-9", [30, 78]),                                # latin5
+    ("cp1250", [26, 34, 44, 66, 99]),
+    ("cp1251", [14, 23, 50, 51, 52]),
+    ("cp1256", [57, 67]),
+    ("cp1257", [29, 58, 59]),
+    ("cp850", [4, 80]),
+    ("cp852", [40, 81]),
+    ("cp866", [36, 68]),
+    ("koi8-r", [7, 74]),
+    ("koi8-u", [22, 75]),
+    ("utf-16-be", [35, 90, 54, 55, range(101, 125)]),       # ucs2 + utf16
+    ("utf-16-le", [56, 62]),
+    ("utf-32-be", [60, 61, range(160, 184)]),               # utf32
+]
+
+_COLLATION_CODEC: dict[int, str | None] = {}
+for _codec, _ids in _CODEC_SPECS:
+    for _i in _ids:
+        if isinstance(_i, range):
+            for _j in _i:
+                _COLLATION_CODEC[_j] = _codec
+        else:
+            _COLLATION_CODEC[_i] = _codec
+
+
+def codec_for_collation(collation_id: int | None) -> str | None:
+    """Python codec for a MySQL collation id; ``None`` means binary (keep
+    bytes). Unknown ids → utf-8 (decode uses errors='replace', so worst
+    case matches the old always-utf-8 behavior rather than crashing)."""
+    if collation_id is None:
+        return "utf-8"
+    return _COLLATION_CODEC.get(collation_id, "utf-8")
+
+
+def unpack_string_meta(b1: int, b2: int) -> tuple[int, int]:
+    """TABLE_MAP meta for type STRING is (real_type, length) packed into
+    two bytes: ENUM/SET piggyback their real type in b1, and CHAR columns
+    longer than 255 *bytes* pack the high length bits into b1's 0x30
+    field (public format, mysql-server rpl_utility.cc; the reference
+    stops at the raw bytes — event/mod.rs:452)."""
+    if b1 == 0:  # pre-5.0 servers: no real-type byte
+        return STRING, b2
+    if (b1 & 0x30) != 0x30:
+        return b1 | 0x30, b2 | (((b1 & 0x30) ^ 0x30) << 4)
+    return b1, b2
+
+
 # NewDecimal packed-BCD: digits-per-byte-group table (public format; the
 # reference copies the same dig2bytes table from mysql-server,
 # event/mod.rs:530-542).

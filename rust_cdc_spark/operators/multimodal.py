@@ -60,14 +60,17 @@ def decode_image(payload: bytes) -> "object":  # pragma: no cover - stub
 def fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for an embedding model: byte-histogram
     moments folded into ``dim`` buckets. Pure function of the payload —
-    reproducible across runs/engines."""
+    reproducible across runs/engines. Deliberately NO rounding: the raw
+    IEEE-754 division of two exact integers is bit-identical in every
+    engine, whereas decimal rounding at half-points is where engines
+    (banker's vs half-away) diverge."""
     if payload is None:
         return [0.0] * dim
     acc = [0] * dim
     for i, b in enumerate(payload):
         acc[i % dim] += b
     n = max(len(payload), 1)
-    return [round(a / n, 6) for a in acc]
+    return [a / n for a in acc]
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:

@@ -257,13 +257,65 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_md5(load_table(spark, "documents", sf_dir))
 
 
-@register("dedup_simhash_pairs", oracle=None)
+# The md5 32-bit fingerprint exactly as oracle-checked in
+# dedup_simhash_fingerprints — reused as a CTE by the pairs oracle below.
+_SIMHASH_FP_CTE = """
+    hashes AS (
+        SELECT doc_id,
+               list_transform(string_split(trim(text), ' '), t -> md5(t)) AS hs
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+               [2 * len(list_filter(hs, h ->
+                    ((strpos('0123456789abcdef', h[i // 4 + 1]) - 1) >> (i % 4)) & 1 = 1))
+                - len(hs)
+                for i in range(0, 32)] AS v
+        FROM hashes
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(list_sum([CASE WHEN v[i + 1] > 0
+                              THEN CAST(2 ** i AS BIGINT) ELSE 0 END
+                              for i in range(0, 32)]) AS BIGINT) AS simhash
+        FROM votes
+    )
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    # Pigeonhole banding over the oracle-checked md5 fingerprint: 4 bands
+    # of 8 bits; any pair at hamming ≤ 3 must agree on ≥ 1 whole band.
+    oracle=f"""
+    WITH {_SIMHASH_FP_CTE},
+    banded AS (
+        SELECT doc_id, simhash, b AS band_id,
+               (simhash >> (b * 8)) & 255 AS chunk
+        FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS ha, b.simhash AS hb
+        FROM banded a
+        JOIN banded b ON a.band_id = b.band_id AND a.chunk = b.chunk
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs with hamming ≤ 3 via pigeonhole banding
-    (crc32 fingerprints). Rows-only check; fingerprint math is verified
-    bit-exactly by dedup_simhash_fingerprints, and recall is
-    cross-validated in pytest."""
-    return DD.simhash_near_pairs(load_table(spark, "documents", sf_dir))
+    """SimHash near-dup pairs with hamming ≤ 3 via pigeonhole banding.
+    Uses the md5 fingerprint (bit-exact cross-engine) so the banding join
+    itself is value-checked by the DuckDB oracle; the crc32 variant
+    (operators/dedup.simhash) is the cheaper JVM-only production path
+    with identical plan shape."""
+    return DD.simhash_near_pairs(
+        load_table(spark, "documents", sf_dir), use_md5=True
+    )
 
 
 @register(
@@ -303,10 +355,75 @@ def similarity_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(emb, probes, k=5, exclude_self=True)
 
 
-@register("similarity_lsh_topk", oracle=None)
+def _planes_values_sql(dim: int, n_bits: int, n_tables: int, seed: int = 42) -> str:
+    """The seeded hyperplanes as a DuckDB VALUES clause. ``repr`` emits
+    the shortest round-tripping decimal for each float64, so DuckDB parses
+    back the *identical* IEEE value Spark uses as a literal — the LSH
+    bucket assignment is therefore reproducible bit-for-bit in SQL."""
+    planes = SIM._hyperplanes(dim, n_bits, n_tables, seed)
+    rows = [
+        f"({t}, {i}, [{', '.join(repr(x) for x in planes[t][i])}])"
+        for t in range(n_tables)
+        for i in range(n_bits)
+    ]
+    return ",\n           ".join(rows)
+
+
+# Shared cosine expression over double-cast lists (matches
+# functions/vectors.cosine: double accumulation, round 4).
+_COS_SQL = (
+    "round(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+)
+
+
+@register(
+    "similarity_lsh_topk",
+    # Full value-level oracle: the hyperplanes are seeded literals, so the
+    # bucket assignment (sign bits of dot products), the bucket-equi
+    # candidate join, and the exact re-scoring are all reproducible in SQL.
+    oracle=f"""
+    WITH planes(table_id, bit, plane) AS (
+        VALUES {_planes_values_sql(64, 6, 4)}
+    ),
+    corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    buckets AS (
+        SELECT c.vec_id, p.table_id,
+               CAST(sum(CASE WHEN list_dot_product(c.v, p.plane) > 0
+                             THEN 1 << p.bit ELSE 0 END) AS INT) AS bucket
+        FROM corpus c CROSS JOIN planes p
+        GROUP BY c.vec_id, p.table_id
+    ),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+        FROM buckets qb
+        JOIN buckets cb ON qb.table_id = cb.table_id AND qb.bucket = cb.bucket
+        WHERE qb.vec_id IN (0, 1, 2)
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.vec_id,
+               {_COS_SQL.format(a="cv.v", b="qv.v")} AS cos_sim
+        FROM cand
+        JOIN corpus cv ON cv.vec_id = cand.vec_id
+        JOIN corpus qv ON qv.vec_id = cand.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+        SELECT query_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5 AND query_id <> vec_id
+    """,
+)
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k for the same 3 probes — the scale
-    path. Rows-only check; recall vs brute force is asserted in pytest."""
+    path. The seeded hyperplanes are inlined into the DuckDB oracle, so
+    candidate generation AND re-scoring are value-checked; recall vs
+    brute force is additionally asserted in pytest."""
     emb = load_table(spark, "embeddings", sf_dir)
     probes = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -341,14 +458,48 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("query_id") != F.col("vec_id"))
 
 
-@register("embedding_near_dup", oracle=None)
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH planes(table_id, bit, plane) AS (
+        VALUES {_planes_values_sql(64, 4, 8)}
+    ),
+    corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    buckets AS (
+        SELECT c.vec_id, p.table_id,
+               CAST(sum(CASE WHEN list_dot_product(c.v, p.plane) > 0
+                             THEN 1 << p.bit ELSE 0 END) AS INT) AS bucket
+        FROM corpus c CROSS JOIN planes p
+        GROUP BY c.vec_id, p.table_id
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM buckets a
+        JOIN buckets b ON a.table_id = b.table_id AND a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM (
+        SELECT cand.vec_a, cand.vec_b,
+               {_COS_SQL.format(a="va.v", b="vb.v")} AS cos_sim
+        FROM cand
+        JOIN corpus va ON va.vec_id = cand.vec_a
+        JOIN corpus vb ON vb.vec_id = cand.vec_b
+    )
+    WHERE cos_sim >= 0.35
+    """,
+)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.35, the same
     cutoff as the oracle-checked exact baseline) via LSH self-join.
-    Rows-only check; pytest validates recall against the brute-force
-    pass at small SF. 4 bits × 8 tables targets ~70% collision recall
-    at cos 0.35; at larger corpora raise n_bits so buckets stay small
-    (recall is recovered by adding tables, not widening buckets)."""
+    The seeded hyperplanes are inlined into the DuckDB oracle (as in
+    similarity_lsh_topk) so the bucketed self-join is value-checked;
+    pytest additionally validates recall against the brute-force pass.
+    4 bits × 8 tables targets ~70% collision recall at cos 0.35; at
+    larger corpora raise n_bits so buckets stay small (recall is
+    recovered by adding tables, not widening buckets)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.embedding_near_dup_pairs(emb, threshold=0.35, n_bits=4, n_tables=8)
 

@@ -372,14 +372,41 @@ def agg_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct_lineitem", oracle=None)
+@register(
+    "agg_approx_distinct_lineitem",
+    # DuckDB's HLL sketch differs from Spark's HLL++, so the estimates
+    # themselves can't be compared — the *accuracy contract* can: the
+    # query emits exact counts plus booleans asserting the Spark estimate
+    # lands within 5× the configured 1% relative error, and the oracle
+    # states those booleans must be true. A broken sketch fails the hash.
+    oracle="""
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders_exact,
+           true AS parts_within_5pct,
+           true AS orders_within_5pct
+    FROM lineitem
+    """,
+)
 def agg_approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct — the scale path (no expand, one pass).
-    Rows-only check: DuckDB's approx sketch is a different algorithm."""
+    approx_count_distinct(rsd=0.01) is the production operator; the exact
+    counts here exist to make the estimate's error bound an
+    oracle-checkable value rather than a rows-only row count."""
     li = load_table(spark, "lineitem", sf_dir)
-    return li.agg(
+    agg = li.agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("n_orders_approx"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= F.col(e) * F.lit(0.05)
+    )
+    return agg.select(
+        "n_parts_exact",
+        "n_orders_exact",
+        within("n_parts_approx", "n_parts_exact").alias("parts_within_5pct"),
+        within("n_orders_approx", "n_orders_exact").alias("orders_within_5pct"),
     )
 
 

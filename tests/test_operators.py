@@ -466,6 +466,19 @@ class TestMultimodalResize:
         assert fake_resize(None, 2, 2) == b"\x00\x00\x00\x00"
         assert len(fake_resize(bytes(range(256)), 3, 3)) == 9
 
+    def test_documents_text_is_ascii(self, spark):
+        """The multimodal DuckDB oracles equate byte i with
+        unicode(substr(text, i, 1)) — valid only while the corpus is pure
+        ASCII. If this ever fails, the oracles must switch to true
+        byte-level access."""
+        from rust_cdc_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", SF_SMOKE)
+        n_bad = docs.filter(
+            F.length(F.encode("text", "utf-8")) != F.length("text")
+        ).count()
+        assert n_bad == 0
+
 
 class TestSampling:
     def test_stratified_quota_and_determinism(self, spark):
