@@ -341,6 +341,37 @@ def decode_datetime_v1(buf: bytes, off: int) -> tuple[datetime.datetime, int]:
     return datetime.datetime(year, month, day, hour, minute, second), off
 
 
+def decode_timestamp_v1(buf: bytes, off: int) -> tuple[datetime.datetime, int]:
+    """Legacy TIMESTAMP (pre-5.6.4 columns): 4-byte LE unix seconds, no
+    fraction (reference decodes the same field at
+    /root/reference/src/mysql/event/mod.rs:486-489)."""
+    secs, off = _read_uint_le(buf, off, 4)
+    return (
+        datetime.datetime.fromtimestamp(secs, tz=datetime.timezone.utc).replace(tzinfo=None)
+    ), off
+
+
+def decode_time_v1(buf: bytes, off: int) -> tuple[str, int]:
+    """Legacy TIME: 3-byte LE signed int packed as HHMMSS (reference
+    event/mod.rs:493-497), rendered 'HH:MM:SS' like TIME2."""
+    v, off = _read_int_le(buf, off, 3)
+    sign = "-" if v < 0 else ""
+    v = abs(v)
+    hours, ms = divmod(v, 10_000)
+    minutes, seconds = divmod(ms, 100)
+    return f"{sign}{hours:02d}:{minutes:02d}:{seconds:02d}", off
+
+
+def _decode_chars(raw: bytes, collation_id: int | None):
+    """Bytes → str via the column collation's codec; binary collation
+    keeps bytes. errors='replace' so a mis-tagged column degrades to
+    replacement chars rather than crashing ingest."""
+    codec = codec_for_collation(collation_id)
+    if codec is None:
+        return bytes(raw)
+    return raw.decode(codec, errors="replace")
+
+
 def decode_value(
     buf: bytes,
     off: int,
@@ -348,13 +379,39 @@ def decode_value(
     meta: tuple = (),
     unsigned: bool = False,
     is_text: bool = True,
+    collation_id: int | None = None,
+    enum_set_values: list[str] | None = None,
 ):
     """Decode one column value at ``off``; returns (value, new_offset).
 
     ``meta`` per type: VARCHAR → (max_len,); NEWDECIMAL → (p, s);
     DATETIME2/TIMESTAMP2/TIME2 → (fsp,); BLOB → (len_bytes,);
-    BIT → (b1, b2); FLOAT/DOUBLE → (len,).
+    BIT → (b1, b2); FLOAT/DOUBLE → (len,); STRING → the raw TABLE_MAP
+    (b1, b2) pair — unpacked here via ``unpack_string_meta`` (ENUM/SET
+    piggyback their real type in b1).
+
+    ``collation_id`` selects the text codec (TABLE_MAP optional
+    metadata); ``enum_set_values`` are the ENUM/SET label strings when
+    the master logs binlog_row_metadata=FULL — with them an ENUM decodes
+    to its label and a SET to the list of set labels; without, to the
+    1-based index / bitmask int.
     """
+    if type_code == STRING and len(meta) == 2:
+        real_type, real_len = unpack_string_meta(meta[0], meta[1])
+        if real_type == ENUM:
+            n = 2 if real_len == 2 else 1
+            idx, off = _read_uint_le(buf, off, n)
+            if enum_set_values and 0 < idx <= len(enum_set_values):
+                return enum_set_values[idx - 1], off
+            return idx, off
+        if real_type == SET:
+            mask, off = _read_uint_le(buf, off, max(1, real_len))
+            if enum_set_values:
+                return [
+                    v for i, v in enumerate(enum_set_values) if mask >> i & 1
+                ], off
+            return mask, off
+        type_code, meta = real_type, (real_len,)
     if type_code == TINY:
         v, off = (_read_uint_le if unsigned else _read_int_le)(buf, off, 1)
         return v, off
@@ -373,10 +430,14 @@ def decode_value(
     if type_code == YEAR:
         v, off = _read_uint_le(buf, off, 1)
         return (1900 + v) if v else 0, off
-    if type_code == DATE:
+    if type_code in (DATE, NEWDATE):
         return decode_date(buf, off)
     if type_code == DATETIME:
         return decode_datetime_v1(buf, off)
+    if type_code == TIMESTAMP:
+        return decode_timestamp_v1(buf, off)
+    if type_code == TIME:
+        return decode_time_v1(buf, off)
     if type_code == DATETIME2:
         return decode_datetime2(buf, off, meta[0] if meta else 0)
     if type_code == TIMESTAMP2:
@@ -390,8 +451,13 @@ def decode_value(
         else:
             n, off = _read_uint_le(buf, off, 1)
         raw = buf[off : off + n]
-        return raw.decode("utf-8", errors="replace"), off + n
-    if type_code == NEWDECIMAL:
+        return _decode_chars(raw, collation_id), off + n
+    if type_code in (DECIMAL, NEWDECIMAL):
+        # Legacy DECIMAL (code 0) never reaches a row event in practice:
+        # row-based replication (5.1) postdates NEWDECIMAL (5.0), and the
+        # server rewrites old columns on first ALTER. If one does appear,
+        # it carries the same packed-BCD payload (python-mysql-replication
+        # makes the same identification).
         p, s = meta if len(meta) == 2 else (10, 0)
         return decode_newdecimal(buf, off, p, s)
     if type_code == BIT:
@@ -402,7 +468,11 @@ def decode_value(
         len_bytes = meta[0] if meta else 2
         n, off = _read_uint_le(buf, off, len_bytes)
         raw = bytes(buf[off : off + n])
+        if type_code == JSON:
+            from rust_cdc_spark.functions.jsonb import decode_jsonb_text
+
+            return decode_jsonb_text(raw), off + n
         if is_text and type_code not in (GEOMETRY,):
-            return raw.decode("utf-8", errors="replace"), off + n
+            return _decode_chars(raw, collation_id if collation_id is not None else 45), off + n
         return raw, off + n
     raise ValueError(f"decode not implemented for type code {type_code}")

@@ -96,14 +96,27 @@ def parse_binlog_file(path: str, file_name: str | None = None,
     shape): row events become op I/U/D with image dicts; QueryEvents
     become op DDL; GTID/Xid attach to subsequent/preceding rows the same
     way the reference surfaces them (metadata columns)."""
-    registry = registry or BR.TableRegistry()
     file_name = file_name or path.rsplit("/", 1)[-1]
+    return envelopes_from_events(read_raw_events(path), file_name, registry)
+
+
+def envelopes_from_events(
+    events: Iterator[RawEvent],
+    file_name: str,
+    registry: BR.TableRegistry | None = None,
+) -> Iterator[dict]:
+    """RawEvent stream → normalized envelopes. Shared by the offline file
+    parser above and the live wire reader (``sources/wire.py``) — same
+    decode, registry, and quarantine semantics regardless of transport,
+    mirroring how the reference's event loop is transport-agnostic past
+    the packet layer (/root/reference/src/mysql/conn.rs:307-356)."""
+    registry = registry or BR.TableRegistry()
     current_gtid: str | None = None
     row_event_types = {
         BR.WRITE_ROWS_V1, BR.WRITE_ROWS_V2, BR.UPDATE_ROWS_V1,
         BR.UPDATE_ROWS_V2, BR.DELETE_ROWS_V1, BR.DELETE_ROWS_V2,
     }
-    for ev in read_raw_events(path):
+    for ev in events:
         if ev.type_code in (GTID_EVENT, ANONYMOUS_GTID_EVENT):
             current_gtid = _decode_gtid(ev.body) if ev.type_code == GTID_EVENT else None
             continue
@@ -120,7 +133,26 @@ def parse_binlog_file(path: str, file_name: str | None = None,
             "query": None,
         }
         if ev.type_code in row_event_types:
-            table_id, rows = BR.decode_rows_event(ev.body, ev.type_code, registry)
+            try:
+                table_id, rows = BR.decode_rows_event(ev.body, ev.type_code, registry)
+            except Exception as exc:  # noqa: BLE001 — quarantine, don't crash
+                # K4 analog: an undecodable event (unknown type code, no
+                # TABLE_MAP, truncated payload) routes to the dead-letter
+                # side instead of killing the ingest loop (the reference
+                # writer's bad-record path, delta/writer.rs:317-338).
+                # op="ERR" + NULL images; split_dead_letters picks it up.
+                yield {
+                    **base,
+                    "database": "",
+                    "table": "",
+                    "op": "ERR",
+                    "before": None,
+                    "after": None,
+                    "query": f"{type(exc).__name__}: {exc} "
+                             f"[event_type={ev.type_code:#x} "
+                             f"body={ev.body[:64].hex()}]",
+                }
+                continue
             entry = registry.get(table_id)
             if ev.type_code in BR._WRITE_EVENTS:
                 op = "I"

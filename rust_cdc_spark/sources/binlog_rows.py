@@ -37,8 +37,13 @@ _DELETE_EVENTS = {DELETE_ROWS_V1, DELETE_ROWS_V2}
 @dataclass
 class TableMapEntry:
     """Schema registry entry (reference ``SingleTableMap``,
-    /root/reference/src/mysql/connection/mod.rs:32-49). Column names are
-    absent on the wire — enrich from information_schema out of band."""
+    /root/reference/src/mysql/connection/mod.rs:32-49), extended with the
+    TABLE_MAP *optional metadata* (signedness, per-column charset, column
+    names, ENUM/SET labels — public TLV layout, mysql-server
+    libbinlogevents rows_event.h) that the reference never parses.
+    Column names are absent on the wire unless the master logs
+    binlog_row_metadata=FULL — else enrich from information_schema out
+    of band."""
 
     table_id: int
     schema_name: str
@@ -47,6 +52,9 @@ class TableMapEntry:
     column_metas: list[tuple]
     nullable: list[bool]
     column_names: list[str] | None = None
+    unsigned: list[bool] | None = None          # per numeric column → all
+    charsets: list[int | None] | None = None    # collation id per column
+    enum_set_values: list[list[str] | None] | None = None
 
 
 @dataclass
@@ -85,8 +93,138 @@ def _meta_for(type_code: int, meta_buf: bytes, pos: int) -> tuple[tuple, int]:
     return (), pos
 
 
+# Optional-metadata TLV type codes (public enum
+# Table_map_event::Optional_metadata_field_type, libbinlogevents).
+_OM_SIGNEDNESS = 1
+_OM_DEFAULT_CHARSET = 2
+_OM_COLUMN_CHARSET = 3
+_OM_COLUMN_NAME = 4
+_OM_SET_STR_VALUE = 5
+_OM_ENUM_STR_VALUE = 6
+_OM_ENUM_SET_DEFAULT_CHARSET = 10
+_OM_ENUM_SET_COLUMN_CHARSET = 11
+
+_NUMERIC_TYPES = {
+    MT.TINY, MT.SHORT, MT.INT24, MT.LONG, MT.LONGLONG,
+    MT.FLOAT, MT.DOUBLE, MT.DECIMAL, MT.NEWDECIMAL,
+}
+_CHAR_TYPES = {
+    MT.VARCHAR, MT.VAR_STRING, MT.BLOB,
+    MT.TINY_BLOB, MT.MEDIUM_BLOB, MT.LONG_BLOB,
+}
+
+
+def _col_class(tc: int, meta: tuple) -> str:
+    """numeric / char / enumset / other — the server groups optional
+    metadata by these classes (is_numeric_field / is_character_field /
+    is_enum_or_set_field in rows_event.cc); ENUM/SET piggyback on the
+    STRING type byte with their real type in meta b1."""
+    if tc in _NUMERIC_TYPES:
+        return "numeric"
+    if tc in _CHAR_TYPES:
+        return "char"
+    if tc in (MT.ENUM, MT.SET):
+        return "enumset"
+    if tc == MT.STRING:
+        if len(meta) == 2:
+            rt, _ = MT.unpack_string_meta(meta[0], meta[1])
+            if rt in (MT.ENUM, MT.SET):
+                return "enumset"
+        return "char"
+    return "other"
+
+
+def _parse_str_values(payload: bytes) -> list[list[str]]:
+    """SET/ENUM_STR_VALUE payload: per column, lenenc count then count
+    lenenc-prefixed label strings."""
+    out: list[list[str]] = []
+    pos = 0
+    while pos < len(payload):
+        count, pos = MT.read_lenenc_int(payload, pos)
+        labels = []
+        for _ in range(count):
+            n, pos = MT.read_lenenc_int(payload, pos)
+            labels.append(payload[pos : pos + n].decode("utf-8", errors="replace"))
+            pos += n
+        out.append(labels)
+    return out
+
+
+def _apply_optional_metadata(entry: TableMapEntry, buf: bytes) -> None:
+    """Parse the TABLE_MAP optional-metadata TLV block in place."""
+    classes = [
+        _col_class(tc, m)
+        for tc, m in zip(entry.column_types, entry.column_metas)
+    ]
+    numeric_idx = [i for i, c in enumerate(classes) if c == "numeric"]
+    char_idx = [i for i, c in enumerate(classes) if c == "char"]
+    enumset_idx = [i for i, c in enumerate(classes) if c == "enumset"]
+
+    pos = 0
+    while pos + 1 < len(buf):
+        field_type = buf[pos]
+        length, pos = MT.read_lenenc_int(buf, pos + 1)
+        payload = buf[pos : pos + length]
+        pos += length
+        if field_type == _OM_SIGNEDNESS:
+            # one bit per numeric column, MSB-first: set bit = UNSIGNED
+            flags = [False] * len(entry.column_types)
+            for j, i in enumerate(numeric_idx):
+                flags[i] = bool(payload[j // 8] & (0x80 >> (j % 8)))
+            entry.unsigned = flags
+        elif field_type in (_OM_DEFAULT_CHARSET, _OM_ENUM_SET_DEFAULT_CHARSET):
+            idx = char_idx if field_type == _OM_DEFAULT_CHARSET else enumset_idx
+            default, p = MT.read_lenenc_int(payload, 0)
+            overrides: dict[int, int] = {}
+            while p < len(payload):
+                ci, p = MT.read_lenenc_int(payload, p)
+                coll, p = MT.read_lenenc_int(payload, p)
+                overrides[ci] = coll
+            charsets = entry.charsets or [None] * len(entry.column_types)
+            for j, i in enumerate(idx):
+                charsets[i] = overrides.get(j, default)
+            entry.charsets = charsets
+        elif field_type in (_OM_COLUMN_CHARSET, _OM_ENUM_SET_COLUMN_CHARSET):
+            idx = char_idx if field_type == _OM_COLUMN_CHARSET else enumset_idx
+            charsets = entry.charsets or [None] * len(entry.column_types)
+            p = 0
+            for i in idx:
+                coll, p = MT.read_lenenc_int(payload, p)
+                charsets[i] = coll
+            entry.charsets = charsets
+        elif field_type == _OM_COLUMN_NAME:
+            names, p = [], 0
+            while p < len(payload):
+                n, p = MT.read_lenenc_int(payload, p)
+                names.append(payload[p : p + n].decode("utf-8", errors="replace"))
+                p += n
+            if len(names) == len(entry.column_types):
+                entry.column_names = names
+        elif field_type in (_OM_SET_STR_VALUE, _OM_ENUM_STR_VALUE):
+            want_set = field_type == _OM_SET_STR_VALUE
+            targets = [
+                i for i in enumset_idx
+                if (_real_enumset_type(entry, i) == MT.SET) == want_set
+            ]
+            values = entry.enum_set_values or [None] * len(entry.column_types)
+            for labels, i in zip(_parse_str_values(payload), targets):
+                values[i] = labels
+            entry.enum_set_values = values
+        # other TLVs (geometry type, primary key, visibility): skipped
+        # by length — positional metadata the decode doesn't need.
+
+
+def _real_enumset_type(entry: TableMapEntry, i: int) -> int:
+    tc, meta = entry.column_types[i], entry.column_metas[i]
+    if tc == MT.STRING and len(meta) == 2:
+        rt, _ = MT.unpack_string_meta(meta[0], meta[1])
+        return rt
+    return tc
+
+
 def decode_table_map(body: bytes) -> TableMapEntry:
-    """TABLE_MAP body (post-header + payload, checksum stripped)."""
+    """TABLE_MAP body (post-header + payload, checksum stripped),
+    including the optional-metadata TLV block when present."""
     table_id = int.from_bytes(body[0:6], "little")
     pos = 8  # 6-byte table id + 2-byte flags
     schema_len = body[pos]
@@ -109,8 +247,12 @@ def decode_table_map(body: bytes) -> TableMapEntry:
         m, mpos = _meta_for(tc, meta_buf, mpos)
         metas.append(m)
     null_bitmap = body[pos : pos + (col_count + 7) // 8]
+    pos += (col_count + 7) // 8
     nullable = [bool(null_bitmap[i // 8] >> (i % 8) & 1) for i in range(col_count)]
-    return TableMapEntry(table_id, schema, table, col_types, metas, nullable)
+    entry = TableMapEntry(table_id, schema, table, col_types, metas, nullable)
+    if pos < len(body):
+        _apply_optional_metadata(entry, body[pos:])
+    return entry
 
 
 def _bitmap_get(bitmap: bytes, i: int) -> bool:
@@ -141,7 +283,15 @@ def _decode_image(
             values[name] = None
         else:
             values[name], pos = MT.decode_value(
-                body, pos, tc, entry.column_metas[i]
+                body,
+                pos,
+                tc,
+                entry.column_metas[i],
+                unsigned=bool(entry.unsigned[i]) if entry.unsigned else False,
+                collation_id=entry.charsets[i] if entry.charsets else None,
+                enum_set_values=(
+                    entry.enum_set_values[i] if entry.enum_set_values else None
+                ),
             )
         j += 1
     return values, pos

@@ -404,8 +404,9 @@ def split_dead_letters(envelope: DataFrame) -> tuple[DataFrame, DataFrame]:
     from_json) split off to the dead-letter side; good rows continue to
     MERGE. Both sides are DataFrames — route the dead side to its own
     table (``dlq_table_uri`` in the reference's options)."""
-    ok = envelope.filter(F.col("log_pos").isNotNull())
-    dead = envelope.filter(F.col("log_pos").isNull())
+    bad = F.col("log_pos").isNull() | F.col("op").eqNullSafe("ERR")
+    ok = envelope.filter(~bad)
+    dead = envelope.filter(bad)
     return ok, dead
 
 

@@ -1,0 +1,391 @@
+"""Decode-path robustness: charset-aware strings, STRING meta unpacking,
+ENUM/SET, v1 temporals, legacy DECIMAL, TABLE_MAP optional metadata
+(signedness / charsets / column names / enum labels), binary JSON, and
+the dead-letter quarantine for undecodable events.
+
+Wire bytes are hand-encoded in-test from the public formats (mysql-server
+libbinlogevents rows_event.h TLV layout, sql/json_binary.cc), independent
+of the decoder. Reference gaps these tests go beyond: collation handling
+(the reference only carries the id table, /root/reference/src/mysql/
+collation.rs), ENUM/SET decode (carried but undecoded, event/mod.rs:543),
+and JSONB (untouched bytes in the reference)."""
+
+from __future__ import annotations
+
+import datetime
+import struct
+from decimal import Decimal
+
+from rust_cdc_spark.functions import jsonb as JB
+from rust_cdc_spark.functions import mysql_types as MT
+from rust_cdc_spark.sources import binlog_rows as BR
+from tests.test_binlog_decode import enc_long, enc_newdecimal, enc_varchar
+
+
+class TestV1TemporalsAndLegacy:
+    def test_timestamp_v1(self):
+        buf = (1_600_000_000).to_bytes(4, "little")
+        v, off = MT.decode_value(buf, 0, MT.TIMESTAMP)
+        assert (v, off) == (datetime.datetime(2020, 9, 13, 12, 26, 40), 4)
+
+    def test_time_v1(self):
+        buf = (11_22_33).to_bytes(3, "little")  # 112233 → 11:22:33
+        v, off = MT.decode_value(buf, 0, MT.TIME)
+        assert (v, off) == ("11:22:33", 3)
+
+    def test_time_v1_negative(self):
+        raw = (-112233).to_bytes(3, "little", signed=True)
+        v, _ = MT.decode_value(raw, 0, MT.TIME)
+        assert v == "-11:22:33"
+
+    def test_legacy_decimal_as_packed_bcd(self):
+        buf = enc_newdecimal("12.50", 10, 4)
+        v, _ = MT.decode_value(buf + b"\x00", 0, MT.DECIMAL, (10, 4))
+        assert v == Decimal("12.5000")
+
+    def test_newdate(self):
+        packed = (2024 << 9) | (8 << 5) | 13
+        v, _ = MT.decode_value(packed.to_bytes(3, "little"), 0, MT.NEWDATE)
+        assert v == datetime.date(2024, 8, 13)
+
+
+class TestCharsetDecode:
+    def test_latin1_is_cp1252(self):
+        raw = bytes([4]) + b"caf\xe9"
+        v, _ = MT.decode_value(raw, 0, MT.VARCHAR, (160,), collation_id=8)
+        assert v == "café"
+        # cp1252's 0x80-0x9F are punctuation, not ISO-8859-1 controls
+        raw = bytes([1]) + b"\x93"
+        v, _ = MT.decode_value(raw, 0, MT.VARCHAR, (160,), collation_id=8)
+        assert v == "“"
+
+    def test_gbk(self):
+        raw = bytes([2]) + "中".encode("gbk")
+        v, _ = MT.decode_value(raw, 0, MT.VARCHAR, (160,), collation_id=28)
+        assert v == "中"
+
+    def test_binary_collation_keeps_bytes(self):
+        raw = bytes([3]) + b"\x00\xff\x7f"
+        v, _ = MT.decode_value(raw, 0, MT.VARCHAR, (160,), collation_id=63)
+        assert v == b"\x00\xff\x7f"
+
+    def test_default_collation_is_utf8(self):
+        raw = bytes([3]) + "中".encode()
+        v, _ = MT.decode_value(raw, 0, MT.VARCHAR, (160,))
+        assert v == "中"
+
+
+class TestStringMetaUnpack:
+    def test_unpack_long_char(self):
+        # CHAR(85) utf8mb4 → 340 bytes: high length bits packed into b1
+        assert MT.unpack_string_meta(0xEE, 0x54) == (MT.STRING, 340)
+
+    def test_unpack_plain(self):
+        assert MT.unpack_string_meta(MT.STRING, 40) == (MT.STRING, 40)
+        assert MT.unpack_string_meta(MT.ENUM, 1) == (MT.ENUM, 1)
+        assert MT.unpack_string_meta(MT.SET, 2) == (MT.SET, 2)
+
+    def test_long_char_two_byte_prefix(self):
+        s = "y" * 300
+        raw = (300).to_bytes(2, "little") + s.encode()
+        v, off = MT.decode_value(raw, 0, MT.STRING, (0xEE, 0x54))
+        assert (v, off) == (s, 302)
+
+    def test_enum_one_byte_index(self):
+        v, off = MT.decode_value(b"\x02", 0, MT.STRING, (MT.ENUM, 1))
+        assert (v, off) == (2, 1)
+
+    def test_enum_with_labels(self):
+        v, _ = MT.decode_value(
+            b"\x02", 0, MT.STRING, (MT.ENUM, 1),
+            enum_set_values=["red", "green", "blue"],
+        )
+        assert v == "green"
+
+    def test_enum_two_byte_index(self):
+        v, off = MT.decode_value(
+            (300).to_bytes(2, "little"), 0, MT.STRING, (MT.ENUM, 2)
+        )
+        assert (v, off) == (300, 2)
+
+    def test_set_bitmask_with_labels(self):
+        v, off = MT.decode_value(
+            (0b101).to_bytes(2, "little"), 0, MT.STRING, (MT.SET, 2),
+            enum_set_values=["a", "b", "c"],
+        )
+        assert (v, off) == (["a", "c"], 2)
+
+    def test_set_bitmask_without_labels(self):
+        v, _ = MT.decode_value(b"\x05", 0, MT.STRING, (MT.SET, 1))
+        assert v == 0b101
+
+
+def _tlv(field_type: int, payload: bytes) -> bytes:
+    assert len(payload) < 251
+    return bytes([field_type, len(payload)]) + payload
+
+
+def _table_map_with_metadata() -> bytes:
+    """rustcdc-style table, binlog_row_metadata=FULL:
+    (id INT UNSIGNED, name VARCHAR(40) CHARSET latin1,
+     color ENUM('red','green','blue'), flag TINYINT)."""
+    col_types = [MT.LONG, MT.VARCHAR, MT.STRING, MT.TINY]
+    metas = (160).to_bytes(2, "little") + bytes([MT.ENUM, 1])
+    body = (71).to_bytes(6, "little") + b"\x01\x00"
+    body += bytes([3]) + b"cdc\x00"
+    body += bytes([7]) + b"rustcdc\x00"
+    body += bytes([len(col_types)]) + bytes(col_types)
+    body += bytes([len(metas)]) + metas
+    body += b"\x00"  # nothing nullable
+    body += _tlv(BR._OM_SIGNEDNESS, b"\x80")  # id UNSIGNED, flag signed
+    body += _tlv(BR._OM_DEFAULT_CHARSET, b"\x08")  # latin1_swedish_ci
+    body += _tlv(BR._OM_ENUM_SET_DEFAULT_CHARSET, b"\x2d")  # utf8mb4
+    names = b"".join(bytes([len(n)]) + n for n in (b"id", b"name", b"color", b"flag"))
+    body += _tlv(BR._OM_COLUMN_NAME, names)
+    labels = b"\x03" + b"\x03red\x05green\x04blue"
+    body += _tlv(BR._OM_ENUM_STR_VALUE, labels)
+    return body
+
+
+class TestTableMapOptionalMetadata:
+    def test_tlv_parse(self):
+        entry = BR.decode_table_map(_table_map_with_metadata())
+        assert entry.unsigned == [True, False, False, False]
+        assert entry.charsets[1] == 8
+        assert entry.charsets[2] == 45
+        assert entry.column_names == ["id", "name", "color", "flag"]
+        assert entry.enum_set_values[2] == ["red", "green", "blue"]
+
+    def test_default_charset_override_pairs(self):
+        # two char columns; second overrides the default with gbk (28)
+        body = (72).to_bytes(6, "little") + b"\x01\x00"
+        body += bytes([3]) + b"cdc\x00" + bytes([2]) + b"t2\x00"
+        body += bytes([2]) + bytes([MT.VARCHAR, MT.VARCHAR])
+        body += bytes([4]) + (160).to_bytes(2, "little") * 2
+        body += b"\x00"
+        body += _tlv(BR._OM_DEFAULT_CHARSET, b"\x08" + b"\x01\x1c")
+        entry = BR.decode_table_map(body)
+        assert entry.charsets == [8, 28]
+
+    def test_rows_decode_with_metadata(self):
+        """End-to-end: unsigned widening + latin1 + enum label + named
+        columns, all from wire metadata alone."""
+        reg = BR.TableRegistry()
+        reg.handle(BR.decode_table_map(_table_map_with_metadata()))
+        img = (
+            b"\x00"                       # null bitmap: none
+            + (0xFFFFFFFF).to_bytes(4, "little")   # id (unsigned)
+            + bytes([4]) + b"caf\xe9"     # name, latin1
+            + b"\x02"                     # color = enum index 2
+            + b"\xff"                     # flag = -1 (signed tiny)
+        )
+        rows_body = (
+            (71).to_bytes(6, "little") + b"\x01\x00"
+            + (2).to_bytes(2, "little")   # v2 extra-data len
+            + bytes([4]) + b"\x0f" + img
+        )
+        _, rows = BR.decode_rows_event(rows_body, BR.WRITE_ROWS_V2, reg)
+        assert rows == [{
+            "after": {"id": 4294967295, "name": "café", "color": "green", "flag": -1}
+        }]
+
+
+# ── JSONB ───────────────────────────────────────────────────────────────
+
+def _enc_jval(v) -> tuple[int, bytes, bool]:
+    if v is None:
+        return 0x04, b"\x00", True
+    if v is True:
+        return 0x04, b"\x01", True
+    if v is False:
+        return 0x04, b"\x02", True
+    if isinstance(v, int) and -(1 << 15) <= v < (1 << 15):
+        return 0x05, v.to_bytes(2, "little", signed=True), True
+    if isinstance(v, int):
+        return 0x07, v.to_bytes(4, "little", signed=True), False
+    if isinstance(v, float):
+        return 0x0B, struct.pack("<d", v), False
+    if isinstance(v, str):
+        raw = v.encode()
+        assert len(raw) < 128
+        return 0x0C, bytes([len(raw)]) + raw, False
+    if isinstance(v, dict):
+        return 0x00, _enc_jcontainer(v), False
+    if isinstance(v, list):
+        return 0x02, _enc_jcontainer(v), False
+    raise TypeError(v)
+
+
+def _enc_jcontainer(v) -> bytes:
+    """Independent small-format JSONB container encoder (test-local)."""
+    obj = isinstance(v, dict)
+    items = list(v.items()) if obj else [(None, x) for x in v]
+    count = len(items)
+    keys = [k.encode() for k, _ in items] if obj else []
+    vals = [_enc_jval(x) for _, x in items]
+    off = 4 + (4 * count if obj else 0) + 3 * count
+    key_offs = []
+    for k in keys:
+        key_offs.append(off)
+        off += len(k)
+    entries, payload = [], b""
+    for t, p, inline in vals:
+        if inline:
+            entries.append(bytes([t]) + p.ljust(2, b"\x00"))
+        else:
+            entries.append(bytes([t]) + off.to_bytes(2, "little"))
+            off += len(p)
+            payload += p
+    out = count.to_bytes(2, "little") + off.to_bytes(2, "little")
+    if obj:
+        for ko, k in zip(key_offs, keys):
+            out += ko.to_bytes(2, "little") + len(k).to_bytes(2, "little")
+    return out + b"".join(entries) + b"".join(keys) + payload
+
+
+def jsonb_bytes(v) -> bytes:
+    t, p, _ = _enc_jval(v)
+    if t in (0x00, 0x02):
+        return bytes([t]) + p
+    return bytes([t]) + p
+
+
+class TestJsonb:
+    def test_scalars_and_nesting(self):
+        doc = {
+            "a": 1, "b": "x", "c": True, "d": None, "e": 1.5,
+            "f": [1, 2, "three"], "g": {"h": 70000}, "i": -5,
+        }
+        assert JB.decode_jsonb(jsonb_bytes(doc)) == doc
+
+    def test_array_top_level(self):
+        assert JB.decode_jsonb(jsonb_bytes([1, None, "s", False])) == [1, None, "s", False]
+
+    def test_text_rendering(self):
+        assert JB.decode_jsonb_text(jsonb_bytes({"k": [1, True]})) == '{"k":[1,true]}'
+
+    def test_empty_payload_is_null(self):
+        assert JB.decode_jsonb(b"") is None
+        assert JB.decode_jsonb_text(b"") == "null"
+
+    def test_varint_long_string(self):
+        data = b"\x0c" + bytes([0x82, 0x01]) + b"a" * 130
+        assert JB.decode_jsonb(data) == "a" * 130
+
+    def test_large_object_inlined_int32(self):
+        data = (
+            b"\x01"
+            + (1).to_bytes(4, "little") + (20).to_bytes(4, "little")
+            + (19).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + b"\x07" + (70000).to_bytes(4, "little")
+            + b"k"
+        )
+        assert JB.decode_jsonb(data) == {"k": 70000}
+
+    def test_opaque_decimal(self):
+        packed = enc_newdecimal("12.34", 10, 4)
+        data = (
+            b"\x0f" + bytes([MT.NEWDECIMAL])
+            + bytes([len(packed) + 2]) + bytes([10, 4]) + packed
+        )
+        assert JB.decode_jsonb(data) == "12.3400"
+
+    def test_opaque_datetime(self):
+        # my_time packed: ((year*13+month)<<5|day)<<17 | h<<12 | m<<6 | s,
+        # then <<24 | micros
+        v = ((((2021 * 13 + 3) << 5) | 4) << 17) | (5 << 12) | (6 << 6) | 7
+        packed = (v << 24) | 250000
+        data = (
+            b"\x0f" + bytes([MT.DATETIME2]) + bytes([8])
+            + packed.to_bytes(8, "little", signed=True)
+        )
+        assert JB.decode_jsonb(data) == "2021-03-04 05:06:07.250000"
+
+    def test_json_column_through_decode_value(self):
+        payload = jsonb_bytes({"k": 1})
+        buf = bytes([len(payload)]) + payload
+        v, off = MT.decode_value(buf, 0, MT.JSON, (1,))
+        assert (v, off) == ('{"k":1}', len(buf))
+
+
+class TestDeadLetterQuarantine:
+    def _binlog_file(self, tmp_path, events: list[tuple[int, bytes]]) -> str:
+        """Synthesize a binlog: magic + FDE(crc32 alg) + events."""
+        fde_body = (
+            b"\x04\x00" + b"x" * 50 + b"\x00" * 4 + bytes([19])
+            + bytes(39) + b"\x01" + b"\x00" * 4
+        )
+        out = b"\xfebin"
+        pos = 4
+
+        def frame(tc: int, body: bytes) -> bytes:
+            nonlocal pos
+            size = 19 + len(body)
+            pos += size
+            return (
+                (1_600_000_000).to_bytes(4, "little") + bytes([tc])
+                + (1).to_bytes(4, "little") + size.to_bytes(4, "little")
+                + pos.to_bytes(4, "little") + b"\x00\x00" + body
+            )
+
+        out += frame(0x0F, fde_body)
+        for tc, body in events:
+            out += frame(tc, body + b"\x00" * 4)  # fake crc32
+        p = tmp_path / "binlog.000009"
+        p.write_bytes(out)
+        return str(p)
+
+    def test_rows_without_table_map_quarantined(self, tmp_path):
+        from rust_cdc_spark.sources.binlog_file import parse_binlog_file
+
+        rows_body = (
+            (99).to_bytes(6, "little") + b"\x01\x00"
+            + (2).to_bytes(2, "little") + bytes([1]) + b"\x01"
+            + b"\x00" + enc_long(1)
+        )
+        path = self._binlog_file(tmp_path, [(BR.WRITE_ROWS_V2, rows_body)])
+        evs = list(parse_binlog_file(path))
+        assert len(evs) == 1
+        assert evs[0]["op"] == "ERR"
+        assert "no TABLE_MAP" in evs[0]["query"]
+        assert evs[0]["before"] is None and evs[0]["after"] is None
+
+    def test_good_rows_still_decode_after_bad_event(self, tmp_path):
+        from rust_cdc_spark.sources.binlog_file import parse_binlog_file
+
+        tmap = (
+            (71).to_bytes(6, "little") + b"\x01\x00"
+            + bytes([3]) + b"cdc\x00" + bytes([7]) + b"rustcdc\x00"
+            + bytes([2]) + bytes([MT.LONG, MT.VARCHAR])
+            + bytes([2]) + (160).to_bytes(2, "little")
+            + b"\x02"
+        )
+        bad = (
+            (99).to_bytes(6, "little") + b"\x01\x00"
+            + (2).to_bytes(2, "little") + bytes([1]) + b"\x01"
+            + b"\x00" + enc_long(1)
+        )
+        good = (
+            (71).to_bytes(6, "little") + b"\x01\x00"
+            + (2).to_bytes(2, "little") + bytes([2]) + b"\x03"
+            + b"\x00" + enc_long(5) + enc_varchar("ok")
+        )
+        path = self._binlog_file(
+            tmp_path,
+            [(BR.TABLE_MAP_EVENT, tmap), (BR.WRITE_ROWS_V2, bad),
+             (BR.WRITE_ROWS_V2, good)],
+        )
+        evs = list(parse_binlog_file(path))
+        assert [e["op"] for e in evs] == ["ERR", "I"]
+        assert evs[1]["after"] == {"col_0": 5, "col_1": "ok"}
+
+    def test_split_dead_letters_routes_err(self, spark):
+        from rust_cdc_spark.streaming.pipeline import split_dead_letters
+
+        df = spark.createDataFrame(
+            [(1, "I"), (None, "I"), (2, "ERR")],
+            "log_pos long, op string",
+        )
+        ok, dead = split_dead_letters(df)
+        assert ok.count() == 1
+        assert dead.count() == 2
