@@ -1,0 +1,263 @@
+"""MySQL client/replication wire protocol: packet framing, handshake and
+auth scrambles, COM_BINLOG_DUMP, and the event stream — the S1 "live
+source" slot, testable against scripted socket bytes.
+
+Everything here is the publicly documented protocol (dev.mysql.com
+client/server protocol docs; the reference implements the same frames in
+Rust: handshake/auth /root/reference/src/mysql/conn.rs:133-157,499-604,
+auth plugins src/mysql/connection/auth.rs:17-190, dump request
+conn.rs:307-356 — re-derived here, not translated).
+
+Transport is any ``read(n) -> bytes`` object (socket file, BytesIO, pcap
+replay), so the whole conversation unit-tests without a server: frames →
+events → ``binlog_file.envelopes_from_events`` → the exact JSONL shape
+the streaming replay source consumes. A production connector is these
+functions over a TCP socket plus the replay source's offset contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from rust_cdc_spark.sources.binlog_file import (
+    FORMAT_DESCRIPTION_EVENT,
+    HEADER_LEN,
+    RawEvent,
+)
+
+MAX_PACKET = 0xFFFFFF
+
+# capability flags (protocol constants)
+CLIENT_LONG_PASSWORD = 0x0001
+CLIENT_PROTOCOL_41 = 0x0200
+CLIENT_SECURE_CONNECTION = 0x8000
+CLIENT_PLUGIN_AUTH = 0x0008_0000
+CLIENT_CONNECT_WITH_DB = 0x0008
+
+COM_BINLOG_DUMP = 0x12
+COM_REGISTER_SLAVE = 0x15
+BINLOG_DUMP_NON_BLOCK = 0x01
+
+
+# ── Packet framing ──────────────────────────────────────────────────────
+
+def read_packet(stream) -> tuple[int, bytes]:
+    """One logical packet: 3-byte LE length + 1-byte sequence + payload,
+    re-assembling the 16 MiB (0xFFFFFF) continuation chain."""
+    parts: list[bytes] = []
+    while True:
+        header = _read_exact(stream, 4)
+        length = int.from_bytes(header[0:3], "little")
+        seq = header[3]
+        parts.append(_read_exact(stream, length))
+        if length < MAX_PACKET:
+            return seq, b"".join(parts)
+
+
+def write_packet(seq: int, payload: bytes) -> bytes:
+    """Frame a payload, splitting at the 16 MiB boundary per protocol."""
+    out = bytearray()
+    while True:
+        chunk, payload = payload[:MAX_PACKET], payload[MAX_PACKET:]
+        out += len(chunk).to_bytes(3, "little") + bytes([seq & 0xFF]) + chunk
+        seq += 1
+        if len(chunk) < MAX_PACKET:
+            return bytes(out)
+
+
+def _read_exact(stream, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = stream.read(n - len(buf))
+        if not chunk:
+            raise EOFError(f"stream closed mid-packet ({len(buf)}/{n} bytes)")
+        buf += chunk
+    return buf
+
+
+# ── Handshake / auth ────────────────────────────────────────────────────
+
+@dataclass
+class Handshake:
+    protocol_version: int
+    server_version: str
+    connection_id: int
+    nonce: bytes  # 20-byte scramble (8 + 12 across the two chunks)
+    capabilities: int
+    auth_plugin: str
+
+
+def parse_handshake(payload: bytes) -> Handshake:
+    """Initial Handshake Packet v10 (conn.rs:133-157 reads the same)."""
+    protocol_version = payload[0]
+    end = payload.index(0, 1)
+    server_version = payload[1:end].decode()
+    pos = end + 1
+    connection_id = int.from_bytes(payload[pos : pos + 4], "little")
+    pos += 4
+    nonce1 = payload[pos : pos + 8]
+    pos += 9  # 8 scramble + 1 filler
+    cap_low = int.from_bytes(payload[pos : pos + 2], "little")
+    pos += 2
+    auth_plugin = ""
+    nonce2 = b""
+    cap_high = 0
+    if pos < len(payload):
+        pos += 1  # charset
+        pos += 2  # status flags
+        cap_high = int.from_bytes(payload[pos : pos + 2], "little")
+        pos += 2
+        auth_len = payload[pos]
+        pos += 1 + 10  # auth data len + reserved
+        nonce2 = payload[pos : pos + max(13, auth_len - 8) - 1]
+        pos += max(13, auth_len - 8)
+        if (cap_high << 16) & CLIENT_PLUGIN_AUTH:
+            pend = payload.index(0, pos) if 0 in payload[pos:] else len(payload)
+            auth_plugin = payload[pos:pend].decode()
+    return Handshake(
+        protocol_version,
+        server_version,
+        connection_id,
+        nonce1 + nonce2,
+        (cap_high << 16) | cap_low,
+        auth_plugin,
+    )
+
+
+def scramble_native_password(password: str, nonce: bytes) -> bytes:
+    """mysql_native_password: SHA1(pass) XOR SHA1(nonce + SHA1(SHA1(pass)))
+    (reference auth.rs:17-60)."""
+    if not password:
+        return b""
+    h1 = hashlib.sha1(password.encode()).digest()
+    h2 = hashlib.sha1(h1).digest()
+    h3 = hashlib.sha1(nonce[:20] + h2).digest()
+    return bytes(a ^ b for a, b in zip(h1, h3))
+
+
+def scramble_caching_sha2(password: str, nonce: bytes) -> bytes:
+    """caching_sha2_password fast path: XOR(SHA256(pass),
+    SHA256(SHA256(SHA256(pass)) + nonce)) (reference auth.rs:62-190)."""
+    if not password:
+        return b""
+    h1 = hashlib.sha256(password.encode()).digest()
+    h2 = hashlib.sha256(h1).digest()
+    h3 = hashlib.sha256(h2 + nonce[:20]).digest()
+    return bytes(a ^ b for a, b in zip(h1, h3))
+
+
+_SCRAMBLERS = {
+    "mysql_native_password": scramble_native_password,
+    "caching_sha2_password": scramble_caching_sha2,
+}
+
+
+def build_handshake_response(
+    user: str,
+    password: str,
+    handshake: Handshake,
+    database: str | None = None,
+) -> bytes:
+    """Handshake Response 41 (conn.rs:499-604 writes the same fields)."""
+    plugin = handshake.auth_plugin or "mysql_native_password"
+    auth = _SCRAMBLERS[plugin](password, handshake.nonce)
+    caps = (
+        CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41
+        | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
+    )
+    if database:
+        caps |= CLIENT_CONNECT_WITH_DB
+    out = struct.pack("<IIB23x", caps, 1 << 24, 45)  # caps, max pkt, utf8mb4
+    out += user.encode() + b"\x00"
+    out += bytes([len(auth)]) + auth
+    if database:
+        out += database.encode() + b"\x00"
+    out += plugin.encode() + b"\x00"
+    return out
+
+
+def build_com_binlog_dump(server_id: int, log_file: str, log_pos: int) -> bytes:
+    """COM_BINLOG_DUMP: resume the event stream at (file, pos) — the wire
+    form of the replay source's offset contract (conn.rs:307-317)."""
+    return (
+        bytes([COM_BINLOG_DUMP])
+        + struct.pack("<IHI", log_pos, 0, server_id)
+        + log_file.encode()
+    )
+
+
+# ── Replication event stream ────────────────────────────────────────────
+
+OK_HEADER = 0x00
+ERR_HEADER = 0xFF
+EOF_HEADER = 0xFE
+
+
+class WireError(RuntimeError):
+    def __init__(self, code: int, message: str):
+        super().__init__(f"MySQL error {code}: {message}")
+        self.code = code
+
+
+def binlog_events_from_stream(stream) -> Iterator[RawEvent]:
+    """Post-COM_BINLOG_DUMP packet stream → RawEvents. Each packet is
+    0x00 + event frame (19-byte header + body); 0xFE (short) ends the
+    stream, 0xFF raises the server error. Learns the checksum algorithm
+    from the FORMAT_DESCRIPTION event exactly like the file reader."""
+    checksum_len = 0
+    while True:
+        try:
+            _, payload = read_packet(stream)
+        except EOFError:
+            return
+        marker = payload[0]
+        if marker == EOF_HEADER and len(payload) < 9:
+            return
+        if marker == ERR_HEADER:
+            code = int.from_bytes(payload[1:3], "little")
+            msg = payload[3:].decode("utf-8", errors="replace")
+            if msg.startswith("#"):  # sql-state prefix
+                msg = msg[6:]
+            raise WireError(code, msg)
+        frame = payload[1:]
+        header, body = frame[:HEADER_LEN], frame[HEADER_LEN:]
+        type_code = header[4]
+        if type_code == FORMAT_DESCRIPTION_EVENT:
+            alg = body[-5]
+            checksum_len = 4 if alg == 1 else 0
+        stripped = body[:-checksum_len] if checksum_len else body
+        yield RawEvent(
+            timestamp=int.from_bytes(header[0:4], "little"),
+            type_code=type_code,
+            server_id=int.from_bytes(header[5:9], "little"),
+            event_size=int.from_bytes(header[9:13], "little"),
+            log_pos=int.from_bytes(header[13:17], "little"),
+            flags=int.from_bytes(header[17:19], "little"),
+            body=stripped,
+        )
+
+
+def replicate(
+    stream,
+    user: str,
+    password: str,
+    server_id: int,
+    log_file: str,
+    log_pos: int,
+    send,
+) -> Iterator[RawEvent]:
+    """Full conversation: handshake → auth → dump request → events.
+    ``stream`` is the read side, ``send(bytes)`` the write side — a TCP
+    socket in production, scripted buffers in tests."""
+    seq, payload = read_packet(stream)
+    hs = parse_handshake(payload)
+    send(write_packet(seq + 1, build_handshake_response(user, password, hs)))
+    _, reply = read_packet(stream)
+    if reply and reply[0] == ERR_HEADER:
+        code = int.from_bytes(reply[1:3], "little")
+        raise WireError(code, reply[3:].decode("utf-8", errors="replace"))
+    send(write_packet(0, build_com_binlog_dump(server_id, log_file, log_pos)))
+    yield from binlog_events_from_stream(stream)

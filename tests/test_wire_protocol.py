@@ -1,0 +1,210 @@
+"""S1 live-wire slot: the MySQL packet/auth/dump conversation driven from
+scripted socket bytes — no server needed. The end-to-end test re-frames a
+real captured binlog (the reference's read-only fixtures) into wire
+packets and asserts the wire path yields byte-identical envelopes to the
+offline file parser, proving the two transports share one decode path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+
+import pytest
+
+from rust_cdc_spark.sources import wire as W
+from rust_cdc_spark.sources.binlog_file import (
+    envelopes_from_events,
+    parse_binlog_file,
+)
+
+BASE = "/root/reference/tests/events"
+
+
+class TestPacketFraming:
+    def test_roundtrip_small(self):
+        buf = W.write_packet(3, b"hello")
+        seq, payload = W.read_packet(io.BytesIO(buf))
+        assert (seq, payload) == (3, b"hello")
+
+    def test_roundtrip_16mib_continuation(self):
+        big = bytes(0xFFFFFF) + b"tail"
+        framed = W.write_packet(0, big)
+        # continuation: first chunk is exactly 0xFFFFFF, second carries rest
+        assert framed[0:3] == b"\xff\xff\xff"
+        seq, payload = W.read_packet(io.BytesIO(framed))
+        assert payload == big
+
+    def test_exact_16mib_needs_empty_trailer(self):
+        big = bytes(0xFFFFFF)
+        framed = W.write_packet(0, big)
+        # protocol: a length-0xFFFFFF packet MUST be followed by another
+        # (possibly empty) packet
+        assert framed[-4:] == b"\x00\x00\x00\x01"
+        _, payload = W.read_packet(io.BytesIO(framed))
+        assert payload == big
+
+    def test_truncated_stream_raises(self):
+        with pytest.raises(EOFError):
+            W.read_packet(io.BytesIO(b"\x05\x00\x00\x00ab"))
+
+
+def _greeting(nonce: bytes, plugin: str = "mysql_native_password") -> bytes:
+    """Hand-built Initial Handshake v10 (independent of parse_handshake)."""
+    assert len(nonce) == 20
+    cap = 0xFFFF | (W.CLIENT_PLUGIN_AUTH)
+    out = bytes([10]) + b"8.0.33\x00"
+    out += (7).to_bytes(4, "little")        # connection id
+    out += nonce[:8] + b"\x00"              # auth-data-1 + filler
+    out += (cap & 0xFFFF).to_bytes(2, "little")
+    out += bytes([45])                      # charset
+    out += (2).to_bytes(2, "little")        # status flags
+    out += (cap >> 16).to_bytes(2, "little")
+    out += bytes([21])                      # auth data length
+    out += bytes(10)                        # reserved
+    out += nonce[8:] + b"\x00"              # auth-data-2 (12 bytes + NUL)
+    out += plugin.encode() + b"\x00"
+    return out
+
+
+class TestHandshake:
+    NONCE = bytes(range(20))
+
+    def test_parse_greeting(self):
+        hs = W.parse_handshake(_greeting(self.NONCE))
+        assert hs.protocol_version == 10
+        assert hs.server_version == "8.0.33"
+        assert hs.connection_id == 7
+        assert hs.nonce == self.NONCE
+        assert hs.auth_plugin == "mysql_native_password"
+        assert hs.capabilities & W.CLIENT_PLUGIN_AUTH
+
+    def test_native_scramble_server_side_verification(self):
+        """The server validates: XOR(reply, SHA1(nonce+stored)) == SHA1(p)
+        and SHA1(SHA1(p)) == stored — simulate that check exactly."""
+        reply = W.scramble_native_password("secret", self.NONCE)
+        stored = hashlib.sha1(hashlib.sha1(b"secret").digest()).digest()
+        mask = hashlib.sha1(self.NONCE + stored).digest()
+        recovered_h1 = bytes(a ^ b for a, b in zip(reply, mask))
+        assert recovered_h1 == hashlib.sha1(b"secret").digest()
+        assert hashlib.sha1(recovered_h1).digest() == stored
+
+    def test_caching_sha2_scramble_verification(self):
+        reply = W.scramble_caching_sha2("secret", self.NONCE)
+        h1 = hashlib.sha256(b"secret").digest()
+        mask = hashlib.sha256(hashlib.sha256(h1).digest() + self.NONCE).digest()
+        assert bytes(a ^ b for a, b in zip(h1, mask)) == reply
+
+    def test_empty_password_empty_auth(self):
+        assert W.scramble_native_password("", self.NONCE) == b""
+
+    def test_handshake_response_fields(self):
+        hs = W.parse_handshake(_greeting(self.NONCE))
+        resp = W.build_handshake_response("repl", "secret", hs, database="cdc")
+        caps = int.from_bytes(resp[0:4], "little")
+        assert caps & W.CLIENT_PROTOCOL_41 and caps & W.CLIENT_CONNECT_WITH_DB
+        assert resp[8] == 45  # utf8mb4
+        rest = resp[32:]
+        user, rest = rest.split(b"\x00", 1)
+        assert user == b"repl"
+        auth_len = rest[0]
+        auth, rest = rest[1 : 1 + auth_len], rest[1 + auth_len :]
+        assert auth == W.scramble_native_password("secret", self.NONCE)
+        db, plugin, _ = rest.split(b"\x00")
+        assert (db, plugin) == (b"cdc", b"mysql_native_password")
+
+    def test_com_binlog_dump_layout(self):
+        pkt = W.build_com_binlog_dump(1001, "binlog.000042", 4)
+        assert pkt[0] == W.COM_BINLOG_DUMP
+        assert int.from_bytes(pkt[1:5], "little") == 4
+        assert int.from_bytes(pkt[7:11], "little") == 1001
+        assert pkt[11:] == b"binlog.000042"
+
+
+def _fixture(name: str) -> str:
+    d = os.path.join(BASE, name)
+    bins = [f for f in os.listdir(d) if "bin" in f and not f.endswith(".md")]
+    return os.path.join(d, sorted(bins)[0])
+
+
+def _raw_frames(path: str) -> list[bytes]:
+    """Split a binlog file into raw event frames (header + body,
+    checksums intact) — what the server sends after COM_BINLOG_DUMP."""
+    data = open(path, "rb").read()
+    assert data[:4] == b"\xfebin"
+    frames, pos = [], 4
+    while pos < len(data):
+        size = int.from_bytes(data[pos + 9 : pos + 13], "little")
+        frames.append(data[pos : pos + size])
+        pos += size
+    return frames
+
+
+@pytest.mark.skipif(not os.path.isdir(BASE), reason="reference fixtures absent")
+class TestScriptedReplication:
+    def _script(self, frames: list[bytes], tail: bytes = b"") -> io.BytesIO:
+        nonce = bytes(range(20))
+        buf = W.write_packet(0, _greeting(nonce))          # server greeting
+        buf += W.write_packet(2, b"\x00\x00\x00\x02\x00")  # OK after auth
+        for i, f in enumerate(frames):
+            buf += W.write_packet(i + 1, b"\x00" + f)      # event packets
+        buf += tail
+        return io.BytesIO(buf)
+
+    def test_wire_equals_file_parser(self):
+        """The whole point of the slot: socket bytes and file bytes land
+        in the same envelopes."""
+        path = _fixture("30_write_rows_v2")
+        sent: list[bytes] = []
+        stream = self._script(_raw_frames(path))
+        events = W.replicate(
+            stream, "repl", "secret", server_id=1001,
+            log_file="binlog.000002", log_pos=4, send=sent.append,
+        )
+        wire_envs = list(envelopes_from_events(events, "binlog.000002"))
+        file_envs = [
+            {**e, "file": "binlog.000002"} for e in parse_binlog_file(path)
+        ]
+        assert wire_envs == file_envs
+        assert any(e["op"] == "I" for e in wire_envs)
+        # and the client said the right things: auth then dump
+        _, auth_payload = W.read_packet(io.BytesIO(sent[0]))
+        assert b"repl\x00" in auth_payload
+        _, dump_payload = W.read_packet(io.BytesIO(sent[1]))
+        assert dump_payload[0] == W.COM_BINLOG_DUMP
+        assert dump_payload[11:] == b"binlog.000002"
+
+    def test_eof_packet_ends_stream(self):
+        path = _fixture("16_xid")
+        frames = _raw_frames(path)
+        stream = self._script(frames, tail=W.write_packet(9, b"\xfe\x00\x00\x02\x00"))
+        events = W.replicate(
+            stream, "repl", "", server_id=1, log_file="b.1", log_pos=4,
+            send=lambda b: None,
+        )
+        assert len(list(events)) == len(frames)
+
+    def test_err_packet_raises(self):
+        err = b"\xff" + (1236).to_bytes(2, "little") + b"#HY000bad log position"
+        stream = self._script([], tail=W.write_packet(3, err))
+        events = W.replicate(
+            stream, "repl", "", server_id=1, log_file="b.1", log_pos=4,
+            send=lambda b: None,
+        )
+        with pytest.raises(W.WireError, match="1236.*bad log position"):
+            list(events)
+
+    def test_auth_rejected_raises(self):
+        nonce = bytes(range(20))
+        buf = W.write_packet(0, _greeting(nonce))
+        buf += W.write_packet(
+            2, b"\xff" + (1045).to_bytes(2, "little") + b"Access denied"
+        )
+        with pytest.raises(W.WireError, match="1045"):
+            list(
+                W.replicate(
+                    io.BytesIO(buf), "repl", "wrong", server_id=1,
+                    log_file="b.1", log_pos=4, send=lambda b: None,
+                )
+            )
