@@ -45,6 +45,9 @@ _R01_UNCHECKED = [
     "q22_global_sales_opportunity", "q8_market_share",
     "q13_customer_distribution", "events_tumbling_window",
     "events_sessionize", "range_join_click_attribution", "events_json_props",
+    # curation queries added in round 2 — also driver-unchecked, run early
+    "text_pii_scrub", "text_repetition_score", "dedup_passage_exact",
+    "contamination_ngram_overlap",
 ]
 
 

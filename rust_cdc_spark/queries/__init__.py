@@ -48,6 +48,7 @@ def load_all() -> dict[str, Query]:
     """Import all query modules (idempotent) and return the registry."""
     from rust_cdc_spark.queries import (  # noqa: F401
         cdc,
+        curation,
         llm,
         multimodal,
         relational,

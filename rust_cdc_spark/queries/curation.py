@@ -1,0 +1,307 @@
+"""Corpus-curation queries: PII scrubbing, repetition scoring, passage
+dedup, benchmark contamination — the filters a large-scale training-data
+pipeline runs before (and after) the dedup family in ``queries/llm.py``.
+
+Design rule (same as llm.py): pure column expressions or key-partitioned
+shuffles, md5 for any cross-engine-checked hash, no Python in the hot
+path. The synthetic corpus is whitespace-separated word soup, so ops
+that need structure the corpus lacks synthesize it deterministically
+from doc_id (PII injection) or fixed-width chunking (passages) — the
+plumbing and plan shape are the real thing; only the text is fake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rust_cdc_spark.queries import register
+from rust_cdc_spark.sources.tables import load_table
+
+# ── PII patterns (RE2 ∩ java.util.regex — identical semantics in Spark
+#    and DuckDB; applied in a fixed order since scrubs overlap) ──────────
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\d{1,2}-\d{3}-\d{3}-\d{4}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# Deterministic PII injection: the corpus has no real PII, so stamp each
+# document with synthetic email/phone/ip derived from doc_id. Spark and
+# the oracle build the identical augmented text, so the scrub + counts
+# verify value-for-value.
+_AUG_SPARK = (
+    "concat(text, ' contact user', doc_id, '@mail.example.com or "
+    "+1-555-000-1234 at 10.0.', doc_id % 256, '.7')"
+)
+_AUG_SQL = (
+    "text || ' contact user' || doc_id || '@mail.example.com or "
+    "+1-555-000-1234 at 10.0.' || (doc_id % 256) || '.7'"
+)
+
+
+def scrub_pii(col):
+    """Email → phone → IPv4 masking, single codegen expression chain."""
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4, "<IP>")
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(
+               regexp_replace(regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{PII_PHONE}', '<PHONE>', 'g'),
+               '{PII_IPV4}')) AS INT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g'),
+               '{PII_IPV4}', '<IP>', 'g')) AS scrubbed_fp
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub + counts: map-only codegen regex chain, no shuffle, no
+    UDF — at 100 TB this is a pure scan→project stage. Counts are taken
+    on the pre-scrub text (IPs counted after email/phone masking so the
+    phone's digit runs can't alias as addresses); the scrubbed text is
+    emitted as an md5 fingerprint so the oracle checks the actual
+    replacement output, not just the counts."""
+    docs = load_table(spark, "documents", sf_dir)
+    aug = docs.select("doc_id", F.expr(_AUG_SPARK).alias("t"))
+    half = F.regexp_replace(
+        F.regexp_replace("t", PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(PII_PHONE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(half, F.lit(PII_IPV4), 0)).alias("n_ips"),
+        F.md5(scrub_pii(F.col("t"))).alias("scrubbed_fp"),
+    )
+
+
+_WORDS_SPARK = "split(trim(text), ' ')"
+_WORDS_SQL = "string_split(trim(text), ' ')"
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    tri AS (
+        SELECT doc_id,
+               list_transform(range(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                   AS trigrams
+        FROM w WHERE len(words) >= 3
+    ),
+    big AS (
+        SELECT doc_id, words[i] || ' ' || words[i+1] AS bigram
+        FROM w, LATERAL (SELECT unnest(range(1, len(words))) AS i)
+        WHERE len(words) >= 2
+    ),
+    topb AS (
+        SELECT doc_id,
+               max(n) AS top_n, sum(n) AS total_n
+        FROM (SELECT doc_id, bigram, count(*) AS n FROM big GROUP BY 1, 2)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.trigrams) AS INT) AS n_trigrams,
+           round(1.0 - CAST(len(list_distinct(t.trigrams)) AS DOUBLE)
+                 / len(t.trigrams), 4) AS dup_trigram_frac,
+           round(CAST(topb.top_n AS DOUBLE) / topb.total_n, 4)
+               AS top_bigram_frac
+    FROM tri t JOIN topb USING (doc_id)
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals for quality filtering (the Gopher/RefinedWeb
+    family): duplicated-trigram fraction and most-common-bigram fraction.
+
+    Two deliberately different shapes: the trigram fraction is a pure
+    higher-order-function map stage (no shuffle — array built and
+    deduped per row inside codegen); the top-bigram fraction explodes
+    and aggregates, a doc_id-keyed shuffle whose per-key cardinality is
+    bounded by document length, so it scales by adding executors."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = docs.select("doc_id", F.expr(_WORDS_SPARK).alias("words")).filter(
+        F.size("words") >= 3
+    )
+    tri = w.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, size(words) - 3),"
+            " i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"
+        ).alias("trigrams"),
+    )
+    hof = tri.select(
+        "doc_id",
+        F.size("trigrams").alias("n_trigrams"),
+        F.round(
+            1.0 - F.size(F.array_distinct("trigrams")) / F.size("trigrams"), 4
+        ).alias("dup_trigram_frac"),
+    )
+    bigrams = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(words) - 2),"
+                " i -> concat_ws(' ', words[i], words[i+1]))"
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("doc_id", "bigram").count()
+    topb = counts.groupBy("doc_id").agg(
+        F.max("count").alias("top_n"), F.sum("count").alias("total_n")
+    )
+    return hof.join(topb, "doc_id").select(
+        "doc_id",
+        "n_trigrams",
+        "dup_trigram_frac",
+        F.round(F.col("top_n") / F.col("total_n"), 4).alias("top_bigram_frac"),
+    )
+
+
+_PASSAGE_WORDS = 10
+
+
+@register(
+    "dedup_passage_exact",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    p AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   words[(i*{_PASSAGE_WORDS}+1):((i+1)*{_PASSAGE_WORDS})], ' '
+               )) AS fp
+        FROM w, LATERAL (
+            SELECT unnest(range(0,
+                CAST(ceil(len(words) / {_PASSAGE_WORDS}.0) AS BIGINT))) AS i)
+    )
+    SELECT fp,
+           min(doc_id) AS canonical_doc,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM p
+    GROUP BY fp
+    HAVING count(*) > 1
+    """,
+)
+def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (the C4 line-dedup shape): documents
+    chunk into fixed-width passages (real corpora split on blank lines —
+    the soup corpus has none, so fixed {_PASSAGE_WORDS}-word windows
+    stand in), each passage fingerprints to md5, and a hash groupBy
+    finds passages appearing in more than one place. Map-side partial
+    agg means the shuffle carries one row per distinct passage; at
+    100 TB this is the same plan as exact doc dedup, just ~10× the key
+    count."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = docs.select("doc_id", F.expr(_WORDS_SPARK).alias("words"))
+    passages = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(words) / "
+                f"{_PASSAGE_WORDS}.0) as int) - 1),"
+                f" i -> concat_ws(' ', slice(words, i*{_PASSAGE_WORDS}+1,"
+                f" {_PASSAGE_WORDS})))"
+            )
+        ).alias("passage"),
+    )
+    return (
+        passages.select("doc_id", F.md5("passage").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+_CONTAM_K = 5  # words per shingle
+_BENCH_MOD = 97  # doc_id % 97 == 0 → the stand-in benchmark set
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    sh AS (
+        SELECT doc_id,
+               md5(array_to_string(words[(i+1):(i+{_CONTAM_K})], ' ')) AS g
+        FROM w, LATERAL (
+            SELECT unnest(range(0, len(words) - {_CONTAM_K} + 1)) AS i)
+        WHERE len(words) >= {_CONTAM_K}
+    ),
+    bench AS (
+        SELECT DISTINCT g FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    corpus AS (SELECT * FROM sh WHERE doc_id % {_BENCH_MOD} <> 0),
+    totals AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+    hits AS (
+        SELECT c.doc_id, count(*) AS n_contaminated
+        FROM corpus c JOIN bench b ON c.g = b.g
+        GROUP BY c.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(h.n_contaminated AS BIGINT) AS n_contaminated,
+           round(CAST(h.n_contaminated AS DOUBLE) / t.n_grams, 4)
+               AS contam_frac
+    FROM hits h JOIN totals t USING (doc_id)
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: which corpus documents share
+    {_CONTAM_K}-gram shingles with the eval/benchmark set (stood in by
+    doc_id % {_BENCH_MOD} == 0). The benchmark's distinct shingle set is
+    tiny relative to the corpus (thousands of eval docs vs billions of
+    training docs), so it is broadcast — the corpus side never
+    shuffles for the join, only for its per-doc counts. This is the
+    standard decontamination pass (GPT-3/PaLM style n-gram overlap)."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = docs.select("doc_id", F.expr(_WORDS_SPARK).alias("words")).filter(
+        F.size("words") >= _CONTAM_K
+    )
+    sh = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(words) - {_CONTAM_K}),"
+                f" i -> concat_ws(' ', slice(words, i+1, {_CONTAM_K})))"
+            )
+        ).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("g"))
+    bench = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    # One pass: left-broadcast-join marks contaminated shingles, a single
+    # doc_id aggregation counts both totals and hits — no second shuffle,
+    # no doc_id⋈doc_id join stage.
+    return (
+        corpus.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .filter(F.col("n_contaminated") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 4).alias(
+                "contam_frac"
+            ),
+        )
+    )

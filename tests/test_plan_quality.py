@@ -125,6 +125,11 @@ class TestShuffleBudget:
             ("sample_bernoulli_documents", 0),  # map-only by design
             ("lag_lead_order_gaps", 1),
             ("dense_rank_supplier_balance", 1),
+            ("text_pii_scrub", 0),          # pure map: regex chain
+            ("dedup_passage_exact", 1),     # explode is map-side; one agg
+            ("text_repetition_score", 3),   # 2 agg levels + doc_id join
+            # broadcast bench + bench distinct + one doc_id agg
+            ("contamination_ngram_overlap", 3),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
