@@ -43,6 +43,11 @@ HEADLINE = [
     "range_join_click_attribution",
     "pivot_status_by_priority",
     "multimodal_feature_extract",
+    # round 2 additions (BENCH_r02 ⊇ BENCH_r01 names for regression math)
+    "text_pii_scrub",
+    "text_repetition_score",
+    "dedup_passage_exact",
+    "contamination_ngram_overlap",
 ]
 
 

@@ -222,6 +222,44 @@ def _real_enumset_type(entry: TableMapEntry, i: int) -> int:
     return tc
 
 
+def schema_for_entry(entry: TableMapEntry):
+    """TableMapEntry → typed Spark ``StructType``, resolved entirely from
+    wire metadata: names from COLUMN_NAME, unsigned widening from
+    SIGNEDNESS, binary-collation char columns stay ``binary``, ENUM/SET
+    type to label string / label array when the labels were logged and to
+    index int / bitmask long when they weren't. The reference needs an
+    out-of-band information_schema query for this
+    (/root/reference/src/mysql/connection/mod.rs fetch of column names);
+    with ``binlog_row_metadata=FULL`` the binlog alone suffices."""
+    from pyspark.sql import types as T
+
+    fields = []
+    for i, tc in enumerate(entry.column_types):
+        name = entry.column_names[i] if entry.column_names else f"col_{i}"
+        meta = entry.column_metas[i]
+        unsigned = bool(entry.unsigned[i]) if entry.unsigned else False
+        labels = entry.enum_set_values[i] if entry.enum_set_values else None
+        rt = tc
+        if tc == MT.STRING and len(meta) == 2:
+            rt, real_len = MT.unpack_string_meta(meta[0], meta[1])
+            meta = (real_len,)
+        if rt == MT.ENUM:
+            dtype = T.StringType() if labels else T.IntegerType()
+        elif rt == MT.SET:
+            dtype = T.ArrayType(T.StringType()) if labels else T.LongType()
+        else:
+            is_text = not (
+                entry.charsets is not None
+                and entry.charsets[i] == 63
+                and (rt in _CHAR_TYPES or rt == MT.STRING)
+            )
+            dtype = MT.spark_type_for(rt, meta, unsigned=unsigned, is_text=is_text)
+            if rt in (MT.VARCHAR, MT.VAR_STRING, MT.STRING) and not is_text:
+                dtype = T.BinaryType()
+        fields.append(T.StructField(name, dtype, entry.nullable[i]))
+    return T.StructType(fields)
+
+
 def decode_table_map(body: bytes) -> TableMapEntry:
     """TABLE_MAP body (post-header + payload, checksum stripped),
     including the optional-metadata TLV block when present."""

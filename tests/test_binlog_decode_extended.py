@@ -167,6 +167,31 @@ class TestTableMapOptionalMetadata:
         entry = BR.decode_table_map(body)
         assert entry.charsets == [8, 28]
 
+    def test_schema_for_entry_from_wire_metadata(self):
+        from pyspark.sql import types as T
+
+        entry = BR.decode_table_map(_table_map_with_metadata())
+        schema = BR.schema_for_entry(entry)
+        assert [f.name for f in schema.fields] == ["id", "name", "color", "flag"]
+        assert schema["id"].dataType == T.LongType()      # unsigned INT widens
+        assert schema["name"].dataType == T.StringType()
+        assert schema["color"].dataType == T.StringType()  # labeled ENUM
+        assert schema["flag"].dataType == T.ByteType()     # signed TINYINT
+        assert not schema["id"].nullable
+
+    def test_schema_without_metadata_falls_back(self):
+        from pyspark.sql import types as T
+
+        body = (72).to_bytes(6, "little") + b"\x01\x00"
+        body += bytes([3]) + b"cdc\x00" + bytes([2]) + b"t2\x00"
+        body += bytes([2]) + bytes([MT.LONG, MT.STRING])
+        body += bytes([2]) + bytes([MT.ENUM, 1])
+        body += b"\x00"
+        schema = BR.schema_for_entry(BR.decode_table_map(body))
+        assert [f.name for f in schema.fields] == ["col_0", "col_1"]
+        assert schema["col_0"].dataType == T.IntegerType()  # signedness unknown
+        assert schema["col_1"].dataType == T.IntegerType()  # unlabeled ENUM → index
+
     def test_rows_decode_with_metadata(self):
         """End-to-end: unsigned widening + latin1 + enum label + named
         columns, all from wire metadata alone."""
