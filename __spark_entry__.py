@@ -48,6 +48,9 @@ _R01_UNCHECKED = [
     # curation queries added in round 2 — also driver-unchecked, run early
     "text_pii_scrub", "text_repetition_score", "dedup_passage_exact",
     "contamination_ngram_overlap",
+    # training-set assembly queries (round 2) — driver-unchecked, run early
+    "pack_sequences", "mixture_interleave", "curation_pipeline",
+    "embedding_kmeans_assign", "embedding_cluster_profile",
 ]
 
 

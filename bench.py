@@ -48,6 +48,11 @@ HEADLINE = [
     "text_repetition_score",
     "dedup_passage_exact",
     "contamination_ngram_overlap",
+    "pack_sequences",
+    "mixture_interleave",
+    "curation_pipeline",
+    "embedding_kmeans_assign",
+    "embedding_cluster_profile",
 ]
 
 

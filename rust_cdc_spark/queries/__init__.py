@@ -54,6 +54,7 @@ def load_all() -> dict[str, Query]:
         relational,
         sql_surface,
         timeseries,
+        training,
     )
 
     return REGISTRY

@@ -1,0 +1,393 @@
+"""Training-set assembly: the last mile of a pretraining data pipeline.
+
+After curation (``queries/curation.py``) and dedup (``queries/llm.py``),
+a corpus still has to become a *training set*: documents packed into
+fixed-token-budget sequences, sources interleaved into a deterministic
+global order, the curation funnel accounted per source, and embeddings
+clustered for mixture balancing. Each stage here is the batch shape of
+that step, oracle-checked value-for-value against DuckDB.
+
+Design rules (same as the rest of the registry):
+- Determinism is md5-based (engine- and retry-stable), never
+  ``rand()``/``hash()`` (JVM-internal, not reproducible in the oracle).
+- Packing and interleave are windowed per shard/source so the shuffles
+  are key-partitioned — no global state; the only total order is the
+  final training-order sort, which Spark range-partitions (TeraSort
+  shape — the unavoidable cost of emitting one global order, and still
+  cluster-parallel).
+- Cluster assignment is a broadcast cross join against a constant-size
+  centroid set — the corpus side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rust_cdc_spark.functions import text as TX
+from rust_cdc_spark.functions import vectors as V
+from rust_cdc_spark.queries import register
+from rust_cdc_spark.sources.tables import load_table
+
+# Fixed knobs — deterministic and shared verbatim with the oracles.
+_CTX_TOKENS = 512  # context length budget per packed sequence
+_N_SHARDS = 8  # pack-parallel shards (cluster: one per output file group)
+_QUALITY_MIN = 0.5  # curation funnel keep threshold
+_K_CENTROIDS = 8  # seed centroids for single-pass assignment
+
+_TOKENS_SQL = "string_split(trim(text), ' ')"
+_NTOK_SQL = f"len({_TOKENS_SQL})"
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               doc_id % {_N_SHARDS} AS shard_id,
+               md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+               CAST({_NTOK_SQL} AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard_id, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY shard_id ORDER BY ord_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, shard_id, n_tokens,
+           CAST(floor((cum_tokens - 1) / {_CTX_TOKENS}) AS BIGINT) AS bin_id
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences.
+
+    Documents are sharded by ``doc_id % {_N_SHARDS}``, ordered within a
+    shard by an md5 key (deterministic shuffle), and assigned to the
+    {_CTX_TOKENS}-token bin their running token total lands in — the
+    chunked-packing strategy (a doc may straddle a boundary; trainers
+    truncate/continue, same as T5/GPT block packing).
+
+    Scale shape: ONE key-partitioned shuffle (the per-shard window).
+    Shards are independent, so a 1000-executor cluster packs 1000 shards
+    concurrently; no global order, no driver state. Bin ids are stable
+    under re-partitioning because the order key is content-derived, not
+    partition-derived."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _N_SHARDS).alias("shard_id"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+        TX.token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("ord_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.select(
+        "doc_id",
+        "shard_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - 1) / _CTX_TOKENS)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+
+
+@register(
+    "mixture_interleave",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))
+               ) AS rank_in_source
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(rank_in_source AS BIGINT) AS rank_in_source,
+           CAST(row_number() OVER (
+               ORDER BY rank_in_source, source, doc_id
+           ) AS BIGINT) AS global_pos
+    FROM r
+    """,
+)
+def mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-interleaved training order: shuffle within
+    each source by md5, then emit round-robin across sources (all the
+    rank-1 docs first, then rank-2, …) — the standard mixture interleave
+    that keeps any window of the training stream source-balanced.
+
+    Scale shape: the per-source rank is a key-partitioned window; the
+    global position is a range-partitioned sort on (rank, source) —
+    Spark samples range bounds and sorts partitions in parallel
+    (TeraSort shape). At 100 TB you'd usually stop at (rank, source)
+    and let the writer's file ordering carry the global order; the
+    explicit row_number here is the checkable form of the same plan."""
+    docs = load_table(spark, "documents", sf_dir)
+    r = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string"))
+            )
+        )
+        .cast("bigint")
+        .alias("rank_in_source"),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "rank_in_source",
+        F.row_number()
+        .over(Window.orderBy("rank_in_source", "source", "doc_id"))
+        .cast("bigint")
+        .alias("global_pos"),
+    )
+
+
+_FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+_SW_SQL = "['the','a','an','and','of','to','in','is','it','that']"
+_QUALITY_SQL = f"""
+    round(0.4 * least({_NTOK_SQL} / 64.0, 1.0)
+          + 0.4 * least(4.0 * len(list_filter({_TOKENS_SQL},
+                        t -> list_contains({_SW_SQL}, lower(t))))
+                        / {_NTOK_SQL}, 1.0)
+          + 0.2 * (CASE WHEN list_sum(list_transform({_TOKENS_SQL},
+                             t -> length(t))) * 1.0 / {_NTOK_SQL}
+                        BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END), 4)
+"""
+_LANG_OK_SQL = f"""
+    (len(list_filter({_TOKENS_SQL}, t -> list_contains({_SW_SQL}, lower(t))))
+     * 1.0 / {_NTOK_SQL} >= 0.08)
+"""
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST({_NTOK_SQL} AS BIGINT) AS n_tokens,
+               {_FP_SQL} AS fp,
+               {_QUALITY_SQL} AS quality,
+               {_LANG_OK_SQL} AS lang_ok
+        FROM documents
+    ),
+    flagged AS (
+        SELECT *,
+               (lang_ok AND quality >= {_QUALITY_MIN}) AS pass_filters,
+               min(CASE WHEN lang_ok AND quality >= {_QUALITY_MIN}
+                        THEN doc_id END)
+                   OVER (PARTITION BY fp) AS canonical_id
+        FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pass_filters THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_filters,
+           CAST(sum(CASE WHEN pass_filters AND doc_id = canonical_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN pass_filters AND doc_id = canonical_id
+                         THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+           round(coalesce(sum(CASE WHEN pass_filters AND doc_id = canonical_id
+                          THEN quality END), 0.0), 4) AS kept_quality_sum
+    FROM flagged
+    GROUP BY source
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel, accounted per source: language filter
+    → quality threshold ({_QUALITY_MIN}) → exact dedup (canonical doc
+    survives) → per-source keep counts, surviving token budget, and kept
+    quality. This is the dataset-card "what survived curation" table —
+    the composition of lang_id_heuristic, text_quality_score and
+    dedup_exact_documents as one plan.
+
+    Scale shape: one map stage computes all per-doc signals in a single
+    codegen pass over the scan; the canonical-per-fingerprint choice is
+    a key-partitioned window on fp (same shuffle the dedup groupBy
+    would pay); the funnel is one grouped agg on source with map-side
+    partials. No joins — each doc carries its own verdicts."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        TX.token_count("text").cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+        TX.quality_score("text").alias("quality"),
+        (TX.stopword_ratio("text") >= 0.08).alias("lang_ok"),
+    )
+    passes = F.col("lang_ok") & (F.col("quality") >= _QUALITY_MIN)
+    flagged = scored.select(
+        "*",
+        passes.alias("pass_filters"),
+        F.min(F.when(passes, F.col("doc_id")))
+        .over(Window.partitionBy("fp"))
+        .alias("canonical_id"),
+    )
+    kept = F.col("pass_filters") & (F.col("doc_id") == F.col("canonical_id"))
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("pass_filters").cast("bigint")).alias("n_pass_filters"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+            "kept_tokens"
+        ),
+        # the quality *sum*, not avg: summands carry 4 decimals, so the
+        # rounded sum is boundary-safe cross-engine, while an avg (÷n)
+        # can land exactly on a half-point and flip the last digit with
+        # aggregation order; mean = kept_quality_sum / n_kept.
+        F.round(
+            F.coalesce(F.sum(F.when(kept, F.col("quality"))), F.lit(0.0)), 4
+        ).alias("kept_quality_sum"),
+    )
+
+
+_CENTROID_SQL = f"""
+    centroids AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings WHERE vec_id < {_K_CENTROIDS}
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                         * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))))
+                   AS dist
+        FROM embeddings e CROSS JOIN centroids c
+    ),
+    assigned AS (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+                   AS rn
+        FROM scored
+    )
+"""
+
+
+@register(
+    "embedding_kmeans_assign",
+    oracle=f"""
+    WITH {_CENTROID_SQL}
+    SELECT a.vec_id,
+           CAST(a.cid AS BIGINT) AS cluster_id,
+           round(a.dist, 4) AS dist
+    FROM assigned a
+    WHERE a.rn = 1
+    """,
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass nearest-centroid assignment over the embedding corpus
+    — the E-step every mixture-balancing / cluster-sampling pipeline
+    runs (the full iterative trainer is operators/similarity.py's IVF
+    k-means; this is its deterministic, seed-centroid form, which makes
+    the assignment oracle-checkable value-for-value).
+
+    Centroids are the vectors with vec_id < {_K_CENTROIDS} (determinism
+    by construction, as faiss seeds from the corpus). Scale shape: the
+    centroid set is constant-size → broadcast cross join; distance is a
+    codegen'd higher-order expression; argmin is a min(struct) partial
+    agg keyed on vec_id — at 100 TB the corpus side is scan → map →
+    one partial-aggregated shuffle of |corpus| rows."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = (
+        emb.filter(F.col("vec_id") < _K_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        V.l2_distance(F.col("embedding"), F.col("cv")).alias("dist"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "cid")).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.cid").cast("bigint").alias("cluster_id"),
+        F.round("b.dist", 4).alias("dist"),
+    )
+
+
+@register(
+    "embedding_cluster_profile",
+    oracle=f"""
+    WITH {_CENTROID_SQL},
+    a AS (SELECT vec_id, cid, round(dist, 4) AS dist
+          FROM assigned WHERE rn = 1),
+    lab AS (
+        SELECT a.cid, a.dist, e.label
+        FROM a JOIN embeddings e USING (vec_id)
+    ),
+    per_label AS (
+        SELECT cid, label,
+               count(*) AS n, sum(dist) AS s
+        FROM lab GROUP BY cid, label
+    )
+    SELECT CAST(cid AS BIGINT) AS cluster_id,
+           CAST(sum(n) AS BIGINT) AS n_vecs,
+           round(sum(s), 4) AS dist_sum,
+           round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS label_purity
+    FROM per_label
+    GROUP BY cid
+    """,
+)
+def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level profile of the k-means assignment: size, mean
+    distance-to-centroid mass (dist_sum; mean = dist_sum / n_vecs), and label purity (fraction of the
+    cluster carrying its majority label) — the table a mixture-balancing
+    pass reads to up/down-sample clusters.
+
+    Scale shape: label is functionally dependent on vec_id, so it rides
+    through the assignment argmin as a grouping key instead of paying a
+    corpus-sized join afterwards; the profile is then a two-level agg
+    (cluster,label) → cluster whose inputs are ≤ K·|labels| rows. Three
+    key-partitioned shuffles total, all map-side partial; the corpus is
+    scanned once; nothing driver-side."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = (
+        emb.filter(F.col("vec_id") < _K_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "cid",
+        V.l2_distance(F.col("embedding"), F.col("cv")).alias("dist"),
+    )
+    assign = (
+        scored.groupBy("vec_id", "label")
+        .agg(F.min(F.struct("dist", "cid")).alias("b"))
+        .select(
+            F.col("b.cid").alias("cluster_id"),
+            F.round("b.dist", 4).alias("dist"),
+            "label",
+        )
+    )
+    per_label = assign.groupBy("cluster_id", "label").agg(
+        F.count("*").alias("n"), F.sum("dist").alias("s")
+    )
+    # dist_sum, not avg: the summands are 4-decimal values, so the
+    # rounded sum is cross-engine boundary-safe; an avg (÷n) can land
+    # exactly on a rounding half-point and flip with aggregation order.
+    # label_purity (int ÷ int, one IEEE op) is bit-identical by design.
+    return per_label.groupBy("cluster_id").agg(
+        F.sum("n").cast("bigint").alias("n_vecs"),
+        F.round(F.sum("s"), 4).alias("dist_sum"),
+        F.round(F.max("n") / F.sum("n"), 4).alias("label_purity"),
+    ).select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "n_vecs",
+        "dist_sum",
+        "label_purity",
+    )

@@ -130,6 +130,14 @@ class TestShuffleBudget:
             ("text_repetition_score", 3),   # 2 agg levels + doc_id join
             # broadcast bench + bench distinct + one doc_id agg
             ("contamination_ngram_overlap", 3),
+            ("pack_sequences", 1),          # per-shard window only
+            # per-source window + global-order sort (TeraSort shape)
+            ("mixture_interleave", 2),
+            ("curation_pipeline", 2),       # fp window + source agg
+            # broadcast centroids; one vec_id argmin agg
+            ("embedding_kmeans_assign", 1),
+            # argmin agg + (cluster,label) agg + cluster agg
+            ("embedding_cluster_profile", 3),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):

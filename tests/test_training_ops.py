@@ -1,0 +1,125 @@
+"""Semantic invariants of the training-set assembly operators
+(queries/training.py) — properties the DuckDB value parity can't state:
+packing bin contiguity, interleave balance, funnel reconciliation, and
+an independent numpy re-derivation of the k-means assignment.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from rust_cdc_spark.queries import load_all
+from rust_cdc_spark.queries.training import _CTX_TOKENS, _K_CENTROIDS, _N_SHARDS
+from tests.conftest import SF_SMOKE
+
+REGISTRY = load_all()
+
+
+def run(spark, name):
+    return REGISTRY[name].spark_fn(spark, SF_SMOKE)
+
+
+class TestPackSequences:
+    def test_bins_contiguous_and_budget_consistent(self, spark):
+        rows = run(spark, "pack_sequences").collect()
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(r.shard_id, []).append(r)
+        assert set(by_shard) <= set(range(_N_SHARDS))
+        for shard, docs in by_shard.items():
+            total = sum(d.n_tokens for d in docs)
+            bins = {d.bin_id for d in docs}
+            # chunked packing: last bin is exactly the one the final
+            # cumulative token lands in; bins form a contiguous range
+            assert max(bins) == (total - 1) // _CTX_TOKENS, shard
+            assert bins == set(range(max(bins) + 1)), shard
+
+    def test_every_doc_assigned_once(self, spark):
+        df = run(spark, "pack_sequences")
+        assert df.count() == df.select("doc_id").distinct().count()
+
+
+class TestMixtureInterleave:
+    def test_global_pos_is_permutation(self, spark):
+        rows = run(spark, "mixture_interleave").collect()
+        pos = sorted(r.global_pos for r in rows)
+        assert pos == list(range(1, len(rows) + 1))
+
+    def test_first_block_is_one_per_source(self, spark):
+        """Round-robin fairness: the first |sources| positions are the
+        rank-1 docs — one per source, no source twice."""
+        rows = run(spark, "mixture_interleave").collect()
+        n_sources = len({r.source for r in rows})
+        head = sorted(rows, key=lambda r: r.global_pos)[:n_sources]
+        assert {r.source for r in head} == {r.source for r in rows}
+        assert all(r.rank_in_source == 1 for r in head)
+
+    def test_within_source_rank_order(self, spark):
+        rows = run(spark, "mixture_interleave").collect()
+        by_source: dict[str, list] = {}
+        for r in rows:
+            by_source.setdefault(r.source, []).append(r)
+        for docs in by_source.values():
+            docs.sort(key=lambda r: r.global_pos)
+            assert [d.rank_in_source for d in docs] == list(
+                range(1, len(docs) + 1)
+            )
+
+
+class TestCurationPipeline:
+    def test_funnel_reconciles(self, spark):
+        rows = run(spark, "curation_pipeline").collect()
+        docs = REGISTRY["text_stats"].spark_fn(spark, SF_SMOKE).count()
+        assert sum(r.n_docs for r in rows) == docs
+        for r in rows:
+            assert 0 <= r.n_kept <= r.n_pass_filters <= r.n_docs
+            if r.n_kept == 0:
+                assert r.kept_quality_sum == 0.0 and r.kept_tokens == 0
+            else:
+                assert r.kept_tokens > 0
+                assert 0.0 <= r.kept_quality_sum <= r.n_kept
+
+
+class TestKmeansAssign:
+    def test_matches_numpy_argmin(self, spark):
+        """Full independent re-derivation: numpy L2 argmin over the same
+        seed centroids must agree on every assignment and distance."""
+        from rust_cdc_spark.sources.tables import load_table
+
+        emb = {
+            r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in load_table(spark, "embeddings", SF_SMOKE).collect()
+        }
+        cents = {cid: emb[cid] for cid in range(_K_CENTROIDS)}
+        got = {
+            r.vec_id: (r.cluster_id, r.dist)
+            for r in run(spark, "embedding_kmeans_assign").collect()
+        }
+        assert set(got) == set(emb)
+        for vid, v in emb.items():
+            dists = {c: float(np.linalg.norm(v - cv)) for c, cv in cents.items()}
+            want_c = min(dists, key=lambda c: (dists[c], c))
+            assert got[vid][0] == want_c, vid
+            assert math.isclose(got[vid][1], round(dists[want_c], 4), abs_tol=1e-4)
+
+    def test_centroids_self_assign(self, spark):
+        rows = {r.vec_id: r for r in run(spark, "embedding_kmeans_assign").collect()}
+        for cid in range(_K_CENTROIDS):
+            assert rows[cid].cluster_id == cid
+            assert rows[cid].dist == 0.0
+
+
+class TestClusterProfile:
+    def test_sizes_and_purity(self, spark):
+        prof = run(spark, "embedding_cluster_profile").collect()
+        assign = run(spark, "embedding_kmeans_assign").collect()
+        sizes: dict[int, int] = {}
+        for r in assign:
+            sizes[r.cluster_id] = sizes.get(r.cluster_id, 0) + 1
+        assert {r.cluster_id: r.n_vecs for r in prof} == sizes
+        for r in prof:
+            assert 0.0 < r.label_purity <= 1.0
+            assert r.dist_sum >= 0.0
