@@ -53,6 +53,8 @@ HEADLINE = [
     "curation_pipeline",
     "embedding_kmeans_assign",
     "embedding_cluster_profile",
+    "vocab_top_tokens",
+    "bpe_merge_candidates",
 ]
 
 

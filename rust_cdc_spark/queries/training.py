@@ -36,6 +36,7 @@ _QUALITY_MIN = 0.5  # curation funnel keep threshold
 _K_CENTROIDS = 8  # seed centroids for single-pass assignment
 
 _TOKENS_SQL = "string_split(trim(text), ' ')"
+_TOKENS_SPARK = "split(trim(text), ' ')"
 _NTOK_SQL = f"len({_TOKENS_SQL})"
 
 
@@ -390,4 +391,147 @@ def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         "dist_sum",
         "label_purity",
+    )
+
+
+_VOCAB_TOP = 100  # emitted vocabulary rows
+_BPE_TOP = 50  # emitted merge-candidate rows
+
+
+@register(
+    "vocab_top_tokens",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lower(t) AS token
+        FROM documents, LATERAL unnest({_TOKENS_SQL}) AS u(t)
+    ),
+    counts AS (
+        SELECT token, count(*) AS n FROM tok GROUP BY token
+    ),
+    total AS (SELECT sum(n) AS tot FROM counts),
+    ranked AS (
+        SELECT token, n,
+               row_number() OVER (ORDER BY n DESC, token) AS rank
+        FROM counts
+    )
+    SELECT r.token, CAST(r.n AS BIGINT) AS n,
+           CAST(r.rank AS BIGINT) AS rank,
+           round(CAST(r.n AS DOUBLE) / t.tot, 6) AS corpus_frac
+    FROM ranked r CROSS JOIN total t
+    WHERE r.rank <= {_VOCAB_TOP}
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: the top-{_VOCAB_TOP} tokens by corpus frequency
+    with each token's corpus fraction — the Zipf table of a dataset card
+    and the frequency input to any vocab-truncation decision.
+
+    Scale shape: explode → hash agg with map-side partials (the shuffle
+    carries one row per *distinct* token, not per occurrence), the total
+    is a scalar agg broadcast back, and top-k is TakeOrderedAndProject
+    (per-partition heaps — no global sort of the vocabulary).
+    corpus_frac is int÷int (one IEEE op, bit-identical cross-engine)."""
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(
+            F.explode(F.expr(f"transform({_TOKENS_SPARK}, t -> lower(t))")).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("tot"))
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, no global sort of the vocabulary), THEN rank the ≤k
+    # survivors with a window — the window's single partition holds k
+    # rows, not |vocab|.
+    top = counts.orderBy(F.col("n").desc(), "token").limit(_VOCAB_TOP)
+    ranked = top.select(
+        "token",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "token"))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "token",
+        "n",
+        "rank",
+        F.round(F.col("n") / F.col("tot"), 6).alias("corpus_frac"),
+    )
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lower(t) AS token, count(*) AS freq
+        FROM documents, LATERAL unnest({_TOKENS_SQL}) AS u(t)
+        GROUP BY lower(t)
+    ),
+    pairs AS (
+        SELECT substr(token, i, 2) AS pair, sum(freq) AS n
+        FROM tok, LATERAL (
+            SELECT unnest(range(1, length(token))) AS i)
+        WHERE length(token) >= 2
+        GROUP BY substr(token, i, 2)
+    ),
+    ranked AS (
+        SELECT pair, n,
+               row_number() OVER (ORDER BY n DESC, pair) AS rank
+        FROM pairs
+    )
+    SELECT pair, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_BPE_TOP}
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration: corpus-wide counts of adjacent
+    character pairs inside tokens, weighted by token frequency — the
+    exact statistic a BPE tokenizer trainer maximizes at each merge
+    step (Sennrich et al.'s algorithm; one iteration, the repeated-merge
+    loop is driver-side over this same query shape).
+
+    Scale shape: tokens collapse to (token, freq) FIRST (hash agg on
+    distinct tokens — the corpus's occurrence count never re-explodes),
+    then pairs explode only the *distinct-token* set and re-aggregate
+    weighted by freq. Two shuffles over vocabulary-sized data, then
+    TakeOrdered top-k; at 100 TB the pair agg input is |vocab|·|avg
+    token len|, orders of magnitude below corpus token count."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = (
+        docs.select(
+            F.explode(F.expr(f"transform({_TOKENS_SPARK}, t -> lower(t))")).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("token") >= 2)
+    )
+    pairs = (
+        tok.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(token) - 1),"
+                    " i -> substring(token, i, 2))"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+    )
+    # same top-k-then-rank shape as vocab_top_tokens: heap-based limit
+    # before the (tiny) ranking window
+    top = pairs.orderBy(F.col("n").desc(), "pair").limit(_BPE_TOP)
+    return top.select(
+        "pair",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "pair"))
+        .cast("bigint")
+        .alias("rank"),
     )

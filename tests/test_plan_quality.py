@@ -138,6 +138,9 @@ class TestShuffleBudget:
             ("embedding_kmeans_assign", 1),
             # argmin agg + (cluster,label) agg + cluster agg
             ("embedding_cluster_profile", 3),
+            # token agg + scalar total + tiny post-limit rank window
+            ("vocab_top_tokens", 3),
+            ("bpe_merge_candidates", 2),    # token agg + pair agg
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):

@@ -123,3 +123,38 @@ class TestClusterProfile:
         for r in prof:
             assert 0.0 < r.label_purity <= 1.0
             assert r.dist_sum >= 0.0
+
+
+class TestVocab:
+    def test_top_tokens_ranked_and_fractional(self, spark):
+        rows = sorted(
+            run(spark, "vocab_top_tokens").collect(), key=lambda r: r.rank
+        )
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        ns = [r.n for r in rows]
+        assert ns == sorted(ns, reverse=True)
+        assert all(0.0 < r.corpus_frac <= 1.0 for r in rows)
+        # fractions of the whole corpus: the head can't exceed 100%
+        # (each row rounds to 6 decimals, so allow n·5e-7 upward drift)
+        assert sum(r.corpus_frac for r in rows) <= 1.0 + len(rows) * 5e-7
+
+    def test_bpe_pairs_match_brute_force(self, spark):
+        """Independent Python recount of weighted pair frequencies."""
+        from collections import Counter
+
+        from rust_cdc_spark.sources.tables import load_table
+
+        texts = [
+            r.text for r in load_table(spark, "documents", SF_SMOKE).collect()
+        ]
+        counts: Counter = Counter()
+        for t in texts:
+            for tok in t.strip().split(" "):
+                tok = tok.lower()
+                for i in range(len(tok) - 1):
+                    counts[tok[i : i + 2]] += 1
+        want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+        got = sorted(
+            run(spark, "bpe_merge_candidates").collect(), key=lambda r: r.rank
+        )
+        assert [(r.pair, r.n) for r in got] == want
