@@ -51,7 +51,7 @@ _R01_UNCHECKED = [
     # training-set assembly queries (round 2) — driver-unchecked, run early
     "pack_sequences", "mixture_interleave", "curation_pipeline",
     "embedding_kmeans_assign", "embedding_cluster_profile",
-    "vocab_top_tokens", "bpe_merge_candidates",
+    "vocab_top_tokens", "bpe_merge_candidates", "bpe_train_merges",
 ]
 
 

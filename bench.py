@@ -55,6 +55,7 @@ HEADLINE = [
     "embedding_cluster_profile",
     "vocab_top_tokens",
     "bpe_merge_candidates",
+    "bpe_train_merges",
 ]
 
 

@@ -535,3 +535,29 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank"),
     )
+
+
+_N_MERGES = 8
+
+
+@register("bpe_train_merges", oracle=None)  # iterative algorithm: rows-only
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE training loop ({_N_MERGES} merges) over the corpus —
+    the iterative extension of bpe_merge_candidates. Each iteration
+    aggregates pair frequencies over the vocabulary table and folds the
+    winning pair into the symbol arrays (operators/bpe.py); the driver
+    holds only the model (one pair per step), like the IVF k-means
+    trainer. Non-SQL-expressible (iterative argmax + rewrite), so this
+    is a rows-only entry; exact equivalence against a brute-force
+    Python BPE implementation is pinned in tests/test_bpe.py."""
+    from rust_cdc_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = learn_bpe_merges(docs, n_merges=_N_MERGES)
+    rows = [
+        (i + 1, left, right, left + right, n)
+        for i, (left, right, n) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "step int, left string, right string, merged string, pair_freq bigint"
+    )

@@ -1,0 +1,142 @@
+"""End-to-end composition of the engine's two halves: a CDC change log
+maintains a documents table (collapse → MERGE, the reference pipeline),
+and the training-data operators (curation filters, exact dedup, packing)
+run over the merged current state. Asserts the full chain against
+independently computed expectations — the "replicate your OLTP corpus
+and curate it into a training set" use case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from rust_cdc_spark.functions import text as TX
+from rust_cdc_spark.operators.bpe import learn_bpe_merges
+from rust_cdc_spark.operators.dedup import exact_dedup
+from rust_cdc_spark.operators.merge import merge_upsert
+
+
+def _env(op, pos, before=None, after=None):
+    return Row(
+        log_file="binlog.000001",
+        log_pos=pos,
+        op=op,
+        before=before,
+        after=after,
+    )
+
+
+def _img(doc_id, text, source="web"):
+    return Row(doc_id=doc_id, text=text, source=source)
+
+
+IMG_SCHEMA = "struct<doc_id:bigint,text:string,source:string>"
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        f"log_file string, log_pos bigint, op string, "
+        f"before {IMG_SCHEMA}, after {IMG_SCHEMA}",
+    )
+
+
+GOOD = (
+    "the cat is in the hat and it is a good day to read of things "
+    "that are in the world and it is fine"
+)
+DUP = "the dog is in the yard and it is a fine day to run"
+JUNK = "zzzz qqqq xxxx"
+
+
+class TestCdcToTrainingSet:
+    def test_merge_then_curate_then_pack(self, spark):
+        target = spark.createDataFrame(
+            [
+                _img(1, GOOD),
+                _img(2, DUP),
+                _img(4, "stale text to be replaced"),
+            ],
+            IMG_SCHEMA.replace("struct<", "").replace(">", "")
+            .replace(":", " "),
+        )
+        changes = _changes(
+            spark,
+            [
+                _env("I", 10, after=_img(3, DUP)),        # dup of doc 2
+                _env("U", 20, before=_img(4, "stale text to be replaced"),
+                     after=_img(4, GOOD + " extra")),
+                _env("I", 30, after=_img(5, JUNK)),        # fails curation
+                _env("I", 40, after=_img(6, GOOD)),        # dup of doc 1
+                _env("D", 50, before=_img(2, DUP), after=None),
+            ],
+        )
+        state = merge_upsert(target, changes, ["doc_id"])
+        got_state = {r.doc_id: r.text for r in state.collect()}
+        assert got_state == {
+            1: GOOD,
+            3: DUP,          # insert survives; original doc 2 deleted
+            4: GOOD + " extra",
+            5: JUNK,
+            6: GOOD,
+        }
+
+        # curation over the merged state: lang/quality filter then exact
+        # dedup keeps the canonical (min doc_id) copy per fingerprint
+        curated = (
+            state.filter(
+                (TX.stopword_ratio("text") >= 0.08)
+                & (TX.quality_score("text") >= 0.5)
+            )
+        )
+        canon = exact_dedup(curated).filter(F.col("n_copies") >= 1)
+        kept = {r.canonical_id for r in canon.collect()}
+        # JUNK (doc 5) fails filters; GOOD dedups 1 vs 6 -> keep 1
+        assert kept == {1, 3, 4}
+
+        # pack the surviving docs into token-budget bins (CTX=16 to make
+        # multiple bins from a tiny corpus) and check the bins reconcile
+        keep_df = state.join(
+            canon.select(F.col("canonical_id").alias("doc_id")), "doc_id"
+        ).select(
+            "doc_id", TX.token_count("text").cast("bigint").alias("n_tokens")
+        )
+        from pyspark.sql import Window
+
+        w = (
+            Window.orderBy(F.md5(F.col("doc_id").cast("string")))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        packed = keep_df.select(
+            "doc_id",
+            "n_tokens",
+            F.floor((F.sum("n_tokens").over(w) - 1) / 16).alias("bin_id"),
+        ).collect()
+        total = sum(r.n_tokens for r in packed)
+        bins = {r.bin_id for r in packed}
+        # a doc larger than the budget spans bins (trainer continues it),
+        # so bins need not be contiguous; the LAST doc must land in the
+        # final bin and every id must be in range
+        assert max(bins) == (total - 1) // 16
+        assert all(0 <= b <= (total - 1) // 16 for b in bins)
+        assert len(packed) == 3
+
+    def test_bpe_trains_on_merged_state(self, spark):
+        """The tokenizer trains on the *current* table state — deleted
+        and stale rows must not influence the merge statistics."""
+        target = spark.createDataFrame(
+            [_img(1, "ab ab ab")], IMG_SCHEMA.replace("struct<", "")
+            .replace(">", "").replace(":", " ")
+        )
+        changes = _changes(
+            spark,
+            [
+                _env("I", 10, after=_img(2, "cd cd cd cd")),
+                _env("D", 20, before=_img(1, "ab ab ab"), after=None),
+            ],
+        )
+        state = merge_upsert(target, changes, ["doc_id"])
+        merges = learn_bpe_merges(state, n_merges=1)
+        # only 'cd cd cd cd' remains -> (c,d) x4, never (a,b)
+        assert merges == [("c", "d", 4)]

@@ -261,3 +261,50 @@ def test_stream_stream_interval_join_matches_batch_range_join(
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_curation_matches_batch(spark, tmp_path):
+    """Streaming corpus ingestion with inline curation: quality/lang
+    filters (pure expressions run unchanged under streaming) + exact
+    dedup via dropDuplicates on the content fingerprint (bounded state
+    under a watermark-free append over a finite backlog). The surviving
+    set must equal the batch curation verdicts on the same corpus."""
+    from rust_cdc_spark.functions import text as TX
+
+    src = str(tmp_path / "docs_stream")
+    docs = load_table(spark, "documents", SF_SMOKE)
+    docs.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def curate(df):
+        scored = df.select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+            ).alias("fp"),
+            TX.quality_score("text").alias("quality"),
+            (TX.stopword_ratio("text") >= 0.08).alias("lang_ok"),
+        )
+        return scored.filter(F.col("lang_ok") & (F.col("quality") >= 0.5))
+
+    stream = curate(spark.readStream.schema(schema).parquet(src)).dropDuplicates(
+        ["fp"]
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curated_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT fp, count(*) AS c FROM curated_stream GROUP BY fp")
+    got_fps = {r.fp: r.c for r in got.collect()}
+
+    want_fps = {
+        r.fp for r in curate(spark.read.parquet(src)).select("fp").distinct().collect()
+    }
+    assert set(got_fps) == want_fps and len(want_fps) > 0
+    # exactly-once per fingerprint through the streaming dedup
+    assert all(c == 1 for c in got_fps.values())
