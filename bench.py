@@ -56,6 +56,7 @@ HEADLINE = [
     "vocab_top_tokens",
     "bpe_merge_candidates",
     "bpe_train_merges",
+    "events_gap_fill",
 ]
 
 

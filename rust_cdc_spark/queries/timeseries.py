@@ -138,3 +138,81 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
+
+
+_GF_BUCKET_S = 21600  # 6-hour resample buckets
+
+
+@register(
+    "events_gap_fill",
+    oracle=f"""
+    WITH b AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // {_GF_BUCKET_S} AS bucket,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        FROM b GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM span
+    ),
+    j AS (
+        SELECT g.user_id, g.bucket, b.n, b.sum_value
+        FROM grid g LEFT JOIN b USING (user_id, bucket)
+    )
+    SELECT user_id, bucket,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           last_value(sum_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_sum,
+           (n IS NULL) AS is_gap
+    FROM j
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample + gap-fill: each user's event stream re-gridded to
+    6-hour buckets spanning [their first, their last] bucket, empty
+    buckets flagged and forward-filled with the last seen aggregate —
+    the standard time-series densification every metrics/feature
+    pipeline needs (Spark has no native ``generate_series``-join; this
+    is the sequence-explode composition that replaces it).
+
+    Scale shape: one user-keyed agg (map-side partial) feeds both the
+    span agg and the join; the grid explode is bounded by span/bucket
+    (≤121 rows per user-month here); join and forward-fill window share
+    the user_id partitioning. Buckets are epoch-second integers, so
+    both engines compute identical keys with no timezone arithmetic."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    b = (
+        ev.select(
+            "user_id",
+            F.expr(f"CAST(ts AS LONG) div {_GF_BUCKET_S}").alias("bucket"),
+            "value",
+        )
+        .groupBy("user_id", "bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    span = b.groupBy("user_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    j = grid.join(b, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_sum"),
+        F.col("n").isNull().alias("is_gap"),
+    )

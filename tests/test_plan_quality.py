@@ -141,6 +141,8 @@ class TestShuffleBudget:
             # token agg + scalar total + tiny post-limit rank window
             ("vocab_top_tokens", 3),
             ("bpe_merge_candidates", 2),    # token agg + pair agg
+            # user agg; span/join/ffill reuse the user_id partitioning
+            ("events_gap_fill", 2),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):

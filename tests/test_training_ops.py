@@ -158,3 +158,45 @@ class TestVocab:
             run(spark, "bpe_merge_candidates").collect(), key=lambda r: r.rank
         )
         assert [(r.pair, r.n) for r in got] == want
+
+
+class TestGapFill:
+    def test_forward_fill_matches_python_replay(self, spark):
+        """Independent per-user replay: bucket aggregation, grid
+        expansion, and forward-fill recomputed in plain Python."""
+        from collections import defaultdict
+
+        from pyspark.sql import functions as F
+
+        from rust_cdc_spark.sources.tables import load_table
+
+        ev = load_table(spark, "events", SF_SMOKE).select(
+            "user_id", F.expr("CAST(ts AS LONG) div 21600").alias("b"), "value"
+        )
+        agg: dict = defaultdict(lambda: [0, 0.0])
+        for r in ev.collect():
+            a = agg[(r.user_id, r.b)]
+            a[0] += 1
+            a[1] += r.value
+        per_user: dict = defaultdict(dict)
+        for (u, b), (n, s) in agg.items():
+            per_user[u][b] = (n, round(s, 2))
+        want = {}
+        for u, buckets in per_user.items():
+            last = None
+            for b in range(min(buckets), max(buckets) + 1):
+                n, s = buckets.get(b, (0, None))
+                if s is not None:
+                    last = s
+                want[(u, b)] = (n, last, b not in buckets)
+        got = {
+            (r.user_id, r.bucket): (r.n_events, r.filled_sum, r.is_gap)
+            for r in run(spark, "events_gap_fill").collect()
+        }
+        assert set(got) == set(want)
+        for k, (n, s, gap) in want.items():
+            gn, gs, ggap = got[k]
+            assert gn == n and ggap == gap, k
+            assert (gs is None) == (s is None), k
+            if s is not None:
+                assert abs(gs - s) < 1e-6, k
