@@ -52,7 +52,7 @@ _R01_UNCHECKED = [
     "pack_sequences", "mixture_interleave", "curation_pipeline",
     "embedding_kmeans_assign", "embedding_cluster_profile",
     "vocab_top_tokens", "bpe_merge_candidates", "bpe_train_merges",
-    "events_gap_fill",
+    "events_gap_fill", "chunk_documents_overlap", "cluster_balanced_sample",
 ]
 
 

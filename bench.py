@@ -57,6 +57,8 @@ HEADLINE = [
     "bpe_merge_candidates",
     "bpe_train_merges",
     "events_gap_fill",
+    "chunk_documents_overlap",
+    "cluster_balanced_sample",
 ]
 
 

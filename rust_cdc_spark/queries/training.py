@@ -561,3 +561,129 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, left string, right string, merged string, pair_freq bigint"
     )
+
+
+_CHUNK_TOKENS = 20  # RAG chunk width
+_CHUNK_STRIDE = 10  # overlap stride
+
+
+@register(
+    "chunk_documents_overlap",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_TOKENS_SQL} AS words FROM documents),
+    c AS (
+        SELECT doc_id,
+               i AS chunk_id,
+               i * {_CHUNK_STRIDE} AS start_tok,
+               words[(i * {_CHUNK_STRIDE} + 1):(i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS})]
+                   AS chunk
+        FROM w, LATERAL (
+            SELECT unnest(range(0,
+                CAST(ceil(greatest(len(words) - {_CHUNK_TOKENS}, 0)
+                          / {_CHUNK_STRIDE}.0) AS BIGINT) + 1)) AS i)
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(chunk) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_fp
+    FROM c
+    """,
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (the RAG-ingestion shape):
+    {_CHUNK_TOKENS}-token chunks at a {_CHUNK_STRIDE}-token stride, each
+    fingerprinted for downstream chunk-level dedup/embedding. The chunk
+    count per doc is ceil(max(n_tokens - W, 0) / S) + 1 — every token is
+    covered and the final chunk may be short.
+
+    Scale shape: pure map stage — the chunk windows are built per row
+    with higher-order array functions inside codegen, no shuffle at all;
+    at 100 TB this parallelizes by scan partition like any projection."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = docs.select("doc_id", F.expr(_TOKENS_SPARK).alias("words"))
+    c = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(greatest(size(words) - "
+                f"{_CHUNK_TOKENS}, 0) / {_CHUNK_STRIDE}.0) as int)),"
+                f" i -> struct(cast(i as bigint) AS chunk_id,"
+                f" cast(i * {_CHUNK_STRIDE} as bigint) AS start_tok,"
+                f" slice(words, i * {_CHUNK_STRIDE} + 1, {_CHUNK_TOKENS}) AS chunk))"
+            )
+        ).alias("c"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.size("c.chunk").alias("n_chunk_tokens"),
+        F.md5(F.array_join("c.chunk", " ")).alias("chunk_fp"),
+    )
+
+
+_PER_CLUSTER = 30  # balanced-sample quota per cluster
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=f"""
+    WITH {_CENTROID_SQL},
+    a AS (SELECT vec_id, cid FROM assigned WHERE rn = 1),
+    ranked AS (
+        SELECT vec_id, cid,
+               row_number() OVER (
+                   PARTITION BY cid
+                   ORDER BY md5(CAST(vec_id AS VARCHAR))
+               ) AS pick
+        FROM a
+    )
+    SELECT vec_id,
+           CAST(cid AS BIGINT) AS cluster_id,
+           CAST(pick AS BIGINT) AS pick
+    FROM ranked
+    WHERE pick <= {_PER_CLUSTER}
+    """,
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling: up to {_PER_CLUSTER} vectors per
+    k-means cluster, picked by md5 order — the mixture-balancing
+    downsample that follows embedding_cluster_profile (oversampled
+    clusters are cut to quota; rare clusters keep everything).
+
+    Scale shape: the broadcast argmin assignment feeds a cid-keyed
+    row_number window — one corpus shuffle on cluster id; the md5 pick
+    order is content-derived, so the sample is stable under
+    re-partitioning and retries (same property as
+    operators/sampling.stratified_sample)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = (
+        emb.filter(F.col("vec_id") < _K_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        V.l2_distance(F.col("embedding"), F.col("cv")).alias("dist"),
+    )
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cid"))
+    )
+    ranked = assign.select(
+        "vec_id",
+        "cid",
+        F.row_number()
+        .over(
+            Window.partitionBy("cid").orderBy(
+                F.md5(F.col("vec_id").cast("string"))
+            )
+        )
+        .cast("bigint")
+        .alias("pick"),
+    ).filter(F.col("pick") <= _PER_CLUSTER)
+    return ranked.select(
+        "vec_id", F.col("cid").cast("bigint").alias("cluster_id"), "pick"
+    )

@@ -143,6 +143,9 @@ class TestShuffleBudget:
             ("bpe_merge_candidates", 2),    # token agg + pair agg
             # user agg; span/join/ffill reuse the user_id partitioning
             ("events_gap_fill", 2),
+            ("chunk_documents_overlap", 0),  # pure map: HOF chunk windows
+            # broadcast argmin agg + cid quota window
+            ("cluster_balanced_sample", 2),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):

@@ -200,3 +200,52 @@ class TestGapFill:
             assert (gs is None) == (s is None), k
             if s is not None:
                 assert abs(gs - s) < 1e-6, k
+
+
+class TestChunking:
+    def test_every_token_covered_and_strides_align(self, spark):
+        from rust_cdc_spark.queries.training import (
+            _CHUNK_STRIDE,
+            _CHUNK_TOKENS,
+        )
+        from rust_cdc_spark.sources.tables import load_table
+
+        n_tokens = {
+            r.doc_id: len(r.text.strip().split(" "))
+            for r in load_table(spark, "documents", SF_SMOKE).collect()
+        }
+        by_doc: dict[int, list] = {}
+        for r in run(spark, "chunk_documents_overlap").collect():
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert set(by_doc) == set(n_tokens)
+        for doc_id, chunks in by_doc.items():
+            chunks.sort(key=lambda r: r.chunk_id)
+            nt = n_tokens[doc_id]
+            want_chunks = max(0, -(-(nt - _CHUNK_TOKENS) // _CHUNK_STRIDE)) + 1
+            assert len(chunks) == want_chunks, doc_id
+            for r in chunks:
+                assert r.start_tok == r.chunk_id * _CHUNK_STRIDE
+                assert r.n_chunk_tokens == min(_CHUNK_TOKENS, nt - r.start_tok)
+            # full coverage: last chunk reaches the end of the doc
+            last = chunks[-1]
+            assert last.start_tok + last.n_chunk_tokens == nt, doc_id
+
+
+class TestClusterBalancedSample:
+    def test_quota_and_membership(self, spark):
+        from rust_cdc_spark.queries.training import _PER_CLUSTER
+
+        assign = {
+            r.vec_id: r.cluster_id
+            for r in run(spark, "embedding_kmeans_assign").collect()
+        }
+        picks: dict[int, list] = {}
+        for r in run(spark, "cluster_balanced_sample").collect():
+            assert assign[r.vec_id] == r.cluster_id, r.vec_id
+            picks.setdefault(r.cluster_id, []).append(r.pick)
+        sizes: dict[int, int] = {}
+        for cid in assign.values():
+            sizes[cid] = sizes.get(cid, 0) + 1
+        for cid, ps in picks.items():
+            want = min(_PER_CLUSTER, sizes[cid])
+            assert sorted(ps) == list(range(1, want + 1)), cid
