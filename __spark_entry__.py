@@ -53,6 +53,7 @@ _R01_UNCHECKED = [
     "embedding_kmeans_assign", "embedding_cluster_profile",
     "vocab_top_tokens", "bpe_merge_candidates", "bpe_train_merges",
     "events_gap_fill", "chunk_documents_overlap", "cluster_balanced_sample",
+    "train_val_test_split", "scalar_base64_roundtrip",
 ]
 
 

@@ -59,6 +59,7 @@ HEADLINE = [
     "events_gap_fill",
     "chunk_documents_overlap",
     "cluster_balanced_sample",
+    "train_val_test_split",
 ]
 
 

@@ -391,3 +391,34 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_count
         """
     )
+
+
+@register(
+    "scalar_base64_roundtrip",
+    # the reference base64-encodes blob values for display
+    # (/root/reference/src/mysql/value.rs:17-25); this exercises the
+    # same binary<->text scalar slot end-to-end
+    oracle="""
+    SELECT p_partkey,
+           to_base64(encode(p_name)) AS b64,
+           decode(from_base64(to_base64(encode(p_name)))) AS roundtrip,
+           CAST(octet_length(encode(p_name)) AS INT) AS n_bytes
+    FROM part
+    WHERE p_partkey % 10 = 0
+    """,
+)
+def scalar_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary scalar functions: utf-8 encode → base64 → decode round
+    trip plus byte length — map-only, pushdown-filtered scan."""
+    register_views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               base64(encode(p_name, 'UTF-8')) AS b64,
+               decode(unbase64(base64(encode(p_name, 'UTF-8'))), 'UTF-8')
+                   AS roundtrip,
+               CAST(octet_length(encode(p_name, 'UTF-8')) AS INT) AS n_bytes
+        FROM part
+        WHERE p_partkey % 10 = 0
+        """
+    )

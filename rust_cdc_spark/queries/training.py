@@ -687,3 +687,47 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "vec_id", F.col("cid").cast("bigint").alias("cluster_id"), "pick"
     )
+
+
+def _split_thresholds():
+    from rust_cdc_spark.operators.sampling import hex_threshold
+
+    return hex_threshold(0.8), hex_threshold(0.9)
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               md5('split|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN h < '{"%032x" % int(0.8 * 16**32)}' THEN 'train'
+                WHEN h < '{"%032x" % int(0.9 * 16**32)}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM d
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5 digest
+    threshold (salted so it is independent of every other md5-keyed
+    decision in the pipeline) — the split is a pure function of doc_id,
+    so it is stable across engines, retries, re-partitioning, and
+    incremental corpus growth (a new doc never moves an old one between
+    splits, unlike rank-based splits).
+
+    Scale shape: map-only — a string comparison per row against two
+    constant hex thresholds; no shuffle, no state. The same idiom as
+    operators/sampling.bernoulli_sample."""
+    t80, t90 = _split_thresholds()
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string")))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(h < t80, "train").when(h < t90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )

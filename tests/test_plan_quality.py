@@ -146,6 +146,8 @@ class TestShuffleBudget:
             ("chunk_documents_overlap", 0),  # pure map: HOF chunk windows
             # broadcast argmin agg + cid quota window
             ("cluster_balanced_sample", 2),
+            ("train_val_test_split", 0),    # map-only digest threshold
+            ("scalar_base64_roundtrip", 0),  # map-only binary scalars
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):

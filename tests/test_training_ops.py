@@ -249,3 +249,23 @@ class TestClusterBalancedSample:
         for cid, ps in picks.items():
             want = min(_PER_CLUSTER, sizes[cid])
             assert sorted(ps) == list(range(1, want + 1)), cid
+
+
+class TestTrainValTestSplit:
+    def test_partition_and_stability(self, spark):
+        rows = run(spark, "train_val_test_split").collect()
+        by_split: dict[str, int] = {}
+        for r in rows:
+            by_split[r.split] = by_split.get(r.split, 0) + 1
+        assert set(by_split) <= {"train", "val", "test"}
+        # ~80/10/10 at corpus size (binomial tolerance)
+        n = len(rows)
+        assert by_split.get("train", 0) > 0.6 * n
+        # pure function of doc_id: re-running yields identical splits
+        again = {r.doc_id: r.split for r in run(spark, "train_val_test_split").collect()}
+        assert {r.doc_id: r.split for r in rows} == again
+
+    def test_no_shuffle(self, spark):
+        from rust_cdc_spark.plans import explain as X
+
+        assert X.count_exchanges(run(spark, "train_val_test_split")) == 0
