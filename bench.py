@@ -60,6 +60,7 @@ HEADLINE = [
     "chunk_documents_overlap",
     "cluster_balanced_sample",
     "train_val_test_split",
+    "scalar_base64_roundtrip",
 ]
 
 

@@ -76,6 +76,7 @@ def build_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 F.expr(f"transform(split(trim({text_col}), ' '), t -> lower(t))")
             ).alias("token")
         )
+        .filter(F.col("token") != "")  # consecutive-space artifact: list('') is [] in the reference algorithm, but split('','') is [''] here
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
         .select("token", "freq", F.split("token", "").alias("syms"))
@@ -124,9 +125,13 @@ def segment_tokens(
     syms = F.split(F.col("token"), "")
     for left, right, _ in merges:
         syms = _apply_merge(syms, left, right)
-    return docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(f"transform(split(trim({text_col}), ' '), t -> lower(t))")
-        ).alias("token"),
-    ).select("doc_id", "token", syms.alias("pieces"))
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform(split(trim({text_col}), ' '), t -> lower(t))")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")  # same empty-token rule as build_vocab
+        .select("doc_id", "token", syms.alias("pieces"))
+    )

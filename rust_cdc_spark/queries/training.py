@@ -11,10 +11,9 @@ Design rules (same as the rest of the registry):
 - Determinism is md5-based (engine- and retry-stable), never
   ``rand()``/``hash()`` (JVM-internal, not reproducible in the oracle).
 - Packing and interleave are windowed per shard/source so the shuffles
-  are key-partitioned — no global state; the only total order is the
-  final training-order sort, which Spark range-partitions (TeraSort
-  shape — the unavoidable cost of emitting one global order, and still
-  cluster-parallel).
+  are key-partitioned — no global state and no global sort anywhere:
+  the interleave's global position is computed arithmetically from a
+  broadcast per-source size table, never by a corpus-wide row_number.
 - Cluster assignment is a broadcast cross join against a constant-size
   centroid set — the corpus side never shuffles.
 """
@@ -66,9 +65,9 @@ _NTOK_SQL = f"len({_TOKENS_SQL})"
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into fixed-token-budget training sequences.
 
-    Documents are sharded by ``doc_id % {_N_SHARDS}``, ordered within a
+    Documents are sharded by ``doc_id % 8``, ordered within a
     shard by an md5 key (deterministic shuffle), and assigned to the
-    {_CTX_TOKENS}-token bin their running token total lands in — the
+    512-token bin their running token total lands in — the
     chunked-packing strategy (a doc may straddle a boundary; trainers
     truncate/continue, same as T5/GPT block packing).
 
@@ -124,11 +123,14 @@ def mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     that keeps any window of the training stream source-balanced.
 
     Scale shape: the per-source rank is a key-partitioned window; the
-    global position is a range-partitioned sort on (rank, source) —
-    Spark samples range bounds and sorts partitions in parallel
-    (TeraSort shape). At 100 TB you'd usually stop at (rank, source)
-    and let the writer's file ordering carry the global order; the
-    explicit row_number here is the checkable form of the same plan."""
+    global position is then *arithmetic*, not a global sort — a doc at
+    (rank r, source s) sits after every doc of rank < r (Σ_s'
+    min(|s'|, r-1)) plus the same-rank docs of earlier-named sources
+    with ≥ r docs. The per-source size table is constant-small, so it
+    rides in as a broadcast struct array and the position is a codegen
+    fold per row. No corpus-sized single-partition exchange anywhere
+    (the naive row_number-over-everything plans Exchange
+    SinglePartition — the thing that dies at 100 TB)."""
     docs = load_table(spark, "documents", sf_dir)
     r = docs.select(
         "doc_id",
@@ -142,14 +144,26 @@ def mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank_in_source"),
     )
-    return r.select(
+    sizes = docs.groupBy("source").agg(F.count("*").alias("sz"))
+    srcs = sizes.agg(
+        F.sort_array(F.collect_list(F.struct("source", "sz"))).alias("srcs")
+    )
+    pos = F.aggregate(
+        F.col("srcs"),
+        F.lit(1).cast("bigint"),
+        lambda acc, e: acc
+        + F.least(e["sz"], F.col("rank_in_source") - 1)
+        + F.when(
+            (e["sz"] >= F.col("rank_in_source"))
+            & (e["source"] < F.col("source")),
+            F.lit(1).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return r.crossJoin(F.broadcast(srcs)).select(
         "doc_id",
         "source",
         "rank_in_source",
-        F.row_number()
-        .over(Window.orderBy("rank_in_source", "source", "doc_id"))
-        .cast("bigint")
-        .alias("global_pos"),
+        pos.alias("global_pos"),
     )
 
 
@@ -205,7 +219,7 @@ _LANG_OK_SQL = f"""
 )
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel, accounted per source: language filter
-    → quality threshold ({_QUALITY_MIN}) → exact dedup (canonical doc
+    → quality threshold (0.5) → exact dedup (canonical doc
     survives) → per-source keep counts, surviving token budget, and kept
     quality. This is the dataset-card "what survived curation" table —
     the composition of lang_id_heuristic, text_quality_score and
@@ -221,11 +235,9 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         TX.token_count("text").cast("bigint").alias("n_tokens"),
-        F.md5(
-            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-        ).alias("fp"),
+        TX.fingerprint("text").alias("fp"),
         TX.quality_score("text").alias("quality"),
-        (TX.stopword_ratio("text") >= 0.08).alias("lang_ok"),
+        (TX.lang_id("text") == "en").alias("lang_ok"),
     )
     passes = F.col("lang_ok") & (F.col("quality") >= _QUALITY_MIN)
     flagged = scored.select(
@@ -250,6 +262,37 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.coalesce(F.sum(F.when(kept, F.col("quality"))), F.lit(0.0)), 4
         ).alias("kept_quality_sum"),
+    )
+
+
+
+def _assign_nearest(emb: DataFrame, *extra_cols: str) -> DataFrame:
+    """Shared nearest-seed-centroid assignment (the Spark twin of the
+    oracle-side ``_CENTROID_SQL``): broadcast the vec_id < _K_CENTROIDS
+    seed set, score with a codegen L2, argmin as a min(struct) partial
+    agg keyed on vec_id (+ any functionally-dependent ``extra_cols``
+    carried through the groupBy). Used by embedding_kmeans_assign,
+    embedding_cluster_profile, and cluster_balanced_sample so the
+    assignment rule lives in exactly one place."""
+    cents = (
+        emb.filter(F.col("vec_id") < _K_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        *extra_cols,
+        "cid",
+        V.l2_distance(F.col("embedding"), F.col("cv")).alias("dist"),
+    )
+    return (
+        scored.groupBy("vec_id", *extra_cols)
+        .agg(F.min(F.struct("dist", "cid")).alias("b"))
+        .select(
+            "vec_id",
+            *extra_cols,
+            F.col("b.cid").alias("cid"),
+            F.col("b.dist").alias("dist"),
+        )
     )
 
 
@@ -294,29 +337,17 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means; this is its deterministic, seed-centroid form, which makes
     the assignment oracle-checkable value-for-value).
 
-    Centroids are the vectors with vec_id < {_K_CENTROIDS} (determinism
+    Centroids are the vectors with vec_id < 8 (determinism
     by construction, as faiss seeds from the corpus). Scale shape: the
     centroid set is constant-size → broadcast cross join; distance is a
     codegen'd higher-order expression; argmin is a min(struct) partial
     agg keyed on vec_id — at 100 TB the corpus side is scan → map →
     one partial-aggregated shuffle of |corpus| rows."""
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = (
-        emb.filter(F.col("vec_id") < _K_CENTROIDS)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
+    return _assign_nearest(emb).select(
         "vec_id",
-        "cid",
-        V.l2_distance(F.col("embedding"), F.col("cv")).alias("dist"),
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.min(F.struct("dist", "cid")).alias("b")
-    )
-    return best.select(
-        "vec_id",
-        F.col("b.cid").cast("bigint").alias("cluster_id"),
-        F.round("b.dist", 4).alias("dist"),
+        F.col("cid").cast("bigint").alias("cluster_id"),
+        F.round("dist", 4).alias("dist"),
     )
 
 
@@ -356,24 +387,10 @@ def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-partitioned shuffles total, all map-side partial; the corpus is
     scanned once; nothing driver-side."""
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = (
-        emb.filter(F.col("vec_id") < _K_CENTROIDS)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
+    assign = _assign_nearest(emb, "label").select(
+        F.col("cid").alias("cluster_id"),
+        F.round("dist", 4).alias("dist"),
         "label",
-        "cid",
-        V.l2_distance(F.col("embedding"), F.col("cv")).alias("dist"),
-    )
-    assign = (
-        scored.groupBy("vec_id", "label")
-        .agg(F.min(F.struct("dist", "cid")).alias("b"))
-        .select(
-            F.col("b.cid").alias("cluster_id"),
-            F.round("b.dist", 4).alias("dist"),
-            "label",
-        )
     )
     per_label = assign.groupBy("cluster_id", "label").agg(
         F.count("*").alias("n"), F.sum("dist").alias("s")
@@ -422,7 +439,7 @@ _BPE_TOP = 50  # emitted merge-candidate rows
     """,
 )
 def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary head: the top-{_VOCAB_TOP} tokens by corpus frequency
+    """Vocabulary head: the top-100 tokens by corpus frequency
     with each token's corpus fraction — the Zipf table of a dataset card
     and the frequency input to any vocab-truncation decision.
 
@@ -542,7 +559,7 @@ _N_MERGES = 8
 
 @register("bpe_train_merges", oracle=None)  # iterative algorithm: rows-only
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full BPE training loop ({_N_MERGES} merges) over the corpus —
+    """Full BPE training loop (8 merges) over the corpus —
     the iterative extension of bpe_merge_candidates. Each iteration
     aggregates pair frequencies over the vocabulary table and folds the
     winning pair into the symbol arrays (operators/bpe.py); the driver
@@ -592,9 +609,9 @@ _CHUNK_STRIDE = 10  # overlap stride
 )
 def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping-window document chunking (the RAG-ingestion shape):
-    {_CHUNK_TOKENS}-token chunks at a {_CHUNK_STRIDE}-token stride, each
+    20-token chunks at a 10-token stride, each
     fingerprinted for downstream chunk-level dedup/embedding. The chunk
-    count per doc is ceil(max(n_tokens - W, 0) / S) + 1 — every token is
+    count per doc is ceil(max(n_tokens - 20, 0) / 10) + 1 — every token is
     covered and the final chunk may be short.
 
     Scale shape: pure map stage — the chunk windows are built per row
@@ -647,7 +664,7 @@ _PER_CLUSTER = 30  # balanced-sample quota per cluster
     """,
 )
 def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-balanced corpus sampling: up to {_PER_CLUSTER} vectors per
+    """Cluster-balanced corpus sampling: up to 30 vectors per
     k-means cluster, picked by md5 order — the mixture-balancing
     downsample that follows embedding_cluster_profile (oversampled
     clusters are cut to quota; rare clusters keep everything).
@@ -658,20 +675,7 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-partitioning and retries (same property as
     operators/sampling.stratified_sample)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = (
-        emb.filter(F.col("vec_id") < _K_CENTROIDS)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cid",
-        V.l2_distance(F.col("embedding"), F.col("cv")).alias("dist"),
-    )
-    assign = (
-        scored.groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cid")).alias("b"))
-        .select("vec_id", F.col("b.cid").alias("cid"))
-    )
+    assign = _assign_nearest(emb).select("vec_id", "cid")
     ranked = assign.select(
         "vec_id",
         "cid",

@@ -52,7 +52,8 @@ def _corpus_token_freqs(spark):
     freqs: Counter = Counter()
     for t in texts:
         for tok in t.strip().split(" "):
-            freqs[tok.lower()] += 1
+            if tok:  # empty tokens (consecutive spaces) are dropped by build_vocab
+                freqs[tok.lower()] += 1
     return dict(freqs)
 
 

@@ -131,8 +131,9 @@ class TestShuffleBudget:
             # broadcast bench + bench distinct + one doc_id agg
             ("contamination_ngram_overlap", 3),
             ("pack_sequences", 1),          # per-shard window only
-            # per-source window + global-order sort (TeraSort shape)
-            ("mixture_interleave", 2),
+            # source window + tiny size agg + 20-row collect agg; the
+            # global position is arithmetic — no corpus-sized sort
+            ("mixture_interleave", 3),
             ("curation_pipeline", 2),       # fp window + source agg
             # broadcast centroids; one vec_id argmin agg
             ("embedding_kmeans_assign", 1),
