@@ -54,6 +54,9 @@ _R01_UNCHECKED = [
     "vocab_top_tokens", "bpe_merge_candidates", "bpe_train_merges",
     "events_gap_fill", "chunk_documents_overlap", "cluster_balanced_sample",
     "train_val_test_split", "scalar_base64_roundtrip",
+    # retrieval / semantic-curation queries (round 2) — driver-unchecked
+    "retrieval_bm25_topk", "retrieval_tfidf_top_terms",
+    "retrieval_rrf_fusion", "text_bigram_logprob", "semantic_dedup_prune",
 ]
 
 

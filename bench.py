@@ -61,6 +61,11 @@ HEADLINE = [
     "cluster_balanced_sample",
     "train_val_test_split",
     "scalar_base64_roundtrip",
+    "retrieval_bm25_topk",
+    "retrieval_tfidf_top_terms",
+    "retrieval_rrf_fusion",
+    "text_bigram_logprob",
+    "semantic_dedup_prune",
 ]
 
 

@@ -52,6 +52,7 @@ def load_all() -> dict[str, Query]:
         llm,
         multimodal,
         relational,
+        retrieval,
         sql_surface,
         timeseries,
         training,

@@ -1,0 +1,529 @@
+"""Retrieval scoring & semantic curation — the search side of a
+training-data pipeline.
+
+A 100 TB corpus is not just deduped and filtered; it is *queried*:
+benchmark decontamination, example mining, and RAG ingestion all need
+lexical ranking (BM25/TF-IDF), semantic ranking (embedding cosine), rank
+fusion of the two, and model-based quality scores (an n-gram LM standing
+in for the CCNet perplexity filter). SemDeDup-style pruning closes the
+loop: cluster embeddings, drop near-identical members within a cluster.
+
+Everything here is oracle-checked value-for-value against DuckDB. The
+float discipline is stricter than round-at-the-end: every per-item score
+is quantized to an integer micro-unit (``round(x * 1e6)`` → BIGINT)
+*before* any cross-row sum, so aggregation order — which Spark and DuckDB
+do not share — cannot perturb a single bit. Ranks order by the micro
+integer with an id tie-break, never by a raw double.
+
+Scale shapes (the part that must survive 1000 executors):
+- BM25 computes per-query-term tf with codegen array filters in the SAME
+  map stage that computes doc length — no token explode, no join, for a
+  bounded query-term set. The only shuffles are a |terms|-row df agg, a
+  scalar agg, and the per-doc score sum.
+- TF-IDF explodes tokens once; doc length rides the (doc, token) groupBy
+  as a functionally-dependent key instead of paying a per-doc join.
+- The bigram LM is two corpus-keyed hash aggs (bigram model, unigram
+  backoff) and one co-keyed big-big join of instances to the model —
+  key-partitioned all the way; the model is never collected.
+- SemDeDup pairs only within a cluster: K grows with the corpus, member
+  count per cluster stays ~constant, so the quadratic term is bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rust_cdc_spark.functions import vectors as V
+from rust_cdc_spark.queries import register
+from rust_cdc_spark.queries.training import _CENTROID_SQL, _assign_nearest
+from rust_cdc_spark.sources.tables import load_table
+
+# Fixed knobs — shared verbatim with the oracles.
+_QUERY_TERMS = ("hash", "join", "vector")  # the probe query, lexical side
+_K1, _B = 1.2, 0.75  # BM25 shape parameters (Robertson defaults)
+_TOP = 10  # emitted ranking rows
+_RRF_K = 60  # reciprocal-rank-fusion damping constant
+_RRF_POOL = 100  # per-list candidate pool before fusion
+_TFIDF_TOP = 3  # emitted terms per document
+_SEM_TAU = 0.35  # SemDeDup within-cluster cosine prune threshold
+
+_TOKS_SQL = "list_transform(string_split(trim(text), ' '), t -> lower(t))"
+_TOKS_SPARK = "transform(split(trim(text), ' '), t -> lower(t))"
+
+
+def _bm25_micro_sql() -> str:
+    """DuckDB CTE chain ending in ``bm25(doc_id, micro)`` — BM25 score in
+    integer micro-units per matching document."""
+    terms = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+    return f"""
+    base AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    tf AS (
+        SELECT b.doc_id, len(b.toks) AS dl, q.term,
+               len(list_filter(b.toks, x -> x = q.term)) AS tf
+        FROM base b CROSS JOIN (SELECT unnest([{terms}]) AS term) q
+    ),
+    dfx AS (
+        SELECT term, count(*) AS df FROM tf WHERE tf > 0 GROUP BY term
+    ),
+    scal AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl
+        FROM (SELECT DISTINCT doc_id, dl FROM tf)
+    ),
+    contrib AS (
+        SELECT t.doc_id,
+               CAST(round(
+                   ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * t.tf * ({_K1} + 1)
+                   / (t.tf + {_K1} * (1 - {_B} + {_B} * t.dl / s.avgdl))
+                   * 1e6) AS BIGINT) AS micro
+        FROM tf t JOIN dfx d USING (term) CROSS JOIN scal s
+        WHERE t.tf > 0
+    ),
+    bm25 AS (
+        SELECT doc_id, sum(micro) AS micro FROM contrib GROUP BY doc_id
+    )
+    """
+
+
+def _bm25_micro(docs: DataFrame) -> DataFrame:
+    """(doc_id, micro): BM25 of the fixed probe query in micro-units.
+
+    One map stage computes doc length AND per-term tf with codegen array
+    filters (`F.filter` + `size`) — the token array is never exploded and
+    the corpus side never joins for lengths. df per term (|terms| rows)
+    and the (n_docs, avgdl) scalars are broadcast back; the score is
+    quantized per (doc, term), then summed per doc as integers."""
+    base = docs.select(
+        "doc_id",
+        F.expr(_TOKS_SPARK).alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("term"),
+                        F.size(
+                            F.filter(F.col("toks"), lambda x: x == F.lit(t))
+                        ).alias("tf"),
+                    )
+                    for t in _QUERY_TERMS
+                ]
+            )
+        ),
+    )
+    dfx = base.filter(F.col("tf") > 0).groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scal = base.filter(F.col("term") == _QUERY_TERMS[0]).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _K1 * (
+        1 - _B + _B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (
+        base.filter(F.col("tf") > 0)
+        .join(F.broadcast(dfx), "term")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            F.round(idf * F.col("tf") * (_K1 + 1) / denom * 1e6)
+            .cast("bigint")
+            .alias("micro"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(F.sum("micro").alias("micro"))
+
+
+@register(
+    "retrieval_bm25_topk",
+    oracle=f"""
+    WITH {_bm25_micro_sql()},
+    ranked AS (
+        SELECT doc_id, micro,
+               row_number() OVER (ORDER BY micro DESC, doc_id) AS rank
+        FROM bm25
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+           round(micro / 1e6, 6) AS bm25
+    FROM ranked WHERE rank <= {_TOP}
+    """,
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} documents by BM25 for the fixed probe query — the lexical
+    ranking primitive of decontamination and example-mining sweeps.
+
+    Top-k is orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    no global sort); the rank window then runs over ≤ k rows. Ordering is
+    on the integer micro score with a doc_id tie-break — rank is
+    engine-stable by construction."""
+    scores = _bm25_micro(load_table(spark, "documents", sf_dir))
+    top = scores.orderBy(F.col("micro").desc(), "doc_id").limit(_TOP)
+    return top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("micro").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("rank"),
+        F.round(F.col("micro") / 1e6, 6).alias("bm25"),
+    )
+
+
+@register(
+    "retrieval_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, len({_TOKS_SQL}) AS dl, unnest({_TOKS_SQL}) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, dl, token, count(*) AS tf
+        FROM tok GROUP BY doc_id, dl, token
+    ),
+    dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    scal AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.token,
+               CAST(round(
+                   CAST(t.tf AS DOUBLE) / t.dl
+                   * ln((s.n_docs + 1.0) / (d.df + 1.0)) * 1e6)
+                 AS BIGINT) AS micro
+        FROM tf t JOIN dfx d USING (token) CROSS JOIN scal s
+    ),
+    ranked AS (
+        SELECT doc_id, token, micro,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY micro DESC, token) AS term_rank
+        FROM scored
+    )
+    SELECT doc_id, token, CAST(term_rank AS BIGINT) AS term_rank,
+           round(micro / 1e6, 6) AS tfidf
+    FROM ranked WHERE term_rank <= {_TFIDF_TOP}
+    """,
+)
+def retrieval_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {n} most characteristic terms per document by TF-IDF — the
+    per-doc keyword signature used for topic tagging and mixture audits.
+
+    Doc length is functionally dependent on doc_id, so it rides the
+    (doc, token) groupBy as a key instead of a per-doc join. The df table
+    joins on token (post-agg, AQE decides broadcast vs shuffle); the
+    per-doc top-n window is key-partitioned on doc_id."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.size(F.expr(_TOKS_SPARK)).alias("dl"),
+        F.explode(F.expr(_TOKS_SPARK)).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "dl", "token").agg(F.count("*").alias("tf"))
+    dfx = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scal = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfx, "token")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf").cast("double")
+                / F.col("dl")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("micro").desc(), "token")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("term_rank") <= _TFIDF_TOP)
+        .select(
+            "doc_id",
+            "token",
+            "term_rank",
+            F.round(F.col("micro") / 1e6, 6).alias("tfidf"),
+        )
+    )
+
+
+_COS_PROBE_SQL = """
+    probe AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+        FROM embeddings WHERE vec_id = 0
+    ),
+    sem_scored AS (
+        SELECT e.vec_id,
+               CAST(round(
+                 list_dot_product(
+                     list_transform(e.embedding, x -> CAST(x AS DOUBLE)), p.pv)
+                 / (sqrt(list_dot_product(
+                        list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                        list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                    * sqrt(list_dot_product(p.pv, p.pv)))
+                 * 1e6) AS BIGINT) AS cmicro
+        FROM embeddings e CROSS JOIN probe p
+    )
+"""
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+    WITH {_bm25_micro_sql()},
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY micro DESC, doc_id) AS lex_rank
+        FROM bm25
+        ORDER BY micro DESC, doc_id LIMIT {_RRF_POOL}
+    ),
+    {_COS_PROBE_SQL.strip().lstrip()},
+    sem AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY cmicro DESC, vec_id) AS sem_rank
+        FROM sem_scored
+        ORDER BY cmicro DESC, vec_id LIMIT {_RRF_POOL}
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+               l.lex_rank, s.sem_rank,
+               coalesce(CAST(round(1e6 / ({_RRF_K} + l.lex_rank)) AS BIGINT), 0)
+             + coalesce(CAST(round(1e6 / ({_RRF_K} + s.sem_rank)) AS BIGINT), 0)
+                   AS rrf_micro
+        FROM lex l FULL OUTER JOIN sem s USING (doc_id)
+    ),
+    ranked AS (
+        SELECT doc_id, lex_rank, sem_rank, rrf_micro,
+               row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+        FROM fused
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+           round(rrf_micro / 1e6, 6) AS rrf_score,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank
+    FROM ranked WHERE rank <= {_TOP}
+    """,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the lexical (BM25) and semantic
+    (embedding-cosine vs the vec_id=0 probe) rankings — the standard way
+    a hybrid retrieval pipeline combines the two signals without score
+    calibration: rrf = Σ 1/(k + rank).
+
+    Both candidate pools are top-{_RRF_POOL} TakeOrdered heaps; rank
+    windows run over ≤ pool rows; the fusion join is pool-sized (tiny).
+    Rank contributions are integers (round(1e6/(k+r))), so fusion order
+    is engine-exact. doc_id and vec_id share the id space (TESTDATA.md),
+    standing in for a corpus with both a text and an embedding column."""
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    lex_pool = (
+        _bm25_micro(docs)
+        .orderBy(F.col("micro").desc(), "doc_id")
+        .limit(_RRF_POOL)
+    )
+    lex = lex_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("micro").desc(), "doc_id"))
+        .alias("lex_rank"),
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("pv")
+    )
+    sem_pool = (
+        emb.crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(V.cosine(F.col("embedding"), F.col("pv")) * 1e6)
+            .cast("bigint")
+            .alias("cmicro"),
+        )
+        .orderBy(F.col("cmicro").desc(), "doc_id")
+        .limit(_RRF_POOL)
+    )
+    sem = sem_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cmicro").desc(), "doc_id"))
+        .alias("sem_rank"),
+    )
+    rrf_part = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(1e6) / (_RRF_K + r)).cast("bigint"), F.lit(0)
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (rrf_part(F.col("lex_rank")) + rrf_part(F.col("sem_rank"))).alias(
+            "rrf_micro"
+        ),
+    )
+    top = fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(_TOP)
+    return top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf_micro").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("rank"),
+        F.round(F.col("rrf_micro") / 1e6, 6).alias("rrf_score"),
+        F.col("lex_rank").cast("bigint").alias("lex_rank"),
+        F.col("sem_rank").cast("bigint").alias("sem_rank"),
+    )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)
+        WHERE len(t) >= 2
+    ),
+    cbi AS (SELECT w1, w2, count(*) AS c_bi FROM bg GROUP BY w1, w2),
+    cw AS (SELECT w1, sum(c_bi) AS c_w1 FROM cbi GROUP BY w1),
+    vsz AS (
+        SELECT count(DISTINCT token) AS v
+        FROM (SELECT unnest(t) AS token FROM toks)
+    ),
+    inst AS (
+        SELECT b.doc_id,
+               CAST(round(
+                   ln((m.c_bi + 1.0) / (w.c_w1 + s.v)) * 1e6) AS BIGINT)
+                   AS micro
+        FROM bg b
+        JOIN cbi m USING (w1, w2)
+        JOIN cw w USING (w1)
+        CROSS JOIN vsz s
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(micro) / 1e6 / count(*), 6) AS avg_logp
+    FROM inst GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM with add-one smoothing, scoring every
+    document's mean token log-probability — the cheap stand-in for the
+    CCNet/KenLM perplexity filter that buckets documents by fluency
+    before pretraining. p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V).
+
+    Scale shape: one bigram explode; the model is two hash aggs (bigram
+    counts, then unigram backoff summed FROM the bigram table — never a
+    second corpus pass); instances re-join the model on (w1,w2) — a
+    co-keyed big-big shuffle join, model never collected; V is a scalar
+    agg. Each instance's log-prob is quantized to integer micro-units
+    before the per-doc sum, so cross-engine aggregation order is moot."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("t"))
+    bg = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cbi = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
+    cw = cbi.groupBy("w1").agg(F.sum("c_bi").alias("c_w1"))
+    vsz = toks.select(F.explode("t").alias("token")).agg(
+        F.countDistinct("token").alias("v")
+    )
+    inst = (
+        bg.join(cbi, ["w1", "w2"])
+        .join(cw, "w1")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c_bi") + 1.0) / (F.col("c_w1") + F.col("v")))
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("micro"),
+        )
+    )
+    return inst.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("micro") / 1e6 / F.count("*"), 6).alias("avg_logp"),
+    )
+
+
+@register(
+    "semantic_dedup_prune",
+    oracle=f"""
+    WITH {_CENTROID_SQL},
+    a AS (SELECT vec_id, cid FROM assigned WHERE rn = 1),
+    pairs AS (
+        SELECT y.vec_id AS vb
+        FROM a x
+        JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        JOIN embeddings ea ON ea.vec_id = x.vec_id
+        JOIN embeddings eb ON eb.vec_id = y.vec_id
+        WHERE list_dot_product(
+                  list_transform(ea.embedding, v -> CAST(v AS DOUBLE)),
+                  list_transform(eb.embedding, v -> CAST(v AS DOUBLE)))
+              / (sqrt(list_dot_product(
+                     list_transform(ea.embedding, v -> CAST(v AS DOUBLE)),
+                     list_transform(ea.embedding, v -> CAST(v AS DOUBLE))))
+                 * sqrt(list_dot_product(
+                     list_transform(eb.embedding, v -> CAST(v AS DOUBLE)),
+                     list_transform(eb.embedding, v -> CAST(v AS DOUBLE)))))
+              >= {_SEM_TAU}
+    ),
+    pruned AS (SELECT DISTINCT vb FROM pairs)
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
+           (p.vb IS NULL) AS is_kept
+    FROM a LEFT JOIN pruned p ON a.vec_id = p.vb
+    """,
+)
+def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) shape: assign every embedding to its
+    nearest seed centroid, then within each cluster prune any member
+    whose cosine to a lower-id member exceeds τ — semantic near-dup
+    removal whose pairwise term is confined to a cluster.
+
+    Scale shape: the assignment is the shared broadcast-argmin
+    (`training._assign_nearest`); the pair join is equi-keyed on cid, so
+    its cost is Σ|cluster|², bounded because K scales with the corpus
+    while per-cluster membership stays ~constant (that is SemDeDup's
+    entire point); the prune rule is a distinct + left anti — no global
+    structure, no iteration."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    assign = _assign_nearest(emb).select("vec_id", "cid")
+    withv = assign.join(emb.select("vec_id", "embedding"), "vec_id")
+    x = withv.select(
+        F.col("vec_id").alias("va"), "cid", F.col("embedding").alias("ea")
+    )
+    y = withv.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cid").alias("cid_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pruned = (
+        x.join(
+            y,
+            (F.col("cid") == F.col("cid_b")) & (F.col("va") < F.col("vb")),
+        )
+        .filter(V.cosine(F.col("ea"), F.col("eb")) >= _SEM_TAU)
+        .select("vb")
+        .distinct()
+    )
+    return assign.join(
+        pruned, assign["vec_id"] == pruned["vb"], "left"
+    ).select(
+        "vec_id",
+        F.col("cid").cast("bigint").alias("cluster_id"),
+        F.col("vb").isNull().alias("is_kept"),
+    )

@@ -149,6 +149,16 @@ class TestShuffleBudget:
             ("cluster_balanced_sample", 2),
             ("train_val_test_split", 0),    # map-only digest threshold
             ("scalar_base64_roundtrip", 0),  # map-only binary scalars
+            # tiny df agg + per-doc sum + top-k (broadcast df/scalars)
+            ("retrieval_bm25_topk", 3),
+            # (doc,token) agg + df agg + token join + doc window
+            ("retrieval_tfidf_top_terms", 5),
+            # two pooled rankings (each a bounded TakeOrdered) + tiny fusion
+            ("retrieval_rrf_fusion", 3),
+            # bigram agg + backoff agg + co-keyed model join + doc agg
+            ("text_bigram_logprob", 6),
+            # argmin agg + vec join-back + cid pair join + distinct
+            ("semantic_dedup_prune", 6),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
