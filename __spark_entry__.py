@@ -57,6 +57,8 @@ _R01_UNCHECKED = [
     # retrieval / semantic-curation queries (round 2) — driver-unchecked
     "retrieval_bm25_topk", "retrieval_tfidf_top_terms",
     "retrieval_rrf_fusion", "text_bigram_logprob", "semantic_dedup_prune",
+    "dsir_importance_weights", "doc_length_histogram",
+    "quality_logistic_score",
 ]
 
 

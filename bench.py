@@ -66,6 +66,9 @@ HEADLINE = [
     "retrieval_rrf_fusion",
     "text_bigram_logprob",
     "semantic_dedup_prune",
+    "dsir_importance_weights",
+    "doc_length_histogram",
+    "quality_logistic_score",
 ]
 
 

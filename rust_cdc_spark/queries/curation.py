@@ -305,3 +305,232 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ── DSIR importance weights ────────────────────────────────────────────
+# Data Selection via Importance Resampling (Xie et al. 2023): score each
+# raw document by how much more likely its tokens are under the target
+# domain's unigram distribution than under the raw corpus distribution;
+# resampling by these weights tilts a web-scale corpus toward the target
+# domain without training a classifier.
+_DSIR_TARGET = "src0"  # the stand-in target domain (a source slice)
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(list_transform({_WORDS_SQL}, w -> lower(w))) AS token
+        FROM documents
+    ),
+    model AS (
+        SELECT token, count(*) AS c_all,
+               count(*) FILTER (WHERE source = '{_DSIR_TARGET}') AS c_tgt
+        FROM tok GROUP BY token
+    ),
+    scal AS (
+        SELECT sum(c_all) AS t_all, sum(c_tgt) AS t_tgt,
+               count(*) AS v
+        FROM model
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(round(
+                   (ln((m.c_tgt + 1.0) / (s.t_tgt + s.v))
+                    - ln((m.c_all + 1.0) / (s.t_all + s.v))) * 1e6)
+                 AS BIGINT) AS micro
+        FROM tok t JOIN model m USING (token) CROSS JOIN scal s
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(micro) / 1e6, 6) AS dsir_logratio
+    FROM scored GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight: Σ_tokens [ln p̂_target(w) −
+    ln p̂_raw(w)] with add-one smoothing, target = the '{src0}' source
+    slice. A positive weight means the document looks more like the
+    target domain than the corpus average.
+
+    Scale shape: ONE token explode feeds a single hash agg that counts
+    both distributions at once (conditional sum — no second corpus
+    pass); totals and vocab size are one scalar agg over the model,
+    broadcast back; instances re-join the model on token (co-keyed
+    big-big shuffle join, model never collected) and the per-doc sum is
+    over integer micro-units, so cross-engine aggregation order is moot."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(f"transform({_WORDS_SPARK}, w -> lower(w))")
+        ).alias("token"),
+    )
+    model = tok.groupBy("token").agg(
+        F.count("*").alias("c_all"),
+        F.sum(
+            F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)
+        ).alias("c_tgt"),
+    )
+    scal = model.agg(
+        F.sum("c_all").alias("t_all"),
+        F.sum("c_tgt").alias("t_tgt"),
+        F.count("*").alias("v"),
+    )
+    logratio = F.log(
+        (F.col("c_tgt") + 1.0) / (F.col("t_tgt") + F.col("v"))
+    ) - F.log((F.col("c_all") + 1.0) / (F.col("t_all") + F.col("v")))
+    scored = (
+        tok.join(model, "token")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            F.round(logratio * 1e6).cast("bigint").alias("micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("micro") / 1e6, 6).alias("dsir_logratio"),
+    )
+
+
+# ── Sequence-length histogram ──────────────────────────────────────────
+_HIST_BIN = 32  # tokens per bucket
+_HIST_MAX_BUCKET = 15  # lengths ≥ 480 collapse into the top bucket
+
+
+@register(
+    "doc_length_histogram",
+    oracle=f"""
+    WITH lens AS (
+        SELECT least(CAST(floor(len({_WORDS_SQL}) / {_HIST_BIN}) AS BIGINT),
+                     {_HIST_MAX_BUCKET}) AS bucket,
+               len({_WORDS_SQL}) AS ntok
+        FROM documents
+    ),
+    total AS (SELECT count(*) AS n FROM lens)
+    SELECT CAST(bucket * {_HIST_BIN} AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS token_sum,
+           round(CAST(count(*) AS DOUBLE) / any_value(t.n), 6) AS doc_frac
+    FROM lens CROSS JOIN total t
+    GROUP BY bucket
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram of the corpus ({bin}-token buckets, top
+    bucket open-ended) — the dataset-card panel that sizes the packing
+    budget (queries/training.pack_sequences) and exposes truncation risk.
+
+    Scale shape: a map-only bucket expression and ONE hash agg with
+    map-side partials (≤ 16 groups); the total is a broadcast scalar.
+    doc_frac is int ÷ int — bit-identical cross-engine."""
+    docs = load_table(spark, "documents", sf_dir)
+    lens = docs.select(
+        F.least(
+            F.floor(F.size(F.expr(_WORDS_SPARK)) / _HIST_BIN),
+            F.lit(_HIST_MAX_BUCKET),
+        )
+        .cast("bigint")
+        .alias("bucket"),
+        F.size(F.expr(_WORDS_SPARK)).alias("ntok"),
+    )
+    total = lens.agg(F.count("*").alias("n"))
+    return (
+        lens.crossJoin(F.broadcast(total))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("token_sum"),
+            F.round(
+                F.count("*").cast("double") / F.any_value("n"), 6
+            ).alias("doc_frac"),
+        )
+        .select(
+            (F.col("bucket") * _HIST_BIN).cast("bigint").alias("bucket_lo"),
+            "n_docs",
+            "token_sum",
+            "doc_frac",
+        )
+    )
+
+
+# ── Fixed-weight logistic quality classifier ───────────────────────────
+# The model-based quality filter shape (fasttext/logistic classifiers in
+# CCNet, FineWeb, DCLM): a linear model over cheap text features squashed
+# through a sigmoid. Weights are fixed constants here — training is out
+# of scope; serving IS the pipeline shape, a pure map stage.
+_QLR_STOPS = "('the', 'a', 'of', 'and', 'to')"
+_QLR_W = (-3.0, 0.45, 2.0, 0.25, 1.5)  # bias, ln(1+ntok), stop, avglen, uniq
+
+
+@register(
+    "quality_logistic_score",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               len({_WORDS_SQL}) AS ntok,
+               CAST(len(list_filter({_WORDS_SQL},
+                    w -> lower(w) IN {_QLR_STOPS})) AS DOUBLE)
+                   / len({_WORDS_SQL}) AS stop_ratio,
+               CAST(list_sum(list_transform({_WORDS_SQL}, w -> len(w)))
+                    AS DOUBLE) / len({_WORDS_SQL}) AS avg_len,
+               CAST(len(list_distinct({_WORDS_SQL})) AS DOUBLE)
+                   / len({_WORDS_SQL}) AS uniq_ratio
+        FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-({_QLR_W[0]}
+                 + {_QLR_W[1]} * ln(1 + ntok)
+                 + {_QLR_W[2]} * stop_ratio
+                 + {_QLR_W[3]} * avg_len
+                 + {_QLR_W[4]} * uniq_ratio))), 6) AS quality_prob,
+           (1.0 / (1.0 + exp(-({_QLR_W[0]}
+                 + {_QLR_W[1]} * ln(1 + ntok)
+                 + {_QLR_W[2]} * stop_ratio
+                 + {_QLR_W[3]} * avg_len
+                 + {_QLR_W[4]} * uniq_ratio))) >= 0.5) AS keep
+    FROM feats
+    """,
+)
+def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving pass of a logistic quality classifier over cheap codegen
+    features (log length, stopword ratio, mean token length, distinct
+    ratio) — the model-based filter stage of CCNet/FineWeb-style
+    pipelines, with fixed weights standing in for a trained model.
+
+    Scale shape: pure map — every feature is a higher-order array
+    expression over the token split, the score is one fused scalar
+    expression; zero shuffles, trivially data-parallel at any scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.expr(_WORDS_SPARK)
+    ntok = F.size(w)
+    stop_ratio = (
+        F.size(
+            F.filter(w, lambda x: F.lower(x).isin("the", "a", "of", "and", "to"))
+        ).cast("double")
+        / ntok
+    )
+    avg_len = (
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / ntok
+    )
+    uniq_ratio = F.size(F.array_distinct(w)).cast("double") / ntok
+    z = (
+        F.lit(_QLR_W[0])
+        + _QLR_W[1] * F.log(1 + ntok)
+        + _QLR_W[2] * stop_ratio
+        + _QLR_W[3] * avg_len
+        + _QLR_W[4] * uniq_ratio
+    )
+    prob = 1.0 / (1.0 + F.exp(-z))
+    return docs.select(
+        "doc_id",
+        F.round(prob, 6).alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )

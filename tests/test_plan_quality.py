@@ -159,6 +159,11 @@ class TestShuffleBudget:
             ("text_bigram_logprob", 6),
             # argmin agg + vec join-back + cid pair join + distinct
             ("semantic_dedup_prune", 6),
+            # one dual-count model agg + co-keyed instance join + doc agg
+            ("dsir_importance_weights", 4),
+            # ≤16-group hash agg + broadcast total
+            ("doc_length_histogram", 2),
+            ("quality_logistic_score", 0),  # pure map: fused sigmoid expr
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
