@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from rust_cdc_spark.functions import vectors as V
 from rust_cdc_spark.queries import register
-from rust_cdc_spark.queries.training import _CENTROID_SQL, _assign_nearest
+from rust_cdc_spark.queries.training import _assign_nearest, _centroid_sql
 from rust_cdc_spark.sources.tables import load_table
 
 # Fixed knobs — shared verbatim with the oracles.
@@ -47,6 +47,12 @@ _RRF_K = 60  # reciprocal-rank-fusion damping constant
 _RRF_POOL = 100  # per-list candidate pool before fusion
 _TFIDF_TOP = 3  # emitted terms per document
 _SEM_TAU = 0.35  # SemDeDup within-cluster cosine prune threshold
+# SemDeDup's K must grow with the corpus so per-cluster membership (and
+# the Σ|c|² pair cost) stays bounded — 64 here vs the 8 the seed-centroid
+# profile queries use. Measured at sf0.1 (2000 vecs): K=8 → ~250 members,
+# ~250k pairs, 8.1 s; K=64 + precomputed norms → ~31 members, ~31k
+# pairs, sub-second.
+_SEM_K = 64
 
 _TOKS_SQL = "list_transform(string_split(trim(text), ' '), t -> lower(t))"
 _TOKS_SPARK = "transform(split(trim(text), ' '), t -> lower(t))"
@@ -218,10 +224,16 @@ def retrieval_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins on token (post-agg, AQE decides broadcast vs shuffle); the
     per-doc top-n window is key-partitioned on doc_id."""
     docs = load_table(spark, "documents", sf_dir)
-    tok = docs.select(
+    # Two-step projection on purpose: materialize the token array in its
+    # own Project before the Generate. With `size(<split expr>)` as a
+    # sibling of explode(<split expr>) in ONE select, Spark re-evaluates
+    # the sibling expression per *exploded* row (the Project sits above
+    # Generate) — measured 2.9 s vs 0.23 s at sf0.1 (12×).
+    pre = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    tok = pre.select(
         "doc_id",
-        F.size(F.expr(_TOKS_SPARK)).alias("dl"),
-        F.explode(F.expr(_TOKS_SPARK)).alias("token"),
+        F.size("toks").alias("dl"),
+        F.explode("toks").alias("token"),
     )
     tf = tok.groupBy("doc_id", "dl", "token").agg(F.count("*").alias("tf"))
     dfx = tf.groupBy("token").agg(F.count("*").alias("df"))
@@ -463,24 +475,22 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semantic_dedup_prune",
     oracle=f"""
-    WITH {_CENTROID_SQL},
-    a AS (SELECT vec_id, cid FROM assigned WHERE rn = 1),
+    WITH {_centroid_sql(_SEM_K)},
+    a AS (
+        SELECT s.vec_id, s.cid,
+               list_transform(e.embedding, v -> CAST(v AS DOUBLE)) AS ev,
+               sqrt(list_dot_product(
+                   list_transform(e.embedding, v -> CAST(v AS DOUBLE)),
+                   list_transform(e.embedding, v -> CAST(v AS DOUBLE))))
+                   AS nrm
+        FROM assigned s JOIN embeddings e USING (vec_id)
+        WHERE s.rn = 1
+    ),
     pairs AS (
         SELECT y.vec_id AS vb
         FROM a x
         JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
-        JOIN embeddings ea ON ea.vec_id = x.vec_id
-        JOIN embeddings eb ON eb.vec_id = y.vec_id
-        WHERE list_dot_product(
-                  list_transform(ea.embedding, v -> CAST(v AS DOUBLE)),
-                  list_transform(eb.embedding, v -> CAST(v AS DOUBLE)))
-              / (sqrt(list_dot_product(
-                     list_transform(ea.embedding, v -> CAST(v AS DOUBLE)),
-                     list_transform(ea.embedding, v -> CAST(v AS DOUBLE))))
-                 * sqrt(list_dot_product(
-                     list_transform(eb.embedding, v -> CAST(v AS DOUBLE)),
-                     list_transform(eb.embedding, v -> CAST(v AS DOUBLE)))))
-              >= {_SEM_TAU}
+        WHERE list_dot_product(x.ev, y.ev) / (x.nrm * y.nrm) >= {_SEM_TAU}
     ),
     pruned AS (SELECT DISTINCT vb FROM pairs)
     SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
@@ -495,28 +505,41 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal whose pairwise term is confined to a cluster.
 
     Scale shape: the assignment is the shared broadcast-argmin
-    (`training._assign_nearest`); the pair join is equi-keyed on cid, so
-    its cost is Σ|cluster|², bounded because K scales with the corpus
-    while per-cluster membership stays ~constant (that is SemDeDup's
-    entire point); the prune rule is a distinct + left anti — no global
-    structure, no iteration."""
+    (`training._assign_nearest`) with K=64 — K must scale with the
+    corpus so per-cluster membership stays ~constant (that is SemDeDup's
+    entire point) and the cid-equi-keyed pair join's Σ|cluster|² cost
+    stays linear-ish; vector norms are computed ONCE per vector in the
+    map stage before the join (not per pair); the prune rule is a
+    distinct + left anti — no global structure, no iteration."""
     emb = load_table(spark, "embeddings", sf_dir)
-    assign = _assign_nearest(emb).select("vec_id", "cid")
-    withv = assign.join(emb.select("vec_id", "embedding"), "vec_id")
+    assign = _assign_nearest(emb, k=_SEM_K).select("vec_id", "cid")
+    withv = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id",
+        "cid",
+        F.col("embedding").alias("ev"),
+        V.norm(F.col("embedding")).alias("nrm"),
+    )
     x = withv.select(
-        F.col("vec_id").alias("va"), "cid", F.col("embedding").alias("ea")
+        F.col("vec_id").alias("va"),
+        "cid",
+        F.col("ev").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     y = withv.select(
         F.col("vec_id").alias("vb"),
         F.col("cid").alias("cid_b"),
-        F.col("embedding").alias("eb"),
+        F.col("ev").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     pruned = (
         x.join(
             y,
             (F.col("cid") == F.col("cid_b")) & (F.col("va") < F.col("vb")),
         )
-        .filter(V.cosine(F.col("ea"), F.col("eb")) >= _SEM_TAU)
+        .filter(
+            V.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            >= _SEM_TAU
+        )
         .select("vb")
         .distinct()
     )

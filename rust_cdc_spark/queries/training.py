@@ -266,16 +266,19 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _assign_nearest(emb: DataFrame, *extra_cols: str) -> DataFrame:
+def _assign_nearest(
+    emb: DataFrame, *extra_cols: str, k: int = _K_CENTROIDS
+) -> DataFrame:
     """Shared nearest-seed-centroid assignment (the Spark twin of the
-    oracle-side ``_CENTROID_SQL``): broadcast the vec_id < _K_CENTROIDS
-    seed set, score with a codegen L2, argmin as a min(struct) partial
-    agg keyed on vec_id (+ any functionally-dependent ``extra_cols``
-    carried through the groupBy). Used by embedding_kmeans_assign,
-    embedding_cluster_profile, and cluster_balanced_sample so the
-    assignment rule lives in exactly one place."""
+    oracle-side ``_centroid_sql``): broadcast the vec_id < k seed set,
+    score with a codegen L2, argmin as a min(struct) partial agg keyed
+    on vec_id (+ any functionally-dependent ``extra_cols`` carried
+    through the groupBy). Used by embedding_kmeans_assign,
+    embedding_cluster_profile, cluster_balanced_sample, and
+    retrieval.semantic_dedup_prune (with a larger k) so the assignment
+    rule lives in exactly one place."""
     cents = (
-        emb.filter(F.col("vec_id") < _K_CENTROIDS)
+        emb.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     )
     scored = emb.crossJoin(F.broadcast(cents)).select(
@@ -296,11 +299,13 @@ def _assign_nearest(emb: DataFrame, *extra_cols: str) -> DataFrame:
     )
 
 
-_CENTROID_SQL = f"""
+def _centroid_sql(k: int = _K_CENTROIDS) -> str:
+    """Oracle-side twin of ``_assign_nearest(k=...)``."""
+    return f"""
     centroids AS (
         SELECT vec_id AS cid,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-        FROM embeddings WHERE vec_id < {_K_CENTROIDS}
+        FROM embeddings WHERE vec_id < {k}
     ),
     scored AS (
         SELECT e.vec_id, c.cid,
@@ -317,6 +322,9 @@ _CENTROID_SQL = f"""
         FROM scored
     )
 """
+
+
+_CENTROID_SQL = _centroid_sql()
 
 
 @register(
