@@ -59,6 +59,7 @@ _R01_UNCHECKED = [
     "retrieval_rrf_fusion", "text_bigram_logprob", "semantic_dedup_prune",
     "dsir_importance_weights", "doc_length_histogram",
     "quality_logistic_score",
+    "multimodal_dedup_exact", "multimodal_phash_buckets",
 ]
 
 

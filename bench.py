@@ -69,6 +69,8 @@ HEADLINE = [
     "dsir_importance_weights",
     "doc_length_histogram",
     "quality_logistic_score",
+    "multimodal_dedup_exact",
+    "multimodal_phash_buckets",
 ]
 
 

@@ -148,3 +148,118 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 0L, (a, x) -> a + x)"
         ).alias("byte_sum"),
     )
+
+
+@register(
+    "multimodal_dedup_exact",
+    oracle="""
+    SELECT doc_id AS media_id,
+           md5(text) AS payload_md5,
+           CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+               AS n_copies,
+           (doc_id = min(doc_id) OVER (PARTITION BY md5(text)))
+               AS is_canonical
+    FROM documents
+    """,
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by payload digest — the first pass of any
+    image/video corpus pipeline (identical bytes re-crawled under many
+    URLs). Each media row gets its content hash, its duplicate-group
+    size, and a deterministic canonical flag (lowest media_id wins).
+
+    Scale shape: md5 over the binary column is a map expression; group
+    stats ride ONE window shuffle keyed on the digest. At 100 TB the
+    digest (16 bytes) — not the payload — is what shuffles: project
+    payload away before the exchange, as here."""
+    media = MM.documents_as_media(load_table(spark, "documents", sf_dir))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("payload_md5")
+    return (
+        media.select(
+            "media_id", F.md5("payload").alias("payload_md5")
+        )
+        .select(
+            "media_id",
+            "payload_md5",
+            F.count("*").over(w).cast("bigint").alias("n_copies"),
+            (F.col("media_id") == F.min("media_id").over(w)).alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
+@register(
+    "multimodal_phash_buckets",
+    # Perceptual-hash shape with exact integer math: bucket j of the
+    # 8-bit fingerprint is set iff 8 * byte_sum_j > Σ_k byte_sum_k
+    # (i.e. bucket mean > overall mean; payload length cancels, so the
+    # comparison is integer-exact cross-engine — no float boundary).
+    # Text is pure ASCII, so byte i == unicode(substr(text, i, 1)).
+    oracle="""
+    WITH b AS (
+        SELECT doc_id AS media_id, CAST((i - 1) % 8 AS INT) AS pos,
+               sum(unicode(substr(text, i, 1))) AS s
+        FROM documents
+        CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, length(text))) AS i
+        )
+        GROUP BY doc_id, (i - 1) % 8
+    ),
+    t AS (SELECT media_id, sum(s) AS tot FROM b GROUP BY media_id),
+    p AS (
+        SELECT b.media_id,
+               CAST(sum(CASE WHEN 8 * b.s > t.tot
+                        THEN CAST(round(pow(2, b.pos)) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS phash
+        FROM b JOIN t USING (media_id)
+        GROUP BY b.media_id
+    )
+    SELECT media_id, phash,
+           CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_bucket
+    FROM p
+    """,
+)
+def multimodal_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash-style near-dup bucketing over binary payloads:
+    an 8-bit sign fingerprint (byte-bucket sum vs overall mean — the
+    aHash/dHash family's shape, stubbed deterministic) plus each
+    fingerprint's bucket population, the candidate-pair bound a
+    near-dup join would pay.
+
+    Scale shape: the fingerprint is a pure map stage (one hex pass per
+    payload, eight strided integer folds — codegen, no UDF, no float
+    comparisons anywhere); bucket sizes ride one window shuffle keyed on
+    the 8-byte phash. Candidate generation from equal-phash buckets is
+    exactly SimHash pigeonhole banding (operators/dedup.py) applied to
+    media."""
+    media = MM.documents_as_media(load_table(spark, "documents", sf_dir))
+    sums = media.select(
+        "media_id",
+        *[
+            F.expr(
+                f"aggregate(sequence({j + 1}, length(payload), 8), 0L,"
+                " (a, i) -> a + cast("
+                "conv(substr(hex(payload), i * 2 - 1, 2), 16, 10)"
+                " as bigint))"
+            ).alias(f"s{j}")
+            for j in range(8)
+        ],
+    )
+    total = sum(F.col(f"s{j}") for j in range(8))
+    phash = sum(
+        F.when(8 * F.col(f"s{j}") > total, F.lit(1 << j)).otherwise(0)
+        for j in range(8)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("phash")
+    return sums.select(
+        "media_id", phash.cast("bigint").alias("phash")
+    ).select(
+        "media_id",
+        "phash",
+        F.count("*").over(w).cast("bigint").alias("n_bucket"),
+    )

@@ -164,6 +164,10 @@ class TestShuffleBudget:
             # ≤16-group hash agg + broadcast total
             ("doc_length_histogram", 2),
             ("quality_logistic_score", 0),  # pure map: fused sigmoid expr
+            # digest map + one md5-keyed window (payload projected away)
+            ("multimodal_dedup_exact", 2),
+            # integer fold map + one phash-keyed window
+            ("multimodal_phash_buckets", 2),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
