@@ -60,6 +60,7 @@ _R01_UNCHECKED = [
     "dsir_importance_weights", "doc_length_histogram",
     "quality_logistic_score",
     "multimodal_dedup_exact", "multimodal_phash_buckets",
+    "events_funnel_conversion", "events_retention_cohorts",
 ]
 
 

@@ -71,6 +71,8 @@ HEADLINE = [
     "quality_logistic_score",
     "multimodal_dedup_exact",
     "multimodal_phash_buckets",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
 ]
 
 

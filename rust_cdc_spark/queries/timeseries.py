@@ -216,3 +216,130 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("sum_value", ignorenulls=True).over(w).alias("filled_sum"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_depth,
+           (p.user_id IS NOT NULL) AS converted
+    FROM u
+    LEFT JOIN v USING (user_id)
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per user,
+    the deepest stage reached respecting event-time order — each stage's
+    timestamp must strictly follow the previous stage's first hit
+    (a click before the first view does not count).
+
+    Scale shape: three user-keyed min-aggs chained by user-keyed joins —
+    every shuffle is on user_id, so a cluster reuses one partitioning
+    end-to-end (no broadcast of user-sized sides, no windows over the
+    raw event stream). Events are scanned per stage with the stage's
+    event_type filter pushed to the parquet scan."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("funnel_depth"),
+            F.col("t3").isNotNull().alias("converted"),
+        )
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('week', f.cohort, a.wk) AS INT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY f.cohort, date_diff('week', f.cohort, a.wk)
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in each later week they were active — the (cohort, offset)
+    table every growth dashboard draws, and the canonical two-pass
+    event aggregation.
+
+    Scale shape: first-activity agg and distinct-activity agg are both
+    user-keyed (map-side partial); their join is co-keyed on user_id;
+    the final agg's key space is |cohorts| × |offsets| — tiny. Week
+    arithmetic is integer division of truncated timestamps, exact in
+    both engines (both truncate weeks to Monday)."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    offset = (
+        (F.col("wk").cast("long") - F.col("cohort").cast("long"))
+        / (7 * 86400)
+    ).cast("int")
+    return (
+        a.join(f, "user_id")
+        .groupBy("cohort", offset.alias("week_offset"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )

@@ -168,6 +168,10 @@ class TestShuffleBudget:
             ("multimodal_dedup_exact", 2),
             # integer fold map + one phash-keyed window
             ("multimodal_phash_buckets", 2),
+            # every shuffle user-keyed: 3 stage aggs + distinct + joins
+            ("events_funnel_conversion", 9),
+            # two user-keyed aggs + co-keyed join + tiny cohort agg
+            ("events_retention_cohorts", 6),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
