@@ -73,6 +73,7 @@ HEADLINE = [
     "multimodal_phash_buckets",
     "events_funnel_conversion",
     "events_retention_cohorts",
+    "cdc_incremental_agg",
 ]
 
 

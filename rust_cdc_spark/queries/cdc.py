@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rust_cdc_spark.operators import incremental as IV
 from rust_cdc_spark.operators.collapse import collapse_last_image
 from rust_cdc_spark.operators.merge import merge_upsert
 from rust_cdc_spark.operators.router import route
@@ -233,4 +234,70 @@ def cdc_txn_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("log_pos").alias("first_pos"),
         F.max("log_pos").alias("last_pos"),
         F.countDistinct("key").alias("n_keys"),
+    )
+
+
+@register(
+    "cdc_incremental_agg",
+    # Oracle = the full recompute: aggregate the whole-log current state.
+    # The Spark side reaches the same numbers INCREMENTALLY (view after
+    # first half ⊕ delta of second half) — sums are integer cents, so
+    # the equivalence is bit-exact, not approximate.
+    oracle="""
+    WITH st AS (
+        SELECT user_id, event_type, value
+        FROM (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM st GROUP BY event_type
+    """,
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/incremental.py): an
+    aggregate view (rows + value cents per event_type) bootstrapped
+    from the first half of the log, then advanced by the second half's
+    per-group delta — retract old images of touched keys, add their new
+    images — WITHOUT rescanning the base table. The oracle recomputes
+    from scratch; values must match bit-for-bit (integer cents).
+
+    Group-changing updates are exercised by construction: a key whose
+    latest event_type changes retracts from the old group and lands in
+    the new one."""
+    cdc = events_as_cdc(spark, sf_dir)
+    mid = load_table(spark, "events", sf_dir).agg(
+        (F.max("event_id") / 2).cast("long")
+    ).collect()[0][0]
+    first = cdc.filter(F.col("log_pos") <= mid)
+    second = cdc.filter(F.col("log_pos") > mid)
+
+    cents = lambda c: F.round(c * 100).cast("bigint")  # noqa: E731
+    state1 = collapse_last_image(first, ["key"], keep_deletes=False).select(
+        "key",
+        F.col("after.event_type").alias("event_type"),
+        cents(F.col("after.value")).alias("cents"),
+    )
+    view1 = IV.aggregate_view(
+        state1, ["event_type"], "n_rows", {"total_cents": "cents"}
+    )
+    img = lambda f: F.coalesce(F.col(f"after.{f}"), F.col(f"before.{f}"))  # noqa: E731
+    batch2 = collapse_last_image(second, ["key"]).select(
+        "key",
+        "op",
+        img("event_type").alias("event_type"),
+        cents(img("value")).alias("cents"),
+    )
+    delta = IV.batch_delta(
+        state1, batch2, ["key"], ["event_type"], ["cents"]
+    )
+    return IV.apply_delta(
+        view1, delta, ["event_type"], "n_rows", {"total_cents": "cents"}
     )

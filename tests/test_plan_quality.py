@@ -172,6 +172,9 @@ class TestShuffleBudget:
             ("events_funnel_conversion", 9),
             # two user-keyed aggs + co-keyed join + tiny cohort agg
             ("events_retention_cohorts", 6),
+            # 2 key-keyed collapse windows + semi join + delta/view aggs;
+            # every shuffle is batch- or |groups|-sized, never table-sized
+            ("cdc_incremental_agg", 12),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
