@@ -112,3 +112,91 @@ class TestIncrementalEqualsRecompute:
         # may count.
         assert v["a"] == (2, 230)  # keys 1 (150) + 4 (80)
         assert v["b"] == (1, 250)  # key 2 only (3 deleted)
+
+
+# ── Materialized view following a table's change feed ──────────────────
+
+ENV_SCHEMA = (
+    "log_pos long, op string,"
+    " before struct<user_id:long, grp:string, value:double>,"
+    " after struct<user_id:long, grp:string, value:double>"
+)
+
+
+def _env(spark, rows):
+    """rows: (log_pos, op, before|None, after|None) tuples."""
+    return spark.createDataFrame(rows, ENV_SCHEMA)
+
+
+ENV_BATCHES = [
+    [
+        (1, "I", None, (1, "a", 1.25)),
+        (2, "I", None, (2, "a", 2.50)),
+        (3, "I", None, (3, "b", 4.00)),
+    ],
+    [  # update + group move + new key
+        (4, "U", (1, "a", 1.25), (1, "a", 1.75)),
+        (5, "U", (2, "a", 2.50), (2, "b", 2.50)),
+        (6, "I", None, (4, "b", 0.50)),
+    ],
+    [  # delete + update
+        (7, "D", (3, "b", 4.00), None),
+        (8, "U", (4, "b", 0.50), (4, "a", 0.80)),
+    ],
+]
+
+
+class TestMaterializedAggView:
+    @pytest.fixture()
+    def table_and_view(self, spark, tmp_path):
+        from rust_cdc_spark.streaming.materialized_view import (
+            MaterializedAggView,
+        )
+        from rust_cdc_spark.streaming.pipeline import ParquetUpsertTable
+
+        table = ParquetUpsertTable(str(tmp_path / "base"), ["user_id"])
+        view = MaterializedAggView(
+            str(tmp_path / "view"),
+            ["grp"],
+            count_col="n",
+            sum_exprs={
+                "cents": F.round(F.col("value") * 100).cast("bigint")
+            },
+        )
+        return table, view
+
+    def _recompute(self, spark, table, view):
+        base = table.read(spark)
+        return {
+            r.grp: (r.n, r.cents)
+            for r in IV.aggregate_view(
+                view._measured(base), ["grp"], "n", view._sum_col_map()
+            ).collect()
+        }
+
+    def test_refresh_tracks_every_version(self, spark, table_and_view):
+        table, view = table_and_view
+        for i, rows in enumerate(ENV_BATCHES):
+            table.merge(_env(spark, rows), order_by="log_pos", txn_version=i)
+            view.refresh(spark, table)
+            assert view.base_version() == table.version()
+            got = {r.grp: (r.n, r.cents) for r in view.read(spark).collect()}
+            assert got == self._recompute(spark, table, view), f"batch {i}"
+        # final state: keys 1 (a,175), 2 (b,250), 4 (a,80)
+        got = {r.grp: (r.n, r.cents) for r in view.read(spark).collect()}
+        assert got == {"a": (2, 255), "b": (1, 250)}
+
+    def test_replay_is_noop_and_catchup_telescopes(self, spark, table_and_view):
+        table, view = table_and_view
+        table.merge(_env(spark, ENV_BATCHES[0]), order_by="log_pos", txn_version=0)
+        view.refresh(spark, table)
+        v = view.base_version()
+        view.refresh(spark, table)  # replay — must not advance or churn
+        assert view.base_version() == v
+        # two merges, ONE refresh: diff(v, v+2) telescopes both batches
+        table.merge(_env(spark, ENV_BATCHES[1]), order_by="log_pos", txn_version=1)
+        table.merge(_env(spark, ENV_BATCHES[2]), order_by="log_pos", txn_version=2)
+        view.refresh(spark, table)
+        got = {r.grp: (r.n, r.cents) for r in view.read(spark).collect()}
+        assert got == self._recompute(spark, table, view)
+        assert got == {"a": (2, 255), "b": (1, 250)}
