@@ -74,6 +74,7 @@ HEADLINE = [
     "events_funnel_conversion",
     "events_retention_cohorts",
     "cdc_incremental_agg",
+    "cdc_scd2_history",
 ]
 
 

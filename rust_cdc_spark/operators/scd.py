@@ -1,0 +1,65 @@
+"""SCD Type-2 history from a CDC stream.
+
+The reference's sink keeps only the current image per key (ValueBuffers
+LWW → MERGE, /root/reference/src/delta/value_buffer.rs:15-83). The other
+canonical downstream shape is the full history: every change opens a
+version row, the next change for the same key closes it — the
+slowly-changing-dimension Type 2 table a warehouse builds from exactly
+this stream.
+
+Spark-first restatement: version validity is a ``lead()`` window over
+the key in binlog order — ONE shuffle keyed on the key, no self-join,
+no iteration. Deletes close the prior version (they bound its
+``valid_to``) but do not open one, so a deleted key simply has no
+current row.
+
+Invariants (pinned in tests/test_incremental_view.py):
+- versions of a key are contiguous: each ``valid_to`` equals the next
+  version's ``valid_from``; the last is open (NULL);
+- a key has at most one current version, and none if its final op is a
+  delete;
+- the current versions are exactly the LWW collapse
+  (operators/collapse.py) minus tombstones.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rust_cdc_spark.datamodel import OP_DELETE
+from rust_cdc_spark.operators.collapse import DEFAULT_ORDER
+
+
+def scd2_history(
+    cdc: DataFrame,
+    key_cols: list[str],
+    order_by: str | Sequence[str] = DEFAULT_ORDER,
+) -> DataFrame:
+    """CDC envelope → Type-2 version rows.
+
+    Returns the input's I/U rows (deletes only *close* versions) with
+    ``valid_to_<c>`` columns (the next event's order values, NULL while
+    open) and ``is_current``. The caller projects image attributes.
+    """
+    if isinstance(order_by, str):
+        order_cols = [order_by]
+    else:
+        order_cols = [c for c in order_by if c in cdc.columns]
+        if not order_cols:
+            raise ValueError(
+                f"no order columns of {list(order_by)} in {cdc.columns}"
+            )
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    out = cdc
+    for c in order_cols:
+        out = out.withColumn(f"valid_to_{c}", F.lead(c).over(w))
+    # open (NULL lead) ⇒ current; closed or tombstone ⇒ not.
+    out = out.withColumn(
+        "is_current",
+        F.col(f"valid_to_{order_cols[0]}").isNull()
+        & (F.col("op") != OP_DELETE),
+    )
+    return out.filter(F.col("op") != OP_DELETE)

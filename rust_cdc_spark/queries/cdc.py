@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rust_cdc_spark.operators import incremental as IV
+from rust_cdc_spark.operators import scd as SCD
 from rust_cdc_spark.operators.collapse import collapse_last_image
 from rust_cdc_spark.operators.merge import merge_upsert
 from rust_cdc_spark.operators.router import route
@@ -300,4 +301,43 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return IV.apply_delta(
         view1, delta, ["event_type"], "n_rows", {"total_cents": "cents"}
+    )
+
+
+@register(
+    "cdc_scd2_history",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, event_type, value,
+               lead(event_id) OVER (PARTITION BY user_id
+                                    ORDER BY event_id) AS valid_to,
+               CASE event_type WHEN 'signup' THEN 'I'
+                               WHEN 'error' THEN 'D'
+                               ELSE 'U' END AS op
+        FROM events
+    )
+    SELECT user_id AS key,
+           event_id AS valid_from,
+           valid_to,
+           (valid_to IS NULL) AS is_current,
+           event_type, value
+    FROM v WHERE op <> 'D'
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history (operators/scd.py): every insert/update opens
+    a version row bounded by the key's next change (deletes close the
+    prior version without opening one). One lead() window keyed on the
+    key — the history table falls out of the same single shuffle the
+    LWW collapse uses."""
+    cdc = events_as_cdc(spark, sf_dir)
+    img = lambda f: F.coalesce(F.col(f"after.{f}"), F.col(f"before.{f}"))  # noqa: E731
+    hist = SCD.scd2_history(cdc, ["key"], order_by="log_pos")
+    return hist.select(
+        "key",
+        F.col("log_pos").alias("valid_from"),
+        F.col("valid_to_log_pos").alias("valid_to"),
+        "is_current",
+        img("event_type").alias("event_type"),
+        img("value").alias("value"),
     )

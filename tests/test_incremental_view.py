@@ -200,3 +200,54 @@ class TestMaterializedAggView:
         got = {r.grp: (r.n, r.cents) for r in view.read(spark).collect()}
         assert got == self._recompute(spark, table, view)
         assert got == {"a": (2, 255), "b": (1, 250)}
+
+
+# ── SCD Type-2 history invariants ──────────────────────────────────────
+
+
+class TestScd2History:
+    @pytest.fixture(scope="class")
+    def hist(self, spark):
+        from rust_cdc_spark.queries import load_all
+        from tests.conftest import SF_SMOKE
+
+        return load_all()["cdc_scd2_history"].spark_fn(
+            spark, SF_SMOKE
+        ).collect()
+
+    def test_versions_are_contiguous_per_key(self, hist):
+        by_key = {}
+        for r in hist:
+            by_key.setdefault(r.key, []).append(r)
+        for rs in by_key.values():
+            rs.sort(key=lambda r: r.valid_from)
+            for a, b in zip(rs, rs[1:]):
+                # a's validity must end at or before b's start; a gap is
+                # allowed only if a delete closed a (tombstones emit no
+                # row), in which case valid_to < next valid_from.
+                assert a.valid_to is not None and a.valid_to <= b.valid_from
+
+    def test_at_most_one_current_per_key(self, hist):
+        cur = {}
+        for r in hist:
+            if r.is_current:
+                cur[r.key] = cur.get(r.key, 0) + 1
+        assert all(n == 1 for n in cur.values())
+        for r in hist:
+            assert r.is_current == (r.valid_to is None)
+
+    def test_current_versions_equal_lww_collapse(self, spark, hist):
+        from rust_cdc_spark.operators.collapse import collapse_last_image
+        from rust_cdc_spark.sources.events_cdc import events_as_cdc
+        from tests.conftest import SF_SMOKE
+
+        cur = {
+            r.key: (r.event_type, r.value) for r in hist if r.is_current
+        }
+        state = collapse_last_image(
+            events_as_cdc(spark, SF_SMOKE), ["key"], keep_deletes=False
+        ).collect()
+        expect = {
+            r.key: (r.after.event_type, r.after.value) for r in state
+        }
+        assert cur == expect

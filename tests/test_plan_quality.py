@@ -175,6 +175,7 @@ class TestShuffleBudget:
             # 2 key-keyed collapse windows + semi join + delta/view aggs;
             # every shuffle is batch- or |groups|-sized, never table-sized
             ("cdc_incremental_agg", 12),
+            ("cdc_scd2_history", 1),  # one key-keyed lead() window
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
