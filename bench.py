@@ -75,6 +75,7 @@ HEADLINE = [
     "events_retention_cohorts",
     "cdc_incremental_agg",
     "cdc_scd2_history",
+    "cdc_pointintime_join",
 ]
 
 

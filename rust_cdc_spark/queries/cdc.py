@@ -8,7 +8,7 @@ The change stream is derived deterministically from the ``events`` table
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rust_cdc_spark.operators import incremental as IV
@@ -340,4 +340,100 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current",
         img("event_type").alias("event_type"),
         img("value").alias("value"),
+    )
+
+
+@register(
+    "cdc_pointintime_join",
+    oracle="""
+    WITH dim_ev AS (
+        SELECT user_id, event_id, event_type, value,
+               lead(event_id) OVER (PARTITION BY user_id
+                                    ORDER BY event_id) AS valid_to,
+               CASE event_type WHEN 'signup' THEN 'I'
+                               WHEN 'error' THEN 'D'
+                               ELSE 'U' END AS op
+        FROM events WHERE event_type IN ('signup', 'click', 'error')
+    ),
+    dim AS (
+        SELECT user_id, event_id AS valid_from, valid_to, event_type, value
+        FROM dim_ev WHERE op <> 'D'
+    ),
+    f AS (
+        SELECT event_id, user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id AS purchase_id,
+           f.user_id AS key,
+           d.valid_from,
+           d.event_type AS state_type,
+           d.value AS state_value
+    FROM f LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND d.valid_from <= f.event_id
+     AND (d.valid_to IS NULL OR f.event_id < d.valid_to)
+    """,
+)
+def cdc_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase fact picks the dimension
+    version (SCD2 over the signup/click/error change stream) valid AT
+    its position — the temporal join that makes history tables useful.
+    A fact inside a deletion gap (user's state deleted, not yet
+    re-created) matches nothing.
+
+    Spark-first shape: no range join — dim versions and facts are
+    unioned and sorted once per key; ``last(dim, ignorenulls)`` over a
+    running window carries the in-effect version onto each fact, and a
+    validity check null-outs facts inside deletion gaps. ONE key-keyed
+    window shuffle total (the SCD2 lead() upstream shares the same
+    partitioning, so a cluster pays the key exchange once)."""
+    ev = load_table(spark, "events", sf_dir)
+    dim_src = events_as_cdc(spark, sf_dir).filter(
+        F.coalesce(F.col("after.event_type"), F.col("before.event_type")).isin(
+            "signup", "click", "error"
+        )
+    )
+    img = lambda f: F.coalesce(F.col(f"after.{f}"), F.col(f"before.{f}"))  # noqa: E731
+    dim = SCD.scd2_history(dim_src, ["key"], order_by="log_pos").select(
+        "key",
+        F.col("log_pos").alias("pos"),
+        F.lit(1).alias("is_dim"),
+        F.struct(
+            F.col("log_pos").alias("valid_from"),
+            F.col("valid_to_log_pos").alias("valid_to"),
+            img("event_type").alias("state_type"),
+            img("value").alias("state_value"),
+        ).alias("d"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("pos"),
+        F.lit(0).alias("is_dim"),
+        F.lit(None)
+        .cast(
+            "struct<valid_from:long,valid_to:long,"
+            "state_type:string,state_value:double>"
+        )
+        .alias("d"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("pos", F.col("is_dim").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        dim.unionByName(facts)
+        .withColumn("eff", F.last("d", ignorenulls=True).over(w))
+        .filter(F.col("is_dim") == 0)
+    )
+    valid = F.col("eff").isNotNull() & (
+        F.col("eff.valid_to").isNull() | (F.col("pos") < F.col("eff.valid_to"))
+    )
+    return carried.select(
+        "purchase_id",
+        "key",
+        F.when(valid, F.col("eff.valid_from")).alias("valid_from"),
+        F.when(valid, F.col("eff.state_type")).alias("state_type"),
+        F.when(valid, F.col("eff.state_value")).alias("state_value"),
     )

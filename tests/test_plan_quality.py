@@ -176,6 +176,9 @@ class TestShuffleBudget:
             # every shuffle is batch- or |groups|-sized, never table-sized
             ("cdc_incremental_agg", 12),
             ("cdc_scd2_history", 1),  # one key-keyed lead() window
+            # union + carry window share the key partitioning of the
+            # upstream SCD2 lead(); no range join, no broadcast of dim
+            ("cdc_pointintime_join", 4),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
