@@ -62,6 +62,7 @@ _R01_UNCHECKED = [
     "multimodal_dedup_exact", "multimodal_phash_buckets",
     "events_funnel_conversion", "events_retention_cohorts",
     "cdc_incremental_agg", "cdc_scd2_history", "cdc_pointintime_join",
+    "sample_weighted_documents",
 ]
 
 

@@ -76,6 +76,7 @@ HEADLINE = [
     "cdc_incremental_agg",
     "cdc_scd2_history",
     "cdc_pointintime_join",
+    "sample_weighted_documents",
 ]
 
 

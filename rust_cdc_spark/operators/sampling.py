@@ -53,3 +53,47 @@ def bernoulli_sample(df: DataFrame, fraction: float, id_col: str, salt: str = ""
     conversion of the digest needed."""
     digest = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     return df.filter(digest < hex_threshold(fraction))
+
+
+def md5_uniform(id_col: str, salt: str = "", digits: int = 12):
+    """Exact uniform in (0, 1] derived from ``md5(salt || id)``.
+
+    The first ``digits`` hex digits form X; u = (X+1) / 16^digits. Each
+    term digit/2^(4i) is a dyadic rational (divisor built by bit shift,
+    never libm pow) and X+1 < 2^49 fits the double mantissa, so u is
+    EXACTLY representable — any engine folding the same digits gets the
+    same bits. No hex-parsing builtins needed, so the identical formula
+    runs in DuckDB."""
+    h = f"md5(concat('{salt}', cast({id_col} as string)))"
+    return F.expr(
+        f"aggregate(sequence(1, {digits}), cast(0.0 as double),"
+        f" (acc, i) -> acc +"
+        f" (instr('0123456789abcdef', substr({h}, i, 1)) - 1)"
+        f" / cast(shiftleft(1L, 4 * i) as double))"
+        f" + 1.0 / cast(shiftleft(1L, {4 * digits}) as double)"
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis–
+    Spirakis A-ES): rank by key = -ln(u)/w ascending and keep the k
+    smallest — inclusion probability proportional to ``weight_col``.
+    With w = token count this is token-budget-proportional document
+    sampling. The key is quantized to integer picounits before ordering
+    (with the id as tiebreak) so the selected set is engine-stable.
+
+    Scale shape: the key is a map expression; top-k is
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    u = md5_uniform(id_col, salt)
+    key = F.round(-F.log(u) / F.col(weight_col) * 1e12).cast("bigint")
+    return (
+        df.withColumn("es_key", key)
+        .orderBy("es_key", id_col)
+        .limit(k)
+    )

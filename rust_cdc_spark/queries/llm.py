@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from rust_cdc_spark.functions import text as TX
 from rust_cdc_spark.functions import vectors as V
 from rust_cdc_spark.operators import dedup as DD
+from rust_cdc_spark.operators import sampling as SAMP
 from rust_cdc_spark.operators import similarity as SIM
 from rust_cdc_spark.queries import register
 from rust_cdc_spark.sources.tables import load_table
@@ -737,3 +738,41 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dup_docs"),
         )
     )
+
+
+@register(
+    "sample_weighted_documents",
+    # A-ES weighted sampling with an EXACT md5-derived uniform: the
+    # first 12 hex digits fold to u = (X+1)/16^12 via dyadic terms
+    # (digit / 2^(4i), divisors by bit shift — never libm pow), so u is
+    # bit-identical cross-engine; the ranking key is quantized to
+    # integer picounits before the top-k.
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hh
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id, n_chars,
+               list_sum(list_transform(range(1, 13), i ->
+                   (strpos('0123456789abcdef', substr(hh, i, 1)) - 1)
+                   / CAST(1::BIGINT << (4 * i) AS DOUBLE)))
+               + 1.0 / CAST(1::BIGINT << 48 AS DOUBLE) AS uu
+        FROM h
+    )
+    SELECT doc_id, n_chars,
+           CAST(round(-ln(uu) / n_chars * 1e12) AS BIGINT) AS es_key
+    FROM u
+    ORDER BY es_key, doc_id
+    LIMIT 50
+    """,
+)
+def sample_weighted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (Efraimidis–Spirakis) of 50 docs
+    with inclusion probability ∝ n_chars — token-budget-proportional
+    sampling, the draw a mixture pipeline uses when it wants a sample
+    uniform over TOKENS rather than documents. Engine-stable: the
+    uniform is exactly representable, the key an integer
+    (operators/sampling.md5_uniform / weighted_sample)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    return SAMP.weighted_sample(docs, "n_chars", 50, "doc_id")

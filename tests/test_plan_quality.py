@@ -179,6 +179,8 @@ class TestShuffleBudget:
             # union + carry window share the key partitioning of the
             # upstream SCD2 lead(); no range join, no broadcast of dim
             ("cdc_pointintime_join", 4),
+            # map-only A-ES key + TakeOrderedAndProject
+            ("sample_weighted_documents", 0),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
