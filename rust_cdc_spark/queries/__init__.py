@@ -49,6 +49,7 @@ def load_all() -> dict[str, Query]:
     from rust_cdc_spark.queries import (  # noqa: F401
         cdc,
         curation,
+        layout,
         llm,
         multimodal,
         relational,

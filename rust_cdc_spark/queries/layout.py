@@ -1,0 +1,61 @@
+"""Data-layout queries: Z-order (Morton) clustering keys for
+multi-dimensional min-max file skipping (operators/layout.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rust_cdc_spark.operators import layout as L
+from rust_cdc_spark.queries import register
+from rust_cdc_spark.sources.tables import load_table
+
+def _spread(c: str) -> str:
+    """DuckDB mirror of the mask-shift spread ladder (operators/layout.py
+    _SPREAD2) applied to a grid coordinate column: bit i → bit 2i."""
+    x = c
+    for shift, mask in L._SPREAD2:
+        x = f"(({x} | ({x} << {shift})) & {mask})"
+    return x
+
+
+def _grid(col: str, lo: str, hi: str) -> str:
+    """SQL mirror of operators/layout.scale_to_grid (bits=16)."""
+    frac = (
+        f"CASE WHEN ({hi} - {lo}) > 0 THEN "
+        f"CAST({col} - {lo} AS DOUBLE) / CAST({hi} - {lo} AS DOUBLE) "
+        f"ELSE 0.0 END"
+    )
+    return (
+        f"LEAST(GREATEST(CAST(floor(({frac}) * 65536) AS BIGINT), 0), 65535)"
+    )
+
+
+@register(
+    "layout_zorder_key",
+    oracle=f"""
+    WITH b AS (
+        SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
+               min(event_id) AS lo_e, max(event_id) AS hi_e
+        FROM events
+    ),
+    g AS (
+        SELECT event_id,
+               {_grid('user_id', 'lo_u', 'hi_u')} AS gu,
+               {_grid('event_id', 'lo_e', 'hi_e')} AS ge
+        FROM events, b
+    )
+    SELECT event_id, (({_spread('gu')} << 1) | {_spread('ge')}) AS zkey
+    FROM g
+    """,
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton clustering key over (user_id, event_id), min/max-scaled to
+    a 16-bit grid — the sort key `write_zordered` clusters files on so
+    footer min/max stats prune on BOTH dimensions. Pure codegen bit
+    arithmetic (mask-shift ladder), bounds via one broadcast scalar agg;
+    value-level oracle reproduces the exact bit math in DuckDB."""
+    ev = load_table(spark, "events", sf_dir)
+    keyed = L.with_zorder_key(ev, ["user_id", "event_id"], bits=16)
+    return keyed.select("event_id", F.col("zkey").cast("long").alias("zkey"))
