@@ -77,6 +77,8 @@ HEADLINE = [
     "cdc_scd2_history",
     "cdc_pointintime_join",
     "sample_weighted_documents",
+    "layout_zorder_key",
+    "cdc_snapshot_bootstrap",
 ]
 
 

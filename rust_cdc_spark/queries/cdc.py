@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from rust_cdc_spark.operators import bootstrap as BOOT
 from rust_cdc_spark.operators import incremental as IV
 from rust_cdc_spark.operators import scd as SCD
 from rust_cdc_spark.operators.collapse import collapse_last_image
@@ -437,3 +438,51 @@ def cdc_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(valid, F.col("eff.state_type")).alias("state_type"),
         F.when(valid, F.col("eff.state_value")).alias("state_value"),
     )
+
+
+@register(
+    "cdc_snapshot_bootstrap",
+    # Oracle = replay of the COMPLETE log (the bootstrap invariant: a
+    # chunked, watermark-consistent snapshot merged with an overlapping
+    # tail must land on exactly the full-replay state).
+    oracle="""
+    SELECT user_id, event_type, value
+    FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBLog/Flink-CDC-style incremental-snapshot onboarding
+    (operators/bootstrap.py): 4 parallel key-range chunks, each a
+    consistent read as of its OWN binlog watermark (chunk c at position
+    (c+1)·max_pos/8 — all different, all mid-log), reconciled against
+    the full at-least-once tail. The reference only tails from a given
+    (file, pos) (COM_BINLOG_DUMP, /root/reference/src/mysql/conn.rs) and
+    leaves the snapshot problem to the operator; this is the
+    scale-correct solution. Snapshot rows enter the LWW collapse at
+    their watermark position with the snapshot flag winning ties, so
+    chunk overlap and tail overlap are both harmless."""
+    cdc = events_as_cdc(spark, sf_dir)
+    bounds = cdc.agg(F.max("log_pos").alias("__maxp"))
+    # Chunked snapshot, simulated from the log itself: chunk = key % 4,
+    # watermark hw = (chunk+1)·maxp/8; state-as-of-hw per key.
+    upto_hw = (
+        cdc.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "hw",
+            F.floor((F.col("key") % 4 + 1) * F.col("__maxp") / F.lit(8)).cast("long"),
+        )
+        .filter(F.col("log_pos") <= F.col("hw"))
+    )
+    snap_rows = collapse_last_image(upto_hw, ["key"], keep_deletes=False).select(
+        "key", "hw", "log_file", F.col("after.*")
+    )
+    snapshot_env = BOOT.snapshot_as_envelope(
+        snap_rows, ["key"], ["user_id", "event_type", "value", "props"]
+    )
+    state = BOOT.bootstrap_state(snapshot_env, cdc, ["key"])
+    return state.select("after.user_id", "after.event_type", "after.value")
