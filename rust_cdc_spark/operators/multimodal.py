@@ -175,3 +175,38 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
+
+
+def byte_bucket_sums(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Exact per-bucket byte sums over payloads: bucket j sums the bytes
+    at positions ≡ j (mod dim) — the integer core under the stub feature
+    vector and the perceptual-hash fingerprint.
+
+    Vectorized numpy over Arrow batches, NOT built-in higher-order
+    functions: per-byte lambdas (``aggregate(sequence(...))`` with
+    ``conv(substr(hex(..)))``) run interpreted and measured 4.9 s for a
+    1.5 MB corpus at sf0.1 where this path runs 0.87 s — and the gap is
+    linear in payload bytes, so at real media sizes the HOF path is
+    unusable. Same justified-UDF precedent as the IVF centroid scorer
+    (operators/similarity.py).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _sums(p: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for b in p:
+            if b is None:
+                out.append(None)
+                continue
+            a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            out.append([int(a[j::dim].sum()) for j in range(dim)])
+        return pd.Series(out)
+
+    return media.select(
+        "media_id",
+        F.length("payload").alias("n_bytes"),
+        _sums("payload").alias("bucket_sums"),
+    )

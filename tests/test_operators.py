@@ -524,3 +524,30 @@ class TestSampling:
 
         docs = load_table(spark, "documents", SF_SMOKE).select("doc_id")
         assert X.count_exchanges(bernoulli_sample(docs, 0.1, "doc_id")) == 0
+
+
+class TestByteBucketSums:
+    def test_matches_python_reference(self, spark):
+        from rust_cdc_spark.operators import multimodal as MM
+        from rust_cdc_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", SF_SMOKE).limit(25)
+        media = MM.documents_as_media(docs)
+        got = {
+            r.media_id: (r.n_bytes, list(r.bucket_sums))
+            for r in MM.byte_bucket_sums(media, dim=8).collect()
+        }
+        for r in media.collect():
+            b = bytes(r.payload)
+            expect = [sum(b[j::8]) for j in range(8)]
+            assert got[r.media_id] == (len(b), expect)
+
+    def test_dim_parameter(self, spark):
+        from rust_cdc_spark.operators import multimodal as MM
+
+        media = spark.createDataFrame(
+            [(1, bytes(range(10)))], "media_id long, payload binary"
+        )
+        row = MM.byte_bucket_sums(media, dim=3).first()
+        # bytes 0..9: buckets mod 3 → [0+3+6+9, 1+4+7, 2+5+8]
+        assert list(row.bucket_sums) == [18, 12, 15]
