@@ -63,7 +63,7 @@ _R01_UNCHECKED = [
     "events_funnel_conversion", "events_retention_cohorts",
     "cdc_incremental_agg", "cdc_scd2_history", "cdc_pointintime_join",
     "sample_weighted_documents",
-    "layout_zorder_key", "cdc_snapshot_bootstrap",
+    "layout_zorder_key", "cdc_snapshot_bootstrap", "bpe_encode_corpus",
 ]
 
 

@@ -79,6 +79,7 @@ HEADLINE = [
     "sample_weighted_documents",
     "layout_zorder_key",
     "cdc_snapshot_bootstrap",
+    "bpe_encode_corpus",
 ]
 
 

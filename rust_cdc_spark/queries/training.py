@@ -743,3 +743,61 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split"
         ),
     )
+
+
+# Fixed merge table for the oracle-checked BPE apply pass: exercises
+# chained merges (t+h → th+e) and a self-overlapping pair (e+e).
+_BPE_APPLY_MERGES = [("t", "h"), ("th", "e"), ("e", "e"), ("a", "n"), ("an", "d")]
+
+
+def _bpe_apply_sql() -> str:
+    # Greedy leftmost merge as a chain of string replaces over a
+    # delimiter-wrapped symbol string ("abc" → "|a||b||c|"): each symbol
+    # carries its own delimiters, so adjacent matches never share a
+    # boundary character and replace() scans leftmost-first — verified
+    # equivalent to the fold in operators/bpe._apply_merge on
+    # self-overlapping (e,e) and chained (t,h→th,e) cases.
+    s = "'|' || array_to_string(string_split(token, ''), '||') || '|'"
+    for left, right in _BPE_APPLY_MERGES:
+        s = f"replace({s}, '|{left}||{right}|', '|{left}{right}|')"
+    return s
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lower(t) AS token
+        FROM documents, LATERAL unnest(string_split(trim(text), ' ')) AS u(t)
+        WHERE t <> ''
+    ),
+    enc AS (
+        SELECT doc_id, token, {_bpe_apply_sql()} AS s
+        FROM tok
+    )
+    SELECT doc_id, token,
+           replace(trim(s, '|'), '||', ' ') AS segmentation,
+           CAST(len(string_split(s, '||')) AS INT) AS n_pieces
+    FROM enc
+    """,
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY pass: segment every corpus token with a (fixed,
+    deterministic) BPE merge table — the serving half of the trainer in
+    operators/bpe.py (`bpe_train_merges` learns the table; this encodes
+    with it). Pure map stage: per merge one codegen array fold, no
+    shuffle, no Python — at 100 TB the encode cost is embarrassingly
+    parallel and pipelines with the parquet scan. The DuckDB oracle
+    replays the same greedy leftmost semantics via delimiter-wrapped
+    string replaces, giving a value-level check of the merge fold."""
+    from rust_cdc_spark.operators import bpe as BPE
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = [(left, right, 0) for left, right in _BPE_APPLY_MERGES]
+    seg = BPE.segment_tokens(docs, merges)
+    return seg.select(
+        "doc_id",
+        "token",
+        F.concat_ws(" ", "pieces").alias("segmentation"),
+        F.size("pieces").cast("int").alias("n_pieces"),
+    )

@@ -231,11 +231,21 @@ class ParquetUpsertTable:
         self._commit_meta(meta)
         self._cleanup(keep_from=v)
 
-    def compact(self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024) -> None:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        zorder_by: list[str] | None = None,
+    ) -> None:
         """OPTIMIZE analog (reference K8 ``min_bytes_per_file`` 128 MiB,
         /root/reference/src/delta/mod.rs:200-202): rewrite the current
         snapshot into ~target-sized files. File count is derived from the
-        on-disk snapshot size — a driver-side stat, not a data scan."""
+        on-disk snapshot size — a driver-side stat, not a data scan.
+
+        ``zorder_by`` additionally clusters the rewrite on the Morton key
+        of the given columns (OPTIMIZE ZORDER BY analog,
+        operators/layout.py) so footer min/max stats prune point-lookup
+        and range scans on every listed column, not just one."""
         v = self.version()
         if v < 0:
             return
@@ -247,6 +257,17 @@ class ParquetUpsertTable:
         )
         n_files = max(1, round(size / target_file_bytes))
         df = spark.read.parquet(snap)
+        if zorder_by:
+            from rust_cdc_spark.operators.layout import with_zorder_key
+
+            df = (
+                with_zorder_key(df, zorder_by)
+                .repartitionByRange(n_files, "zkey")
+                .sortWithinPartitions("zkey")
+                .drop("zkey")
+            )
+            self.overwrite(df)
+            return
         self.overwrite(df.repartition(n_files))
 
     def diff(

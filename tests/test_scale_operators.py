@@ -108,6 +108,28 @@ class TestCompaction:
         assert table.read(spark).count() == 10000
 
 
+    def test_compact_zorder_clusters_both_columns(self, spark, tmp_path):
+        from rust_cdc_spark.operators.layout import file_pruning_fraction
+        from rust_cdc_spark.streaming.pipeline import ParquetUpsertTable
+
+        table = ParquetUpsertTable(str(tmp_path / "z"), ["id"])
+        # two uncorrelated dimensions
+        df = spark.range(20000).select(
+            F.col("id"), ((F.col("id") * 2654435761) % 20000).alias("h")
+        )
+        table.overwrite(df.repartition(8))
+        table.compact(spark, target_file_bytes=20_000, zorder_by=["id", "h"])
+        snap = table._snapshot_dir(table.version())
+        files = [f for f in os.listdir(snap) if f.endswith(".parquet")]
+        assert len(files) >= 8, "need several files for pruning to mean anything"
+        # a narrow scan on EITHER column can skip most files
+        p_id = file_pruning_fraction(snap, "id", 5000, 5600)
+        p_h = file_pruning_fraction(snap, "h", 5000, 5600)
+        assert p_id >= 0.4, p_id
+        assert p_h >= 0.4, p_h
+        assert table.read(spark).count() == 20000
+
+
 class TestDuplicationProofPairs:
     """The rep-collapse optimization must be output-identical to the
     naive all-pairs computation on a corpus WITH duplicate texts."""
