@@ -118,20 +118,32 @@ def segment_tokens(
     docs: DataFrame,
     merges: list[tuple[str, str, int]],
     text_col: str = "text",
+    collapse_distinct: bool = True,
 ) -> DataFrame:
     """Apply a learned merge table to the corpus: per document, the BPE
-    segmentation of each token. Pure map stage (chained folds, one per
-    merge) — no shuffle; at 100 TB this is the tokenizer's apply pass."""
+    segmentation of each token.
+
+    With ``collapse_distinct`` (default) the merge folds run over the
+    DISTINCT token vocabulary and join back to the token instances —
+    Zipf makes the vocabulary orders of magnitude smaller than the
+    corpus, so the fold cost stops scaling with corpus size (measured
+    6.6 s → 0.9 s at sf0.1; the instance-level path was the only op in
+    its batch scaling linearly at 10×). The join is a plain equi-join on
+    ``token`` — AQE broadcasts it while the vocab fits and shuffles
+    when it doesn't, both fine at 100 TB. ``collapse_distinct=False``
+    keeps the pure map shape (folds inline per instance, no shuffle)."""
     syms = F.split(F.col("token"), "")
     for left, right, _ in merges:
         syms = _apply_merge(syms, left, right)
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(f"transform(split(trim({text_col}), ' '), t -> lower(t))")
-            ).alias("token"),
-        )
-        .filter(F.col("token") != "")  # same empty-token rule as build_vocab
-        .select("doc_id", "token", syms.alias("pieces"))
+    instances = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(split(trim({text_col}), ' '), t -> lower(t))")
+        ).alias("token"),
+    ).filter(F.col("token") != "")  # same empty-token rule as build_vocab
+    if not collapse_distinct:
+        return instances.select("doc_id", "token", syms.alias("pieces"))
+    vocab = instances.select("token").distinct().select(
+        "token", syms.alias("pieces")
     )
+    return instances.join(vocab, "token").select("doc_id", "token", "pieces")

@@ -91,13 +91,34 @@ class TestSegmentTokens:
         for r in seg.limit(2000).collect():
             assert list(r.pieces) == vocab[r.token], r.token
 
-    def test_no_shuffle_in_apply(self, spark):
+    def test_no_shuffle_in_pure_map_apply(self, spark):
         from rust_cdc_spark.plans import explain as X
 
         docs = load_table(spark, "documents", SF_SMOKE)
-        seg = segment_tokens(docs, [("a", "b", 1), ("ab", "c", 1)])
+        seg = segment_tokens(
+            docs, [("a", "b", 1), ("ab", "c", 1)], collapse_distinct=False
+        )
         assert X.count_exchanges(seg) == 0
         assert not X.has_python_eval(seg)
+
+    def test_vocab_collapse_equals_pure_map(self, spark):
+        # the distinct-vocab fold + join-back (measured 13× at sf0.1)
+        # must be row-identical to folding every token instance
+        docs = load_table(spark, "documents", SF_SMOKE).limit(50)
+        merges = [("t", "h", 1), ("th", "e", 1), ("e", "e", 1)]
+        fast = segment_tokens(docs, merges)
+        slow = segment_tokens(docs, merges, collapse_distinct=False)
+        key = lambda r: (r.doc_id, r.token, tuple(r.pieces))  # noqa: E731
+        assert sorted(map(key, fast.collect())) == sorted(
+            map(key, slow.collect())
+        )
+        assert not X_has_python(fast)
+
+
+def X_has_python(df):
+    from rust_cdc_spark.plans import explain as X
+
+    return X.has_python_eval(df)
 
 
 class TestMergeFoldProperty:
