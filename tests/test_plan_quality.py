@@ -181,6 +181,12 @@ class TestShuffleBudget:
             ("cdc_pointintime_join", 4),
             # map-only A-ES key + TakeOrderedAndProject
             ("sample_weighted_documents", 0),
+            # broadcast min/max bounds + codegen bit ladder (no data shuffle)
+            ("layout_zorder_key", 1),
+            # snapshot collapse window + union LWW collapse (key-keyed)
+            ("cdc_snapshot_bootstrap", 3),
+            # distinct-vocab agg; join-back broadcast by AQE at this SF
+            ("bpe_encode_corpus", 2),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
