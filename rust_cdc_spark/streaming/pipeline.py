@@ -329,6 +329,8 @@ def start_cdc_pipeline(
     checkpoint_dir: str | None = None,
     processing_time: str | None = None,
     max_events_per_trigger: int | None = None,
+    gtid_executed: str | None = None,
+    app_id: str | None = None,
 ):
     """Wire the full reference pipeline as one streaming query.
 
@@ -336,7 +338,14 @@ def start_cdc_pipeline(
     ``processAllAvailable()`` it. Routing happens on the stream (narrow
     filter); collapse+MERGE per microbatch in foreachBatch.
     ``max_events_per_trigger`` bounds each microbatch (reference
-    ``max_messages_per_batch``).
+    ``max_messages_per_batch``). ``gtid_executed`` is the failover-resume
+    set (streaming/gtid.py): events whose GTID is already executed are
+    dropped inside the source, so switching servers (where file/pos
+    offsets are meaningless) cannot re-deliver transactions. A failover
+    is a NEW stream incarnation (fresh checkpoint, epoch ids restart) —
+    give it a new ``app_id`` so the sink's (app_id, txn_version)
+    idempotence guard scopes to the incarnation; cross-server dedup is
+    the GTID set's job, same-stream replay dedup is txn_version's.
     """
     from rust_cdc_spark.operators.router import route
     from rust_cdc_spark.streaming.replay_source import register
@@ -345,6 +354,8 @@ def start_cdc_pipeline(
     reader = spark.readStream.format("mysql-cdc-replay").option("path", source_dir)
     if max_events_per_trigger:
         reader = reader.option("maxeventspertrigger", str(max_events_per_trigger))
+    if gtid_executed:
+        reader = reader.option("gtidexecuted", gtid_executed)
     if checkpoint_dir:
         # Let the source's rate limiter resume from the durable offset log
         # on restart (see BinlogReplayReader._durable_start).
@@ -356,7 +367,7 @@ def start_cdc_pipeline(
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        table.merge(batch, txn_version=epoch_id)
+        table.merge(batch, txn_version=epoch_id, app_id=app_id or "cdc")
 
     writer = stream.writeStream.foreachBatch(apply_batch).outputMode("update")
     if checkpoint_dir:

@@ -81,6 +81,13 @@ class BinlogReplayReader(DataSourceStreamReader):
         # Spark has reported via partitions()/commit() this run.
         self._cursor: dict | None = None
         self._seen_start: dict | None = None
+        # Failover resume: transactions already executed elsewhere
+        # (streaming/gtid.py). After a replica switch, (file, line)
+        # offsets are meaningless on the new server — the consumer
+        # restarts from the new server's beginning with its executed
+        # GTID set, and read() drops the overlap before it ever reaches
+        # the DataFrame.
+        self.gtid_executed = options.get("gtidexecuted", "")
 
     # offsets are {"file": name, "line": n} — "line" is the replay analog
     # of the binlog byte position (monotone within a file).
@@ -193,12 +200,17 @@ class BinlogReplayReader(DataSourceStreamReader):
     def read(self, partition: RangePartition):
         import datetime
 
+        from rust_cdc_spark.streaming.gtid import GtidSet
+
+        executed = GtidSet(self.gtid_executed)
         for fname, lo, hi in partition.files:
             with open(os.path.join(partition.directory, fname)) as fh:
                 for i, line in enumerate(fh):
                     if i < lo or i >= hi:
                         continue
                     ev = json.loads(line)
+                    if executed and executed.contains(ev.get("gtid")):
+                        continue
                     yield (
                         datetime.datetime.utcfromtimestamp(ev["ts"]),
                         ev.get("server_id"),
