@@ -80,6 +80,7 @@ HEADLINE = [
     "layout_zorder_key",
     "cdc_snapshot_bootstrap",
     "bpe_encode_corpus",
+    "dedup_keep_best",
 ]
 
 
