@@ -82,6 +82,7 @@ HEADLINE = [
     "bpe_encode_corpus",
     "dedup_keep_best",
     "quality_classifier_train",
+    "asof_join_next_click_1h",
 ]
 
 

@@ -1170,3 +1170,81 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "asof_join_next_click_1h",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, epoch_us(ts) AS t, event_id, value,
+               (event_type = 'click') AS is_click,
+               (event_type = 'purchase') AS is_purchase
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    enr AS (
+        SELECT user_id, t, event_id, is_purchase,
+               first_value(CASE WHEN is_click THEN t END IGNORE NULLS)
+                   OVER w AS click_t,
+               first_value(CASE WHEN is_click THEN event_id END IGNORE NULLS)
+                   OVER w AS click_eid,
+               first_value(CASE WHEN is_click THEN value END IGNORE NULLS)
+                   OVER w AS click_val
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, is_purchase DESC
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id AS purchase_event_id, t AS purchase_t,
+           CASE WHEN click_t - t <= 3600000000 THEN click_t END AS click_t,
+           CASE WHEN click_t - t <= 3600000000 THEN click_eid END
+               AS next_click_event_id,
+           CASE WHEN click_t - t <= 3600000000 THEN click_val END
+               AS next_click_value
+    FROM enr WHERE is_purchase
+    """,
+)
+def asof_join_next_click_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (operators/asof.py — the
+    generalized merge-asof: backward/forward/nearest + tolerance,
+    pandas-equivalence-tested): for each purchase, the next click of the
+    same user within one hour. Same single key-shuffle shape as the
+    backward as-of; the tolerance is a post-carry map filter, never a
+    join predicate."""
+    from rust_cdc_spark.operators.asof import asof_join
+
+    base = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t"),
+            "event_id",
+            "value",
+            "event_type",
+        )
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", "t", F.col("event_id").alias("purchase_event_id")
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "t",
+        F.col("event_id").alias("next_click_event_id"),
+        F.col("value").alias("next_click_value"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="t",
+        by=["user_id"],
+        direction="forward",
+        tolerance=3_600_000_000,
+    )
+    return out.select(
+        "user_id",
+        "purchase_event_id",
+        F.col("t").alias("purchase_t"),
+        F.col("t_right").alias("click_t"),
+        F.col("next_click_event_id_right").alias("next_click_event_id"),
+        F.col("next_click_value_right").alias("next_click_value"),
+    )
