@@ -64,7 +64,7 @@ _R01_UNCHECKED = [
     "cdc_incremental_agg", "cdc_scd2_history", "cdc_pointintime_join",
     "sample_weighted_documents",
     "layout_zorder_key", "cdc_snapshot_bootstrap", "bpe_encode_corpus",
-    "dedup_keep_best", "quality_classifier_train", "asof_join_next_click_1h",
+    "dedup_keep_best", "quality_classifier_train", "asof_join_next_click_1h", "similarity_pq_rerank_topk",
 ]
 
 

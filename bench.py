@@ -83,6 +83,7 @@ HEADLINE = [
     "dedup_keep_best",
     "quality_classifier_train",
     "asof_join_next_click_1h",
+    "similarity_pq_rerank_topk",
 ]
 
 

