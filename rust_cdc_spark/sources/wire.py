@@ -261,3 +261,117 @@ def replicate(
         raise WireError(code, reply[3:].decode("utf-8", errors="replace"))
     send(write_packet(0, build_com_binlog_dump(server_id, log_file, log_pos)))
     yield from binlog_events_from_stream(stream)
+
+
+# ── COM_QUERY text protocol ──────────────────────────────────────────
+# The reference drives its session setup over plain text queries before
+# requesting the dump: SET NAMES / sql_mode / time_zone
+# (/root/reference/src/mysql/conn.rs:499-604 establish), checksum
+# negotiation (`SET @master_binlog_checksum` :367-374), `show master
+# status` for the start position (:394-458 set_binlog_pos + fetch), and
+# COM_PING keepalives (:376-380).
+
+COM_QUERY = 0x03
+COM_PING = 0x0E
+_NULL_CELL = 0xFB
+
+
+def build_com_query(sql: str) -> bytes:
+    return bytes([COM_QUERY]) + sql.encode("utf-8")
+
+
+def build_com_ping() -> bytes:
+    return bytes([COM_PING])
+
+
+def _lenenc_int(buf: bytes, off: int) -> tuple[int, int]:
+    """MySQL length-encoded integer → (value, next_offset)."""
+    first = buf[off]
+    if first < 0xFB:
+        return first, off + 1
+    if first == 0xFC:
+        return int.from_bytes(buf[off + 1:off + 3], "little"), off + 3
+    if first == 0xFD:
+        return int.from_bytes(buf[off + 1:off + 4], "little"), off + 4
+    if first == 0xFE:
+        return int.from_bytes(buf[off + 1:off + 9], "little"), off + 9
+    raise ValueError(f"invalid lenenc prefix {first:#x}")
+
+
+def _lenenc_str(buf: bytes, off: int) -> tuple[bytes, int]:
+    n, off = _lenenc_int(buf, off)
+    return buf[off:off + n], off + n
+
+
+def _parse_column_def(payload: bytes) -> str:
+    """Column definition packet → column name (the only field the
+    session-setup queries need)."""
+    off = 0
+    for _ in range(4):  # catalog, schema, table, org_table
+        _, off = _lenenc_str(payload, off)
+    name, off = _lenenc_str(payload, off)
+    return name.decode("utf-8", errors="replace")
+
+
+def read_text_resultset(stream) -> tuple[list[str], list[list[str | None]]]:
+    """Read a COM_QUERY response: (column_names, rows). Statements that
+    return no rows (SET ...) yield ([], []). ERR raises WireError."""
+    _, payload = read_packet(stream)
+    if payload and payload[0] == ERR_HEADER:
+        code = int.from_bytes(payload[1:3], "little")
+        raise WireError(code, payload[3:].decode("utf-8", errors="replace"))
+    if payload and payload[0] == 0x00:  # OK — no resultset
+        return [], []
+    n_cols, _ = _lenenc_int(payload, 0)
+    cols = []
+    for _ in range(n_cols):
+        _, p = read_packet(stream)
+        cols.append(_parse_column_def(p))
+    rows: list[list[str | None]] = []
+    while True:
+        _, p = read_packet(stream)
+        if p and p[0] == ERR_HEADER:
+            code = int.from_bytes(p[1:3], "little")
+            raise WireError(code, p[3:].decode("utf-8", errors="replace"))
+        if p and p[0] == 0xFE and len(p) < 9:  # EOF / OK-as-EOF
+            return cols, rows
+        row: list[str | None] = []
+        off = 0
+        for _ in range(n_cols):
+            if p[off] == _NULL_CELL:
+                row.append(None)
+                off += 1
+            else:
+                v, off = _lenenc_str(p, off)
+                row.append(v.decode("utf-8", errors="replace"))
+        rows.append(row)
+
+
+def query(stream, send, sql: str) -> tuple[list[str], list[list[str | None]]]:
+    """Send a text-protocol query and read its resultset."""
+    send(write_packet(0, build_com_query(sql)))
+    return read_text_resultset(stream)
+
+
+def session_setup(stream, send, charset: str = "utf8mb4") -> tuple[str, int]:
+    """The reference's pre-dump session ritual: pin charset/sql_mode/
+    time_zone, negotiate checksum, fetch the master position. Returns
+    (log_file, log_pos) to dump from."""
+    query(stream, send, f"SET NAMES {charset}")
+    query(stream, send, "SET time_zone='+00:00'")
+    query(
+        stream, send,
+        "SET @master_binlog_checksum = @@global.binlog_checksum",
+    )
+    cols, rows = query(stream, send, "SHOW MASTER STATUS")
+    if not rows:
+        raise WireError(0, "binlog disabled: SHOW MASTER STATUS empty")
+    file_idx = cols.index("File") if "File" in cols else 0
+    pos_idx = cols.index("Position") if "Position" in cols else 1
+    return rows[0][file_idx], int(rows[0][pos_idx])
+
+
+def ping(stream, send) -> bool:
+    send(write_packet(0, build_com_ping()))
+    _, payload = read_packet(stream)
+    return bool(payload) and payload[0] == 0x00

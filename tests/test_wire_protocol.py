@@ -208,3 +208,81 @@ class TestScriptedReplication:
                     log_file="b.1", log_pos=4, send=lambda b: None,
                 )
             )
+
+
+def _lenenc_str_bytes(s: bytes) -> bytes:
+    assert len(s) < 0xFB
+    return bytes([len(s)]) + s
+
+
+def _coldef(name: bytes) -> bytes:
+    # catalog, schema, table, org_table, name (lenenc strings) + enough
+    # trailing bytes for the fixed fields the parser ignores
+    return (
+        _lenenc_str_bytes(b"def") + _lenenc_str_bytes(b"") +
+        _lenenc_str_bytes(b"") + _lenenc_str_bytes(b"") +
+        _lenenc_str_bytes(name) + b"\x0c" + b"\x00" * 12
+    )
+
+
+class TestComQuery:
+    def _script(self, packets: list[bytes]) -> io.BytesIO:
+        return io.BytesIO(b"".join(
+            W.write_packet(i + 1, p) for i, p in enumerate(packets)
+        ))
+
+    def test_ok_only_statement(self):
+        stream = self._script([b"\x00\x00\x00\x02\x00"])  # OK packet
+        sent = []
+        cols, rows = W.query(stream, sent.append, "SET NAMES utf8mb4")
+        assert (cols, rows) == ([], [])
+        assert sent[0][4] == W.COM_QUERY
+        assert sent[0][5:] == b"SET NAMES utf8mb4"
+
+    def test_show_master_status_resultset(self):
+        eof = b"\xfe\x00\x00\x02\x00"
+        row = (_lenenc_str_bytes(b"binlog.000042") +
+               _lenenc_str_bytes(b"1547"))
+        # CLIENT_DEPRECATE_EOF framing: no EOF between coldefs and rows
+        stream = self._script([
+            b"\x02", _coldef(b"File"), _coldef(b"Position"), row, eof,
+        ])
+        cols, rows = W.read_text_resultset(stream)
+        assert cols == ["File", "Position"]
+        assert rows == [["binlog.000042", "1547"]]
+
+    def test_null_cells(self):
+        eof = b"\xfe\x00\x00\x02\x00"
+        row = _lenenc_str_bytes(b"x") + b"\xfb"
+        stream = self._script([b"\x02", _coldef(b"a"), _coldef(b"b"), row, eof])
+        _, rows = W.read_text_resultset(stream)
+        assert rows == [["x", None]]
+
+    def test_err_raises(self):
+        err = b"\xff\x28\x04#42000Unknown database"
+        stream = self._script([err])
+        with pytest.raises(W.WireError) as e:
+            W.read_text_resultset(stream)
+        assert e.value.code == 0x0428
+
+    def test_session_setup_conversation(self):
+        eof = b"\xfe\x00\x00\x02\x00"
+        ok = b"\x00\x00\x00\x02\x00"
+        row = _lenenc_str_bytes(b"binlog.000007") + _lenenc_str_bytes(b"4")
+        stream = self._script([
+            ok, ok, ok,                      # SET NAMES / time_zone / checksum
+            b"\x02", _coldef(b"File"), _coldef(b"Position"), row, eof,
+        ])
+        sent = []
+        file, pos = W.session_setup(stream, sent.append)
+        assert (file, pos) == ("binlog.000007", 4)
+        sql_sent = b"".join(sent)
+        assert b"SET NAMES utf8mb4" in sql_sent
+        assert b"@master_binlog_checksum" in sql_sent
+        assert b"SHOW MASTER STATUS" in sql_sent
+
+    def test_ping(self):
+        stream = self._script([b"\x00\x00\x00\x02\x00"])
+        sent = []
+        assert W.ping(stream, sent.append)
+        assert sent[0][4] == W.COM_PING
