@@ -140,3 +140,99 @@ class TestCdcToTrainingSet:
         merges = learn_bpe_merges(state, n_merges=1)
         # only 'cd cd cd cd' remains -> (c,d) x4, never (a,b)
         assert merges == [("c", "d", 4)]
+
+
+class TestRagIngestionToRetrieval:
+    """RAG end-to-end: chunk the corpus, embed each chunk with a
+    deterministic stub encoder, build the PQ index over chunk
+    embeddings, retrieve for a probe chunk, exact-rerank the pool —
+    every stage is an operator the engine ships; this asserts they
+    compose and that retrieval surfaces the probe's own chunk first."""
+
+    DIM = 32
+
+    def _stub_embed(self, df, text_col="chunk_text", dim=DIM):
+        """Deterministic bag-of-hashed-words embedding: each token adds
+        ±1 to the bucket md5(token) % dim picks — pure codegen (the
+        real encoder is a mapInPandas batch, operators/multimodal.py
+        shows the slot)."""
+        toks = F.split(F.trim(F.col(text_col)), " ")
+        buckets = [
+            F.aggregate(
+                F.filter(
+                    toks,
+                    lambda t: (
+                        F.conv(F.substring(F.md5(t), 1, 6), 16, 10)
+                        .cast("long") % self.DIM
+                    ) == j,
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc
+                + F.when(
+                    (
+                        F.conv(F.substring(F.md5(t), 8, 6), 16, 10)
+                        .cast("long") % 2
+                    ) == 0,
+                    1.0,
+                ).otherwise(-1.0),
+            ).alias(f"e{j}")
+            for j in range(dim)
+        ]
+        return df.withColumn("embedding", F.array(*buckets).cast("array<float>")).drop(
+            *[f"e{j}" for j in range(dim)]
+        )
+
+    def test_chunk_embed_index_retrieve(self, spark):
+        from rust_cdc_spark.operators import pq as PQ
+        from rust_cdc_spark.sources.tables import load_table
+        from tests.conftest import SF_SMOKE
+
+        docs = load_table(spark, "documents", SF_SMOKE).limit(120)
+        # chunk: 20-token windows, stride 10 (the registered query's op)
+        toks = F.split(F.trim("text"), " ")
+        n_chunks = F.ceil(
+            F.greatest(F.size(toks) - 20, F.lit(0)) / 10.0
+        ).cast("long") + 1
+        chunks = (
+            docs.select(
+                "doc_id",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0), n_chunks - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(toks, i * 10 + 1, 20)
+                        ),
+                    )
+                ).alias("chunk_id", "chunk_text"),
+            )
+            .withColumn(
+                "vec_id",
+                F.col("doc_id") * 1000 + F.col("chunk_id"),
+            )
+        )
+        embedded = self._stub_embed(chunks).cache()
+        n = embedded.count()
+        assert n > 200
+
+        cb = PQ.train_pq(
+            embedded, m=8, k=16, dim=self.DIM, iters=2, vec_col="embedding"
+        )
+        codes = PQ.encode_pq(embedded, cb, vec_col="embedding").cache()
+
+        probe_row = embedded.orderBy("vec_id").first()
+        probe = [float(x) for x in probe_row.embedding]
+        pool_ids = [
+            r.vec_id
+            for r in PQ.pq_topk(codes, cb, probe, k=max(32, n // 5)).collect()
+        ]
+        # exact rerank of the pool
+        import numpy as np
+
+        V = {
+            r.vec_id: np.asarray(r.embedding, float)
+            for r in embedded.filter(F.col("vec_id").isin(pool_ids)).collect()
+        }
+        p = np.asarray(probe)
+        reranked = sorted(V, key=lambda i: float(((V[i] - p) ** 2).sum()))
+        # self-retrieval: the probe's own chunk is the nearest neighbor
+        assert reranked[0] == probe_row.vec_id
