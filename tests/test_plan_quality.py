@@ -187,6 +187,14 @@ class TestShuffleBudget:
             ("cdc_snapshot_bootstrap", 3),
             # distinct-vocab agg; join-back broadcast by AQE at this SF
             ("bpe_encode_corpus", 2),
+            # quality+fp map pass, one fp-keyed window
+            ("dedup_keep_best", 1),
+            # union + one user-keyed forward-carry window
+            ("asof_join_next_click_1h", 1),
+            # model is driver state; the returned trajectory is local
+            ("quality_classifier_train", 0),
+            # ADC scan is map-only + TakeOrdered; rerank joins the pool
+            ("similarity_pq_rerank_topk", 2),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):

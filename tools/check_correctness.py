@@ -4,6 +4,7 @@ DuckDB oracle, compares column-sorted row multisets, prints a one-line
 verdict per query plus a summary. Exit code 1 on any mismatch/error.
 
 Usage: python tools/check_correctness.py [sf_dir] [name_substring...]
+(prefix a pattern with ~ to exclude, e.g. ~dedup_clusters)
 """
 
 from __future__ import annotations
@@ -25,9 +26,12 @@ def main() -> int:
     filters = sys.argv[2:]
     spark = get_spark("correctness_sweep")
     reg = load_all()
+    include = [f for f in filters if not f.startswith("~")]
+    exclude = [f[1:] for f in filters if f.startswith("~")]
     names = [
         n for n in reg
-        if not filters or any(f in n for f in filters)
+        if (not include or any(f in n for f in include))
+        and not any(f in n for f in exclude)
     ]
     bad = []
     for name in names:
