@@ -89,3 +89,53 @@ class TestPlanShape:
         plan = X.plan_text(out)
         assert "NestedLoop" not in plan and "Cartesian" not in plan
         assert X.count_exchanges(out) <= 2  # two source exchanges pre-union
+
+
+class TestAsofProperty:
+    def test_random_tables_match_pandas(self, spark):
+        """Randomized check across all directions (seeded, 6 draws):
+        arbitrary key/time multisets, including duplicate times within a
+        key on the LEFT side (right-side ties stay unique — with
+        duplicate right times the pick among equals is unspecified in
+        both engines)."""
+        import random
+
+        rng = random.Random(7)
+        for trial in range(6):
+            keys = ["a", "b", "c"]
+            left = [
+                (rng.choice(keys), rng.randrange(0, 40), f"l{i}")
+                for i in range(rng.randrange(3, 12))
+            ]
+            right_ts = {}
+            right = []
+            for i in range(rng.randrange(2, 10)):
+                k = rng.choice(keys)
+                t = rng.randrange(0, 40)
+                while (k, t) in right_ts:
+                    t = rng.randrange(0, 400)
+                right_ts[(k, t)] = True
+                right.append((k, t, f"r{i}"))
+            lp = pd.DataFrame(left, columns=["key", "t", "lval"]).sort_values("t")
+            rp = pd.DataFrame(right, columns=["key", "t", "rval"]).sort_values("t")
+            l = spark.createDataFrame(left, "key string, t long, lval string")  # noqa: E741
+            r = spark.createDataFrame(right, "key string, t long, rval string")
+            for direction in ["backward", "forward", "nearest"]:
+                for tol in [None, 7]:
+                    got = {
+                        (row.key, row.t, row.lval): row.rval_right
+                        for row in asof_join(
+                            l, r, on="t", by=["key"],
+                            direction=direction, tolerance=tol,
+                        ).collect()
+                    }
+                    want_df = pd.merge_asof(
+                        lp, rp, on="t", by="key", direction=direction,
+                        tolerance=tol, suffixes=("", "_right"),
+                    )
+                    want = {
+                        (w.key, w.t, w.lval):
+                            (None if pd.isna(w.rval) else w.rval)
+                        for w in want_df.itertuples()
+                    }
+                    assert got == want, (trial, direction, tol)
