@@ -88,8 +88,32 @@ def cmd_compact(args) -> None:
 
     spark = _spark()
     table = ParquetUpsertTable(args.table, [])
-    table.compact(spark, target_file_bytes=args.target_mb * 1024 * 1024)
+    table.compact(
+        spark,
+        target_file_bytes=args.target_mb * 1024 * 1024,
+        zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
+    )
     print(json.dumps({"table": args.table, "version": table.version()}))
+
+
+def cmd_explain(args) -> None:
+    from rust_cdc_spark.plans import explain as X
+    from rust_cdc_spark.queries import load_all
+
+    spark = _spark()
+    reg = load_all()
+    if args.name not in reg:
+        print(json.dumps({"error": "unknown query", "known": sorted(reg)}))
+        raise SystemExit(1)
+    df = reg[args.name].spark_fn(spark, args.sf_dir)
+    print(json.dumps({
+        "query": args.name,
+        "exchanges": X.count_exchanges(df),
+        "python_eval": X.has_python_eval(df),
+        "top_k": X.uses_top_k(df),
+    }))
+    if args.full:
+        df.explain("formatted")
 
 
 def cmd_history(args) -> None:
@@ -127,11 +151,18 @@ def main(argv: list[str] | None = None) -> int:
     co = sub.add_parser("compact", help="rewrite snapshot into sized files")
     co.add_argument("--table", required=True)
     co.add_argument("--target-mb", type=int, default=128)
+    co.add_argument("--zorder-by", help="comma-separated columns for Z-order clustering")
     co.set_defaults(fn=cmd_compact)
 
     h = sub.add_parser("history", help="list retained versions")
     h.add_argument("--table", required=True)
     h.set_defaults(fn=cmd_history)
+
+    e = sub.add_parser("explain", help="plan facts for a registered query")
+    e.add_argument("--name", required=True)
+    e.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    e.add_argument("--full", action="store_true", help="print the formatted plan")
+    e.set_defaults(fn=cmd_explain)
 
     args = p.parse_args(argv)
     args.fn(args)
