@@ -84,6 +84,7 @@ HEADLINE = [
     "quality_classifier_train",
     "asof_join_next_click_1h",
     "similarity_pq_rerank_topk",
+    "split_leakage_check",
 ]
 
 

@@ -888,3 +888,58 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(it, w[0], w[1], w[2], w[3]) for it, w in hist],
         "iteration int, w_bias double, w_len double, w_sw double, w_atl double",
     )
+
+
+@register(
+    "split_leakage_check",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          1, 200)) AS fp,
+               CASE WHEN md5('split|' || CAST(doc_id AS VARCHAR))
+                         < '{"%032x" % int(0.8 * 16**32)}' THEN 'train'
+                    WHEN md5('split|' || CAST(doc_id AS VARCHAR))
+                         < '{"%032x" % int(0.9 * 16**32)}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT fp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+           array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+    FROM d
+    GROUP BY fp
+    HAVING count(DISTINCT split) > 1
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-QA: near-duplicate groups (normalized 200-char-prefix
+    fingerprint — the dedup_keep_best family) that STRADDLE train/val/
+    test splits, i.e. evaluation leakage the doc_id-hash split cannot
+    see. One hash agg on the fingerprint; the fix is to split by
+    fingerprint instead of doc_id for grouped near-dups."""
+    t80, t90 = _split_thresholds()
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string")))
+    d = docs.select(
+        F.md5(
+            F.substring(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), 1, 200
+            )
+        ).alias("fp"),
+        F.when(h < t80, "train").when(h < t90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return (
+        d.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+            F.concat_ws(",", F.sort_array(F.collect_set("split"))).alias(
+                "splits"
+            ),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
