@@ -85,6 +85,7 @@ HEADLINE = [
     "asof_join_next_click_1h",
     "similarity_pq_rerank_topk",
     "split_leakage_check",
+    "window_frame_functions",
 ]
 
 

@@ -1248,3 +1248,52 @@ def asof_join_next_click_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_click_event_id_right").alias("next_click_event_id"),
         F.col("next_click_value_right").alias("next_click_value"),
     )
+
+
+@register(
+    "window_frame_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS spend_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           round(first_value(o_totalprice) OVER w, 2) AS smallest,
+           round(nth_value(o_totalprice, 2) OVER w2, 2) AS second_smallest,
+           round(avg(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_frame_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window family in one query: ntile
+    quartiles, percent_rank/cume_dist distribution positions,
+    first/nth_value frames, and a 3-row moving average — all on ONE
+    customer-keyed window partitioning (a single exchange; every
+    function reuses it)."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_custkey") % 100 == 0
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_ma = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("smallest"),
+        F.round(F.nth_value("o_totalprice", 2).over(w_run), 2).alias(
+            "second_smallest"
+        ),
+        F.round(F.avg("o_totalprice").over(w_ma), 2).alias("ma3"),
+    )
