@@ -420,7 +420,7 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN vsz s
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(sum(micro) / 1e6 / count(*), 6) AS avg_logp
+           CAST(sum(micro) AS BIGINT) AS sum_logp_micro
     FROM inst GROUP BY doc_id
     """,
 )
@@ -435,7 +435,9 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     second corpus pass); instances re-join the model on (w1,w2) — a
     co-keyed big-big shuffle join, model never collected; V is a scalar
     agg. Each instance's log-prob is quantized to integer micro-units
-    before the per-doc sum, so cross-engine aggregation order is moot."""
+    before the per-doc sum, so cross-engine aggregation order is moot
+    and the per-doc output is an exact integer (no rounded quotient —
+    see inline note)."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("t"))
     bg = toks.filter(F.size("t") >= 2).select(
@@ -468,7 +470,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return inst.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
-        F.round(F.sum("micro") / 1e6 / F.count("*"), 6).alias("avg_logp"),
+        # integer micro-sum, NOT round(sum/1e6/n, 6): rounding that
+        # quotient diverged at sf0.1 (Spark rounds the double's exact
+        # decimal value, DuckDB scales by 10^6 in float first — the
+        # half-point landed on different sides). Consumers derive the
+        # mean as sum_logp_micro / 1e6 / n_bigrams.
+        F.sum("micro").cast("bigint").alias("sum_logp_micro"),
     )
 
 

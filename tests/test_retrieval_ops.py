@@ -98,8 +98,9 @@ class TestBigramLM:
         for r in rows:
             ntok = len(docs[r.doc_id].strip().split(" "))
             assert r.n_bigrams == ntok - 1
-            assert r.avg_logp < 0
-            assert math.isfinite(r.avg_logp)
+            assert r.sum_logp_micro < 0  # log-probs are negative
+            # mean micro log-prob within the plausible LM range
+            assert -20.0 < r.sum_logp_micro / 1e6 / r.n_bigrams < 0.0
 
 
 class TestSemanticDedup:
