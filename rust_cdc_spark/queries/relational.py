@@ -1259,9 +1259,10 @@ def asof_join_next_click_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(cume_dist() OVER w, 6) AS cume,
            round(first_value(o_totalprice) OVER w, 2) AS smallest,
            round(nth_value(o_totalprice, 2) OVER w2, 2) AS second_smallest,
-           round(avg(o_totalprice) OVER (
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS ma3_cents_sum
     FROM orders
     WHERE o_custkey % 100 = 0
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
@@ -1272,7 +1273,7 @@ def asof_join_next_click_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_frame_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining analytic-window family in one query: ntile
     quartiles, percent_rank/cume_dist distribution positions,
-    first/nth_value frames, and a 3-row moving average — all on ONE
+    first/nth_value frames, and a 3-row moving window total (integer cents) — all on ONE
     customer-keyed window partitioning (a single exchange; every
     function reuses it)."""
     orders = load_table(spark, "orders", sf_dir).filter(
@@ -1295,5 +1296,10 @@ def window_frame_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.nth_value("o_totalprice", 2).over(w_run), 2).alias(
             "second_smallest"
         ),
-        F.round(F.avg("o_totalprice").over(w_ma), 2).alias("ma3"),
+        # 3-row moving total in integer cents (exact cross-engine; a
+        # round(avg(...), 2) here split on a half-point at sf0.1)
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .over(w_ma)
+        .cast("bigint")
+        .alias("ma3_cents_sum"),
     )
