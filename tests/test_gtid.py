@@ -159,3 +159,76 @@ class TestFailoverResume:
         assert [r.gtid for r in consume(gtidexecuted="primary:1-3")] == [
             "primary:4"
         ]
+
+
+class TestShardedPipeline:
+    """N shard binlogs (hash-sharded by key) merge into one table in a
+    single streaming query; each shard resumes from its own offsets."""
+
+    def _write(self, directory, fname, events):
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, fname), "w") as fh:
+            for e in events:
+                fh.write(json.dumps(e) + "\n")
+
+    def _ev(self, pos, key, op, val):
+        img = {"id": key, "name": f"u{key}", "balance": val}
+        return {
+            "ts": 1700000000 + pos, "server_id": 1, "pos": pos,
+            "gtid": None, "xid": None, "database": "app", "table": "users",
+            "op": op,
+            "before": img if op == "D" else None,
+            "after": img if op != "D" else None,
+            "query": None,
+        }
+
+    def test_two_shards_merge_into_one_table(self, spark, tmp_path):
+        from rust_cdc_spark.streaming.pipeline import (
+            ParquetUpsertTable,
+            start_sharded_pipeline,
+        )
+
+        # even keys on shard0, odd keys on shard1; positions overlap
+        # across shards (each shard numbers its own binlog from 4)
+        s0 = str(tmp_path / "shard0")
+        self._write(s0, "binlog.000001.jsonl", [
+            self._ev(4, 2, "I", 1.0),
+            self._ev(9, 4, "I", 1.0),
+            self._ev(12, 2, "U", 2.0),
+        ])
+        s1 = str(tmp_path / "shard1")
+        self._write(s1, "binlog.000001.jsonl", [
+            self._ev(4, 1, "I", 1.0),
+            self._ev(9, 1, "D", 1.0),
+            self._ev(12, 3, "I", 5.0),
+        ])
+        table = ParquetUpsertTable(str(tmp_path / "t"), ["id"])
+        q = start_sharded_pipeline(
+            spark, {"s0": s0, "s1": s1}, table,
+            checkpoint_dir=str(tmp_path / "cp"),
+        )
+        q.processAllAvailable(); q.stop()
+        got = {r.id: r.balance for r in table.read(spark).collect()}
+        assert got == {"2": "2.0", "4": "1.0", "3": "5.0"}  # key 1 deleted
+
+    def test_restart_resumes_every_shard(self, spark, tmp_path):
+        from rust_cdc_spark.streaming.pipeline import (
+            ParquetUpsertTable,
+            start_sharded_pipeline,
+        )
+
+        s0, s1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+        self._write(s0, "binlog.000001.jsonl", [self._ev(4, 2, "I", 1.0)])
+        self._write(s1, "binlog.000001.jsonl", [self._ev(4, 1, "I", 1.0)])
+        table = ParquetUpsertTable(str(tmp_path / "t"), ["id"])
+        cp = str(tmp_path / "cp")
+        q = start_sharded_pipeline(spark, {"s0": s0, "s1": s1}, table, cp)
+        q.processAllAvailable(); q.stop()
+
+        # each shard rotates to a new file with more changes
+        self._write(s0, "binlog.000002.jsonl", [self._ev(4, 2, "U", 9.0)])
+        self._write(s1, "binlog.000002.jsonl", [self._ev(4, 3, "I", 7.0)])
+        q = start_sharded_pipeline(spark, {"s0": s0, "s1": s1}, table, cp)
+        q.processAllAvailable(); q.stop()
+        got = {r.id: r.balance for r in table.read(spark).collect()}
+        assert got == {"1": "1.0", "2": "9.0", "3": "7.0"}
