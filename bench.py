@@ -86,6 +86,7 @@ HEADLINE = [
     "similarity_pq_rerank_topk",
     "split_leakage_check",
     "window_frame_functions",
+    "dedup_incremental_new_docs",
 ]
 
 

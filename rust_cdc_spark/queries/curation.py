@@ -602,3 +602,64 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("__rn") == 1).select(
         "fp", F.col("doc_id").alias("keep_id"), "quality", "n_copies"
     )
+
+
+@register(
+    "dedup_incremental_new_docs",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          1, 200)) AS pfp,
+               (md5('batch|' || CAST(doc_id AS VARCHAR))
+                    < '{"%032x" % int(0.8 * 16**32)}') AS is_existing
+        FROM documents
+    )
+    SELECT n.doc_id, n.source,
+           (e.fp IS NOT NULL) AS dup_exact,
+           (pe.pfp IS NOT NULL) AS dup_prefix
+    FROM (SELECT * FROM d WHERE NOT is_existing) n
+    LEFT JOIN (SELECT DISTINCT fp FROM d WHERE is_existing) e USING (fp)
+    LEFT JOIN (SELECT DISTINCT pfp FROM d WHERE is_existing) pe USING (pfp)
+    """,
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: an incoming batch (simulated as the
+    20% of docs hashed out of the 'existing' corpus) is checked against
+    the existing corpus's fingerprint index — exact (full-text md5) and
+    prefix (near-dup family) — without rescanning existing TEXT, only
+    its fingerprints. At 100 TB the existing side is a pre-computed
+    fingerprint table (bytes per doc, not the corpus); the check is two
+    hash semi-joins against it, each keyed on the digest."""
+    from rust_cdc_spark.functions import text as TX
+    from rust_cdc_spark.operators.sampling import hex_threshold
+
+    docs = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.md5(norm).alias("fp"),
+        F.md5(F.substring(norm, 1, 200)).alias("pfp"),
+        (
+            F.md5(F.concat(F.lit("batch|"), F.col("doc_id").cast("string")))
+            < hex_threshold(0.8)
+        ).alias("is_existing"),
+    )
+    existing = d.filter("is_existing")
+    incoming = d.filter("NOT is_existing")
+    e_fp = existing.select("fp").distinct().withColumn("dup_exact", F.lit(True))
+    e_pfp = existing.select("pfp").distinct().withColumn(
+        "dup_prefix", F.lit(True)
+    )
+    return (
+        incoming.join(e_fp, "fp", "left")
+        .join(e_pfp, "pfp", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("dup_exact", F.lit(False)).alias("dup_exact"),
+            F.coalesce("dup_prefix", F.lit(False)).alias("dup_prefix"),
+        )
+    )
