@@ -87,6 +87,7 @@ HEADLINE = [
     "split_leakage_check",
     "window_frame_functions",
     "dedup_incremental_new_docs",
+    "mixture_schedule",
 ]
 
 

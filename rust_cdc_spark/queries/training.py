@@ -943,3 +943,69 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_splits") > 1)
     )
+
+
+# Annealed data schedule: per-epoch keep-rates per source bucket
+# (e.g. web cools down while curated sources ramp up across epochs).
+_SCHEDULE = {
+    0: (0.9, 0.3),  # (even-bucket sources, odd-bucket sources)
+    1: (0.6, 0.6),
+    2: (0.3, 0.9),
+}
+
+
+@register(
+    "mixture_schedule",
+    oracle="WITH sel AS ("
+    + " UNION ALL ".join(
+        f"""
+        SELECT {epoch} AS epoch, doc_id, source
+        FROM documents
+        WHERE md5('epoch{epoch}|' || CAST(doc_id AS VARCHAR))
+              < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                     THEN '{"%032x" % int(w_even * 16**32)}'
+                     ELSE '{"%032x" % int(w_odd * 16**32)}' END
+        """
+        for epoch, (w_even, w_odd) in _SCHEDULE.items()
+    )
+    + """)
+    SELECT epoch, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM sel GROUP BY epoch, source
+    """,
+)
+def mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data schedule: each training epoch draws a DIFFERENT
+    deterministic Bernoulli sample per source family (web-heavy early,
+    curated-heavy late — the annealed-mixture practice). Selection is a
+    pure function of (epoch, doc_id): per-epoch salted md5 thresholds,
+    so any executor, retry, or engine regenerates the identical epoch
+    composition with zero stored state. Output is the per-epoch,
+    per-source composition with an id-checksum over the selected set
+    (value-level evidence the SELECTION matches, not just the counts).
+    Map-only per epoch + one small agg."""
+    from rust_cdc_spark.operators.sampling import hex_threshold
+
+    docs = load_table(spark, "documents", sf_dir)
+    parts = []
+    for epoch, (w_even, w_odd) in _SCHEDULE.items():
+        h = F.md5(
+            F.concat(F.lit(f"epoch{epoch}|"), F.col("doc_id").cast("string"))
+        )
+        thr = F.when(
+            F.substring("source", 4, 10).cast("int") % 2 == 0,
+            F.lit(hex_threshold(w_even)),
+        ).otherwise(F.lit(hex_threshold(w_odd)))
+        parts.append(
+            docs.filter(h < thr).select(
+                F.lit(epoch).alias("epoch"), "doc_id", "source"
+            )
+        )
+    from functools import reduce
+
+    sel = reduce(lambda a, b: a.unionByName(b), parts)
+    return sel.groupBy("epoch", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
