@@ -118,10 +118,12 @@ class TestCompaction:
             F.col("id"), ((F.col("id") * 2654435761) % 20000).alias("h")
         )
         table.overwrite(df.repartition(8))
-        table.compact(spark, target_file_bytes=20_000, zorder_by=["id", "h"])
+        table.compact(spark, target_file_bytes=8_000, zorder_by=["id", "h"])
         snap = table._snapshot_dir(table.version())
         files = [f for f in os.listdir(snap) if f.endswith(".parquet")]
-        assert len(files) >= 8, "need several files for pruning to mean anything"
+        # ≥16 files → ≥2 Morton bits per dimension; with 8 files the
+        # second dimension gets a single bit and caps near 50% pruning
+        assert len(files) >= 12, f"{len(files)} files: pruning test needs more"
         # a narrow scan on EITHER column can skip most files; average a
         # few window positions so no single z-curve seam decides it
         def avg_prune(col):
