@@ -308,3 +308,69 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
     assert set(got_fps) == want_fps and len(want_fps) > 0
     # exactly-once per fingerprint through the streaming dedup
     assert all(c == 1 for c in got_fps.values())
+
+
+def test_streaming_funnel_matches_batch_conversions(
+    spark, events_stream_dir, tmp_path
+):
+    """The stateful streaming funnel (applyInPandasWithState) must emit
+    the same CONVERTED user set as the batch funnel logic on the same
+    events, and emit every remaining user as an abandoned journey when
+    its processing-time timeout fires (the conversion-rate
+    denominator). The sink is polled until every user has emitted —
+    availableNow keeps scheduling state-maintenance batches while
+    processing-time timeouts are registered, so neither
+    processAllAvailable nor awaitTermination settles deterministically
+    here."""
+    import time
+    from rust_cdc_spark.streaming.funnel import funnel_stream
+
+    stages = ["signup", "click", "purchase"]
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    out = funnel_stream(stream, stages, timeout_ms=10_000)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("funnel_sink")
+        .option("checkpointLocation", str(tmp_path / "cp_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # batch expectation: users with signup < click < purchase in order
+    ev = spark.read.parquet(events_stream_dir)
+    rows = ev.filter(F.col("event_type").isin(*stages)).select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    by_user: dict = {}
+    by_user_rows: dict = {}
+    for r in rows:
+        by_user_rows.setdefault(r.user_id, []).append(r)
+    for uid, urows in by_user_rows.items():
+        urows.sort(key=lambda r: r.ts)
+        nxt = 0
+        for r in urows:
+            if r.event_type == stages[nxt]:
+                nxt += 1
+                if nxt == len(stages):
+                    break
+        by_user[uid] = nxt == len(stages)
+    want_converted = {u for u, conv in by_user.items() if conv}
+
+    deadline = time.time() + 180
+    all_rows = []
+    while time.time() < deadline:
+        all_rows = spark.sql("SELECT * FROM funnel_sink").collect()
+        if len(all_rows) >= len(by_user):
+            break
+        time.sleep(5)
+    q.stop()
+    got = {r.user_id: r for r in all_rows if r.converted}
+    assert set(got) == want_converted
+    assert want_converted, "fixture must produce at least one conversion"
+    for uid in want_converted:
+        assert got[uid].stages_hit == 3
+        assert got[uid].first_ts <= got[uid].last_ts
+    # every user appears exactly once: converted or timed-out-abandoned
+    assert sorted(r.user_id for r in all_rows) == sorted(by_user)
+    abandoned = {r.user_id for r in all_rows if not r.converted}
+    assert abandoned == set(by_user) - want_converted
