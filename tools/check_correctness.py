@@ -18,13 +18,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rust_cdc_spark.queries import load_all  # noqa: E402
 from rust_cdc_spark.session import get_spark  # noqa: E402
+
+
+def _driver_like_spark():
+    """Vanilla session, as the driver builds it — no engine configs, so
+    queries must carry their own TZ/config discipline. Combine with
+    TZ=America/New_York to stress timestamp handling."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[16]")
+        .appName("correctness_sweep_vanilla")
+        .getOrCreate()
+    )
 from tests.test_oracle_parity import _duck, _sorted_rows  # noqa: E402
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     filters = sys.argv[2:]
-    spark = get_spark("correctness_sweep")
+    spark = (_driver_like_spark() if os.environ.get("RCS_VANILLA")
+             else get_spark("correctness_sweep"))
     reg = load_all()
     include = [f for f in filters if not f.startswith("~")]
     exclude = [f[1:] for f in filters if f.startswith("~")]
