@@ -61,22 +61,42 @@ def salted_join(
     """Skew-safe equi-join: salt the big side, replicate the small side
     across all salts, join on keys + salt.
 
-    Only inner and left joins are supported: the small side exists in
-    ``n_salts`` copies, so any join mode that can emit an UNMATCHED
-    small-side row (right/full outer, or the small side of semi/anti
-    semantics flipped) would surface that row once per salt.
+    The small side exists in ``n_salts`` copies, so modes that can emit
+    an UNMATCHED small-side row (right/full outer) need replication-
+    aware handling: a copy is unmatched whenever its particular salt has
+    no big-side partner, which says nothing about the key as a whole.
+    Those modes therefore decompose: the salted join covers the matched
+    (and, for full, the big-preserving) part, and the truly-unmatched
+    small rows come from a key-level anti-join against the big side's
+    DISTINCT keys — an aggregation that collapses even the most skewed
+    key to one row before the anti-join, so no salting is needed there.
+    Semi/anti against the replicated side remain unsupported.
     """
-    if how not in ("inner", "left", "leftouter", "left_outer"):
+    supported = (
+        "inner", "left", "leftouter", "left_outer",
+        "right", "rightouter", "right_outer", "full", "fullouter",
+        "full_outer", "outer",
+    )
+    if how not in supported:
         raise ValueError(
-            f"salted_join supports how='inner'/'left' only, got {how!r}: "
-            "the replicated small side would emit unmatched rows once per "
-            "salt under right/full outer semantics"
+            f"salted_join supports inner/left/right/full, got {how!r}"
         )
+    outerish = how not in ("inner", "left", "leftouter", "left_outer")
     big_s = with_salt(big, n_salts, big_unique_col)
     small_r = small.crossJoin(
         F.broadcast(
             big.sparkSession.range(n_salts).select(F.col("id").cast("long").alias("__salt"))
         )
     )
-    out = big_s.join(small_r, on=[*on, "__salt"], how=how)
-    return out.drop("__salt")
+    inner_how = (
+        how if not outerish
+        else ("left" if how not in ("right", "rightouter", "right_outer")
+              else "inner")
+    )
+    out = big_s.join(small_r, on=[*on, "__salt"], how=inner_how).drop("__salt")
+    if not outerish:
+        return out
+    unmatched_small = small.join(
+        big.select(*on).distinct(), on=on, how="left_anti"
+    )
+    return out.unionByName(unmatched_small, allowMissingColumns=True)

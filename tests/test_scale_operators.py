@@ -48,16 +48,36 @@ class TestSalting:
         assert salted.count() == plain
         assert "__salt" not in salted.columns
 
-    def test_salted_join_rejects_outer_modes(self, spark):
-        """The replicated small side would surface an unmatched row once
-        per salt under right/full outer — must raise, not corrupt."""
+    def test_salted_join_outer_modes_equal_plain(self, spark):
+        """Replication-aware right/full outer: an unmatched small-side
+        row must surface exactly once, not once per salt."""
+        big = spark.createDataFrame(
+            [(1, "k1"), (2, "k1"), (3, "k2")], "rid long, k string"
+        )
+        small = spark.createDataFrame(
+            [("k1", "a"), ("k3", "c")], "k string, v string"
+        )
+        key = lambda r: (r.rid if r.rid is not None else -1, r.k, r.v or "")  # noqa: E731
+        for how in ("right", "full"):
+            plain = sorted(
+                map(key, big.join(small, on=["k"], how=how).collect())
+            )
+            salted = sorted(
+                map(key, salted_join(
+                    big, small, on=["k"], n_salts=4,
+                    big_unique_col="rid", how=how,
+                ).collect())
+            )
+            assert salted == plain, how
+
+    def test_salted_join_rejects_semi_anti(self, spark):
         import pytest
 
         li = load_table(spark, "lineitem", SF_SMOKE)
         sup = load_table(spark, "supplier", SF_SMOKE).select(
             F.col("s_suppkey").alias("l_suppkey"), "s_name"
         )
-        for how in ("right", "full", "outer", "left_semi", "left_anti"):
+        for how in ("left_semi", "left_anti"):
             with pytest.raises(ValueError, match="salted_join supports"):
                 salted_join(
                     li, sup, on=["l_suppkey"], n_salts=4,
