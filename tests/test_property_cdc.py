@@ -106,3 +106,55 @@ def test_split_log_merge_invariant(hspark, events, split):
         merged = merge_upsert(target, to_cdc(hspark, second), ["k"])
         got = {r.k: r.val for r in merged.collect()}
     assert got == want
+
+
+@st.composite
+def rotated_streams(draw):
+    """Multi-file logs where log_pos RESTARTS at each rotation — the
+    real binlog shape that breaks any pos-only ordering."""
+    n_files = draw(st.integers(min_value=2, max_value=3))
+    events = []
+    for f in range(1, n_files + 1):
+        n = draw(st.integers(min_value=1, max_value=15))
+        for pos in range(4, 4 + n):  # binlogs restart near 4
+            key = draw(st.sampled_from(KEYS))
+            op = draw(st.sampled_from(["I", "U", "D"]))
+            val = draw(st.integers(min_value=0, max_value=99))
+            events.append((f"binlog.{f:06d}", pos, key, op, val))
+    return events
+
+
+def simulate_rotated(events):
+    state: dict[int, int] = {}
+    for _f, _pos, key, op, val in sorted(events):
+        if op == "D":
+            state.pop(key, None)
+        else:
+            state[key] = val
+    return state
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=rotated_streams())
+def test_collapse_respects_file_rotation(hspark, events):
+    """The file-major (log_file, log_pos) composite order must pick the
+    truly-latest image even when a later file's positions are smaller
+    than an earlier file's."""
+    df = hspark.createDataFrame(
+        events, ["log_file", "log_pos", "k", "op", "val"]
+    )
+    img = F.struct(F.col("k"), F.col("val"))
+    cdc = df.select(
+        "log_file",
+        "log_pos",
+        "op",
+        F.when(F.col("op") == "D", img).alias("before"),
+        F.when(F.col("op") != "D", img).alias("after"),
+    ).withColumn("k", F.coalesce(F.col("after.k"), F.col("before.k")))
+    final = collapse_last_image(cdc, ["k"], keep_deletes=False)
+    got = {r["k"]: r["after"]["val"] for r in final.select("k", "after").collect()}
+    assert got == simulate_rotated(events)
