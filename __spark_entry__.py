@@ -59,7 +59,7 @@ _R01_UNCHECKED = [
     "sample_weighted_documents", "retrieval_bm25_topk",
     "retrieval_rrf_fusion", "semantic_dedup_prune",
     "dsir_importance_weights", "split_leakage_check", "window_frame_functions",
-    "dedup_incremental_new_docs", "mixture_schedule",
+    "dedup_incremental_new_docs", "mixture_schedule", "agg_filter_clauses",
     # remaining round-2 batches (past a 50-cap; next round's turn)
     "text_pii_scrub", "text_repetition_score", "dedup_passage_exact",
     "contamination_ngram_overlap",

@@ -88,6 +88,7 @@ HEADLINE = [
     "window_frame_functions",
     "dedup_incremental_new_docs",
     "mixture_schedule",
+    "agg_filter_clauses",
 ]
 
 

@@ -1303,3 +1303,41 @@ def window_frame_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ma3_cents_sum"),
     )
+
+
+@register(
+    "agg_filter_clauses",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_finished,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+               AS open_cents,
+           CAST(count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+                AS BIGINT) AS big_spenders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (the SQL FILTER clause family): several
+    differently-predicated aggregates in ONE grouped pass — the pivot-
+    free way to compute per-segment metrics without N self-joins or N
+    scans. One hash aggregate with map-side partials; monetary sum in
+    integer cents per the cross-engine rounding rule."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus") == "O",
+                F.round(F.col("o_totalprice") * 100).cast("bigint"),
+            )
+        ).cast("bigint").alias("open_cents"),
+        F.countDistinct(
+            F.when(F.col("o_totalprice") > 200000, F.col("o_custkey"))
+        ).cast("bigint").alias("big_spenders"),
+    )
