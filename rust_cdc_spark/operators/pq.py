@@ -174,3 +174,51 @@ def pq_topk(
         .orderBy(F.col("adc_dist2").asc(), id_col)
         .limit(k)
     )
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, codes): the IVF-PQ index table — each vector's coarse
+    cell (IVF inverted list) plus its PQ codes. This is the layout every
+    billion-vector system stores: the raw vectors leave the hot path
+    entirely; a query touches only the probed cells' CODE rows.
+    (Classic IVF-PQ encodes residuals against the cell centroid; this
+    variant codes the raw vector — one fewer coupling between the two
+    quantizers at a small recall cost, recovered by the exact rerank.)"""
+    from rust_cdc_spark.operators.similarity import _nearest_centroids_udf
+
+    cid = _nearest_centroids_udf(coarse_centroids, 1)(vec_col)[0]
+    coded = encode_pq(corpus, codebooks, id_col, vec_col)
+    cells = corpus.select(id_col, cid.alias("cid"))
+    return cells.join(coded, id_col)
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    probe: list[float],
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over only the ``n_probe`` cells nearest the probe:
+    a partition-prunable `cid IN (...)` filter (driver-computed cell
+    list — model-scale math, no data touched) followed by the codegen
+    lookup-table scan of pq_topk. Cost ∝ corpus · n_probe / n_cells
+    CODE rows, not vectors."""
+    import numpy as np
+
+    from rust_cdc_spark.operators.similarity import _unit_rows
+
+    Cn = _unit_rows(coarse_centroids)
+    p = np.asarray(probe, dtype=np.float64)
+    pn = p / (np.linalg.norm(p) or 1.0)
+    order = np.argsort(-(Cn @ pn), kind="stable")[:n_probe]
+    probed = index.filter(F.col("cid").isin([int(c) for c in order]))
+    return pq_topk(probed, codebooks, probe, k=k, id_col=id_col)

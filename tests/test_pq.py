@@ -121,3 +121,67 @@ class TestAdcScan:
         out = PQ.pq_topk(codes.localCheckpoint(), cb, probe, k=10)
         assert not X.has_python_eval(out)
         assert X.uses_top_k(out)
+
+
+class TestIvfPq:
+    @pytest.fixture(scope="class")
+    def ivf_pq(self, spark, corpus, trained):
+        from rust_cdc_spark.operators.similarity import kmeans_centroids
+
+        cb, _ = trained
+        coarse = kmeans_centroids(corpus, 8, DIM, iters=2, seed=42)
+        index = PQ.build_ivf_pq_index(corpus, coarse, cb).cache()
+        return coarse, cb, index
+
+    def test_index_shape(self, corpus, ivf_pq):
+        _, _, index = ivf_pq
+        assert index.count() == corpus.count()
+        stats = index.select(
+            F.min("cid").alias("lo"), F.max("cid").alias("hi"),
+            F.countDistinct("cid").alias("cells"),
+        ).first()
+        assert stats.lo >= 0 and stats.hi < 8 and stats.cells >= 4
+
+    def test_probe_scans_fraction_of_index(self, spark, ivf_pq):
+        coarse, cb, index = ivf_pq
+        probe = [0.5] * DIM
+        # at n_probe=2 of 8 cells, the candidate scan sees well under
+        # the full corpus
+        import numpy as np
+
+        from rust_cdc_spark.operators.similarity import _unit_rows
+
+        Cn = _unit_rows(coarse)
+        p = np.asarray(probe); pn = p / np.linalg.norm(p)
+        cells = [int(c) for c in np.argsort(-(Cn @ pn))[:2]]
+        scanned = index.filter(F.col("cid").isin(cells)).count()
+        assert 0 < scanned < index.count()
+
+    def test_ivf_pq_rerank_recall(self, corpus, ivf_pq):
+        coarse, cb, index = ivf_pq
+        V = {r.vec_id: np.asarray(r.embedding, float) for r in corpus.collect()}
+        n = len(V)
+        recalls = []
+        for pid in [0, 1, 17]:
+            p = V[pid]
+            exact = set(sorted(V, key=lambda i: ((V[i] - p) ** 2).sum())[:10])
+            pool = [
+                r.vec_id
+                for r in PQ.ivf_pq_topk(
+                    index, coarse, cb, [float(x) for x in p],
+                    n_probe=6, k=max(64, n // 3),
+                ).collect()
+            ]
+            reranked = sorted(pool, key=lambda i: ((V[i] - p) ** 2).sum())[:10]
+            recalls.append(len(exact & set(reranked)) / 10)
+        assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+    def test_scan_stays_codegen(self, ivf_pq):
+        from rust_cdc_spark.plans import explain as X
+
+        coarse, cb, index = ivf_pq
+        out = PQ.ivf_pq_topk(
+            index.localCheckpoint(), coarse, cb, [0.5] * DIM
+        )
+        assert not X.has_python_eval(out)
+        assert X.uses_top_k(out)
