@@ -53,7 +53,7 @@ _R01_UNCHECKED = [
     "cdc_snapshot_bootstrap", "layout_zorder_key",
     "quality_classifier_train", "asof_join_next_click_1h",
     "bpe_encode_corpus", "dedup_keep_best", "similarity_pq_rerank_topk",
-    "cdc_incremental_agg", "cdc_scd2_history", "cdc_pointintime_join",
+    "cdc_incremental_agg", "cdc_scd2_history", "cdc_scd2_as_of", "cdc_pointintime_join",
     "events_funnel_conversion", "events_retention_cohorts",
     "multimodal_dedup_exact", "multimodal_phash_buckets",
     "sample_weighted_documents", "retrieval_bm25_topk",

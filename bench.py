@@ -89,6 +89,7 @@ HEADLINE = [
     "dedup_incremental_new_docs",
     "mixture_schedule",
     "agg_filter_clauses",
+    "cdc_scd2_as_of",
 ]
 
 

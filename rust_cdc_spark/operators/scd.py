@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rust_cdc_spark.datamodel import OP_DELETE
@@ -63,3 +63,23 @@ def scd2_history(
         & (F.col("op") != OP_DELETE),
     )
     return out.filter(F.col("op") != OP_DELETE)
+
+
+def as_of_snapshot(
+    history: DataFrame,
+    position,
+    valid_from: str = "log_pos",
+    valid_to: str = "valid_to_log_pos",
+) -> DataFrame:
+    """Reconstruct the table state AS OF a binlog position from SCD2
+    history: the version rows in effect at ``position`` (valid_from ≤ P,
+    and P before valid_to; keys deleted by P have their last version
+    closed and correctly vanish). ``position`` may be a literal or a
+    Column (e.g. a broadcast scalar). Pure filter over the history — at
+    100 TB this is a partition-prunable scan when history is stored
+    partitioned/z-ordered on the validity range, never a replay."""
+    p = position if isinstance(position, Column) else F.lit(position)
+    return history.filter(
+        (F.col(valid_from) <= p)
+        & (F.col(valid_to).isNull() | (p < F.col(valid_to)))
+    )

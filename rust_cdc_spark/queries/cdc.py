@@ -486,3 +486,40 @@ def cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = BOOT.bootstrap_state(snapshot_env, cdc, ["key"])
     return state.select("after.user_id", "after.event_type", "after.value")
+
+
+@register(
+    "cdc_scd2_as_of",
+    # Oracle = the independent derivation: LWW replay of all changes at
+    # or before the as-of position (the SCD2 reconstruction must agree
+    # with a from-scratch replay truncated at P).
+    oracle="""
+    WITH b AS (SELECT max(event_id) // 2 AS p FROM events)
+    SELECT user_id, event_type, value
+    FROM (
+        SELECT e.user_id, e.event_type, e.value,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.event_id DESC) AS rn
+        FROM events e, b WHERE e.event_id <= b.p
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal time travel over SCD2 history (operators/scd.py
+    ``as_of_snapshot``): the table state AS OF the log midpoint,
+    reconstructed as a pure filter on version validity ranges — a
+    partition-prunable scan at scale, never a replay. The oracle
+    derives the same state the slow way (LWW replay truncated at P),
+    so agreement proves the history's interval bookkeeping."""
+    cdc = events_as_cdc(spark, sf_dir)
+    hist = SCD.scd2_history(cdc, ["key"], order_by="log_pos")
+    bounds = cdc.agg(F.floor(F.max("log_pos") / 2).cast("long").alias("__p"))
+    snap = SCD.as_of_snapshot(
+        hist.crossJoin(F.broadcast(bounds)), F.col("__p")
+    )
+    return snap.select(
+        F.col("key").alias("user_id"),
+        F.col("after.event_type").alias("event_type"),
+        F.col("after.value").alias("value"),
+    )
