@@ -1,7 +1,14 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": sf}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (the driver keeps only a bounded stdout TAIL, so the
+LAST line must stay short enough to survive truncation):
+- one short JSON line per query as it finishes:
+  {"query": name, "sec": t}
+- the full detail blob written to ./BENCH_DETAIL.json (sidecar)
+- the FINAL stdout line is a compact summary:
+  {"metric": ..., "value": total_sec, "unit": "sec", "sf": sf,
+   "n_queries": N, "detail": "BENCH_DETAIL.json"}
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect). A warmup query amortizes JVM/codegen startup so the
@@ -118,18 +125,35 @@ def main() -> None:
     for name in HEADLINE:
         if name in registry:
             times[name] = round(min(run(name) for _ in range(3)), 3)
+            print(json.dumps({"query": name, "sec": times[name]}), flush=True)
 
     total = round(sum(times.values()), 3)
+    detail = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    # LAST line = short summary only: the driver parses a bounded stdout
+    # tail, and a 68-query map made the r2 artifact unparseable.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": sf,
+                "n_queries": len(times),
+                "detail": "BENCH_DETAIL.json",
             }
-        )
+        ),
+        flush=True,
     )
     spark.stop()
 

@@ -62,15 +62,20 @@ def asof_join(
 
     # At equal `on`, the right row must fall inside the left row's frame:
     # before it for backward (ascending: False < True), after it for
-    # forward (descending tiebreak puts True/left first).
+    # forward (descending tiebreak puts True/left first). The final
+    # xxhash64(__carry) key makes the choice among multiple right rows
+    # sharing the same `on` value deterministic across partitionings
+    # (content-derived, so stable across runs/engines — unlike
+    # monotonically_increasing_id, which is partition-layout-dependent).
+    tie = F.xxhash64("__carry").asc()
     back_w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc(), tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     fwd_w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__is_left").desc())
+        .orderBy(F.col(on).asc(), F.col("__is_left").desc(), tie)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     df = unioned

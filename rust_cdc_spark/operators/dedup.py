@@ -29,10 +29,13 @@ from rust_cdc_spark.functions import text as TX
 def _parallelize(df: DataFrame, parallelism: int | None) -> DataFrame:
     """Spread a narrow scan across the cluster before CPU-heavy text maps.
     Local parquet test files arrive as one partition — without this every
-    shingle/hash runs on a single core. On a real cluster the scan is
-    already split; the repartition then just caps the cost at one extra
-    round-robin shuffle of the raw text."""
+    shingle/hash runs on a single core. Conditional: when the incoming
+    scan is already at (or above) target parallelism — the 100 TB case,
+    where the scan is split by maxPartitionBytes — this is a no-op, so
+    the raw text is never round-robin-shuffled just to be shuffled."""
     n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 

@@ -5,31 +5,81 @@ raw-vector ANN scans are IO-bound before they are compute-bound. PQ
 (Jégou et al. 2011, "Product Quantization for Nearest Neighbor Search"
 — public method) splits each vector into ``m`` subspaces, k-means-codes
 each subspace separately, and stores ``m`` small codes per vector
-(8 bytes here vs 256 — 32×). Queries scan the CODES: the probe builds a
+(16 bytes here vs 256 — 16×). Queries scan the CODES: the probe builds a
 per-subspace lookup table of exact subdistances once, and each row's
 approximate distance is ``m`` table lookups — pure codegen
 (``element_at`` into literal arrays), no vector arithmetic per row, no
 UDF in the scan.
 
 Engine shapes:
-- **Training** (model-scale driver state only): subvectors explode to
-  (vec_id, subspace, subvec) rows — ONE DataFrame, all ``m`` subspace
-  quantizers trained together; each Lloyd iteration is one
-  vectorized-UDF argmin pass + one (subspace, code)-keyed average agg
-  returning m·k rows. Deterministic init (md5 order) and stable argmin
-  → the codebook is reproducible.
-- **Encoding**: one Arrow-batched numpy argmin pass (the IVF scorer
-  precedent, operators/similarity.py — interpreted per-element HOFs
-  are measured orders slower for k·d arithmetic).
-- **Scan**: map-only codegen + TakeOrdered top-k; composes with the IVF
-  coarse quantizer (scan only probed cells) exactly as IVF-PQ does.
+- **Training** (model-scale driver state only): each Lloyd iteration is
+  one map pass assigning every subspace's code with whole-stage-codegen
+  argmin chains over centroid literals, plus a (subspace, code)-keyed
+  aggregate returning m·k rows. Centroid updates are INTEGER-QUANTIZED
+  (per-element micro-units, summed as BIGINT — aggregation-order-free,
+  so the trained codebook is bit-identical across partitionings AND
+  across engines; the DuckDB oracle replays the whole training as an
+  unrolled CTE chain, queries/ann_replay.py). Deterministic init (md5
+  order) + stable argmin (first minimum) complete the reproducibility.
+- **Scorer choice**: codegen argmin chains compile m·k·d scalar ops into
+  the generated Java of the scan stage — zero Python, zero Arrow
+  transfer, bit-reproducible. That is the right call up to a few
+  thousand codebook entries (m·k·d here is 1024). For production-size
+  coarse quantizers (k in the thousands) the expression tree would blow
+  up codegen, so ``scorer="numpy"`` keeps the Arrow-batched matmul path
+  (the operators/similarity.py precedent, measured ~100× over
+  interpreted HOFs at 400k×64, SCALE.md).
+- **Scan**: map-only codegen + TakeOrdered top-k over integer micro-unit
+  ADC scores (quantized per lookup-table cell, so the per-row sum is an
+  exact integer — cross-engine aggregation order is moot); composes with
+  the IVF coarse quantizer (scan only probed cells) exactly as IVF-PQ
+  does.
+
+The reference has no ANN surface (this is a pipeline extension); the
+binlog-side citations live in sources/. Float discipline notes:
+`floor(x + 0.5)` is used for half-away-from-zero rounding of the
+(always non-negative) micro quantities so driver-side Python, Spark
+`round`, and DuckDB `round` agree bit-for-bit.
 """
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# codegen↔numpy auto-switch: total codebook entries (m·k·d) above which
+# the literal expression tree is too large to compile pleasantly.
+_CODEGEN_MAX_ENTRIES = 16384
+
+
+def _elem(vec_col, idx0: int) -> Column:
+    """0-based element of an array<float> column, as DOUBLE (the same
+    cast the oracle applies, so downstream arithmetic is bit-shared)."""
+    return F.element_at(vec_col, idx0 + 1).cast("double")
+
+
+def _sub_d2(vec_col, j: int, d: int, centroid: list[float]) -> Column:
+    """Squared L2 between subvector j of ``vec_col`` and a centroid, as
+    a left-associated codegen chain — the identical add order DuckDB's
+    explicit `(e1-c1)^2 + ...` chain evaluates."""
+    expr: Column | None = None
+    for i, c in enumerate(centroid):
+        e = _elem(vec_col, j * d + i)
+        t = (e - F.lit(float(c))) * (e - F.lit(float(c)))
+        expr = t if expr is None else expr + t
+    return expr
+
+
+def _assign_code(vec_col, codebook_j: list[list[float]], j: int) -> Column:
+    """Codegen argmin over subspace j's codes; ties → lowest code
+    (array_position returns the FIRST occurrence of the minimum, the
+    same rule as the oracle's `ORDER BY d2, code`)."""
+    d = len(codebook_j[0])
+    arr = F.array(*[_sub_d2(vec_col, j, d, c) for c in codebook_j])
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
 
 
 def _sub_rows(corpus: DataFrame, m: int, dim: int,
@@ -48,7 +98,10 @@ def _sub_rows(corpus: DataFrame, m: int, dim: int,
 
 
 def _assign_udf(codebooks: list[list[list[float]]]):
-    """codes per (subspace, subvec) row — stable L2 argmin, vectorized."""
+    """numpy scorer for (subspace, subvec) rows — stable L2 argmin,
+    Arrow-batched. The large-m·k·d escape hatch (see module docstring);
+    NOT bit-guaranteed against the SQL replay (BLAS summation order),
+    so oracle-checked queries use the codegen scorer."""
     from pyspark.sql.functions import pandas_udf
 
     import numpy as np
@@ -69,6 +122,13 @@ def _assign_udf(codebooks: list[list[list[float]]]):
     return assign
 
 
+def _micro_mean(s: int, n: int) -> float:
+    """floor(Σmicro / n) / 1e6 — double division of exact integers then
+    floor: the identical op sequence Spark SQL and DuckDB evaluate, so
+    driver-side Python lands on the same double."""
+    return math.floor(s / n) / 1e6
+
+
 def train_pq(
     corpus: DataFrame,
     m: int = 8,
@@ -78,11 +138,20 @@ def train_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    scorer: str = "auto",
 ) -> list[list[list[float]]]:
     """Train the m sub-quantizers (k codes each); returns
     codebooks[j][code] = centroid (d/m floats). Driver state = the
-    codebook (m·k·d/m floats), nothing else."""
+    codebook (m·k·d/m floats), nothing else.
+
+    Bit-reproducible: md5-ordered init, first-minimum assignment, and
+    integer-micro centroid updates (Σ round(x·1e6) as BIGINT — exact
+    whatever the partitioning — then floor-div by the count). The DuckDB
+    twin (queries/ann_replay.pq_replay_cte) replays every step.
+    """
     d = dim // m
+    if scorer == "auto":
+        scorer = "codegen" if m * k * d <= _CODEGEN_MAX_ENTRIES else "numpy"
     sub = _sub_rows(corpus, m, dim, id_col, vec_col)
     w = Window.partitionBy("j").orderBy(
         F.md5(F.concat_ws("|", F.lit(str(seed)), "j", "i"))
@@ -98,19 +167,43 @@ def train_pq(
         for j in range(m)
     ]
     for _ in range(iters):
-        assigned = sub.withColumn(
-            "code", _assign_udf(codebooks)("j", "v")
-        )
-        means = (
-            assigned.groupBy("j", "code")
-            .agg(*[
-                F.avg(F.element_at("v", i + 1)).alias(f"c{i}")
-                for i in range(d)
-            ])
+        if scorer == "codegen":
+            coded = corpus.select(
+                F.explode(F.array(*[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _assign_code(F.col(vec_col), codebooks[j], j)
+                        .alias("code"),
+                        *[_elem(F.col(vec_col), j * d + i).alias(f"e{i}")
+                          for i in range(d)],
+                    )
+                    for j in range(m)
+                ])).alias("s")
+            ).select("s.*")
+        else:
+            coded = sub.withColumn(
+                "code", _assign_udf(codebooks)("j", "v")
+            ).select(
+                "j", "code",
+                *[F.element_at("v", i + 1).cast("double").alias(f"e{i}")
+                  for i in range(d)],
+            )
+        sums = (
+            coded.groupBy("j", "code")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.round(F.col(f"e{i}") * 1e6).cast("bigint"))
+                    .alias(f"s{i}")
+                    for i in range(d)
+                ],
+            )
             .collect()
         )
-        for r in means:  # empty clusters keep their previous centroid
-            codebooks[r["j"]][r["code"]] = [float(r[f"c{i}"]) for i in range(d)]
+        for r in sums:  # empty clusters keep their previous centroid
+            codebooks[r["j"]][r["code"]] = [
+                _micro_mean(r[f"s{i}"], r["n"]) for i in range(d)
+            ]
     return codebooks
 
 
@@ -119,15 +212,29 @@ def encode_pq(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "auto",
 ) -> DataFrame:
-    """(id, codes array<int>) — the 32×-compressed index table."""
+    """(id, codes array<int>) — the 16×-compressed index table. Codegen
+    argmin chains by default (bit-shared with the oracle); numpy above
+    the codegen size threshold."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    if scorer == "auto":
+        scorer = "codegen" if m * len(codebooks[0]) * d <= _CODEGEN_MAX_ENTRIES else "numpy"
+    if scorer == "codegen":
+        return corpus.select(
+            id_col,
+            F.array(*[
+                _assign_code(F.col(vec_col), codebooks[j], j)
+                for j in range(m)
+            ]).alias("codes"),
+        )
+
     from pyspark.sql.functions import pandas_udf
 
     import numpy as np
 
     C = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
-    m = len(C)
-    d = C[0].shape[1]
 
     @pandas_udf("array<int>")
     def codes(v: pd.Series) -> pd.Series:
@@ -142,6 +249,28 @@ def encode_pq(
     return corpus.select(id_col, codes(vec_col).alias("codes"))
 
 
+def adc_luts_micro(
+    codebooks: list[list[list[float]]], probe: list[float]
+) -> list[list[int]]:
+    """Per-subspace ADC lookup tables in integer micro-units.
+    luts[j][code] = round_half_away((Σ_d (p-c)²) · 1e6). The inner sum is
+    a left fold (Python `sum` ≡ the SQL chain); quantizing each CELL to
+    an integer makes the per-row ADC score an exact integer sum —
+    aggregation order cannot perturb it in any engine."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    luts = []
+    for j in range(m):
+        pj = probe[j * d:(j + 1) * d]
+        luts.append([
+            int(math.floor(
+                sum((pv - cv) ** 2 for pv, cv in zip(pj, c)) * 1e6 + 0.5
+            ))
+            for c in codebooks[j]
+        ])
+    return luts
+
+
 def pq_topk(
     codes_df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -150,28 +279,22 @@ def pq_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Asymmetric-distance top-k over the code table: the probe's exact
-    per-subspace subdistances become literal lookup arrays, and every
-    row costs m ``element_at`` lookups + an add chain — all codegen; the
-    global top-k is TakeOrderedAndProject (per-partition heaps)."""
+    per-subspace subdistances become integer-micro literal lookup
+    arrays, and every row costs m ``element_at`` lookups + a BIGINT add
+    chain — all codegen; the global top-k is TakeOrderedAndProject
+    (per-partition heaps). Returns (id, adc_micro)."""
     m = len(codebooks)
-    d = len(codebooks[0][0])
-    luts = []
+    luts = adc_luts_micro(codebooks, probe)
+    score: Column | None = None
     for j in range(m):
-        pj = probe[j * d:(j + 1) * d]
-        luts.append([
-            sum((pv - cv) ** 2 for pv, cv in zip(pj, c))
-            for c in codebooks[j]
-        ])
-    score = sum(
-        F.element_at(
+        t = F.element_at(
             F.array(*[F.lit(x) for x in luts[j]]),
             F.element_at("codes", j + 1) + 1,
         )
-        for j in range(m)
-    )
+        score = t if score is None else score + t
     return (
-        codes_df.select(id_col, score.alias("adc_dist2"))
-        .orderBy(F.col("adc_dist2").asc(), id_col)
+        codes_df.select(id_col, score.alias("adc_micro"))
+        .orderBy(F.col("adc_micro").asc(), id_col)
         .limit(k)
     )
 
@@ -182,6 +305,7 @@ def build_ivf_pq_index(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "auto",
 ) -> DataFrame:
     """(id, cid, codes): the IVF-PQ index table — each vector's coarse
     cell (IVF inverted list) plus its PQ codes. This is the layout every
@@ -190,10 +314,10 @@ def build_ivf_pq_index(
     (Classic IVF-PQ encodes residuals against the cell centroid; this
     variant codes the raw vector — one fewer coupling between the two
     quantizers at a small recall cost, recovered by the exact rerank.)"""
-    from rust_cdc_spark.operators.similarity import _nearest_centroids_udf
+    from rust_cdc_spark.operators.similarity import nearest_cell_col
 
-    cid = _nearest_centroids_udf(coarse_centroids, 1)(vec_col)[0]
-    coded = encode_pq(corpus, codebooks, id_col, vec_col)
+    cid = nearest_cell_col(F.col(vec_col), coarse_centroids, scorer=scorer)
+    coded = encode_pq(corpus, codebooks, id_col, vec_col, scorer=scorer)
     cells = corpus.select(id_col, cid.alias("cid"))
     return cells.join(coded, id_col)
 
@@ -212,13 +336,8 @@ def ivf_pq_topk(
     list — model-scale math, no data touched) followed by the codegen
     lookup-table scan of pq_topk. Cost ∝ corpus · n_probe / n_cells
     CODE rows, not vectors."""
-    import numpy as np
+    from rust_cdc_spark.operators.similarity import nearest_cells_driver
 
-    from rust_cdc_spark.operators.similarity import _unit_rows
-
-    Cn = _unit_rows(coarse_centroids)
-    p = np.asarray(probe, dtype=np.float64)
-    pn = p / (np.linalg.norm(p) or 1.0)
-    order = np.argsort(-(Cn @ pn), kind="stable")[:n_probe]
-    probed = index.filter(F.col("cid").isin([int(c) for c in order]))
+    order = nearest_cells_driver(probe, coarse_centroids, n_probe)
+    probed = index.filter(F.col("cid").isin(order))
     return pq_topk(probed, codebooks, probe, k=k, id_col=id_col)

@@ -24,13 +24,19 @@ same candidate-then-verify shape.
 
 from __future__ import annotations
 
+import math
 import random
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rust_cdc_spark.functions import vectors as V
+
+# codegen↔numpy auto-switch: total centroid entries (k·dim) above which
+# the literal argmax expression tree is too large to compile pleasantly
+# (the operators/pq.py threshold, shared rationale).
+_CODEGEN_MAX_ENTRIES = 16384
 
 
 def brute_force_topk(
@@ -232,6 +238,72 @@ def _nearest_centroids_udf(centroids, n_probe: int):
         return pd.Series(list(order.astype("int32")))
 
     return nearest
+
+
+def _chain_dot_lit(vec, centroid: list[float]) -> Column:
+    """Left-associated dot(vec, literal centroid) chain — pure codegen,
+    and the identical add order an explicit SQL ``e1*c1 + e2*c2 + …``
+    chain evaluates, so Spark and a DuckDB replay land on the same
+    double bit-for-bit."""
+    expr: Column | None = None
+    for i, c in enumerate(centroid):
+        t = F.element_at(vec, i + 1).cast("double") * F.lit(float(c))
+        expr = t if expr is None else expr + t
+    return expr
+
+
+def centroid_norm(centroid: list[float]) -> float:
+    """‖c‖ via a left fold of squares then ``math.sqrt`` — IEEE sqrt is
+    correctly rounded, so this equals SQL ``sqrt(c1*c1 + c2*c2 + …)``
+    over the same chain bit-for-bit."""
+    s = 0.0
+    for x in centroid:
+        s = s + float(x) * float(x)
+    return math.sqrt(s)
+
+
+def nearest_cell_col(vec, centroids: list[list[float]],
+                     scorer: str = "auto") -> Column:
+    """Nearest-centroid (coarse cell) id by cosine.
+
+    ``codegen``: per-centroid score = chain-dot / ‖c‖ (the probe norm is
+    constant across candidates, so dividing by it cannot change the
+    argmax — it is omitted); argmax ties → lowest cid via
+    ``array_position(arr, array_max(arr))`` (first occurrence). All
+    whole-stage codegen, bit-shared with the DuckDB replay oracle.
+
+    ``numpy``: the Arrow-batched matmul ranking (the large-k·dim escape
+    hatch — see ``_nearest_centroids_udf``); NOT bit-guaranteed against
+    a SQL replay (BLAS summation order)."""
+    if scorer == "auto":
+        scorer = (
+            "codegen"
+            if len(centroids) * len(centroids[0]) <= _CODEGEN_MAX_ENTRIES
+            else "numpy"
+        )
+    if scorer == "numpy":
+        return _nearest_centroids_udf(centroids, 1)(vec)[0]
+    arr = F.array(*[
+        _chain_dot_lit(vec, c) / F.lit(centroid_norm(c) or 1.0)
+        for c in centroids
+    ])
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def nearest_cells_driver(probe: list[float], centroids: list[list[float]],
+                         n_probe: int) -> list[int]:
+    """Driver-side ranking of a probe's ``n_probe`` nearest cells by
+    cosine — model-scale math (k·dim flops), no data touched. Uses the
+    same left-fold chain arithmetic as the codegen scorer; ties →
+    lowest cid (the numpy path's stable-argsort rule)."""
+    scores = []
+    for cid, c in enumerate(centroids):
+        s = 0.0
+        for pv, cv in zip(probe, c):
+            s = s + float(pv) * float(cv)
+        scores.append((-(s / (centroid_norm(c) or 1.0)), cid))
+    scores.sort()
+    return [cid for _, cid in scores[:n_probe]]
 
 
 def _argmin_centroid(vec, centroids) -> F.Column:

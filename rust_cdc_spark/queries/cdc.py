@@ -484,7 +484,13 @@ def cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot_env = BOOT.snapshot_as_envelope(
         snap_rows, ["key"], ["user_id", "event_type", "value", "props"]
     )
-    state = BOOT.bootstrap_state(snapshot_env, cdc, ["key"])
+    # Collapse on log_pos ALONE here: the snapshot rows sit at a synthetic
+    # watermark position, so pairing it with an inherited log_file would
+    # be an incoherent binlog coordinate in a multi-file stream (positions
+    # reset per file) — a later-file tail event at pos <= hw must still
+    # supersede the snapshot. This synthetic stream is single-file, and
+    # the position-only order states the intended comparison directly.
+    state = BOOT.bootstrap_state(snapshot_env, cdc, ["key"], order_by=("log_pos",))
     return state.select("after.user_id", "after.event_type", "after.value")
 
 

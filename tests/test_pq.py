@@ -81,7 +81,7 @@ class TestAdcScan:
         V = {r.vec_id: np.asarray(r.embedding, float) for r in corpus.collect()}
         p = V[0]
         adc = {
-            r.vec_id: r.adc_dist2
+            r.vec_id: r.adc_micro
             for r in PQ.pq_topk(codes, cb, [float(x) for x in p],
                                 k=len(V)).collect()
         }

@@ -228,6 +228,20 @@ class TestDuplicationProofPairs:
         assert capped == uncapped  # hot-only overlaps score < 0.5 anyway
         assert {(i, 100 + i) for i in range(3)} <= set(capped)
 
+    def test_parallelize_is_noop_on_already_parallel_input(self, spark):
+        """At scale the scan arrives already split (maxPartitionBytes);
+        _parallelize must then NOT round-robin-shuffle the raw text. On a
+        narrow local scan it still fans out."""
+        from rust_cdc_spark.operators.dedup import _parallelize
+
+        n = spark.sparkContext.defaultParallelism
+        docs = load_table(spark, "documents", SF_SMOKE)
+        wide = docs.repartition(n + 4)
+        assert _parallelize(wide, None) is wide  # no-op, no new Exchange
+        narrow = docs.coalesce(1)
+        out = _parallelize(narrow, None)
+        assert out.rdd.getNumPartitions() == n
+
     def test_minhash_rep_equals_direct(self, spark):
         from rust_cdc_spark.operators.dedup import (
             _minhash_lsh_direct,

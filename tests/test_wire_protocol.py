@@ -50,10 +50,12 @@ class TestPacketFraming:
             W.read_packet(io.BytesIO(b"\x05\x00\x00\x00ab"))
 
 
-def _greeting(nonce: bytes, plugin: str = "mysql_native_password") -> bytes:
+def _greeting(
+    nonce: bytes, plugin: str = "mysql_native_password", cap_extra: int = 0
+) -> bytes:
     """Hand-built Initial Handshake v10 (independent of parse_handshake)."""
     assert len(nonce) == 20
-    cap = 0xFFFF | (W.CLIENT_PLUGIN_AUTH)
+    cap = 0xFFFF | (W.CLIENT_PLUGIN_AUTH) | cap_extra
     out = bytes([10]) + b"8.0.33\x00"
     out += (7).to_bytes(4, "little")        # connection id
     out += nonce[:8] + b"\x00"              # auth-data-1 + filler
@@ -286,3 +288,61 @@ class TestComQuery:
         sent = []
         assert W.ping(stream, sent.append)
         assert sent[0][4] == W.COM_PING
+
+    # ── classic (pre-DEPRECATE_EOF) resultset framing ────────────────
+    # A server that did not negotiate CLIENT_DEPRECATE_EOF sends an EOF
+    # packet BETWEEN the column definitions and the first row; treating
+    # it as end-of-rows silently returns zero rows (the
+    # "binlog disabled" failure on every real classic-framing server).
+
+    def test_classic_framing_rows_survive_eof_separator(self):
+        eof = b"\xfe\x00\x00\x02\x00"
+        row = (_lenenc_str_bytes(b"binlog.000042") +
+               _lenenc_str_bytes(b"1547"))
+        stream = self._script([
+            b"\x02", _coldef(b"File"), _coldef(b"Position"),
+            eof,  # classic separator
+            row, eof,
+        ])
+        cols, rows = W.read_text_resultset(stream, deprecate_eof=False)
+        assert cols == ["File", "Position"]
+        assert rows == [["binlog.000042", "1547"]]
+
+    def test_classic_framing_zero_rows(self):
+        eof = b"\xfe\x00\x00\x02\x00"
+        stream = self._script([b"\x01", _coldef(b"File"), eof, eof])
+        cols, rows = W.read_text_resultset(stream, deprecate_eof=False)
+        assert cols == ["File"]
+        assert rows == []
+
+    def test_session_setup_classic_framing(self):
+        eof = b"\xfe\x00\x00\x02\x00"
+        ok = b"\x00\x00\x00\x02\x00"
+        row = _lenenc_str_bytes(b"binlog.000007") + _lenenc_str_bytes(b"4")
+        stream = self._script([
+            ok, ok, ok,
+            b"\x02", _coldef(b"File"), _coldef(b"Position"),
+            eof, row, eof,
+        ])
+        file, pos = W.session_setup(
+            stream, lambda b: None, deprecate_eof=False
+        )
+        assert (file, pos) == ("binlog.000007", 4)
+
+
+class TestCapabilityNegotiation:
+    NONCE = bytes(range(20))
+
+    def test_deprecate_eof_mirrored_from_server(self):
+        hs = W.parse_handshake(
+            _greeting(self.NONCE, cap_extra=W.CLIENT_DEPRECATE_EOF)
+        )
+        resp = W.build_handshake_response("repl", "pw", hs)
+        caps = int.from_bytes(resp[0:4], "little")
+        assert caps & W.CLIENT_DEPRECATE_EOF
+
+    def test_deprecate_eof_not_forced_on_classic_server(self):
+        hs = W.parse_handshake(_greeting(self.NONCE))
+        resp = W.build_handshake_response("repl", "pw", hs)
+        caps = int.from_bytes(resp[0:4], "little")
+        assert not (caps & W.CLIENT_DEPRECATE_EOF)

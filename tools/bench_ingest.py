@@ -57,7 +57,8 @@ def main() -> None:
             "before": img if op == "D" else None,
             "after": img if op != "D" else None, "query": None,
         }) + "\n")
-    fh.close()
+    if fh:
+        fh.close()
 
     results = {}
     for trig in batches:
