@@ -74,12 +74,23 @@ def _sub_d2(vec_col, j: int, d: int, centroid: list[float]) -> Column:
 
 
 def _assign_code(vec_col, codebook_j: list[list[float]], j: int) -> Column:
-    """Codegen argmin over subspace j's codes; ties → lowest code
-    (array_position returns the FIRST occurrence of the minimum, the
-    same rule as the oracle's `ORDER BY d2, code`)."""
+    """Codegen argmin over subspace j's codes; ties → lowest code.
+
+    Implemented as ``array_min`` over (d2, code) structs — struct
+    comparison is lexicographic, so equal d2 resolves to the lowest
+    code, the same rule as the oracle's `ORDER BY d2, code`. Each
+    distance chain appears ONCE in the expression tree (the
+    array_position(arr, array_min(arr)) form duplicates every chain —
+    it doubled codegen size and OOM'd a default-1g-heap session)."""
     d = len(codebook_j[0])
-    arr = F.array(*[_sub_d2(vec_col, j, d, c) for c in codebook_j])
-    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+    arr = F.array(*[
+        F.struct(
+            _sub_d2(vec_col, j, d, c).alias("d2"),
+            F.lit(code).cast("int").alias("code"),
+        )
+        for code, c in enumerate(codebook_j)
+    ])
+    return F.array_min(arr)["code"]
 
 
 def _sub_rows(corpus: DataFrame, m: int, dim: int,
@@ -168,18 +179,31 @@ def train_pq(
     ]
     for _ in range(iters):
         if scorer == "codegen":
-            coded = corpus.select(
-                F.explode(F.array(*[
-                    F.struct(
-                        F.lit(j).alias("j"),
+            # assignment first (the encode-shaped projection — one
+            # argmin array, compiles comfortably), THEN posexplode with
+            # dynamic element_at lookups. Embedding per-subspace element
+            # columns inside the exploded structs fused argmins +
+            # Generate + partial-agg into one generated class big
+            # enough to OOM Janino on a default-1g-heap session.
+            coded = (
+                corpus.select(
+                    F.col(vec_col).alias("__v"),
+                    F.array(*[
                         _assign_code(F.col(vec_col), codebooks[j], j)
-                        .alias("code"),
-                        *[_elem(F.col(vec_col), j * d + i).alias(f"e{i}")
-                          for i in range(d)],
-                    )
-                    for j in range(m)
-                ])).alias("s")
-            ).select("s.*")
+                        for j in range(m)
+                    ]).alias("__codes"),
+                )
+                .select(F.posexplode("__codes").alias("j", "code"), "__v")
+                .select(
+                    "j", "code",
+                    *[
+                        F.element_at(
+                            "__v", F.col("j") * d + F.lit(i + 1)
+                        ).cast("double").alias(f"e{i}")
+                        for i in range(d)
+                    ],
+                )
+            )
         else:
             coded = sub.withColumn(
                 "code", _assign_udf(codebooks)("j", "v")
@@ -264,7 +288,8 @@ def adc_luts_micro(
         pj = probe[j * d:(j + 1) * d]
         luts.append([
             int(math.floor(
-                sum((pv - cv) ** 2 for pv, cv in zip(pj, c)) * 1e6 + 0.5
+                sum((pv - cv) * (pv - cv) for pv, cv in zip(pj, c)) * 1e6
+                + 0.5
             ))
             for c in codebooks[j]
         ])

@@ -166,18 +166,31 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    scorer: str = "auto",
 ) -> list[list[float]]:
     """Coarse-quantizer centroids for IVF, trained with Lloyd iterations
     expressed as DataFrame ops.
 
     Init is a deterministic pseudo-random sample: the ``n_centroids``
     corpus rows with the smallest ``md5(seed || id)``. Each iteration is
-    one full corpus scan (argmin over centroid literals, codegen'd) plus
-    a ``dim``-column average aggregate that returns ``n_centroids`` rows
-    — the only driver-side data is the centroid matrix itself (same
-    footprint as pyspark.ml's KMeans model), so this scales to any
-    corpus size.
-    """
+    one full corpus scan (cosine argmax over centroid literals) plus an
+    aggregate that returns ``n_centroids`` rows — the only driver-side
+    data is the centroid matrix itself (same footprint as pyspark.ml's
+    KMeans model), so this scales to any corpus size.
+
+    ``codegen`` (default at small k·dim): the assignment is a
+    whole-stage-codegen argmax chain and the centroid update is
+    INTEGER-QUANTIZED (Σ round(x·1e6) as BIGINT per element —
+    aggregation-order-free — then floor-div by the count), so the
+    trained centroids are bit-identical across partitionings AND across
+    engines; queries/ann_replay.ivf_replay_sql replays every step in
+    DuckDB. ``numpy`` is the large-k·dim escape hatch (Arrow matmul
+    assignment + float avg update; not replay-checkable)."""
+    if scorer == "auto":
+        scorer = (
+            "codegen" if n_centroids * dim <= _CODEGEN_MAX_ENTRIES
+            else "numpy"
+        )
     init_rows = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .orderBy(F.md5(F.concat(F.lit(str(seed)), F.col("i").cast("string"))))
@@ -186,6 +199,37 @@ def kmeans_centroids(
     )
     centroids = [[float(x) for x in r["v"]] for r in init_rows]
     for _ in range(iters):
+        if scorer == "codegen":
+            assigned = corpus.select(
+                nearest_cell_col(
+                    F.col(vec_col), centroids, scorer="codegen"
+                ).alias("cid"),
+                *[
+                    F.element_at(vec_col, i + 1).cast("double")
+                    .alias(f"e{i}")
+                    for i in range(dim)
+                ],
+            )
+            sums = (
+                assigned.groupBy("cid")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(
+                            F.round(F.col(f"e{i}") * 1e6).cast("bigint")
+                        ).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            # empty clusters keep their previous centroid
+            for r in sums:
+                centroids[r["cid"]] = [
+                    math.floor(r[f"s{i}"] / r["n"]) / 1e6
+                    for i in range(dim)
+                ]
+            continue
         assigned = corpus.select(
             F.col(vec_col).alias("v"),
             _argmin_centroid(F.col(vec_col), centroids).alias("cid"),
@@ -268,9 +312,9 @@ def nearest_cell_col(vec, centroids: list[list[float]],
 
     ``codegen``: per-centroid score = chain-dot / ‖c‖ (the probe norm is
     constant across candidates, so dividing by it cannot change the
-    argmax — it is omitted); argmax ties → lowest cid via
-    ``array_position(arr, array_max(arr))`` (first occurrence). All
-    whole-stage codegen, bit-shared with the DuckDB replay oracle.
+    argmax — it is omitted); argmax ties → lowest cid (struct-min over
+    (-score, cid)). All whole-stage codegen, bit-shared with the DuckDB
+    replay oracle.
 
     ``numpy``: the Arrow-batched matmul ranking (the large-k·dim escape
     hatch — see ``_nearest_centroids_udf``); NOT bit-guaranteed against
@@ -283,11 +327,48 @@ def nearest_cell_col(vec, centroids: list[list[float]],
         )
     if scorer == "numpy":
         return _nearest_centroids_udf(centroids, 1)(vec)[0]
+    # array_min over (-score, cid) structs: score-descending with ties →
+    # lowest cid (negation is an exact sign flip), each score chain
+    # materialized ONCE in the tree (argmax-by-array_position doubles it)
     arr = F.array(*[
-        _chain_dot_lit(vec, c) / F.lit(centroid_norm(c) or 1.0)
-        for c in centroids
+        F.struct(
+            (-(_chain_dot_lit(vec, c) / F.lit(centroid_norm(c) or 1.0)))
+            .alias("ns"),
+            F.lit(cid).cast("int").alias("cid"),
+        )
+        for cid, c in enumerate(centroids)
     ])
-    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+    return F.array_min(arr)["cid"]
+
+
+def nearest_cells_col(vec, centroids: list[list[float]], n_probe: int,
+                      scorer: str = "auto") -> Column:
+    """Array of the ``n_probe`` nearest cell ids, nearest first.
+
+    ``codegen``: sort an array of (-score, cid) structs ascending —
+    struct comparison gives score-descending with ties → lowest cid
+    (negation is an exact sign flip, so the order equals a DESC sort on
+    the raw score bit-for-bit) — then slice and project the cids. Pure
+    codegen, bit-shared with the DuckDB replay's window ranking."""
+    if scorer == "auto":
+        scorer = (
+            "codegen"
+            if len(centroids) * len(centroids[0]) <= _CODEGEN_MAX_ENTRIES
+            else "numpy"
+        )
+    if scorer == "numpy":
+        return _nearest_centroids_udf(centroids, n_probe)(vec)
+    arr = F.array(*[
+        F.struct(
+            (-(_chain_dot_lit(vec, c) / F.lit(centroid_norm(c) or 1.0)))
+            .alias("ns"),
+            F.lit(cid).cast("int").alias("cid"),
+        )
+        for cid, c in enumerate(centroids)
+    ])
+    return F.transform(
+        F.slice(F.sort_array(arr), 1, n_probe), lambda s: s["cid"]
+    )
 
 
 def nearest_cells_driver(probe: list[float], centroids: list[list[float]],
@@ -330,6 +411,7 @@ def ivf_topk(
     qvec_col: str = "qv",
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    scorer: str = "auto",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse k-means quantizer
     partitions the corpus into ``n_centroids`` cells; each query probes
@@ -350,18 +432,21 @@ def ivf_topk(
     if centroids is None:
         centroids = kmeans_centroids(
             corpus, n_centroids, dim, iters=iters,
-            id_col=id_col, vec_col=vec_col, seed=seed,
+            id_col=id_col, vec_col=vec_col, seed=seed, scorer=scorer,
         )
     c_assigned = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
-        _argmin_centroid(F.col(vec_col), centroids).alias("cid"),
+        nearest_cell_col(F.col(vec_col), centroids, scorer=scorer)
+        .alias("cid"),
     )
     # two steps: aliasing a column to its own name in the same select as
     # an explode over it trips Spark 4.1's lateral-column-alias resolver
     q_assigned = (
         queries.withColumn(
-            "_cids", _nearest_centroids(F.col(qvec_col), centroids, n_probe)
+            "_cids",
+            nearest_cells_col(F.col(qvec_col), centroids, n_probe,
+                              scorer=scorer),
         )
         .select(
             F.col(qid_col).alias("query_id"),

@@ -1,0 +1,280 @@
+"""DuckDB replay oracles for the trained-ANN queries.
+
+PQ training (operators/pq.py) and the coarse k-means quantizer
+(operators/similarity.py) are deliberately deterministic AND
+integer-quantized: md5-ordered init, first-minimum/maximum assignment
+with left-associated arithmetic chains, centroid updates as BIGINT
+micro-unit sums (aggregation-order-free) floor-divided by counts. Every
+step is therefore replayable in plain SQL bit-for-bit — so instead of
+inlining driver-collected codebooks (which a static oracle string
+cannot see), these generators RE-RUN the whole training inside DuckDB
+as an unrolled CTE chain, the same trick `quality_classifier_train`'s
+oracle uses for logistic GD. If any engine-side arithmetic drifts from
+the replay, the value-hash comparison fails — training itself is under
+the correctness gate, not just the final scan.
+
+Float discipline (shared with operators/pq.py / similarity.py):
+- all element math in DOUBLE after an explicit cast from float32;
+- sums are written as left-associated `t1 + t2 + …` chains — the same
+  evaluation order Spark codegen, Python folds, and DuckDB use;
+- `sqrt` is IEEE-correctly-rounded in every engine;
+- round-to-integer of a bit-identical double is engine-safe (both
+  engines see the same half-point cases), unlike round-to-d-decimals.
+"""
+
+from __future__ import annotations
+
+
+def _j_table(m: int) -> str:
+    return f"(SELECT range AS j FROM range({m}))"
+
+
+def _chain(terms: list[str]) -> str:
+    """SQL `t1 + t2 + …` parses left-associated — the identical add
+    order of the Spark codegen chains and Python left folds."""
+    return " + ".join(terms)
+
+
+def pq_replay_sql(
+    m: int = 16,
+    k: int = 16,
+    dim: int = 64,
+    iters: int = 3,
+    seed: int = 42,
+    probe_id: int = 0,
+    pool_min: int = 64,
+    pool_frac: int = 5,
+    topk: int = 10,
+) -> str:
+    """Oracle for ``similarity_pq_rerank_topk``: replays PQ training
+    (init → ``iters`` Lloyd steps), encoding, the integer-micro ADC
+    pool scan, and the exact rerank — returns (vec_id, dist_micro).
+
+    Mirrors, step for step: operators/pq.train_pq (codegen scorer),
+    encode_pq, adc_luts_micro + pq_topk with
+    ``k = max(pool_min, n // pool_frac)``, then the exact-L2 rerank of
+    the registered query."""
+    d = dim // m
+    ecols = ", ".join(f"e{i}" for i in range(d))
+    sub_cols = ", ".join(
+        f"CAST(e.embedding[j.j * {d} + {i + 1}] AS DOUBLE) AS e{i}"
+        for i in range(d)
+    )
+    parts = [f"""sub AS (
+        SELECT e.vec_id AS i, j.j, {sub_cols}
+        FROM embeddings e CROSS JOIN {_j_table(m)} j
+    )"""]
+    # init: first k sub-rows per subspace in md5(seed|j|i) order
+    parts.append(f"""cb0 AS (
+        SELECT j, row_number() OVER (
+            PARTITION BY j
+            ORDER BY md5(concat_ws('|', '{seed}', CAST(j AS VARCHAR),
+                                   CAST(i AS VARCHAR)))
+        ) - 1 AS code, {ecols}
+        FROM sub
+        QUALIFY code < {k}
+    )""")
+    d2 = _chain([
+        f"(s.e{i} - c.e{i}) * (s.e{i} - c.e{i})" for i in range(d)
+    ])
+
+    def assign(name: str, cb: str) -> str:
+        # first minimum wins; ties -> lowest code (the argmin rule of
+        # pq._assign_code's array_position(arr, array_min(arr)))
+        return f"""{name} AS (
+        SELECT s.i, s.j, {", ".join(f"s.e{i}" for i in range(d))}, c.code
+        FROM sub s JOIN {cb} c USING (j)
+        QUALIFY row_number() OVER (
+            PARTITION BY s.i, s.j ORDER BY {d2}, c.code) = 1
+    )"""
+
+    for t in range(iters):
+        parts.append(assign(f"a{t}", f"cb{t}"))
+        sums = ", ".join(
+            f"CAST(sum(CAST(round(e{i} * 1e6) AS BIGINT)) AS BIGINT)"
+            f" AS s{i}"
+            for i in range(d)
+        )
+        parts.append(f"""u{t} AS (
+        SELECT j, code, count(*) AS n, {sums}
+        FROM a{t} GROUP BY j, code
+    )""")
+        upd = ", ".join(
+            f"CASE WHEN u.n IS NULL THEN c.e{i}"
+            f" ELSE floor(u.s{i} / u.n) / 1e6 END AS e{i}"
+            for i in range(d)
+        )
+        parts.append(f"""cb{t + 1} AS (
+        SELECT c.j, c.code, {upd}
+        FROM cb{t} c LEFT JOIN u{t} u USING (j, code)
+    )""")
+    final = f"cb{iters}"
+    parts.append(assign("enc", final))
+    psub_cols = ", ".join(
+        f"CAST(p.embedding[j.j * {d} + {i + 1}] AS DOUBLE) AS p{i}"
+        for i in range(d)
+    )
+    parts.append(f"""psub AS (
+        SELECT j.j, {psub_cols}
+        FROM embeddings p CROSS JOIN {_j_table(m)} j
+        WHERE p.vec_id = {probe_id}
+    )""")
+    lut_d2 = _chain([
+        f"(p.p{i} - c.e{i}) * (p.p{i} - c.e{i})" for i in range(d)
+    ])
+    parts.append(f"""lut AS (
+        SELECT c.j, c.code,
+               CAST(floor(({lut_d2}) * 1e6 + 0.5) AS BIGINT) AS micro
+        FROM {final} c JOIN psub p USING (j)
+    )""")
+    parts.append("""adc AS (
+        SELECT e.i AS vec_id, CAST(sum(l.micro) AS BIGINT) AS adc_micro
+        FROM enc e JOIN lut l USING (j, code)
+        GROUP BY e.i
+    )""")
+    parts.append(f"""pool AS (
+        SELECT vec_id FROM adc
+        QUALIFY row_number() OVER (ORDER BY adc_micro, vec_id)
+            <= greatest({pool_min},
+                        (SELECT count(*) // {pool_frac} FROM embeddings))
+    )""")
+    parts.append(f"""pr AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+        FROM embeddings WHERE vec_id = {probe_id}
+    )""")
+    dist = _chain([
+        f"(CAST(e.embedding[{i + 1}] AS DOUBLE) - pr.pv[{i + 1}])"
+        f" * (CAST(e.embedding[{i + 1}] AS DOUBLE) - pr.pv[{i + 1}])"
+        for i in range(dim)
+    ])
+    parts.append(f"""rr AS (
+        SELECT po.vec_id, sqrt({dist}) AS dist
+        FROM pool po
+        JOIN embeddings e ON e.vec_id = po.vec_id
+        CROSS JOIN pr
+    )""")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT vec_id, CAST(round(dist * 1e6) AS BIGINT) AS dist_micro
+    FROM rr
+    ORDER BY dist, vec_id
+    LIMIT {topk}
+    """
+
+
+def ivf_replay_sql(
+    n_centroids: int = 8,
+    dim: int = 64,
+    iters: int = 2,
+    seed: int = 42,
+    probe_ids: tuple[int, ...] = (0, 1, 2),
+    n_probe: int = 4,
+    k: int = 5,
+) -> str:
+    """Oracle for ``similarity_ivf_topk``: replays coarse-quantizer
+    training (md5 init → ``iters`` integer-quantized Lloyd steps with
+    cosine argmax assignment), corpus cell assignment, per-probe top-
+    ``n_probe`` cell ranking, and the probed-cell exact re-score —
+    returns (query_id, vec_id, cos_sim, rank).
+
+    Mirrors operators/similarity.kmeans_centroids +
+    nearest_cell(s)_col (codegen scorer) + ivf_topk, including the
+    post-rank self-filter of the registered query."""
+    ecols = ", ".join(f"e{i}" for i in range(dim))
+    v_cols = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS e{i}" for i in range(dim)
+    )
+    parts = [f"""v AS (
+        SELECT vec_id AS i, {v_cols} FROM embeddings
+    )"""]
+    # init: the n_centroids rows with the smallest md5(seed || id),
+    # cid = position in that order
+    parts.append(f"""cc0 AS (
+        SELECT row_number() OVER (
+            ORDER BY md5(concat('{seed}', CAST(i AS VARCHAR)))
+        ) - 1 AS cid, {ecols}
+        FROM v
+        QUALIFY cid < {n_centroids}
+    )""")
+    norm_chain = _chain([f"e{i} * e{i}" for i in range(dim)])
+    dot_vc = _chain([f"s.e{i} * c.e{i}" for i in range(dim)])
+
+    def with_norm(cb: str, name: str) -> str:
+        # `centroid_norm(c) or 1.0`: the zero-vector guard of the
+        # codegen scorer
+        return f"""{name} AS (
+        SELECT *, CASE WHEN sqrt({norm_chain}) = 0 THEN 1.0
+                       ELSE sqrt({norm_chain}) END AS nrm
+        FROM {cb}
+    )"""
+
+    def assign(name: str, ccn: str) -> str:
+        # cosine argmax; ties -> lowest cid (first-occurrence rule of
+        # nearest_cell_col's array_position(arr, array_max(arr)))
+        return f"""{name} AS (
+        SELECT s.i, {", ".join(f"s.e{i}" for i in range(dim))}, c.cid
+        FROM v s CROSS JOIN {ccn} c
+        QUALIFY row_number() OVER (
+            PARTITION BY s.i ORDER BY ({dot_vc}) / c.nrm DESC, c.cid) = 1
+    )"""
+
+    for t in range(iters):
+        parts.append(with_norm(f"cc{t}", f"ccn{t}"))
+        parts.append(assign(f"as{t}", f"ccn{t}"))
+        sums = ", ".join(
+            f"CAST(sum(CAST(round(e{i} * 1e6) AS BIGINT)) AS BIGINT)"
+            f" AS s{i}"
+            for i in range(dim)
+        )
+        parts.append(f"""su{t} AS (
+        SELECT cid, count(*) AS n, {sums} FROM as{t} GROUP BY cid
+    )""")
+        upd = ", ".join(
+            f"CASE WHEN u.n IS NULL THEN c.e{i}"
+            f" ELSE floor(u.s{i} / u.n) / 1e6 END AS e{i}"
+            for i in range(dim)
+        )
+        parts.append(f"""cc{t + 1} AS (
+        SELECT c.cid, {upd}
+        FROM cc{t} c LEFT JOIN su{t} u USING (cid)
+    )""")
+    final = f"cc{iters}"
+    parts.append(with_norm(final, "ccf"))
+    parts.append(assign("cas", "ccf"))
+    ids = ", ".join(str(p) for p in probe_ids)
+    parts.append(f"""pcells AS (
+        SELECT s.i AS query_id, c.cid
+        FROM v s CROSS JOIN ccf c
+        WHERE s.i IN ({ids})
+        QUALIFY row_number() OVER (
+            PARTITION BY s.i
+            ORDER BY ({dot_vc}) / c.nrm DESC, c.cid) <= {n_probe}
+    )""")
+    # exact re-score of probed-cell members: cosine over the raw
+    # vectors — dot / (norm_corpus * norm_probe), all left-fold chains
+    dot_aq = _chain([f"a.e{i} * q.e{i}" for i in range(dim)])
+    norm_a = _chain([f"a.e{i} * a.e{i}" for i in range(dim)])
+    norm_q = _chain([f"q.e{i} * q.e{i}" for i in range(dim)])
+    parts.append(f"""scored AS (
+        SELECT pc.query_id, ca.i AS vec_id,
+               round(({dot_aq}) / (sqrt({norm_a}) * sqrt({norm_q})), 4)
+                   AS cos_sim
+        FROM cas ca
+        JOIN pcells pc USING (cid)
+        JOIN v a ON a.i = ca.i
+        JOIN v q ON q.i = pc.query_id
+    )""")
+    body = ",\n    ".join(parts)
+    # rank BEFORE the self-filter, exactly as the registered query does
+    # (the self row consumes rank 1, so output ranks start at 2)
+    return f"""
+    WITH {body}
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+        SELECT query_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {k} AND query_id <> vec_id
+    """

@@ -18,6 +18,7 @@ from rust_cdc_spark.operators import dedup as DD
 from rust_cdc_spark.operators import sampling as SAMP
 from rust_cdc_spark.operators import similarity as SIM
 from rust_cdc_spark.queries import register
+from rust_cdc_spark.queries import ann_replay as ANN_REPLAY
 from rust_cdc_spark.sources.tables import load_table
 
 _SW_SQL = "['the','a','an','and','of','to','in','is','it','that']"
@@ -444,25 +445,36 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_INDEX: dict[tuple, list] = {}
 
 
-@register("similarity_ivf_topk", oracle=None)
+@register(
+    "similarity_ivf_topk",
+    oracle=ANN_REPLAY.ivf_replay_sql(
+        n_centroids=8, dim=64, iters=2, seed=42,
+        probe_ids=(0, 1, 2), n_probe=4, k=5,
+    ),
+)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k for the same 3 probes — the second scale
     path beside LSH: a k-means coarse quantizer (DataFrame Lloyd
     iterations) partitions the corpus; each probe scans only its
     n_probe nearest cells. The trained quantizer is cached per corpus
     (index building is offline in any IVF deployment; queries pay only
-    assignment + probed-cell scan). Rows-only check; recall vs brute
-    force is asserted in pytest."""
+    assignment + probed-cell scan). The oracle REPLAYS training —
+    md5 init + 2 integer-quantized Lloyd steps — plus assignment,
+    probe-cell ranking, and the exact re-score as a DuckDB CTE chain
+    (queries/ann_replay.py); recall vs brute force is additionally
+    asserted in pytest."""
     emb = load_table(spark, "embeddings", sf_dir)
     key = (sf_dir, 8, 2, 42)
     if key not in _IVF_INDEX:
-        _IVF_INDEX[key] = SIM.kmeans_centroids(emb, 8, 64, iters=2, seed=42)
+        _IVF_INDEX[key] = SIM.kmeans_centroids(
+            emb, 8, 64, iters=2, seed=42, scorer="codegen"
+        )
     probes = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return SIM.ivf_topk(
         emb, probes, dim=64, k=5, n_centroids=8, n_probe=4,
-        centroids=_IVF_INDEX[key],
+        centroids=_IVF_INDEX[key], scorer="codegen",
     ).filter(F.col("query_id") != F.col("vec_id"))
 
 
@@ -788,16 +800,25 @@ def sample_weighted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_INDEX: dict = {}
 
 
-@register("similarity_pq_rerank_topk", oracle=None)
+@register(
+    "similarity_pq_rerank_topk",
+    oracle=ANN_REPLAY.pq_replay_sql(
+        m=16, k=16, dim=64, iters=3, seed=42,
+        probe_id=0, pool_min=64, pool_frac=5, topk=10,
+    ),
+)
 def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ's storage half (operators/pq.py): 16×-compressed PQ codes
     (m=16 subspaces × 16 codes = 16 bytes vs 256), an asymmetric-
     distance codegen scan over the CODE table for a candidate pool, and
     an exact rerank of only the pool — the two-stage shape every
     billion-vector deployment uses, because at 100 TB the raw vectors
-    are the IO bill and the code table is 16× smaller. Iterative
-    k-means training → rows-only; recall and compression are pytest-
-    gated (tests/test_pq.py)."""
+    are the IO bill and the code table is 16× smaller. The oracle
+    REPLAYS the whole pipeline — md5 init, 3 integer-quantized Lloyd
+    steps, encoding, the integer-micro ADC pool, the exact rerank — as
+    an unrolled DuckDB CTE chain (queries/ann_replay.py), so training
+    itself is value-checked, not just the scan; recall and compression
+    are additionally pytest-gated (tests/test_pq.py)."""
     from rust_cdc_spark.operators import pq as PQ
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -823,6 +844,10 @@ def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dist").asc(), "vec_id")
         .limit(10)
     )
+    # integer micro output: rounding a bit-identical double to an
+    # integer is engine-safe; round(x, 6) is not (see ann_replay.py)
     return reranked.select(
-        "vec_id", F.round("dist", 6).alias("dist")
+        "vec_id",
+        F.round(F.col("dist") * F.lit(1e6)).cast("bigint")
+        .alias("dist_micro"),
     )
