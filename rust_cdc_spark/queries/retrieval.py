@@ -505,7 +505,9 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM a LEFT JOIN pruned p ON a.vec_id = p.vb
     """,
 )
-def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup_prune(
+    spark: SparkSession, sf_dir: str, k: int = _SEM_K
+) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) shape: assign every embedding to its
     nearest seed centroid, then within each cluster prune any member
     whose cosine to a lower-id member exceeds τ — semantic near-dup
@@ -519,7 +521,11 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     map stage before the join (not per pair); the prune rule is a
     distinct + left anti — no global structure, no iteration."""
     emb = load_table(spark, "embeddings", sf_dir)
-    assign = _assign_nearest(emb, k=_SEM_K).select("vec_id", "cid")
+    # K is the SemDeDup sizing lever: scale it with the corpus so
+    # per-cluster membership stays ~constant and the cid-keyed pair
+    # join's Σ|cluster|² term stays linear-ish (measured in SCALE.md;
+    # the oracle pins the default).
+    assign = _assign_nearest(emb, k=k).select("vec_id", "cid")
     withv = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
         "vec_id",
         "cid",

@@ -156,6 +156,159 @@ _SCRAMBLERS = {
 }
 
 
+# ── caching_sha2 full auth: RSA-OAEP password exchange ──────────────────
+# When the server's scramble cache misses it answers the fast-path
+# scramble with AuthMoreData 0x04 ("perform full authentication"); over
+# a non-TLS connection the client then requests the server's RSA public
+# key, XORs the NUL-terminated password with the nonce (wrapping), and
+# sends it RSA-OAEP(SHA-1)-encrypted (reference auth.rs:127-190; the
+# MariaDB/MySQL caching_sha2_password docs describe the same exchange).
+# Implemented from the public specs — PKCS#8/PKCS#1 DER layout and
+# RFC 8017 EME-OAEP — with an injectable RNG so the padding is
+# deterministic under test.
+
+AUTH_MORE_DATA = 0x01
+AUTH_SWITCH = 0xFE
+FAST_AUTH_OK = 0x03
+PERFORM_FULL_AUTH = 0x04
+PUBLIC_KEY_REQUEST = 0x02
+
+
+def _der_read(buf: bytes, off: int) -> tuple[int, bytes, int]:
+    """One DER TLV: (tag, content, next_offset)."""
+    tag = buf[off]
+    length = buf[off + 1]
+    off += 2
+    if length & 0x80:
+        nbytes = length & 0x7F
+        length = int.from_bytes(buf[off:off + nbytes], "big")
+        off += nbytes
+    return tag, buf[off:off + length], off + length
+
+
+def parse_rsa_public_key_pem(pem: bytes | str) -> tuple[int, int]:
+    """PEM public key → (n, e). Accepts the X.509 SubjectPublicKeyInfo
+    form MySQL sends (``BEGIN PUBLIC KEY``) and bare PKCS#1
+    (``BEGIN RSA PUBLIC KEY``)."""
+    import base64
+
+    text = pem.decode() if isinstance(pem, bytes) else pem
+    b64 = "".join(
+        line.strip() for line in text.splitlines()
+        if line.strip() and not line.startswith("-----")
+    )
+    der = base64.b64decode(b64)
+    tag, body, _ = _der_read(der, 0)
+    if tag != 0x30:
+        raise WireError(0, "malformed RSA public key (no outer SEQUENCE)")
+    tag, first, nxt = _der_read(body, 0)
+    if tag == 0x02:  # PKCS#1: SEQUENCE { INTEGER n, INTEGER e }
+        n = int.from_bytes(first, "big")
+        _, e_bytes, _ = _der_read(body, nxt)
+        return n, int.from_bytes(e_bytes, "big")
+    # SPKI: SEQUENCE { SEQUENCE alg, BIT STRING { PKCS#1 } }
+    tag, bitstr, _ = _der_read(body, nxt)
+    if tag != 0x03:
+        raise WireError(0, "malformed RSA public key (no BIT STRING)")
+    _, inner, _ = _der_read(bitstr[1:], 0)  # [0] = unused-bits count
+    tag, n_bytes, nxt = _der_read(inner, 0)
+    _, e_bytes, _ = _der_read(inner, nxt)
+    return int.from_bytes(n_bytes, "big"), int.from_bytes(e_bytes, "big")
+
+
+def _mgf1(seed: bytes, length: int) -> bytes:
+    out = b""
+    counter = 0
+    while len(out) < length:
+        out += hashlib.sha1(seed + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return out[:length]
+
+
+def rsa_oaep_encrypt(message: bytes, n: int, e: int, rng=None) -> bytes:
+    """RFC 8017 RSAES-OAEP with SHA-1/MGF1-SHA1 and an empty label (the
+    padding MySQL's full-auth path uses). ``rng(hLen) -> bytes``
+    defaults to ``os.urandom``; inject for deterministic tests."""
+    import os
+
+    rng = rng or os.urandom
+    k = (n.bit_length() + 7) // 8
+    h_len = 20
+    if len(message) > k - 2 * h_len - 2:
+        raise WireError(0, "password too long for server RSA key")
+    l_hash = hashlib.sha1(b"").digest()
+    ps = bytes(k - len(message) - 2 * h_len - 2)
+    db = l_hash + ps + b"\x01" + message
+    seed = rng(h_len)
+    masked_db = bytes(
+        a ^ b for a, b in zip(db, _mgf1(seed, k - h_len - 1))
+    )
+    masked_seed = bytes(a ^ b for a, b in zip(seed, _mgf1(masked_db, h_len)))
+    em = b"\x00" + masked_seed + masked_db
+    c = pow(int.from_bytes(em, "big"), e, n)
+    return c.to_bytes(k, "big")
+
+
+def _xor_rotating(data: bytes, key: bytes) -> bytes:
+    """XOR with key wrap-around (the reference's xor_eq, auth.rs:168)."""
+    return bytes(b ^ key[i % len(key)] for i, b in enumerate(data))
+
+
+def encrypt_password_full_auth(
+    password: str, nonce: bytes, pem: bytes | str, rng=None
+) -> bytes:
+    """The full-auth payload: RSA-OAEP(XOR(password + NUL, nonce))."""
+    n, e = parse_rsa_public_key_pem(pem)
+    plain = _xor_rotating(password.encode() + b"\x00", nonce[:20])
+    return rsa_oaep_encrypt(plain, n, e, rng=rng)
+
+
+def authenticate(
+    stream, send, password: str, handshake: Handshake, seq: int, rng=None
+) -> None:
+    """Drive the post-HandshakeResponse auth conversation to OK/ERR.
+
+    Handles: plain OK; ERR; AuthSwitchRequest (re-scramble with the
+    requested plugin + fresh nonce); caching_sha2 AuthMoreData fast-auth
+    success (0x03 → await OK) and perform-full-auth (0x04 → public-key
+    request, RSA-OAEP password exchange, await OK)."""
+    nonce = handshake.nonce
+    while True:
+        pseq, reply = read_packet(stream)
+        if not reply:
+            raise WireError(0, "empty auth packet")
+        head = reply[0]
+        if head == 0x00:  # OK
+            return
+        if head == ERR_HEADER:
+            code = int.from_bytes(reply[1:3], "little")
+            raise WireError(code, reply[3:].decode("utf-8", "replace"))
+        if head == AUTH_SWITCH:
+            end = reply.index(0, 1)
+            plugin = reply[1:end].decode()
+            nonce = reply[end + 1:].rstrip(b"\x00")
+            if plugin not in _SCRAMBLERS:
+                raise WireError(0, f"unsupported auth plugin {plugin!r}")
+            send(write_packet(pseq + 1, _SCRAMBLERS[plugin](password, nonce)))
+            continue
+        if head == AUTH_MORE_DATA:
+            status = reply[1] if len(reply) > 1 else None
+            if status == FAST_AUTH_OK:
+                continue  # OK packet follows
+            if status == PERFORM_FULL_AUTH:
+                send(write_packet(pseq + 1, bytes([PUBLIC_KEY_REQUEST])))
+                kseq, key_pkt = read_packet(stream)
+                pem = key_pkt[1:] if key_pkt[:1] == b"\x01" else key_pkt
+                send(write_packet(
+                    kseq + 1,
+                    encrypt_password_full_auth(password, nonce, pem,
+                                               rng=rng),
+                ))
+                continue
+            raise WireError(0, f"unexpected AuthMoreData status {status}")
+        raise WireError(0, f"unexpected auth packet header {head:#x}")
+
+
 def build_handshake_response(
     user: str,
     password: str,
@@ -260,10 +413,7 @@ def replicate(
     seq, payload = read_packet(stream)
     hs = parse_handshake(payload)
     send(write_packet(seq + 1, build_handshake_response(user, password, hs)))
-    _, reply = read_packet(stream)
-    if reply and reply[0] == ERR_HEADER:
-        code = int.from_bytes(reply[1:3], "little")
-        raise WireError(code, reply[3:].decode("utf-8", errors="replace"))
+    authenticate(stream, send, password, hs, seq + 1)
     send(write_packet(0, build_com_binlog_dump(server_id, log_file, log_pos)))
     yield from binlog_events_from_stream(stream)
 

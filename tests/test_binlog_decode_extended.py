@@ -16,6 +16,8 @@ import datetime
 import struct
 from decimal import Decimal
 
+import pytest
+
 from rust_cdc_spark.functions import jsonb as JB
 from rust_cdc_spark.functions import mysql_types as MT
 from rust_cdc_spark.sources import binlog_rows as BR
@@ -73,6 +75,40 @@ class TestCharsetDecode:
         raw = bytes([3]) + "中".encode()
         v, _ = MT.decode_value(raw, 0, MT.VARCHAR, (160,))
         assert v == "中"
+
+    # ── tier-2 charsets: GOLDEN byte fixtures (explicit bytes a real
+    # MySQL server stores for these collations — not Python
+    # round-trips), one per codec family in the collation map. Ids are
+    # the primary collation of each charset in
+    # information_schema.collations.
+    GOLDEN = [
+        (13, b"\x93\xfa\x96{\x8c\xea", "日本語"),    # sjis
+        (95, b"\x93\xfa\x96{\x87@", "日本①"),        # cp932 (NEC ext)
+        (1, b"\xa4\xa4\xa4\xe5", "中文"),             # big5
+        (2, b"\xa3\xf3d\xbc", "Łódź"),                # latin2
+        (4, b"caf\x82", "café"),                      # cp850 (DOS é)
+        (12, b"\xc6\xfc\xcb\xdc", "日本"),            # ujis / euc_jp
+        (19, b"\xc7\xd1\xb1\xb9", "한국"),            # euckr
+        (14, b"\xcf\xf0\xe8\xe2\xe5\xf2", "Привет"),  # cp1251
+        (35, b"N-\x00A", "中A"),                      # ucs2 (UTF-16-BE)
+        (248, b"\xd6\xd0\xa2\xe3", "中€"),            # gb18030
+        (40, b"\x9fesk\xec", "český"),                # cp852
+        (7, b"\xe0\xce\xc9\xcb\xcf\xc4", "Юникод"),   # koi8r
+    ]
+
+    @pytest.mark.parametrize("cid,raw,expect", GOLDEN)
+    def test_tier2_charset_golden_bytes(self, cid, raw, expect):
+        buf = bytes([len(raw)]) + raw
+        v, _ = MT.decode_value(buf, 0, MT.VARCHAR, (160,), collation_id=cid)
+        assert v == expect
+
+    def test_unknown_collation_degrades_to_replacement_never_crashes(self):
+        # an id absent from the map + bytes invalid as UTF-8: decode
+        # must produce replacement chars, not raise
+        raw = b"\x93\xfa\xff"
+        buf = bytes([len(raw)]) + raw
+        v, _ = MT.decode_value(buf, 0, MT.VARCHAR, (160,), collation_id=999)
+        assert isinstance(v, str) and "�" in v
 
 
 class TestStringMetaUnpack:

@@ -346,3 +346,175 @@ class TestCapabilityNegotiation:
         resp = W.build_handshake_response("repl", "pw", hs)
         caps = int.from_bytes(resp[0:4], "little")
         assert not (caps & W.CLIENT_DEPRECATE_EOF)
+
+
+# ── caching_sha2 full auth: RSA-OAEP exchange ─────────────────────────
+# A deterministic pure-Python RSA keypair plays the server; the test
+# decrypts the client's encrypted-password frame with the private key
+# and asserts the password round-trips (the exchange the reference
+# drives in auth.rs:127-190 when the server answers perform-full-auth).
+
+
+def _miller_rabin(n: int, rnd) -> bool:
+    if n % 2 == 0:
+        return n == 2
+    d, r = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    for _ in range(24):
+        a = rnd.randrange(2, n - 2)
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(r - 1):
+            x = pow(x, 2, n)
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def _gen_prime(bits: int, rnd) -> int:
+    while True:
+        p = rnd.getrandbits(bits) | (1 << (bits - 1)) | 1
+        if _miller_rabin(p, rnd):
+            return p
+
+
+def _test_rsa_keypair():
+    import random
+
+    rnd = random.Random(0xC0FFEE)
+    e = 65537
+    while True:
+        p, q = _gen_prime(256, rnd), _gen_prime(256, rnd)
+        phi = (p - 1) * (q - 1)
+        if p != q and phi % e != 0:
+            return p * q, e, pow(e, -1, phi)
+
+
+def _der_len(b: bytes) -> bytes:
+    n = len(b)
+    if n < 0x80:
+        return bytes([n])
+    enc = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return bytes([0x80 | len(enc)]) + enc
+
+
+def _der_int(v: int) -> bytes:
+    b = v.to_bytes((v.bit_length() + 7) // 8 or 1, "big")
+    if b[0] & 0x80:
+        b = b"\x00" + b
+    return b"\x02" + _der_len(b) + b
+
+
+def _spki_pem(n: int, e: int) -> bytes:
+    import base64
+
+    pkcs1 = _der_int(n) + _der_int(e)
+    pkcs1 = b"\x30" + _der_len(pkcs1) + pkcs1
+    alg = bytes.fromhex("300d06092a864886f70d0101010500")
+    bitstr = b"\x03" + _der_len(b"\x00" + pkcs1) + b"\x00" + pkcs1
+    spki = b"\x30" + _der_len(alg + bitstr) + alg + bitstr
+    b64 = base64.encodebytes(spki).replace(b"\n", b"")
+    lines = [b64[i:i + 64] for i in range(0, len(b64), 64)]
+    return (b"-----BEGIN PUBLIC KEY-----\n"
+            + b"\n".join(lines)
+            + b"\n-----END PUBLIC KEY-----\n")
+
+
+def _oaep_decrypt(blob: bytes, n: int, d: int) -> bytes:
+    k = (n.bit_length() + 7) // 8
+    em = pow(int.from_bytes(blob, "big"), d, n).to_bytes(k, "big")
+    masked_seed, masked_db = em[1:21], em[21:]
+    seed = bytes(a ^ b for a, b in zip(masked_seed, W._mgf1(masked_db, 20)))
+    db = bytes(
+        a ^ b for a, b in zip(masked_db, W._mgf1(seed, len(masked_db)))
+    )
+    return db[db.index(b"\x01", 20) + 1:]
+
+
+class TestCachingSha2FullAuth:
+    NONCE = bytes(range(20))
+    KEY = _test_rsa_keypair()
+
+    def _script(self, packets):
+        return io.BytesIO(
+            b"".join(W.write_packet(i + 2, p) for i, p in enumerate(packets))
+        )
+
+    def _hs(self):
+        return W.parse_handshake(
+            _greeting(self.NONCE, plugin="caching_sha2_password")
+        )
+
+    def test_pem_parse_spki_and_pkcs1(self):
+        n, e, _ = self.KEY
+        assert W.parse_rsa_public_key_pem(_spki_pem(n, e)) == (n, e)
+        import base64
+
+        pkcs1 = _der_int(n) + _der_int(e)
+        pkcs1 = b"\x30" + _der_len(pkcs1) + pkcs1
+        pem = (b"-----BEGIN RSA PUBLIC KEY-----\n"
+               + base64.encodebytes(pkcs1)
+               + b"-----END RSA PUBLIC KEY-----\n")
+        assert W.parse_rsa_public_key_pem(pem) == (n, e)
+
+    def test_oaep_roundtrip(self):
+        n, e, d = self.KEY
+        rng = lambda size: bytes(range(7, 7 + size))  # noqa: E731
+        blob = W.rsa_oaep_encrypt(b"hello", n, e, rng=rng)
+        assert len(blob) == 64
+        assert _oaep_decrypt(blob, n, d) == b"hello"
+
+    def test_full_auth_password_roundtrips(self):
+        n, e, d = self.KEY
+        ok = b"\x00\x00\x00\x02\x00"
+        stream = self._script([
+            bytes([W.AUTH_MORE_DATA, W.PERFORM_FULL_AUTH]),
+            b"\x01" + _spki_pem(n, e),
+            ok,
+        ])
+        sent = []
+        W.authenticate(
+            stream, sent.append, "s3cret!", self._hs(), 1,
+            rng=lambda size: bytes(size),
+        )
+        # frame 1: the public key request byte
+        assert sent[0][4] == W.PUBLIC_KEY_REQUEST
+        # frame 2: RSA blob; decrypt + un-XOR recovers password + NUL
+        blob = sent[1][4:]
+        plain = _oaep_decrypt(blob, n, d)
+        pw = bytes(
+            b ^ self.NONCE[i % 20] for i, b in enumerate(plain)
+        )
+        assert pw == b"s3cret!\x00"
+
+    def test_fast_auth_path_consumes_marker_then_ok(self):
+        stream = self._script([
+            bytes([W.AUTH_MORE_DATA, W.FAST_AUTH_OK]),
+            b"\x00\x00\x00\x02\x00",
+        ])
+        sent = []
+        W.authenticate(stream, sent.append, "pw", self._hs(), 1)
+        assert sent == []  # nothing else to send on the fast path
+
+    def test_auth_switch_rescrambles_with_new_nonce(self):
+        new_nonce = bytes(range(100, 120))
+        stream = self._script([
+            bytes([W.AUTH_SWITCH]) + b"mysql_native_password\x00"
+            + new_nonce + b"\x00",
+            b"\x00\x00\x00\x02\x00",
+        ])
+        sent = []
+        W.authenticate(stream, sent.append, "pw", self._hs(), 1)
+        assert sent[0][4:] == W.scramble_native_password("pw", new_nonce)
+
+    def test_err_during_full_auth_raises(self):
+        err = b"\xff\x15\x04#28000Access denied"
+        stream = self._script([err])
+        with pytest.raises(W.WireError) as ei:
+            W.authenticate(stream, lambda b: None, "pw", self._hs(), 1)
+        assert ei.value.code == 0x0415
