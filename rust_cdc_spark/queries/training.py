@@ -563,18 +563,83 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_MERGES = 8
+_BPE_MIN_FREQ = 2
 
 
-@register("bpe_train_merges", oracle=None)  # iterative algorithm: rows-only
+def _bpe_train_replay_sql(n_merges: int = _N_MERGES,
+                          min_freq: int = _BPE_MIN_FREQ) -> str:
+    """Oracle for ``bpe_train_merges``: replays the whole training loop
+    as an unrolled DuckDB CTE chain — the same trick as
+    queries/ann_replay.py. State per iteration is the vocabulary's
+    delimiter-wrapped symbol string (``_bpe_apply_sql``'s encoding,
+    value-proven by the ``bpe_encode_corpus`` oracle); pair counts come
+    from splitting that string back into symbols, the argmax mirrors
+    the trainer's (n DESC, l, r) tie rule, and the winning pair is
+    folded in with the same leftmost-greedy ``replace``. Early stop
+    (best pair below ``min_freq``, or no pairs at all → NULL scalar
+    subqueries) suppresses that step and every later one, exactly as
+    the driver loop breaks. CTEs are MATERIALIZED: each state feeds two
+    consumers, and inlining would re-derive the chain exponentially."""
+    parts = [f"""v0 AS MATERIALIZED (
+        SELECT '|' || array_to_string(string_split(token, ''), '||') || '|'
+                   AS s,
+               count(*) AS freq
+        FROM (SELECT lower(t) AS token
+              FROM documents,
+                   LATERAL unnest(string_split(trim(text), ' ')) AS u(t)
+              WHERE t <> '')
+        GROUP BY 1
+    )"""]
+    for t in range(1, n_merges + 1):
+        parts.append(f"""p{t} AS (
+        SELECT sy[i] AS l, sy[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS n
+        FROM (SELECT string_split(trim(s, '|'), '||') AS sy, freq
+              FROM v{t - 1}),
+             LATERAL unnest(range(1, len(sy))) AS g(i)
+        GROUP BY 1, 2
+    )""")
+        parts.append(f"""w{t} AS MATERIALIZED (
+        SELECT l, r, n FROM p{t} ORDER BY n DESC, l, r LIMIT 1
+    )""")
+        if t < n_merges:
+            parts.append(f"""v{t} AS MATERIALIZED (
+        SELECT replace(s,
+                   '|' || (SELECT l FROM w{t}) || '||'
+                       || (SELECT r FROM w{t}) || '|',
+                   '|' || (SELECT l FROM w{t})
+                       || (SELECT r FROM w{t}) || '|') AS s,
+               freq
+        FROM v{t - 1}
+    )""")
+    steps = []
+    for t in range(1, n_merges + 1):
+        valid = " AND ".join(
+            f"(SELECT n FROM w{j}) >= {min_freq}" for j in range(1, t + 1)
+        )
+        steps.append(
+            f"SELECT {t} AS step, l AS \"left\", r AS \"right\","
+            f" l || r AS merged, n AS pair_freq FROM w{t} WHERE {valid}"
+        )
+    body = ",\n    ".join(parts)
+    union = "\n    UNION ALL ".join(steps)
+    return f"""
+    WITH {body}
+    SELECT * FROM ({union})
+    ORDER BY step
+    """
+
+
+@register("bpe_train_merges", oracle=_bpe_train_replay_sql())
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE training loop (8 merges) over the corpus —
     the iterative extension of bpe_merge_candidates. Each iteration
     aggregates pair frequencies over the vocabulary table and folds the
     winning pair into the symbol arrays (operators/bpe.py); the driver
     holds only the model (one pair per step), like the IVF k-means
-    trainer. Non-SQL-expressible (iterative argmax + rewrite), so this
-    is a rows-only entry; exact equivalence against a brute-force
-    Python BPE implementation is pinned in tests/test_bpe.py."""
+    trainer. The oracle REPLAYS the whole loop as an unrolled DuckDB
+    CTE chain (``_bpe_train_replay_sql``), so training is value-checked
+    end-to-end; exact equivalence against a brute-force Python BPE
+    implementation is additionally pinned in tests/test_bpe.py."""
     from rust_cdc_spark.operators.bpe import learn_bpe_merges
 
     docs = load_table(spark, "documents", sf_dir)
