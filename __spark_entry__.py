@@ -57,6 +57,8 @@ _R03_PRIORITY = [
     "multimodal_resize",
     # (c) newly oracle-checkable ANN queries
     "similarity_pq_rerank_topk", "similarity_ivf_topk",
+    # (d) new round-3 operators
+    "dedup_substring_spans", "gopher_quality_rules", "bpe_train_merges",
 ]
 
 

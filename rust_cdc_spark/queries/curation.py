@@ -663,3 +663,199 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dup_prefix", F.lit(False)).alias("dup_prefix"),
         )
     )
+
+
+_SPAN_K = 10  # tokens per sliding window
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    g AS (
+        SELECT doc_id, CAST(i AS INT) AS st,
+               md5(array_to_string(words[(i):(i + {_SPAN_K} - 1)], ' ')) AS g
+        FROM w, LATERAL (
+            SELECT unnest(range(1, len(words) - {_SPAN_K} + 2)) AS i)
+        WHERE len(words) >= {_SPAN_K}
+    ),
+    dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+    cand AS (
+        SELECT doc_id, st, st + {_SPAN_K} - 1 AS en
+        FROM g JOIN dup USING (g)
+    ),
+    isl AS (
+        SELECT doc_id, st, en,
+               CASE WHEN st > coalesce(max(en) OVER (
+                        PARTITION BY doc_id ORDER BY st
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) + 1
+                    THEN 1 ELSE 0 END AS nf
+        FROM cand
+    ),
+    isl2 AS (
+        SELECT doc_id, st, en,
+               sum(nf) OVER (PARTITION BY doc_id ORDER BY st
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+        FROM isl
+    )
+    SELECT doc_id,
+           min(st) AS span_start,
+           max(en) AS span_end,
+           max(en) - min(st) + 1 AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM isl2
+    GROUP BY doc_id, island
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring spans — the exact-substring
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed for Spark: instead of a
+    corpus-wide suffix array (their single-machine structure), every
+    {_SPAN_K}-token sliding window fingerprints to md5, windows whose
+    fingerprint occurs more than once anywhere in the corpus are
+    duplicate evidence, and per document the overlapping/adjacent
+    duplicate windows coalesce (gaps-and-islands) into REMOVAL SPANS
+    (span_start/span_end token intervals) — the actionable output a
+    span-removal pass consumes. Resolution is the window width: spans
+    shorter than {_SPAN_K} tokens are invisible, exactly the k-gram
+    granularity trade the distributed approximations of suffix-array
+    dedup make.
+
+    Scale shape: one explode → one hash agg over distinct fingerprints
+    (map-side partials; the shuffle carries one row per distinct gram)
+    → a fingerprint-keyed join back → a per-doc window. No pairwise
+    joins, no driver state; at 100 TB the gram table is the cost, and
+    it partitions by hash like any dedup index. The interval merge is a
+    classic gaps-and-islands window (running max of span ends), one
+    doc-keyed shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = docs.select("doc_id", F.expr(_WORDS_SPARK).alias("words")).filter(
+        F.size("words") >= _SPAN_K
+    )
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(words) - {_SPAN_K} + 1),"
+                f" i -> struct(i AS st, md5(concat_ws(' ',"
+                f" slice(words, i, {_SPAN_K}))) AS g))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.st").alias("st"), F.col("s.g").alias("g"))
+    dup = grams.groupBy("g").agg(F.count("*").alias("n")).filter("n > 1")
+    cand = grams.join(dup.select("g"), "g").select(
+        "doc_id", "st", (F.col("st") + _SPAN_K - 1).alias("en")
+    )
+    prev_max = F.max("en").over(
+        Window.partitionBy("doc_id").orderBy("st")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = cand.withColumn(
+        "nf",
+        F.when(F.col("st") > F.coalesce(prev_max, F.lit(-1)) + 1, 1)
+        .otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island",
+        F.sum("nf").over(
+            Window.partitionBy("doc_id").orderBy("st")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("st").alias("span_start"),
+        F.max("en").alias("span_end"),
+        (F.max("en") - F.min("st") + 1).alias("span_tokens"),
+        F.count("*").alias("n_windows"),
+    ).drop("island")
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models" —
+# public heuristics), integer-arithmetic form so every threshold is an
+# exact cross-engine comparison (no ratio rounding): mean word length in
+# [3, 10] becomes 3·n ≤ chars ≤ 10·n, the 80% alpha-word rule becomes
+# 5·alpha ≥ 4·n.
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_STOPS = "('the','a','an','and','of','to','in','is','it','that')"
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(words, x -> length(x)))
+                    AS BIGINT) AS n_chars,
+               CAST(len(list_filter(words,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                   AS n_alpha_words,
+               CAST(len(list_filter(words,
+                    x -> list_contains({_GOPHER_STOPS.replace("(", "[").replace(")", "]")},
+                                       lower(x)))) AS BIGINT)
+                   AS n_stopword_hits
+        FROM w
+    )
+    SELECT doc_id, n_words, n_chars, n_alpha_words, n_stopword_hits,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+               AS rule_word_count,
+           (3 * n_words <= n_chars AND n_chars <= 10 * n_words)
+               AS rule_mean_word_len,
+           (5 * n_alpha_words >= 4 * n_words) AS rule_alpha_words,
+           (n_stopword_hits >= 2) AS rule_stopwords,
+           ((n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+            AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
+            AND 5 * n_alpha_words >= 4 * n_words
+            AND n_stopword_hits >= 2) AS keep
+    FROM m
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-quality rule set as one map-only pass: word
+    count bounds, mean word length in [3,10], ≥80% words containing an
+    alphabetic character, ≥2 stopword hits — each rule a column, plus
+    the composite keep flag a pretraining filter applies. All
+    thresholds are integer cross-multiplications (3n ≤ chars, 5·alpha ≥
+    4n), so Spark and the oracle compare exact integers — no ratio
+    rounding anywhere. At 100 TB: scan → project, embarrassingly
+    parallel, pipelines with the parquet read; pair it with
+    text_repetition_score (the Gopher repetition rules live there) for
+    the full filter."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = docs.select("doc_id", F.expr(_WORDS_SPARK).alias("words"))
+    stops = _GOPHER_STOPS.replace("(", "array(").replace(")", ")")
+    m = w.select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("n_words"),
+        F.expr(
+            "aggregate(words, 0L, (acc, x) -> acc + length(x))"
+        ).alias("n_chars"),
+        F.expr(
+            "cast(size(filter(words, x -> x rlike '[A-Za-z]')) as bigint)"
+        ).alias("n_alpha_words"),
+        F.expr(
+            f"cast(size(filter(words,"
+            f" x -> array_contains({stops}, lower(x)))) as bigint)"
+        ).alias("n_stopword_hits"),
+    )
+    rule_wc = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    rule_mwl = (3 * F.col("n_words") <= F.col("n_chars")) & (
+        F.col("n_chars") <= 10 * F.col("n_words")
+    )
+    rule_alpha = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    rule_stop = F.col("n_stopword_hits") >= 2
+    return m.select(
+        "doc_id", "n_words", "n_chars", "n_alpha_words", "n_stopword_hits",
+        rule_wc.alias("rule_word_count"),
+        rule_mwl.alias("rule_mean_word_len"),
+        rule_alpha.alias("rule_alpha_words"),
+        rule_stop.alias("rule_stopwords"),
+        (rule_wc & rule_mwl & rule_alpha & rule_stop).alias("keep"),
+    )

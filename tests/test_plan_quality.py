@@ -195,6 +195,10 @@ class TestShuffleBudget:
             ("quality_classifier_train", 0),
             # ADC scan is map-only + TakeOrdered; rerank joins the pool
             ("similarity_pq_rerank_topk", 2),
+            # gram agg + fingerprint join-back (AQE-broadcast at small
+            # SF) + doc-keyed island window
+            ("dedup_substring_spans", 3),
+            ("gopher_quality_rules", 0),   # pure map: integer rules
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
