@@ -157,12 +157,14 @@ def jaccard_pairs(
     sentences, " the ") makes its inverted-index bucket |bucket|² —
     the scale-killer a canonical-rep collapse can't touch. With a cap,
     shingles whose document frequency exceeds it are dropped from
-    *candidate generation only*; surviving candidates are verified by an
-    exact intersection join over their FULL shingle sets, so reported
-    jaccard values stay exact. A pair is missed only if *every* one of
-    its shared shingles is hot — such pairs are boilerplate-only overlaps
-    scoring far below any useful threshold. ``None`` (default) keeps the
-    one-pass exact path.
+    *candidate generation only*; each candidate's intersection count is
+    then composed exactly as rare-shingle co-occurrences (the candidate
+    join itself) plus hot-shingle co-occurrences (a candidate-keyed
+    join against the hot-restricted index — pair-bounded, never
+    |bucket|²), so reported jaccard values stay exact. A pair is missed
+    only if *every* one of its shared shingles is hot — such pairs are
+    boilerplate-only overlaps scoring far below any useful threshold.
+    ``None`` (default) keeps the one-pass exact path.
     """
     reps, members = _canonical_reps(docs, text_col, id_col, parallelism)
     rep_pairs = _jaccard_pairs_direct(
@@ -224,9 +226,15 @@ def _jaccard_pairs_direct(
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard")
         )
-    # Capped path: candidates from rare shingles only (buckets bounded at
-    # df_cap → ≤ df_cap² candidate rows per shingle), then exact
-    # verification on the full hashed shingle sets of the candidates.
+    # Capped path: candidates from rare shingles only (buckets bounded
+    # at df_cap → ≤ df_cap² candidate rows per shingle). The rare join
+    # doubles as the rare-intersection count — identical plan to the
+    # one-pass path over the rare index — and the hot-shingle
+    # contribution is recovered EXACTLY by a candidate-keyed join
+    # against the hot-restricted index (per candidate pair × its hot
+    # shingles — pair-bounded, never |bucket|²). When nothing exceeds
+    # the cap, `hot` is empty and the plan degenerates to the one-pass
+    # exact plan plus one df aggregation.
     hot = (
         inv.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -238,34 +246,31 @@ def _jaccard_pairs_direct(
     cand = (
         a.join(b, on="shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
         )
-        .distinct()
+        .agg(F.count("*").alias("n_rare"))
     )
-    hset = sh.select(
-        "doc_id",
-        "set_size",
-        F.transform(F.col("shingle_set"), lambda s: F.xxhash64(s)).alias("hset"),
+    hot_inv = inv.join(hot, on="shingle")  # tiny: hot shingles only
+    ha = hot_inv.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a")
     )
-    verified = (
-        cand.join(
-            hset.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("set_size").alias("size_a"),
-                F.col("hset").alias("hs_a"),
-            ),
-            "doc_a",
-        )
-        .join(
-            hset.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("set_size").alias("size_b"),
-                F.col("hset").alias("hs_b"),
-            ),
-            "doc_b",
-        )
-        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
+    hb = hot_inv.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b")
+    )
+    n_hot = (
+        cand.select("doc_a", "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .filter(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_hot"))
+    )
+    verified = cand.join(n_hot, ["doc_a", "doc_b"], "left").withColumn(
+        "n_common", F.col("n_rare") + F.coalesce(F.col("n_hot"), F.lit(0))
     )
     return (
         verified.withColumn(

@@ -55,25 +55,24 @@ from pyspark.sql import functions as F
 _CODEGEN_MAX_ENTRIES = 16384
 
 
-def _elem(vec_col, idx0: int) -> Column:
-    """0-based element of an array<float> column, as DOUBLE (the same
-    cast the oracle applies, so downstream arithmetic is bit-shared)."""
-    return F.element_at(vec_col, idx0 + 1).cast("double")
+def _lit_d(x: float) -> str:
+    """SQL literal for an exact double (see similarity._lit_d)."""
+    return f"CAST({float(x)!r} AS DOUBLE)"
 
 
-def _sub_d2(vec_col, j: int, d: int, centroid: list[float]) -> Column:
-    """Squared L2 between subvector j of ``vec_col`` and a centroid, as
-    a left-associated codegen chain — the identical add order DuckDB's
+def _sub_d2_sql(vec_sql: str, j: int, d: int, centroid: list[float]) -> str:
+    """Squared L2 between subvector j of ``vec_sql`` and a centroid, as
+    a left-associated SQL chain — the identical add order DuckDB's
     explicit `(e1-c1)^2 + ...` chain evaluates."""
-    expr: Column | None = None
+    terms = []
     for i, c in enumerate(centroid):
-        e = _elem(vec_col, j * d + i)
-        t = (e - F.lit(float(c))) * (e - F.lit(float(c)))
-        expr = t if expr is None else expr + t
-    return expr
+        e = f"CAST(element_at({vec_sql}, {j * d + i + 1}) AS DOUBLE)"
+        terms.append(f"(({e} - {_lit_d(c)}) * ({e} - {_lit_d(c)}))")
+    return " + ".join(terms)
 
 
-def _assign_code(vec_col, codebook_j: list[list[float]], j: int) -> Column:
+def _assign_code(vec_sql: str, codebook_j: list[list[float]],
+                 j: int) -> Column:
     """Codegen argmin over subspace j's codes; ties → lowest code.
 
     Implemented as ``array_min`` over (d2, code) structs — struct
@@ -81,16 +80,16 @@ def _assign_code(vec_col, codebook_j: list[list[float]], j: int) -> Column:
     code, the same rule as the oracle's `ORDER BY d2, code`. Each
     distance chain appears ONCE in the expression tree (the
     array_position(arr, array_min(arr)) form duplicates every chain —
-    it doubled codegen size and OOM'd a default-1g-heap session)."""
+    it doubled codegen size and OOM'd a default-1g-heap session), and
+    the whole argmin is ONE F.expr parse — building the tree from
+    Python Column operators costs thousands of py4j round-trips."""
     d = len(codebook_j[0])
-    arr = F.array(*[
-        F.struct(
-            _sub_d2(vec_col, j, d, c).alias("d2"),
-            F.lit(code).cast("int").alias("code"),
-        )
+    structs = ", ".join(
+        f"named_struct('d2', {_sub_d2_sql(vec_sql, j, d, c)},"
+        f" 'code', CAST({code} AS INT))"
         for code, c in enumerate(codebook_j)
-    ])
-    return F.array_min(arr)["code"]
+    )
+    return F.expr(f"array_min(array({structs})).code")
 
 
 def _sub_rows(corpus: DataFrame, m: int, dim: int,
@@ -189,7 +188,7 @@ def train_pq(
                 corpus.select(
                     F.col(vec_col).alias("__v"),
                     F.array(*[
-                        _assign_code(F.col(vec_col), codebooks[j], j)
+                        _assign_code(vec_col, codebooks[j], j)
                         for j in range(m)
                     ]).alias("__codes"),
                 )
@@ -249,7 +248,7 @@ def encode_pq(
         return corpus.select(
             id_col,
             F.array(*[
-                _assign_code(F.col(vec_col), codebooks[j], j)
+                _assign_code(vec_col, codebooks[j], j)
                 for j in range(m)
             ]).alias("codes"),
         )
@@ -341,7 +340,7 @@ def build_ivf_pq_index(
     quantizers at a small recall cost, recovered by the exact rerank.)"""
     from rust_cdc_spark.operators.similarity import nearest_cell_col
 
-    cid = nearest_cell_col(F.col(vec_col), coarse_centroids, scorer=scorer)
+    cid = nearest_cell_col(vec_col, coarse_centroids, scorer=scorer)
     coded = encode_pq(corpus, codebooks, id_col, vec_col, scorer=scorer)
     cells = corpus.select(id_col, cid.alias("cid"))
     return cells.join(coded, id_col)

@@ -202,7 +202,7 @@ def kmeans_centroids(
         if scorer == "codegen":
             assigned = corpus.select(
                 nearest_cell_col(
-                    F.col(vec_col), centroids, scorer="codegen"
+                    vec_col, centroids, scorer="codegen"
                 ).alias("cid"),
                 *[
                     F.element_at(vec_col, i + 1).cast("double")
@@ -284,16 +284,26 @@ def _nearest_centroids_udf(centroids, n_probe: int):
     return nearest
 
 
-def _chain_dot_lit(vec, centroid: list[float]) -> Column:
-    """Left-associated dot(vec, literal centroid) chain — pure codegen,
-    and the identical add order an explicit SQL ``e1*c1 + e2*c2 + …``
-    chain evaluates, so Spark and a DuckDB replay land on the same
-    double bit-for-bit."""
-    expr: Column | None = None
-    for i, c in enumerate(centroid):
-        t = F.element_at(vec, i + 1).cast("double") * F.lit(float(c))
-        expr = t if expr is None else expr + t
-    return expr
+def _lit_d(x: float) -> str:
+    """SQL literal for an exact double: ``CAST(<repr> AS DOUBLE)`` —
+    repr round-trips the double, the parser reads it as an exact
+    DECIMAL, and the cast rounds to the nearest double = the original
+    bits. Works for plain and exponent forms alike."""
+    return f"CAST({float(x)!r} AS DOUBLE)"
+
+
+def _dot_sql(vec_sql: str, centroid: list[float]) -> str:
+    """Left-associated dot(vec, literal centroid) chain as ONE SQL
+    string — the identical add order an explicit ``e1*c1 + e2*c2 + …``
+    chain evaluates in any engine, so Spark and a DuckDB replay land on
+    the same double bit-for-bit. Built as text and parsed JVM-side in
+    one call: assembling the same tree from Python Column operators
+    costs thousands of py4j round-trips (measured ~4 s of plan-build
+    per query at k=8, dim=64)."""
+    return " + ".join(
+        f"(CAST(element_at({vec_sql}, {i + 1}) AS DOUBLE) * {_lit_d(c)})"
+        for i, c in enumerate(centroid)
+    )
 
 
 def centroid_norm(centroid: list[float]) -> float:
@@ -306,15 +316,16 @@ def centroid_norm(centroid: list[float]) -> float:
     return math.sqrt(s)
 
 
-def nearest_cell_col(vec, centroids: list[list[float]],
+def nearest_cell_col(vec_sql: str, centroids: list[list[float]],
                      scorer: str = "auto") -> Column:
-    """Nearest-centroid (coarse cell) id by cosine.
+    """Nearest-centroid (coarse cell) id by cosine; ``vec_sql`` is the
+    SQL expression (usually a column name) of the vector.
 
     ``codegen``: per-centroid score = chain-dot / ‖c‖ (the probe norm is
     constant across candidates, so dividing by it cannot change the
     argmax — it is omitted); argmax ties → lowest cid (struct-min over
-    (-score, cid)). All whole-stage codegen, bit-shared with the DuckDB
-    replay oracle.
+    (-score, cid)). One F.expr parse, all whole-stage codegen,
+    bit-shared with the DuckDB replay oracle.
 
     ``numpy``: the Arrow-batched matmul ranking (the large-k·dim escape
     hatch — see ``_nearest_centroids_udf``); NOT bit-guaranteed against
@@ -326,30 +337,29 @@ def nearest_cell_col(vec, centroids: list[list[float]],
             else "numpy"
         )
     if scorer == "numpy":
-        return _nearest_centroids_udf(centroids, 1)(vec)[0]
+        return _nearest_centroids_udf(centroids, 1)(F.expr(vec_sql))[0]
     # array_min over (-score, cid) structs: score-descending with ties →
     # lowest cid (negation is an exact sign flip), each score chain
     # materialized ONCE in the tree (argmax-by-array_position doubles it)
-    arr = F.array(*[
-        F.struct(
-            (-(_chain_dot_lit(vec, c) / F.lit(centroid_norm(c) or 1.0)))
-            .alias("ns"),
-            F.lit(cid).cast("int").alias("cid"),
-        )
+    structs = ", ".join(
+        f"named_struct('ns', -(({_dot_sql(vec_sql, c)})"
+        f" / {_lit_d(centroid_norm(c) or 1.0)}),"
+        f" 'cid', CAST({cid} AS INT))"
         for cid, c in enumerate(centroids)
-    ])
-    return F.array_min(arr)["cid"]
+    )
+    return F.expr(f"array_min(array({structs})).cid")
 
 
-def nearest_cells_col(vec, centroids: list[list[float]], n_probe: int,
-                      scorer: str = "auto") -> Column:
-    """Array of the ``n_probe`` nearest cell ids, nearest first.
+def nearest_cells_col(vec_sql: str, centroids: list[list[float]],
+                      n_probe: int, scorer: str = "auto") -> Column:
+    """Array of the ``n_probe`` nearest cell ids, nearest first;
+    ``vec_sql`` is the SQL expression of the vector.
 
     ``codegen``: sort an array of (-score, cid) structs ascending —
     struct comparison gives score-descending with ties → lowest cid
     (negation is an exact sign flip, so the order equals a DESC sort on
-    the raw score bit-for-bit) — then slice and project the cids. Pure
-    codegen, bit-shared with the DuckDB replay's window ranking."""
+    the raw score bit-for-bit) — then slice and project the cids. One
+    F.expr parse, bit-shared with the DuckDB replay's window ranking."""
     if scorer == "auto":
         scorer = (
             "codegen"
@@ -357,17 +367,16 @@ def nearest_cells_col(vec, centroids: list[list[float]], n_probe: int,
             else "numpy"
         )
     if scorer == "numpy":
-        return _nearest_centroids_udf(centroids, n_probe)(vec)
-    arr = F.array(*[
-        F.struct(
-            (-(_chain_dot_lit(vec, c) / F.lit(centroid_norm(c) or 1.0)))
-            .alias("ns"),
-            F.lit(cid).cast("int").alias("cid"),
-        )
+        return _nearest_centroids_udf(centroids, n_probe)(F.expr(vec_sql))
+    structs = ", ".join(
+        f"named_struct('ns', -(({_dot_sql(vec_sql, c)})"
+        f" / {_lit_d(centroid_norm(c) or 1.0)}),"
+        f" 'cid', CAST({cid} AS INT))"
         for cid, c in enumerate(centroids)
-    ])
-    return F.transform(
-        F.slice(F.sort_array(arr), 1, n_probe), lambda s: s["cid"]
+    )
+    return F.expr(
+        f"transform(slice(sort_array(array({structs})), 1, {n_probe}),"
+        f" s -> s.cid)"
     )
 
 
@@ -437,15 +446,36 @@ def ivf_topk(
     c_assigned = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
-        nearest_cell_col(F.col(vec_col), centroids, scorer=scorer)
+        nearest_cell_col(vec_col, centroids, scorer=scorer)
         .alias("cid"),
     )
+    return ivf_topk_indexed(
+        c_assigned, queries, centroids, k=k, n_probe=n_probe,
+        qid_col=qid_col, qvec_col=qvec_col, scorer=scorer,
+    )
+
+
+def ivf_topk_indexed(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    qid_col: str = "query_id",
+    qvec_col: str = "qv",
+    scorer: str = "auto",
+) -> DataFrame:
+    """Probe side of IVF over a prebuilt index: ``assigned`` is the
+    (vec_id, cv, cid) table an IVF deployment stores offline (write it
+    partitioned by ``cid`` and the probe filter becomes partition
+    pruning). Per query: rank the ``n_probe`` nearest cells, broadcast
+    the exploded probe set, exact-rescore only the probed cells."""
     # two steps: aliasing a column to its own name in the same select as
     # an explode over it trips Spark 4.1's lateral-column-alias resolver
     q_assigned = (
         queries.withColumn(
             "_cids",
-            nearest_cells_col(F.col(qvec_col), centroids, n_probe,
+            nearest_cells_col(qvec_col, centroids, n_probe,
                               scorer=scorer),
         )
         .select(
@@ -455,7 +485,7 @@ def ivf_topk(
         )
     )
     scored = (
-        c_assigned.join(F.broadcast(q_assigned), on="cid")
+        assigned.join(F.broadcast(q_assigned), on="cid")
         .select(
             "query_id",
             "vec_id",

