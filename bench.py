@@ -97,6 +97,10 @@ HEADLINE = [
     "mixture_schedule",
     "agg_filter_clauses",
     "cdc_scd2_as_of",
+    # round-3 additions (the r2 set above is unchanged for
+    # round-over-round comparability)
+    "dedup_substring_spans",
+    "gopher_quality_rules",
 ]
 
 

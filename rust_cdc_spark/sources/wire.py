@@ -150,9 +150,21 @@ def scramble_caching_sha2(password: str, nonce: bytes) -> bytes:
     return bytes(a ^ b for a, b in zip(h1, h3))
 
 
+def _sha256_password_initial(password: str, nonce: bytes) -> bytes:
+    """sha256_password (non-TLS): the initial auth response is a single
+    0x01 byte — a request for the server's RSA public key; the password
+    goes RSA-encrypted in the auth continuation (reference
+    auth.rs:29-30 routes the plugin straight into encrypt_rsa with
+    request id 0x01; mariadb.com/kb/en/sha256_password-plugin)."""
+    if not password:
+        return b""
+    return b"\x01"
+
+
 _SCRAMBLERS = {
     "mysql_native_password": scramble_native_password,
     "caching_sha2_password": scramble_caching_sha2,
+    "sha256_password": _sha256_password_initial,
 }
 
 
@@ -271,8 +283,11 @@ def authenticate(
     Handles: plain OK; ERR; AuthSwitchRequest (re-scramble with the
     requested plugin + fresh nonce); caching_sha2 AuthMoreData fast-auth
     success (0x03 → await OK) and perform-full-auth (0x04 → public-key
-    request, RSA-OAEP password exchange, await OK)."""
+    request, RSA-OAEP password exchange, await OK); sha256_password
+    AuthMoreData carrying the server public key directly (the initial
+    response already requested it)."""
     nonce = handshake.nonce
+    plugin = handshake.auth_plugin or "mysql_native_password"
     while True:
         pseq, reply = read_packet(stream)
         if not reply:
@@ -292,6 +307,15 @@ def authenticate(
             send(write_packet(pseq + 1, _SCRAMBLERS[plugin](password, nonce)))
             continue
         if head == AUTH_MORE_DATA:
+            if plugin == "sha256_password":
+                # the payload IS the PEM public key we asked for with
+                # the initial 0x01 response
+                send(write_packet(
+                    pseq + 1,
+                    encrypt_password_full_auth(password, nonce, reply[1:],
+                                               rng=rng),
+                ))
+                continue
             status = reply[1] if len(reply) > 1 else None
             if status == FAST_AUTH_OK:
                 continue  # OK packet follows

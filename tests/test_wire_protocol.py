@@ -518,3 +518,49 @@ class TestCachingSha2FullAuth:
         with pytest.raises(W.WireError) as ei:
             W.authenticate(stream, lambda b: None, "pw", self._hs(), 1)
         assert ei.value.code == 0x0415
+
+
+class TestSha256Password:
+    """sha256_password over non-TLS: the initial response is a 0x01
+    public-key request; the server's AuthMoreData carries the PEM
+    directly and the password goes back RSA-OAEP encrypted (reference
+    auth.rs:29-30 routes the plugin into encrypt_rsa with request id
+    0x01)."""
+
+    NONCE = bytes(range(20))
+    KEY = TestCachingSha2FullAuth.KEY
+
+    def _hs(self):
+        return W.parse_handshake(
+            _greeting(self.NONCE, plugin="sha256_password")
+        )
+
+    def test_initial_response_requests_public_key(self):
+        resp = W.build_handshake_response("repl", "pw", self._hs())
+        rest = resp[32:]
+        _, rest = rest.split(b"\x00", 1)  # user
+        assert rest[0] == 1 and rest[1:2] == b"\x01"
+
+    def test_empty_password_sends_empty_auth(self):
+        resp = W.build_handshake_response("repl", "", self._hs())
+        rest = resp[32:]
+        _, rest = rest.split(b"\x00", 1)
+        assert rest[0] == 0  # zero-length auth response
+
+    def test_password_roundtrips(self):
+        n, e, d = self.KEY
+        ok = b"\x00\x00\x00\x02\x00"
+        stream = io.BytesIO(
+            b"".join(
+                W.write_packet(i + 2, p)
+                for i, p in enumerate([b"\x01" + _spki_pem(n, e), ok])
+            )
+        )
+        sent = []
+        W.authenticate(
+            stream, sent.append, "pa55word", self._hs(), 1,
+            rng=lambda size: bytes(size),
+        )
+        plain = _oaep_decrypt(sent[0][4:], n, d)
+        pw = bytes(b ^ self.NONCE[i % 20] for i, b in enumerate(plain))
+        assert pw == b"pa55word\x00"
