@@ -108,3 +108,57 @@ class TestBootstrapState:
         out = BOOT.bootstrap_state(snap, tail, ["key"], keep_deletes=True)
         rows = out.collect()
         assert len(rows) == 1 and rows[0].op == "D"
+
+
+class TestPositionOnlyOrdering:
+    """order_by=("log_pos",): the coherent collapse for a
+    position-watermarked snapshot over a stream whose positions are
+    globally monotonic but whose file names differ — with the default
+    (log_file, log_pos) order, the snapshot's synthetic (file, hw)
+    coordinate is incoherent across file boundaries (positions reset
+    per file), and a later-file tail event could lose to or wrongly
+    beat the snapshot purely on the file-name comparison."""
+
+    def _multi_file_tail(self, spark, rows):
+        """rows: (file, pos, key, op, v)."""
+        data = [
+            (f, pos, k, op, "app", "t",
+             (k, v) if op == "D" else None,
+             (k, v) if op != "D" else None)
+            for f, pos, k, op, v in rows
+        ]
+        return spark.createDataFrame(data, ENV_SCHEMA)
+
+    def test_later_file_event_past_watermark_supersedes(self, spark):
+        snap = _snapshot(spark, [(1, 100, "snap")])
+        tail = self._multi_file_tail(
+            spark, [("binlog.000002", 150, 1, "U", "newer")]
+        )
+        out = BOOT.bootstrap_state(
+            snap, tail, ["key"], order_by=("log_pos",)
+        )
+        assert {r.key: r.after.v for r in out.collect()} == {1: "newer"}
+
+    def test_later_file_event_before_watermark_loses(self, spark):
+        # position-only semantics: pos <= hw means "already in the
+        # snapshot" regardless of which file name carried it
+        snap = _snapshot(spark, [(1, 100, "snap")])
+        tail = self._multi_file_tail(
+            spark, [("binlog.000002", 50, 1, "U", "stale")]
+        )
+        out = BOOT.bootstrap_state(
+            snap, tail, ["key"], order_by=("log_pos",)
+        )
+        assert {r.key: r.after.v for r in out.collect()} == {1: "snap"}
+
+    def test_default_order_would_misresolve_this_stream(self, spark):
+        # documents WHY cdc_snapshot_bootstrap passes order_by: under
+        # (log_file, log_pos) the file-name comparison decides first,
+        # so the stale later-file event (pos 50 <= hw) wrongly beats
+        # the snapshot row stamped with an earlier file name
+        snap = _snapshot(spark, [(1, 100, "snap")])
+        tail = self._multi_file_tail(
+            spark, [("binlog.000002", 50, 1, "U", "stale")]
+        )
+        out = BOOT.bootstrap_state(snap, tail, ["key"])
+        assert {r.key: r.after.v for r in out.collect()} == {1: "stale"}

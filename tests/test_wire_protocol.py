@@ -564,3 +564,39 @@ class TestSha256Password:
         plain = _oaep_decrypt(sent[0][4:], n, d)
         pw = bytes(b ^ self.NONCE[i % 20] for i, b in enumerate(plain))
         assert pw == b"pa55word\x00"
+
+
+class TestFullAuthReplication:
+    """End-to-end conversation with a caching_sha2 scramble-cache miss:
+    greeting → scramble → perform-full-auth → RSA exchange → OK → dump
+    → events. The whole reference flow (conn.rs establish +
+    auth.rs full auth) against one scripted socket."""
+
+    def test_full_auth_then_dump_streams_events(self):
+        n, e, d = TestCachingSha2FullAuth.KEY
+        nonce = bytes(range(20))
+        path = _fixture("16_xid")
+        frames = _raw_frames(path)
+        buf = W.write_packet(0, _greeting(nonce, plugin="caching_sha2_password"))
+        buf += W.write_packet(2, bytes([W.AUTH_MORE_DATA, W.PERFORM_FULL_AUTH]))
+        buf += W.write_packet(4, b"\x01" + _spki_pem(n, e))
+        buf += W.write_packet(6, b"\x00\x00\x00\x02\x00")  # OK
+        for i, f in enumerate(frames):
+            buf += W.write_packet(i + 1, b"\x00" + f)
+        sent: list[bytes] = []
+        events = list(W.replicate(
+            io.BytesIO(buf), "repl", "s3cret!", server_id=7,
+            log_file="binlog.000001", log_pos=4, send=sent.append,
+        ))
+        assert len(events) == len(frames)
+        # client frames: handshake response, pubkey request, RSA blob, dump
+        assert len(sent) == 4
+        _, req = W.read_packet(io.BytesIO(sent[1]))
+        assert req == bytes([W.PUBLIC_KEY_REQUEST])
+        _, blob = W.read_packet(io.BytesIO(sent[2]))
+        plain = _oaep_decrypt(blob, n, d)
+        assert bytes(
+            b ^ nonce[i % 20] for i, b in enumerate(plain)
+        ) == b"s3cret!\x00"
+        _, dump = W.read_packet(io.BytesIO(sent[3]))
+        assert dump[0] == W.COM_BINLOG_DUMP
