@@ -59,6 +59,7 @@ _R03_PRIORITY = [
     "similarity_pq_rerank_topk", "similarity_ivf_topk",
     # (d) new round-3 operators
     "dedup_substring_spans", "gopher_quality_rules", "bpe_train_merges",
+    "similarity_ivfpq_topk",
 ]
 
 

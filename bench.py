@@ -101,6 +101,7 @@ HEADLINE = [
     # round-over-round comparability)
     "dedup_substring_spans",
     "gopher_quality_rules",
+    "similarity_ivfpq_topk",
 ]
 
 

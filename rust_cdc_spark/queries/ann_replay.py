@@ -13,6 +13,13 @@ oracle uses for logistic GD. If any engine-side arithmetic drifts from
 the replay, the value-hash comparison fails — training itself is under
 the correctness gate, not just the final scan.
 
+Three oracles compose from two shared chain builders:
+- ``pq_replay_sql``    — PQ train → encode → ADC pool → exact rerank
+- ``ivf_replay_sql``   — coarse k-means train → cell assign → probe →
+  exact re-score
+- ``ivfpq_replay_sql`` — BOTH trainings, then the IVF-PQ scan: probed
+  cells only, ADC over the code table, exact rerank of the pool
+
 Float discipline (shared with operators/pq.py / similarity.py):
 - all element math in DOUBLE after an explicit cast from float32;
 - sums are written as left-associated `t1 + t2 + …` chains — the same
@@ -35,25 +42,15 @@ def _chain(terms: list[str]) -> str:
     return " + ".join(terms)
 
 
-def pq_replay_sql(
-    m: int = 16,
-    k: int = 16,
-    dim: int = 64,
-    iters: int = 3,
-    seed: int = 42,
-    probe_id: int = 0,
-    pool_min: int = 64,
-    pool_frac: int = 5,
-    topk: int = 10,
-) -> str:
-    """Oracle for ``similarity_pq_rerank_topk``: replays PQ training
-    (init → ``iters`` Lloyd steps), encoding, the integer-micro ADC
-    pool scan, and the exact rerank — returns (vec_id, dist_micro).
+# ── PQ chain: sub rows → md5 init → iters × (assign, micro-update) →
+#    final encode. Mirrors operators/pq.train_pq + encode_pq (codegen
+#    scorer). Produces CTEs: sub, cb0..cb{iters}, a*, u*, enc. ────────
 
-    Mirrors, step for step: operators/pq.train_pq (codegen scorer),
-    encode_pq, adc_luts_micro + pq_topk with
-    ``k = max(pool_min, n // pool_frac)``, then the exact-L2 rerank of
-    the registered query."""
+
+def _pq_chain_parts(m: int, k: int, dim: int, iters: int,
+                    seed: int) -> tuple[list[str], str]:
+    """Returns (parts, final_codebook_cte). ``enc`` ends up holding one
+    (i, j, code) row per vector per subspace."""
     d = dim // m
     ecols = ", ".join(f"e{i}" for i in range(d))
     sub_cols = ", ".join(
@@ -80,7 +77,7 @@ def pq_replay_sql(
 
     def assign(name: str, cb: str) -> str:
         # first minimum wins; ties -> lowest code (the argmin rule of
-        # pq._assign_code's array_position(arr, array_min(arr)))
+        # pq._assign_code's struct-min)
         return f"""{name} AS (
         SELECT s.i, s.j, {", ".join(f"s.e{i}" for i in range(d))}, c.code
         FROM sub s JOIN {cb} c USING (j)
@@ -110,52 +107,65 @@ def pq_replay_sql(
     )""")
     final = f"cb{iters}"
     parts.append(assign("enc", final))
+    return parts, final
+
+
+def _pq_adc_parts(m: int, dim: int, final_cb: str, probe_id: int,
+                  enc_cte: str = "enc") -> list[str]:
+    """ADC lookup tables for the probe + per-vector integer-micro ADC
+    scores over ``enc_cte`` (mirrors adc_luts_micro + pq_topk's scan).
+    Produces CTEs: psub, lut, adc."""
+    d = dim // m
     psub_cols = ", ".join(
         f"CAST(p.embedding[j.j * {d} + {i + 1}] AS DOUBLE) AS p{i}"
         for i in range(d)
     )
-    parts.append(f"""psub AS (
-        SELECT j.j, {psub_cols}
-        FROM embeddings p CROSS JOIN {_j_table(m)} j
-        WHERE p.vec_id = {probe_id}
-    )""")
     lut_d2 = _chain([
         f"(p.p{i} - c.e{i}) * (p.p{i} - c.e{i})" for i in range(d)
     ])
-    parts.append(f"""lut AS (
+    return [
+        f"""psub AS (
+        SELECT j.j, {psub_cols}
+        FROM embeddings p CROSS JOIN {_j_table(m)} j
+        WHERE p.vec_id = {probe_id}
+    )""",
+        f"""lut AS (
         SELECT c.j, c.code,
                CAST(floor(({lut_d2}) * 1e6 + 0.5) AS BIGINT) AS micro
-        FROM {final} c JOIN psub p USING (j)
-    )""")
-    parts.append("""adc AS (
+        FROM {final_cb} c JOIN psub p USING (j)
+    )""",
+        f"""adc AS (
         SELECT e.i AS vec_id, CAST(sum(l.micro) AS BIGINT) AS adc_micro
-        FROM enc e JOIN lut l USING (j, code)
+        FROM {enc_cte} e JOIN lut l USING (j, code)
         GROUP BY e.i
-    )""")
-    parts.append(f"""pool AS (
-        SELECT vec_id FROM adc
-        QUALIFY row_number() OVER (ORDER BY adc_micro, vec_id)
-            <= greatest({pool_min},
-                        (SELECT count(*) // {pool_frac} FROM embeddings))
-    )""")
-    parts.append(f"""pr AS (
-        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
-        FROM embeddings WHERE vec_id = {probe_id}
-    )""")
+    )""",
+    ]
+
+
+def _rerank_parts(dim: int, probe_id: int, pool_cte: str) -> list[str]:
+    """Exact-L2 rerank of ``pool_cte`` (vec_id rows) against the probe
+    (mirrors the registered queries' V.l2_distance fold). Produces
+    CTEs: pr, rr."""
     dist = _chain([
         f"(CAST(e.embedding[{i + 1}] AS DOUBLE) - pr.pv[{i + 1}])"
         f" * (CAST(e.embedding[{i + 1}] AS DOUBLE) - pr.pv[{i + 1}])"
         for i in range(dim)
     ])
-    parts.append(f"""rr AS (
+    return [
+        f"""pr AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+        FROM embeddings WHERE vec_id = {probe_id}
+    )""",
+        f"""rr AS (
         SELECT po.vec_id, sqrt({dist}) AS dist
-        FROM pool po
+        FROM {pool_cte} po
         JOIN embeddings e ON e.vec_id = po.vec_id
         CROSS JOIN pr
-    )""")
-    body = ",\n    ".join(parts)
-    return f"""
-    WITH {body}
+    )""",
+    ]
+
+
+_RERANK_SELECT = """
     SELECT vec_id, CAST(round(dist * 1e6) AS BIGINT) AS dist_micro
     FROM rr
     ORDER BY dist, vec_id
@@ -163,24 +173,46 @@ def pq_replay_sql(
     """
 
 
-def ivf_replay_sql(
-    n_centroids: int = 8,
+def pq_replay_sql(
+    m: int = 16,
+    k: int = 16,
     dim: int = 64,
-    iters: int = 2,
+    iters: int = 3,
     seed: int = 42,
-    probe_ids: tuple[int, ...] = (0, 1, 2),
-    n_probe: int = 4,
-    k: int = 5,
+    probe_id: int = 0,
+    pool_min: int = 64,
+    pool_frac: int = 5,
+    topk: int = 10,
 ) -> str:
-    """Oracle for ``similarity_ivf_topk``: replays coarse-quantizer
-    training (md5 init → ``iters`` integer-quantized Lloyd steps with
-    cosine argmax assignment), corpus cell assignment, per-probe top-
-    ``n_probe`` cell ranking, and the probed-cell exact re-score —
-    returns (query_id, vec_id, cos_sim, rank).
+    """Oracle for ``similarity_pq_rerank_topk``: replays PQ training
+    (init → ``iters`` Lloyd steps), encoding, the integer-micro ADC
+    pool scan with ``k = max(pool_min, n // pool_frac)``, and the exact
+    rerank — returns (vec_id, dist_micro)."""
+    parts, final = _pq_chain_parts(m, k, dim, iters, seed)
+    parts += _pq_adc_parts(m, dim, final, probe_id)
+    parts.append(f"""pool AS (
+        SELECT vec_id FROM adc
+        QUALIFY row_number() OVER (ORDER BY adc_micro, vec_id)
+            <= greatest({pool_min},
+                        (SELECT count(*) // {pool_frac} FROM embeddings))
+    )""")
+    parts += _rerank_parts(dim, probe_id, "pool")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}{_RERANK_SELECT.format(topk=topk)}"""
 
-    Mirrors operators/similarity.kmeans_centroids +
-    nearest_cell(s)_col (codegen scorer) + ivf_topk, including the
-    post-rank self-filter of the registered query."""
+
+# ── IVF chain: md5 init → iters × (cosine-argmax assign, micro-update)
+#    → final norms + corpus assignment. Mirrors similarity.
+#    kmeans_centroids + nearest_cell_col (codegen scorer). Produces
+#    CTEs: v, cc0..cc{iters}, ccn*, as*, su*, ccf, cas. ───────────────
+
+
+def _ivf_chain_parts(n_centroids: int, dim: int, iters: int,
+                     seed: int) -> tuple[list[str], str]:
+    """Returns (parts, dot_chain_template) where the template scores
+    ``v s`` rows against ``ccf c`` rows — reusable for probe ranking.
+    ``cas`` ends up holding (i, e*, cid) per corpus vector."""
     ecols = ", ".join(f"e{i}" for i in range(dim))
     v_cols = ", ".join(
         f"CAST(embedding[{i + 1}] AS DOUBLE) AS e{i}" for i in range(dim)
@@ -188,8 +220,6 @@ def ivf_replay_sql(
     parts = [f"""v AS (
         SELECT vec_id AS i, {v_cols} FROM embeddings
     )"""]
-    # init: the n_centroids rows with the smallest md5(seed || id),
-    # cid = position in that order
     parts.append(f"""cc0 AS (
         SELECT row_number() OVER (
             ORDER BY md5(concat('{seed}', CAST(i AS VARCHAR)))
@@ -210,8 +240,8 @@ def ivf_replay_sql(
     )"""
 
     def assign(name: str, ccn: str) -> str:
-        # cosine argmax; ties -> lowest cid (first-occurrence rule of
-        # nearest_cell_col's array_position(arr, array_max(arr)))
+        # cosine argmax; ties -> lowest cid (struct-min rule of
+        # nearest_cell_col)
         return f"""{name} AS (
         SELECT s.i, {", ".join(f"s.e{i}" for i in range(dim))}, c.cid
         FROM v s CROSS JOIN {ccn} c
@@ -239,18 +269,43 @@ def ivf_replay_sql(
         SELECT c.cid, {upd}
         FROM cc{t} c LEFT JOIN su{t} u USING (cid)
     )""")
-    final = f"cc{iters}"
-    parts.append(with_norm(final, "ccf"))
+    parts.append(with_norm(f"cc{iters}", "ccf"))
     parts.append(assign("cas", "ccf"))
+    return parts, dot_vc
+
+
+def _pcells_part(probe_ids: tuple[int, ...], n_probe: int,
+                 dot_vc: str) -> str:
+    """Per-probe top-``n_probe`` cell ranking over ``ccf`` (mirrors
+    nearest_cells_col / nearest_cells_driver: cosine DESC, cid)."""
     ids = ", ".join(str(p) for p in probe_ids)
-    parts.append(f"""pcells AS (
+    return f"""pcells AS (
         SELECT s.i AS query_id, c.cid
         FROM v s CROSS JOIN ccf c
         WHERE s.i IN ({ids})
         QUALIFY row_number() OVER (
             PARTITION BY s.i
             ORDER BY ({dot_vc}) / c.nrm DESC, c.cid) <= {n_probe}
-    )""")
+    )"""
+
+
+def ivf_replay_sql(
+    n_centroids: int = 8,
+    dim: int = 64,
+    iters: int = 2,
+    seed: int = 42,
+    probe_ids: tuple[int, ...] = (0, 1, 2),
+    n_probe: int = 4,
+    k: int = 5,
+) -> str:
+    """Oracle for ``similarity_ivf_topk``: replays coarse-quantizer
+    training, corpus cell assignment, per-probe top-``n_probe`` cell
+    ranking, and the probed-cell exact re-score — returns
+    (query_id, vec_id, cos_sim, rank), ranked BEFORE the self-filter
+    exactly as the registered query does (the self row consumes rank 1,
+    so output ranks start at 2)."""
+    parts, dot_vc = _ivf_chain_parts(n_centroids, dim, iters, seed)
+    parts.append(_pcells_part(probe_ids, n_probe, dot_vc))
     # exact re-score of probed-cell members: cosine over the raw
     # vectors — dot / (norm_corpus * norm_probe), all left-fold chains
     dot_aq = _chain([f"a.e{i} * q.e{i}" for i in range(dim)])
@@ -266,8 +321,6 @@ def ivf_replay_sql(
         JOIN v q ON q.i = pc.query_id
     )""")
     body = ",\n    ".join(parts)
-    # rank BEFORE the self-filter, exactly as the registered query does
-    # (the self row consumes rank 1, so output ranks start at 2)
     return f"""
     WITH {body}
     SELECT query_id, vec_id, cos_sim, rank FROM (
@@ -278,3 +331,44 @@ def ivf_replay_sql(
     )
     WHERE rank <= {k} AND query_id <> vec_id
     """
+
+
+def ivfpq_replay_sql(
+    n_centroids: int = 8,
+    m: int = 16,
+    k_codes: int = 16,
+    dim: int = 64,
+    ivf_iters: int = 2,
+    pq_iters: int = 3,
+    seed: int = 42,
+    probe_id: int = 0,
+    n_probe: int = 4,
+    pool_k: int = 64,
+    topk: int = 10,
+) -> str:
+    """Oracle for ``similarity_ivfpq_topk``: BOTH trainings (the coarse
+    quantizer and the PQ sub-quantizers), the IVF-PQ index (cell id +
+    PQ codes per vector), the probed-cell ADC scan, and the exact
+    rerank — the complete two-quantizer ANN path value-checked end to
+    end. Returns (vec_id, dist_micro)."""
+    ivf_parts, dot_vc = _ivf_chain_parts(n_centroids, dim, ivf_iters, seed)
+    pq_parts, final_cb = _pq_chain_parts(m, k_codes, dim, pq_iters, seed)
+    parts = ivf_parts + pq_parts
+    parts.append(_pcells_part((probe_id,), n_probe, dot_vc))
+    # IVF-PQ scan: only code rows of vectors whose cell is probed
+    parts.append("""probed AS (
+        SELECT e.i, e.j, e.code
+        FROM enc e
+        JOIN cas ca ON ca.i = e.i
+        JOIN pcells pc ON pc.cid = ca.cid
+    )""")
+    parts += _pq_adc_parts(m, dim, final_cb, probe_id, enc_cte="probed")
+    parts.append(f"""pool AS (
+        SELECT vec_id FROM adc
+        QUALIFY row_number() OVER (ORDER BY adc_micro, vec_id)
+            <= {pool_k}
+    )""")
+    parts += _rerank_parts(dim, probe_id, "pool")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}{_RERANK_SELECT.format(topk=topk)}"""

@@ -470,19 +470,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session (a localCheckpoint dangles if its session is recreated).
     # Per query the engine pays probe-cell ranking + the probed-cell
     # scan only, which is the deployment cost model.
-    key = (spark, sf_dir, 8, 2, 42)
-    if key not in _IVF_INDEX:
-        cents = SIM.kmeans_centroids(
-            emb, 8, 64, iters=2, seed=42, scorer="codegen"
-        )
-        assigned = emb.select(
-            F.col("vec_id"),
-            F.col("embedding").alias("cv"),
-            SIM.nearest_cell_col("embedding", cents, scorer="codegen")
-            .alias("cid"),
-        ).localCheckpoint()
-        _IVF_INDEX[key] = (cents, assigned)
-    cents, assigned = _IVF_INDEX[key]
+    cents, assigned = _ivf_index(spark, sf_dir)
     probes = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -814,6 +802,38 @@ def sample_weighted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_INDEX: dict = {}
 
 
+def _ivf_index(spark: SparkSession, sf_dir: str):
+    """(centroids, cid-assigned corpus) — the offline IVF index, cached
+    per owning session (see similarity_ivf_topk)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    key = (spark, sf_dir, 8, 2, 42)
+    if key not in _IVF_INDEX:
+        cents = SIM.kmeans_centroids(
+            emb, 8, 64, iters=2, seed=42, scorer="codegen"
+        )
+        assigned = emb.select(
+            F.col("vec_id"),
+            F.col("embedding").alias("cv"),
+            SIM.nearest_cell_col("embedding", cents, scorer="codegen")
+            .alias("cid"),
+        ).localCheckpoint()
+        _IVF_INDEX[key] = (cents, assigned)
+    return _IVF_INDEX[key]
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """(codebooks, PQ code table) — the offline PQ index, cached per
+    owning session (see similarity_pq_rerank_topk)."""
+    from rust_cdc_spark.operators import pq as PQ
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    key = (spark, sf_dir, 16, 16, 3)
+    if key not in _PQ_INDEX:
+        cb = PQ.train_pq(emb, m=16, k=16, dim=64, iters=3)
+        _PQ_INDEX[key] = (cb, PQ.encode_pq(emb, cb).localCheckpoint())
+    return _PQ_INDEX[key]
+
+
 @register(
     "similarity_pq_rerank_topk",
     oracle=ANN_REPLAY.pq_replay_sql(
@@ -837,14 +857,11 @@ def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     n = emb.count()
-    # Key the cache by the owning SparkSession too: a localCheckpoint is
-    # bound to the session that created it, so a cache hit from a stopped
-    # and recreated session would be a dangling reference.
-    key = (spark, sf_dir, 16, 16, 3)
-    if key not in _PQ_INDEX:  # index building is offline in deployment
-        cb = PQ.train_pq(emb, m=16, k=16, dim=64, iters=3)
-        _PQ_INDEX[key] = (cb, PQ.encode_pq(emb, cb).localCheckpoint())
-    cb, codes = _PQ_INDEX[key]
+    # Index building is offline in deployment; the cache is keyed by
+    # the owning SparkSession (a localCheckpoint is bound to the
+    # session that created it — a hit from a recreated session would
+    # be a dangling reference).
+    cb, codes = _pq_index(spark, sf_dir)
     probe_row = emb.filter(F.col("vec_id") == 0).first()
     probe = [float(x) for x in probe_row.embedding]
     pool = PQ.pq_topk(codes, cb, probe, k=max(64, n // 5))
@@ -860,6 +877,51 @@ def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # integer micro output: rounding a bit-identical double to an
     # integer is engine-safe; round(x, 6) is not (see ann_replay.py)
+    return reranked.select(
+        "vec_id",
+        F.round(F.col("dist") * F.lit(1e6)).cast("bigint")
+        .alias("dist_micro"),
+    )
+
+
+@register(
+    "similarity_ivfpq_topk",
+    oracle=ANN_REPLAY.ivfpq_replay_sql(
+        n_centroids=8, m=16, k_codes=16, dim=64,
+        ivf_iters=2, pq_iters=3, seed=42,
+        probe_id=0, n_probe=4, pool_k=64, topk=10,
+    ),
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete IVF-PQ path (operators/pq.build_ivf_pq_index +
+    ivf_pq_topk): the coarse quantizer prunes to the probe's n_probe
+    nearest cells, the ADC lookup-table scan runs over only those
+    cells' 16-byte CODE rows, and the exact rerank touches only the
+    pool — the layout and query shape every billion-vector deployment
+    uses, where a query's IO is corpus · n_probe/n_cells CODE bytes,
+    never raw vectors. Reuses both cached offline indexes (the IVF
+    cell assignment and the PQ code table). The oracle replays BOTH
+    trainings plus the probed-cell scan as one DuckDB CTE chain —
+    the full two-quantizer pipeline is value-checked end to end."""
+    from rust_cdc_spark.operators import pq as PQ
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents, assigned = _ivf_index(spark, sf_dir)
+    cb, codes = _pq_index(spark, sf_dir)
+    index = assigned.select("vec_id", "cid").join(codes, "vec_id")
+    probe_row = emb.filter(F.col("vec_id") == 0).first()
+    probe = [float(x) for x in probe_row.embedding]
+    pool = PQ.ivf_pq_topk(index, cents, cb, probe, n_probe=4, k=64)
+    probe_lit = F.array(*[F.lit(x) for x in probe])
+    reranked = (
+        pool.select("vec_id").join(emb, "vec_id")
+        .select(
+            "vec_id",
+            V.l2_distance(F.col("embedding"), probe_lit).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), "vec_id")
+        .limit(10)
+    )
     return reranked.select(
         "vec_id",
         F.round(F.col("dist") * F.lit(1e6)).cast("bigint")

@@ -199,6 +199,8 @@ class TestShuffleBudget:
             # SF) + doc-keyed island window
             ("dedup_substring_spans", 3),
             ("gopher_quality_rules", 0),   # pure map: integer rules
+            # cid-pruned code scan + pool rerank join (indexes cached)
+            ("similarity_ivfpq_topk", 3),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
