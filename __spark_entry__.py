@@ -59,7 +59,8 @@ _R03_PRIORITY = [
     "similarity_pq_rerank_topk", "similarity_ivf_topk",
     # (d) new round-3 operators
     "dedup_substring_spans", "gopher_quality_rules", "bpe_train_merges",
-    "similarity_ivfpq_topk",
+    "similarity_ivfpq_topk", "mixture_temperature_weights",
+    "perplexity_filter_buckets",
 ]
 
 

@@ -102,6 +102,8 @@ HEADLINE = [
     "dedup_substring_spans",
     "gopher_quality_rules",
     "similarity_ivfpq_topk",
+    "mixture_temperature_weights",
+    "perplexity_filter_buckets",
 ]
 
 

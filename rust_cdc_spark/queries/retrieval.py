@@ -392,9 +392,7 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_bigram_logprob",
-    oracle=f"""
+_BIGRAM_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, {_TOKS_SQL} AS t FROM documents
     ),
@@ -422,8 +420,10 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum(micro) AS BIGINT) AS sum_logp_micro
     FROM inst GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("text_bigram_logprob", oracle=_BIGRAM_ORACLE)
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram LM with add-one smoothing, scoring every
     document's mean token log-probability — the cheap stand-in for the
@@ -563,3 +563,47 @@ def semantic_dedup_prune(
         F.col("cid").cast("bigint").alias("cluster_id"),
         F.col("vb").isNull().alias("is_kept"),
     )
+
+
+@register(
+    "perplexity_filter_buckets",
+    oracle=f"""
+    WITH base AS ({_BIGRAM_ORACLE})
+    SELECT doc_id, n_bigrams, sum_logp_micro, fluency_decile,
+           (fluency_decile <= 8) AS keep
+    FROM (
+        SELECT doc_id, n_bigrams, sum_logp_micro,
+               CAST(ntile(10) OVER (
+                   ORDER BY CAST(sum_logp_micro AS DOUBLE) / n_bigrams
+                            DESC, doc_id) AS INT) AS fluency_decile
+        FROM base
+    )
+    """,
+)
+def perplexity_filter_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style perplexity filter's bucketing stage: documents
+    rank by mean bigram-LM log-probability (the text_bigram_logprob
+    scores — higher = more fluent) and split into exact deciles;
+    ``keep`` drops the two least-fluent deciles, the head/middle/tail
+    cut CCNet makes before pretraining.
+
+    Determinism: the ordering key is one correctly-rounded IEEE
+    division of two exact integers (sum_logp_micro / n_bigrams), so
+    both engines order identically, with a doc_id tie-break; ntile
+    splits are the SQL-standard sizes in both engines. Scale note: the
+    exact global ntile is one slim single-key exchange of DOC-level
+    rows (16 B/doc — fine to ~10⁹ docs); past that, production cuts
+    deciles with percentile thresholds from a t-digest sketch
+    (percentile_approx) and a map-only filter — documented rather than
+    swapped in because approx sketches are not oracle-checkable."""
+    base = text_bigram_logprob(spark, sf_dir)
+    w = Window.orderBy(
+        (F.col("sum_logp_micro").cast("double") / F.col("n_bigrams")).desc(),
+        "doc_id",
+    )
+    return base.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_logp_micro",
+        F.ntile(10).over(w).cast("int").alias("fluency_decile"),
+    ).withColumn("keep", F.col("fluency_decile") <= 8)

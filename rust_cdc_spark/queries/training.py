@@ -1074,3 +1074,72 @@ def mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+@register(
+    "mixture_temperature_weights",
+    oracle="""
+    WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    t AS (
+        SELECT source, n_docs,
+               CAST(sum(n_docs) OVER () AS BIGINT) AS total_docs
+        FROM c
+    ),
+    m AS (
+        SELECT source, n_docs, total_docs,
+               CAST(round(sqrt(CAST(n_docs AS DOUBLE) / total_docs) * 1e6)
+                    AS BIGINT) AS sqrtp_micro
+        FROM t
+    )
+    SELECT source, n_docs,
+           sqrtp_micro,
+           CAST(sqrtp_micro * 1000000 // sum(sqrtp_micro) OVER ()
+                AS BIGINT) AS weight_ppm
+    FROM m
+    """,
+)
+def mixture_temperature_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual-LM /
+    data-mixing practice: sampling weight ∝ p_source^(1/T), here T=2 →
+    w ∝ √p, flattening the source distribution toward the tail).
+
+    Engine-exact by construction: p = n/total is one correctly-rounded
+    IEEE division, √ is correctly rounded, and the weights normalize in
+    INTEGER space — each √p quantizes to micro units first, then
+    weight_ppm = micro·10⁶ // Σmicro is pure BIGINT arithmetic, so no
+    cross-engine float-sum ordering can perturb the result (a direct
+    sqrt(p)/Σsqrt(p) float normalization would depend on the Σ's
+    aggregation order). T≠2 temperatures need pow(), which Java does
+    not guarantee correctly rounded — the √ form is the engine-stable
+    instance; arbitrary T belongs driver-side on the tiny per-source
+    table. Scale shape: one source-keyed count agg (map-side partials)
+    + window math over |sources| rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    c = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    w_all = Window.partitionBy()
+    m = c.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.sqrt(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(w_all).cast("bigint").cast("double")
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("sqrtp_micro"),
+    )
+    return m.select(
+        "source",
+        "n_docs",
+        "sqrtp_micro",
+        F.expr("sqrtp_micro * 1000000L div sum(sqrtp_micro) over ()")
+        .cast("bigint")
+        .alias("weight_ppm"),
+    )

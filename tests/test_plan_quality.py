@@ -201,6 +201,11 @@ class TestShuffleBudget:
             ("gopher_quality_rules", 0),   # pure map: integer rules
             # cid-pruned code scan + pool rerank join (indexes cached)
             ("similarity_ivfpq_topk", 3),
+            # source count agg + |sources|-row window math
+            ("mixture_temperature_weights", 2),
+            # bigram model aggs + co-keyed join + doc agg + global ntile
+            # (single-key exchange of doc-level rows — see docstring)
+            ("perplexity_filter_buckets", 7),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
