@@ -401,11 +401,6 @@ def _argmin_centroid(vec, centroids) -> F.Column:
     return _nearest_centroids_udf(centroids, 1)(vec)[0]
 
 
-def _nearest_centroids(vec, centroids, n_probe: int) -> F.Column:
-    """Array of the ``n_probe`` nearest centroid ids, nearest first."""
-    return _nearest_centroids_udf(centroids, n_probe)(vec)
-
-
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
