@@ -104,6 +104,7 @@ HEADLINE = [
     "similarity_ivfpq_topk",
     "mixture_temperature_weights",
     "perplexity_filter_buckets",
+    "cdc_scd2_incremental",
 ]
 
 

@@ -83,3 +83,59 @@ def as_of_snapshot(
         (F.col(valid_from) <= p)
         & (F.col(valid_to).isNull() | (p < F.col(valid_to)))
     )
+
+
+def scd2_apply_batch(
+    history: DataFrame,
+    batch: DataFrame,
+    key_cols: list[str],
+    order_by: str | Sequence[str] = DEFAULT_ORDER,
+) -> DataFrame:
+    """Incrementally maintain an SCD2 history with a new CDC batch.
+
+    ``history`` is :func:`scd2_history` output (version rows with
+    ``valid_to_*`` and ``is_current``); ``batch`` is a raw CDC envelope
+    whose events are strictly later, per key, than the history's
+    coverage (a binlog position split guarantees this). Equivalent to
+    rebuilding from the concatenated log — pinned in
+    tests/test_scd_apply.py — because the full-log ``lead()`` closes a
+    key's last pre-batch version with exactly the key's FIRST batch
+    event, which is what the join below writes.
+
+    Scale shape: one key-keyed window over the BATCH (batch-sized, not
+    table-sized), one key-equi join of history against the batch's
+    |changed keys| first-event rows (AQE broadcasts it while small),
+    and the batch's own one-window history. Nothing scans proportional
+    to table history except the closing join's probe side — on Delta
+    this is the classic MERGE that touches only matched files.
+    """
+    if isinstance(order_by, str):
+        order_cols = [order_by]
+    else:
+        order_cols = [c for c in order_by if c in batch.columns]
+        if not order_cols:
+            raise ValueError(
+                f"no order columns of {list(order_by)} in {batch.columns}"
+            )
+    new_rows = scd2_history(batch, key_cols, order_cols)
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    first = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *key_cols,
+            *[F.col(c).alias(f"__close_{c}") for c in order_cols],
+        )
+    )
+    out = history.join(first, on=key_cols, how="left")
+    touched = F.col(f"__close_{order_cols[0]}").isNotNull()
+    for c in order_cols:
+        out = out.withColumn(
+            f"valid_to_{c}",
+            F.when(F.col("is_current") & touched, F.col(f"__close_{c}"))
+            .otherwise(F.col(f"valid_to_{c}")),
+        )
+    out = out.withColumn(
+        "is_current", F.col("is_current") & ~touched
+    ).drop(*[f"__close_{c}" for c in order_cols])
+    return out.unionByName(new_rows)

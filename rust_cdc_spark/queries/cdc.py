@@ -529,3 +529,62 @@ def cdc_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("after.event_type").alias("event_type"),
         F.col("after.value").alias("value"),
     )
+
+
+@register(
+    "cdc_scd2_incremental",
+    # the oracle is the FULL-LOG recompute — identical SQL to
+    # cdc_scd2_history — so the value-hash gate checks the equivalence
+    # claim itself: incremental maintenance == rebuild from scratch.
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, event_type, value,
+               lead(event_id) OVER (PARTITION BY user_id
+                                    ORDER BY event_id) AS valid_to,
+               CASE event_type WHEN 'signup' THEN 'I'
+                               WHEN 'error' THEN 'D'
+                               ELSE 'U' END AS op
+        FROM events
+    )
+    SELECT user_id AS key,
+           event_id AS valid_from,
+           valid_to,
+           (valid_to IS NULL) AS is_current,
+           event_type, value
+    FROM v WHERE op <> 'D'
+    """,
+)
+def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (operators/scd.scd2_apply_batch):
+    the change log splits at the 60th percentile of binlog positions;
+    the prefix builds the history table once, and the suffix is applied
+    as a CDC batch — the batch's first event per key closes the key's
+    open version, the batch's own versions append via the same
+    one-window history build. The ORACLE recomputes SCD2 from the full
+    log, so the driver's value hash verifies the maintenance
+    equivalence (incremental == rebuild), not just shape.
+
+    Scale shape: the per-batch cost is one batch-keyed window + one
+    key-equi closing join (AQE broadcasts the |changed keys| side) —
+    table history is never re-windowed; on Delta the closing update is
+    the classic MERGE touching matched files only."""
+    cdc = events_as_cdc(spark, sf_dir)
+    max_pos = cdc.agg(F.max("log_pos")).first()[0]
+    thr = max_pos * 3 // 5
+    initial = cdc.filter(F.col("log_pos") <= thr)
+    batch = cdc.filter(F.col("log_pos") > thr)
+    hist = SCD.scd2_apply_batch(
+        SCD.scd2_history(initial, ["key"], order_by="log_pos"),
+        batch,
+        ["key"],
+        order_by="log_pos",
+    )
+    img = lambda f: F.coalesce(F.col(f"after.{f}"), F.col(f"before.{f}"))  # noqa: E731
+    return hist.select(
+        "key",
+        F.col("log_pos").alias("valid_from"),
+        F.col("valid_to_log_pos").alias("valid_to"),
+        "is_current",
+        img("event_type").alias("event_type"),
+        img("value").alias("value"),
+    )

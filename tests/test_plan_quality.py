@@ -206,6 +206,8 @@ class TestShuffleBudget:
             # bigram model aggs + co-keyed join + doc agg + global ntile
             # (single-key exchange of doc-level rows — see docstring)
             ("perplexity_filter_buckets", 7),
+            # prefix window + batch window + key-equi closing join
+            ("cdc_scd2_incremental", 3),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
