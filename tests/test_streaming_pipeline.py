@@ -383,3 +383,88 @@ def test_ingest_metrics_listener(spark, binlog_dir, tmp_path):
     assert any(p["num_input_rows"] > 0 for p in listener.progress)
     lines = open(str(tmp_path / "metrics.jsonl")).read().strip().splitlines()
     assert len(lines) == len(listener.progress)
+
+
+def test_streaming_scd2_maintenance(spark, binlog_dir, tmp_path):
+    """SCD2 history maintained incrementally per MICROBATCH
+    (operators/scd.scd2_apply_batch inside foreachBatch) must end up
+    identical to one-shot scd2_history over the whole recorded log —
+    the streaming form of cdc_scd2_incremental's equivalence claim."""
+    import shutil
+
+    from rust_cdc_spark.operators import scd as SCD
+    from rust_cdc_spark.streaming.replay_source import register as reg_src
+
+    reg_src(spark)
+    hist_path = str(tmp_path / "scd2_history")
+
+    def upsert_history(batch_df, batch_id):
+        batch = batch_df.filter(
+            (F.col("database") == "app") & (F.col("table") == "users")
+        ).withColumn(
+            "key_id", F.coalesce(F.col("after.id"), F.col("before.id"))
+        )
+        if batch.isEmpty():
+            return
+        if os.path.exists(hist_path):
+            prior = batch_df.sparkSession.read.parquet(hist_path)
+            new_hist = SCD.scd2_apply_batch(
+                prior, batch, ["key_id"], order_by="log_pos"
+            )
+        else:
+            new_hist = SCD.scd2_history(batch, ["key_id"], order_by="log_pos")
+        # materialize before replacing the directory we read from
+        rows = new_hist.collect()
+        batch_df.sparkSession.createDataFrame(rows, new_hist.schema).write\
+            .mode("overwrite").parquet(hist_path + ".next")
+        if os.path.exists(hist_path):
+            shutil.rmtree(hist_path)
+        os.rename(hist_path + ".next", hist_path)
+
+    stream = (
+        spark.readStream.format("mysql-cdc-replay")
+        .option("path", binlog_dir)
+        .option("max_events_per_trigger", "2")  # force several batches
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert_history)
+        .option("checkpointLocation", str(tmp_path / "cp_scd2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(hist_path)
+
+    # one-shot reference: the same full log through a memory sink
+    mem_q = (
+        spark.readStream.format("mysql-cdc-replay")
+        .option("path", binlog_dir)
+        .load()
+        .writeStream.format("memory")
+        .queryName("scd2_full_log")
+        .option("checkpointLocation", str(tmp_path / "cp_full"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    mem_q.awaitTermination(120)
+    full = (
+        spark.table("scd2_full_log")
+        .filter((F.col("database") == "app") & (F.col("table") == "users"))
+        .withColumn(
+            "key_id", F.coalesce(F.col("after.id"), F.col("before.id"))
+        )
+    )
+    want = SCD.scd2_history(full, ["key_id"], order_by="log_pos")
+
+    def canon(df):
+        return sorted(
+            (r.key_id, r.log_pos, r.valid_to_log_pos, r.is_current)
+            for r in df.collect()
+        )
+
+    assert canon(got) == canon(want)
+    # sanity: several microbatches actually ran (max 2 events each) and
+    # the history carries closed + open versions
+    assert len(canon(got)) >= 3
