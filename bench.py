@@ -105,6 +105,7 @@ HEADLINE = [
     "mixture_temperature_weights",
     "perplexity_filter_buckets",
     "cdc_scd2_incremental",
+    "url_domain_curation",
 ]
 
 

@@ -859,3 +859,96 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         rule_stop.alias("rule_stopwords"),
         (rule_wc & rule_mwl & rule_alpha & rule_stop).alias("keep"),
     )
+
+
+# Domain-level curation: the corpus has no URL column, so (same
+# precedent as the PII injection above) every document gets a
+# deterministic synthetic URL derived from doc_id — the host
+# distribution is Zipf-ish (doc_id % 53 squared-skew) so the cap
+# actually bites. Spark and the oracle synthesize identical URLs, so
+# host parsing, blocklisting, and cap selection verify value-for-value.
+_URL_SPARK = (
+    "concat('https://host', pmod(doc_id * doc_id, 53), '.example.com/p/',"
+    " doc_id)"
+)
+_URL_SQL = (
+    "'https://host' || ((doc_id * doc_id) % 53) || '.example.com/p/'"
+    " || doc_id"
+)
+_HOST_RE = r"https?://([^/]+)/"
+_BLOCKED_HOSTS = ("host7.example.com", "host13.example.com")
+_DOMAIN_CAP = 25  # max docs kept per host
+
+
+@register(
+    "url_domain_curation",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id, {_URL_SQL} AS url FROM documents
+    ),
+    h AS (
+        SELECT doc_id, regexp_extract(url, '{_HOST_RE}', 1) AS host
+        FROM u
+    ),
+    ranked AS (
+        SELECT doc_id, host,
+               host IN ('{_BLOCKED_HOSTS[0]}', '{_BLOCKED_HOSTS[1]}')
+                   AS blocked,
+               row_number() OVER (
+                   PARTITION BY host
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+        FROM h
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE NOT blocked AND rk <= {_DOMAIN_CAP})
+                AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) FILTER (
+                WHERE NOT blocked AND rk <= {_DOMAIN_CAP})
+                AS BIGINT) AS kept_id_checksum,
+           bool_or(blocked) AS is_blocked
+    FROM ranked
+    GROUP BY host
+    """,
+)
+def url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation — the crawl-pipeline pass that runs before
+    any text filter: parse the host out of each document's URL,
+    drop blocklisted domains, and cap the docs kept per domain (md5
+    order — deterministic, engine-stable) so top-heavy hosts cannot
+    dominate the corpus. Output is the per-host audit a curation run
+    reports: total docs, docs kept after blocklist+cap, an id checksum
+    over the kept SET (value-level evidence the selection matches, not
+    just the counts), and the blocklist flag.
+
+    Scale shape: host extraction is a map-stage regex; the cap is one
+    host-keyed window and the audit one host-keyed agg — two shuffles
+    keyed on the same column (the window's partitioning is reused). A
+    hot host (millions of docs) is exactly the skew AQE handles, and
+    the cap's TOP-k-per-key window is the standard salting candidate
+    if one host dominates a partition."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = docs.select(
+        "doc_id",
+        F.regexp_extract(F.expr(_URL_SPARK), _HOST_RE, 1).alias("host"),
+    )
+    ranked = h.select(
+        "doc_id",
+        "host",
+        F.col("host").isin(*_BLOCKED_HOSTS).alias("blocked"),
+        F.row_number()
+        .over(
+            Window.partitionBy("host").orderBy(
+                F.md5(F.col("doc_id").cast("string"))
+            )
+        )
+        .alias("rk"),
+    )
+    keep = ~F.col("blocked") & (F.col("rk") <= _DOMAIN_CAP)
+    return ranked.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(keep, 1)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(keep, F.col("doc_id"))).cast("bigint")
+        .alias("kept_id_checksum"),
+        F.max("blocked").alias("is_blocked"),
+    )

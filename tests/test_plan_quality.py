@@ -208,6 +208,8 @@ class TestShuffleBudget:
             ("perplexity_filter_buckets", 7),
             # prefix window + batch window + key-equi closing join
             ("cdc_scd2_incremental", 3),
+            # ONE host-keyed exchange: cap window + audit agg share it
+            ("url_domain_curation", 1),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
