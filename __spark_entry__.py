@@ -61,7 +61,7 @@ _R03_PRIORITY = [
     "dedup_substring_spans", "gopher_quality_rules", "bpe_train_merges",
     "similarity_ivfpq_topk", "mixture_temperature_weights",
     "perplexity_filter_buckets", "cdc_scd2_incremental",
-    "url_domain_curation",
+    "url_domain_curation", "dedup_substring_removal",
 ]
 
 

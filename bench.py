@@ -106,6 +106,7 @@ HEADLINE = [
     "perplexity_filter_buckets",
     "cdc_scd2_incremental",
     "url_domain_curation",
+    "dedup_substring_removal",
 ]
 
 

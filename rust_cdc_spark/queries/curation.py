@@ -667,11 +667,10 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_K = 10  # tokens per sliding window
 
-
-@register(
-    "dedup_substring_spans",
-    oracle=f"""
-    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+# Shared CTE chain ending in `spans(doc_id, span_start, span_end,
+# span_tokens, n_windows)` — used by both the span-report and the
+# span-removal oracles.
+_SPANS_CTES = f"""w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
     g AS (
         SELECT doc_id, CAST(i AS INT) AS st,
                md5(array_to_string(words[(i):(i + {_SPAN_K} - 1)], ' ')) AS g
@@ -699,14 +698,24 @@ _SPAN_K = 10  # tokens per sliding window
                              ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) AS island
         FROM isl
-    )
-    SELECT doc_id,
-           min(st) AS span_start,
-           max(en) AS span_end,
-           max(en) - min(st) + 1 AS span_tokens,
-           CAST(count(*) AS BIGINT) AS n_windows
-    FROM isl2
-    GROUP BY doc_id, island
+    ),
+    spans AS (
+        SELECT doc_id,
+               min(st) AS span_start,
+               max(en) AS span_end,
+               max(en) - min(st) + 1 AS span_tokens,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM isl2
+        GROUP BY doc_id, island
+    )"""
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_SPANS_CTES}
+    SELECT doc_id, span_start, span_end, span_tokens, n_windows
+    FROM spans
     """,
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,6 +741,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic gaps-and-islands window (running max of span ends), one
     doc-keyed shuffle."""
     docs = load_table(spark, "documents", sf_dir)
+    return _duplicate_spans(docs)
+
+
+def _duplicate_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens, n_windows): merged
+    duplicate-window removal spans — the Spark twin of ``_SPANS_CTES``.
+    Shared by the span report and the removal pass."""
     w = docs.select("doc_id", F.expr(_WORDS_SPARK).alias("words")).filter(
         F.size("words") >= _SPAN_K
     )
@@ -951,4 +967,75 @@ def url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(keep, F.col("doc_id"))).cast("bigint")
         .alias("kept_id_checksum"),
         F.max("blocked").alias("is_blocked"),
+    )
+
+
+@register(
+    "dedup_substring_removal",
+    oracle=f"""
+    WITH {_SPANS_CTES},
+    sp AS (
+        SELECT doc_id,
+               list({{'s': span_start, 'e': span_end}}) AS spans
+        FROM spans GROUP BY doc_id
+    ),
+    cleaned AS (
+        SELECT w.doc_id,
+               CAST(len(w.words) AS BIGINT) AS n_tokens,
+               list_filter(
+                   list_transform(range(1, len(w.words) + 1),
+                       i -> CASE WHEN sp.spans IS NOT NULL
+                                  AND len(list_filter(sp.spans,
+                                      x -> i >= x.s AND i <= x.e)) > 0
+                                 THEN NULL ELSE w.words[i] END),
+                   v -> v IS NOT NULL) AS kept
+        FROM w LEFT JOIN sp USING (doc_id)
+    )
+    SELECT doc_id, n_tokens,
+           n_tokens - CAST(len(kept) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_fp
+    FROM cleaned
+    """,
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of exact-substring dedup: remove every duplicate
+    span found by `dedup_substring_spans` from its document and emit
+    the cleaned text's fingerprint — the pass that actually shrinks the
+    corpus (Lee et al. 2022 cut ~3% of C4's tokens this way). Emitting
+    an md5 of the reassembled text makes the oracle check the ACTUAL
+    edited output, not just removal counts.
+
+    Scale shape: the span table aggregates to one (doc, spans[])
+    row per affected doc and joins back doc-keyed (spans are sparse —
+    most docs join nothing); the token-drop is a per-row codegen HOF
+    over words × spans-per-doc. No extra corpus passes beyond the span
+    pipeline itself."""
+    docs = load_table(spark, "documents", sf_dir)
+    spans = _duplicate_spans(docs)
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"),
+                     F.col("span_end").alias("e"))
+        ).alias("spans")
+    )
+    w = docs.select("doc_id", F.expr(_WORDS_SPARK).alias("words"))
+    joined = w.join(sp, "doc_id", "left")
+    kept = F.expr(
+        "filter(transform(sequence(1, size(words)),"
+        " i -> CASE WHEN spans IS NOT NULL AND exists(spans,"
+        "        x -> i >= x.s AND i <= x.e)"
+        "      THEN NULL ELSE words[i - 1] END),"
+        " v -> v IS NOT NULL)"
+    )
+    cleaned = joined.select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("n_tokens"),
+        kept.alias("kept"),
+    )
+    return cleaned.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("kept")).cast("bigint")
+        .alias("n_removed"),
+        F.md5(F.concat_ws(" ", F.col("kept"))).alias("cleaned_fp"),
     )

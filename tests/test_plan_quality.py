@@ -210,6 +210,8 @@ class TestShuffleBudget:
             ("cdc_scd2_incremental", 3),
             # ONE host-keyed exchange: cap window + audit agg share it
             ("url_domain_curation", 1),
+            # span pipeline + per-doc span agg + doc-keyed join-back
+            ("dedup_substring_removal", 4),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
