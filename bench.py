@@ -107,6 +107,8 @@ HEADLINE = [
     "cdc_scd2_incremental",
     "url_domain_curation",
     "dedup_substring_removal",
+    "c4_quality_rules",
+    "url_normalize_dedup",
 ]
 
 

@@ -1039,3 +1039,174 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_removed"),
         F.md5(F.concat_ws(" ", F.col("kept"))).alias("cleaned_fp"),
     )
+
+
+# ── C4-style line-level quality rules ────────────────────────────────
+# The corpus is single-line word soup, so (PII-injection precedent
+# above) each document is deterministically re-lined: line i holds the
+# next L words, L = 5 + doc_id % 7, and a line "ends in terminal
+# punctuation" iff the md5 of its text says so — both engines derive
+# the identical structure, so the line filters verify value-for-value.
+_C4_L = "(5 + doc_id % 7)"
+_C4_LINES_SPARK = (
+    f"transform(sequence(0, cast((size(words) + {_C4_L} - 1) div {_C4_L}"
+    f" as int) - 1), i -> slice(words, i * {_C4_L} + 1, {_C4_L}))"
+)
+_C4_LINES_SQL = (
+    f"list_transform(range(0, CAST((len(words) + {_C4_L} - 1) // {_C4_L}"
+    f" AS INT)), i -> list_slice(words, i * {_C4_L} + 1,"
+    f" i * {_C4_L} + {_C4_L}))"
+)
+# line keep: >=3 words, synthetic terminal punctuation, no boilerplate
+# markers (lorem / javascript / curly brace — evaluated for real even
+# though the soup never produces them).
+_C4_KEEP_SPARK = (
+    "l -> size(l) >= 3"
+    " AND ascii(substring(md5(array_join(l, ' ')), 1, 1)) % 3 != 0"
+    " AND NOT array_contains(l, 'lorem')"
+    " AND NOT array_contains(l, 'javascript')"
+    " AND NOT array_join(l, ' ') LIKE '%{%'"
+)
+_C4_KEEP_SQL = (
+    "l -> len(l) >= 3"
+    " AND ascii(substr(md5(array_to_string(l, ' ')), 1, 1)) % 3 != 0"
+    " AND NOT list_contains(l, 'lorem')"
+    " AND NOT list_contains(l, 'javascript')"
+    " AND NOT array_to_string(l, ' ') LIKE '%{%'"
+)
+
+
+@register(
+    "c4_quality_rules",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    ln AS (SELECT doc_id, {_C4_LINES_SQL} AS lines FROM w),
+    k AS (
+        SELECT doc_id, lines,
+               list_filter(lines, {_C4_KEEP_SQL}) AS kept
+        FROM ln
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           CAST(COALESCE(list_sum(list_transform(kept, l -> len(l))), 0)
+                AS BIGINT) AS n_kept_words,
+           (len(kept) >= 3) AS keep,
+           md5(COALESCE(array_to_string(
+               list_transform(kept, l -> array_to_string(l, ' ')),
+               chr(10)), '')) AS cleaned_fp
+    FROM k
+    """,
+)
+def c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020): split the
+    document into lines, keep a line only if it has >=3 words, ends in
+    terminal punctuation, and carries no boilerplate markers (lorem
+    ipsum / javascript / curly brace); keep the document only if >=3
+    lines survive. Complements `gopher_quality_rules` (document-level
+    thresholds live there) — together they are the standard two-stage
+    crawl filter. The md5 of the reassembled kept text makes the
+    oracle check the actual cleaned output, not just counts.
+
+    Scale shape: one map-only pass — re-lining, per-line filters, and
+    the fingerprint are a single codegen HOF chain that pipelines with
+    the parquet scan; embarrassingly parallel at 100 TB, no shuffle at
+    all."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = docs.select("doc_id", F.expr(_WORDS_SPARK).alias("words"))
+    ln = w.select("doc_id", F.expr(_C4_LINES_SPARK).alias("lines"))
+    k = ln.select(
+        "doc_id", "lines",
+        F.expr(f"filter(lines, {_C4_KEEP_SPARK})").alias("kept"),
+    )
+    return k.select(
+        "doc_id",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.size("kept").cast("bigint").alias("n_kept_lines"),
+        F.expr("aggregate(kept, 0L, (a, l) -> a + size(l))")
+        .alias("n_kept_words"),
+        (F.size("kept") >= 3).alias("keep"),
+        F.md5(
+            F.expr("array_join(transform(kept, l -> array_join(l, ' ')),"
+                   " chr(10))")
+        ).alias("cleaned_fp"),
+    )
+
+
+# ── URL canonicalization dedup ───────────────────────────────────────
+# Synthetic messy URLs (same doc_id-derived precedent): scheme case,
+# www prefix, tracking params, and trailing slash all vary by doc_id,
+# while doc_id % 211 picks the underlying page — so ~n/211 raw variants
+# collapse onto each canonical URL and the dedup genuinely bites.
+_RAWURL_SQL = (
+    "(CASE doc_id % 3 WHEN 0 THEN 'http://' WHEN 1 THEN 'https://'"
+    " ELSE 'HTTPS://' END)"
+    " || (CASE WHEN doc_id % 2 = 0 THEN 'www.Example.org'"
+    " ELSE 'example.org' END)"
+    " || '/article/' || (doc_id % 211)"
+    " || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)"
+    " || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&utm_campaign=x'"
+    " WHEN 1 THEN '?ref=' || (doc_id % 5) ELSE '' END)"
+)
+
+
+@register(
+    "url_normalize_dedup",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_RAWURL_SQL} AS url FROM documents),
+    c AS (
+        SELECT doc_id, url,
+               regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(lower(url),
+                       '^https?://', ''),
+                       '^www\\.', ''),
+                       '\\?.*$', ''),
+                       '/$', '') AS canonical_url
+        FROM u
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+           CAST(min(doc_id) AS BIGINT) AS kept_doc_id,
+           CAST(sum(doc_id) AS BIGINT) AS variants_checksum
+    FROM c
+    GROUP BY canonical_url
+    """,
+)
+def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-ingest pass that runs
+    before any text is even fetched twice: lowercase, strip scheme,
+    strip the www prefix, drop the query string (tracking params), and
+    drop the trailing slash; then collapse to one kept doc per
+    canonical URL (min doc_id — deterministic) with a variants
+    checksum so the oracle verifies the SET collapsed, not just how
+    many. Complements `url_domain_curation` (host-level blocklist/caps
+    live there).
+
+    Scale shape: normalization is a map-stage regex chain fused into
+    the scan; the collapse is ONE canonical-url-keyed hash agg with
+    map-side partials. At 100 TB the agg key is a short string with
+    crawl-frequency skew — exactly what AQE skew handling absorbs, and
+    the map-side combine means hot URLs cost bandwidth proportional to
+    distinct-per-partition, not occurrences."""
+    docs = load_table(spark, "documents", sf_dir)
+    u = docs.select("doc_id", F.expr(_RAWURL_SQL).alias("url"))
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("url")), r"^https?://", ""),
+                r"^www\.", ""),
+            r"\?.*$", ""),
+        r"/$", "")
+    c = u.select("doc_id", "url", canonical.alias("canonical_url"))
+    # size(collect_set) not count(distinct): the distinct raw forms per
+    # canonical URL are bounded by the decoration cardinality (scheme ×
+    # www × params × slash), so a partial-aggregated set costs O(forms)
+    # and keeps the query at ONE exchange — count(distinct) would
+    # expand to the two-shuffle distinct-agg plan.
+    return c.groupBy("canonical_url").agg(
+        F.count("*").cast("bigint").alias("n_variants"),
+        F.size(F.collect_set("url")).cast("bigint").alias("n_raw_forms"),
+        F.min("doc_id").cast("bigint").alias("kept_doc_id"),
+        F.sum("doc_id").cast("bigint").alias("variants_checksum"),
+    )

@@ -210,6 +210,10 @@ class TestShuffleBudget:
             ("cdc_scd2_incremental", 3),
             # ONE host-keyed exchange: cap window + audit agg share it
             ("url_domain_curation", 1),
+            # pure map: re-line + line filters + fingerprint, one pass
+            ("c4_quality_rules", 0),
+            # ONE canonical-url-keyed hash agg (map-side partials)
+            ("url_normalize_dedup", 1),
             # span pipeline + per-doc span agg + doc-keyed join-back
             ("dedup_substring_removal", 4),
         ],
