@@ -230,18 +230,25 @@ def _jaccard_pairs_direct(
     # at df_cap → ≤ df_cap² candidate rows per shingle). The rare join
     # doubles as the rare-intersection count — identical plan to the
     # one-pass path over the rare index — and the hot-shingle
-    # contribution is recovered EXACTLY by a candidate-keyed join
-    # against the hot-restricted index (per candidate pair × its hot
-    # shingles — pair-bounded, never |bucket|²). When nothing exceeds
-    # the cap, `hot` is empty and the plan degenerates to the one-pass
-    # exact plan plus one df aggregation.
-    hot = (
-        inv.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > df_cap)
-        .select("shingle")
+    # contribution is recovered EXACTLY from per-doc hot-shingle
+    # arrays: each doc carries its (few) hot shingles as a sorted
+    # array, two doc-keyed left joins attach them to each candidate
+    # pair, and array_intersect counts the hot co-occurrences in
+    # codegen. The candidate subtree is consumed ONCE in a linear
+    # pipeline (a pair-keyed recovery join would reference `cand`
+    # twice and recompute the whole index join per use — measured 2.3×
+    # at sf0.1). When nothing exceeds the cap, `hot` is empty and the
+    # plan degenerates to the one-pass exact plan plus one df
+    # aggregation.
+    # df via a count window, not a separate agg + anti-join: the window
+    # shuffles the index by shingle ONCE and both the rare filter and
+    # the hot split are map-side slices of that same exchange — the
+    # rare self-join below then reuses it (ReusedExchange) instead of
+    # paying a second full-index shuffle (measured −25% at sf0.1).
+    invdf = inv.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
     )
-    rare = inv.join(hot, on="shingle", how="left_anti")
+    rare = invdf.filter(F.col("df") <= df_cap).drop("df")
     a, b = rare.alias("a"), rare.alias("b")
     cand = (
         a.join(b, on="shingle")
@@ -254,23 +261,35 @@ def _jaccard_pairs_direct(
         )
         .agg(F.count("*").alias("n_rare"))
     )
-    hot_inv = inv.join(hot, on="shingle")  # tiny: hot shingles only
-    ha = hot_inv.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a")
+    hot_inv = invdf.filter(F.col("df") > df_cap)  # tiny: hot shingles only
+    hot_arr = hot_inv.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("hot_sh")
     )
-    hb = hot_inv.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b")
-    )
-    n_hot = (
-        cand.select("doc_a", "doc_b")
-        .join(ha, "doc_a")
-        .join(hb, "doc_b")
-        .filter(F.col("sh_a") == F.col("sh_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_hot"))
-    )
-    verified = cand.join(n_hot, ["doc_a", "doc_b"], "left").withColumn(
-        "n_common", F.col("n_rare") + F.coalesce(F.col("n_hot"), F.lit(0))
+    verified = (
+        cand.join(
+            hot_arr.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hot_sh").alias("hot_a"),
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            hot_arr.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("hot_sh").alias("hot_b"),
+            ),
+            "doc_b",
+            "left",
+        )
+        .withColumn(
+            "n_hot",
+            F.when(
+                F.col("hot_a").isNotNull() & F.col("hot_b").isNotNull(),
+                F.size(F.array_intersect("hot_a", "hot_b")),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("n_common", F.col("n_rare") + F.col("n_hot"))
     )
     return (
         verified.withColumn(
