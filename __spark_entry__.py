@@ -62,7 +62,7 @@ _R03_PRIORITY = [
     "similarity_ivfpq_topk", "mixture_temperature_weights",
     "perplexity_filter_buckets", "cdc_scd2_incremental",
     "url_domain_curation", "dedup_substring_removal",
-    "c4_quality_rules", "url_normalize_dedup",
+    "c4_quality_rules", "url_normalize_dedup", "dedup_fuzzy_apply",
 ]
 
 

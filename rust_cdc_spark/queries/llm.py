@@ -642,10 +642,9 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    oracle="""
-    WITH RECURSIVE
+# Connected-components fixpoint as a recursive CTE — shared by the
+# dedup_clusters oracle and the dedup_fuzzy_apply oracle below.
+_CC_CTES = """
     toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
     sh AS (SELECT doc_id,
                   list_distinct([array_to_string(t[i:i+2], ' ')
@@ -665,6 +664,14 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     comp AS (SELECT node AS doc_id, min(label) AS cluster_id
              FROM reach GROUP BY node)
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_CC_CTES}
     SELECT d.doc_id,
            coalesce(c.cluster_id, d.doc_id) AS cluster_id,
            (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
@@ -681,6 +688,88 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Also validated against an in-test union-find
     (tests/test_scale_operators.py::TestDedupClusters)."""
     return DD.dedup_clusters(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_fuzzy_apply",
+    oracle=f"""
+    WITH RECURSIVE
+    {_CC_CTES},
+    cl AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    qual AS (
+        SELECT doc_id,
+               round(0.4 * least(CAST(len({_TOKENS_SQL}) AS DOUBLE) / 64.0, 1.0)
+                     + 0.4 * least(CAST(len(list_filter({_TOKENS_SQL},
+                           t -> list_contains({_SW_SQL}, lower(t)))) AS DOUBLE)
+                           / len({_TOKENS_SQL}) * 4.0, 1.0)
+                     + 0.2 * (CASE WHEN CAST(list_sum(list_transform(
+                           {_TOKENS_SQL}, t -> length(t))) AS DOUBLE)
+                           / len({_TOKENS_SQL}) BETWEEN 2.0 AND 12.0
+                           THEN 1.0 ELSE 0.0 END), 4) AS quality
+        FROM documents
+    ),
+    ranked AS (
+        SELECT cl.cluster_id, cl.doc_id, q.quality,
+               row_number() OVER (
+                   PARTITION BY cl.cluster_id
+                   ORDER BY q.quality DESC, cl.doc_id) AS rk
+        FROM cl JOIN qual q ON cl.doc_id = q.doc_id
+    )
+    SELECT cluster_id,
+           CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+               AS kept_doc_id,
+           max(CASE WHEN rk = 1 THEN quality END) AS kept_quality,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN rk > 1 THEN doc_id ELSE 0 END) AS BIGINT)
+               AS removed_checksum
+    FROM ranked
+    GROUP BY cluster_id
+    """,
+)
+def dedup_fuzzy_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of fuzzy dedup — the end-to-end pass a corpus
+    owner actually runs: near-dup clusters (Jaccard pairs → iterative
+    connected components, `dedup_clusters`) reduced to ONE kept
+    document per cluster, chosen by quality score (argmax, doc_id
+    tie-break) rather than arbitrary canonical-min — the keep-best
+    policy of `dedup_keep_best` lifted from exact-hash groups to fuzzy
+    clusters. Emits the per-cluster audit: kept doc + its quality,
+    member count, and a checksum over the REMOVED id set so the oracle
+    verifies which documents were dropped, not just how many.
+
+    Scale shape: quality is a map-stage expression; membership joins
+    doc-keyed; the keep choice is one cluster-keyed window whose
+    exchange the audit agg reuses. Cluster count ≈ doc count (mostly
+    singletons), so no skew beyond the CC iteration itself — at 100 TB
+    the cost is dominated by the pair generation inside
+    `dedup_clusters`, which is the banded/capped candidate pipeline,
+    not this reduction."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    clusters = DD.dedup_clusters(docs).select("doc_id", "cluster_id")
+    qual = docs.select("doc_id", TX.quality_score("text").alias("quality"))
+    m = clusters.join(qual, "doc_id")
+    ranked = m.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("quality"), F.asc("doc_id")
+            )
+        ),
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+        .cast("bigint").alias("kept_doc_id"),
+        F.max(F.when(F.col("rk") == 1, F.col("quality")))
+        .alias("kept_quality"),
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum(F.when(F.col("rk") > 1, F.col("doc_id")).otherwise(F.lit(0)))
+        .cast("bigint").alias("removed_checksum"),
+    )
 
 
 @register(
