@@ -173,6 +173,10 @@ _CODEC_SPECS: list[tuple[str | None, list[int | range]]] = [
     ("cp850", [4, 80]),
     ("cp852", [40, 81]),
     ("cp866", [36, 68]),
+    ("tis-620", [18, 89]),                                  # tis620 (Thai)
+    ("iso8859-13", [20, 41, 42, 79]),                       # latin7
+    ("mac_roman", [39, 53]),                                # macroman
+    ("mac_latin2", [38, 43]),                               # macce
     ("koi8-r", [7, 74]),
     ("koi8-u", [22, 75]),
     ("utf-16-be", [35, 90, 54, 55, range(101, 125)]),       # ucs2 + utf16

@@ -94,6 +94,10 @@ class TestCharsetDecode:
         (248, b"\xd6\xd0\xa2\xe3", "中€"),            # gb18030
         (40, b"\x9fesk\xec", "český"),                # cp852
         (7, b"\xe0\xce\xc9\xcb\xcf\xc4", "Юникод"),   # koi8r
+        (18, b"\xe4\xb7\xc2", "ไทย"),                 # tis620
+        (41, b"R\xeega", "Rīga"),                     # latin7
+        (39, b"caf\x8e\xa0", "café†"),                # macroman
+        (38, b"\xfc\x97d\x90", "Łódź"),               # macce
     ]
 
     @pytest.mark.parametrize("cid,raw,expect", GOLDEN)
