@@ -63,6 +63,7 @@ _R03_PRIORITY = [
     "perplexity_filter_buckets", "cdc_scd2_incremental",
     "url_domain_curation", "dedup_substring_removal",
     "c4_quality_rules", "url_normalize_dedup", "dedup_fuzzy_apply",
+    "collocation_pmi_top", "char_entropy_filter",
 ]
 
 

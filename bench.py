@@ -109,6 +109,8 @@ HEADLINE = [
     "dedup_substring_removal",
     "c4_quality_rules",
     "url_normalize_dedup",
+    "collocation_pmi_top",
+    "char_entropy_filter",
 ]
 
 

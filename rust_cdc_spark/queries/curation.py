@@ -1210,3 +1210,105 @@ def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("kept_doc_id"),
         F.sum("doc_id").cast("bigint").alias("variants_checksum"),
     )
+
+
+# ── Character-entropy filter ─────────────────────────────────────────
+# Per-term micro-nat quantization (the bigram-LM discipline): each
+# distinct char contributes round(-1e6·p·ln p) as a BIGINT, summed over
+# the SORTED distinct-char array — no float aggregation order exists,
+# so both engines produce the identical integer.
+_ENTROPY_LO = 1_500_000  # < 1.5 nats: repeated-char / boilerplate gibberish
+_ENTROPY_HI = 4_500_000  # > 4.5 nats: random-symbol noise
+
+
+@register(
+    "char_entropy_filter",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, string_split(text, '') AS chars FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(chars) AS BIGINT) AS n_chars,
+               list_sort(list_distinct(chars)) AS dc,
+               chars
+        FROM c
+    ),
+    e AS (
+        SELECT doc_id, n_chars,
+               CAST(len(dc) AS BIGINT) AS n_distinct_chars,
+               CAST(COALESCE(list_sum(list_transform(dc,
+                   ch -> CAST(round(-1e6
+                       * (CAST(len(list_filter(chars, x -> x = ch))
+                               AS DOUBLE) / n_chars)
+                       * ln(CAST(len(list_filter(chars, x -> x = ch))
+                               AS DOUBLE) / n_chars)) AS BIGINT))), 0)
+                   AS BIGINT) AS entropy_micro
+        FROM m
+    )
+    SELECT doc_id, n_chars, n_distinct_chars, entropy_micro,
+           (entropy_micro BETWEEN {_ENTROPY_LO} AND {_ENTROPY_HI}) AS keep
+    FROM e
+    """,
+)
+def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality filter: Shannon entropy of each
+    document's character distribution in integer micro-nats — the
+    cheap gibberish detector (repeated-char spam scores near 0,
+    random-symbol noise scores > 4.5 nats, natural language sits in
+    between) a crawl pipeline runs alongside the Gopher/C4 rules.
+
+    Engine parity: each distinct char's -p·ln p term is quantized to a
+    BIGINT micro-nat BEFORE summation, and the sum runs over the
+    sorted distinct-char array — identical operations in identical
+    order in both engines, so the output is an exact integer.
+
+    Scale shape: pure map — the per-doc cost is O(distinct_chars ×
+    doc_len) inside one codegen HOF chain (distinct chars is ~10² for
+    text), fused with the parquet scan; embarrassingly parallel, no
+    shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    # Spark side counts runs over the SORTED char array (O(len·log len)
+    # + linear passes) instead of one filter-rescan per distinct char
+    # (O(distinct·len) — measured 3× slower at sf0.1). The oracle keeps
+    # the simpler per-char formulation: both produce the same BIGINT
+    # terms, and integer sums are order-free.
+    c = docs.select("doc_id", F.expr("split(text, '')").alias("chars"))
+    m = c.select(
+        "doc_id",
+        F.size("chars").cast("bigint").alias("n_chars"),
+        F.expr("array_sort(chars)").alias("s"),
+    )
+    runs = m.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "filter(sequence(0, size(s) - 1),"
+            " i -> i = 0 OR s[i] != s[i - 1])"
+        ).alias("starts"),
+    )
+    counts = runs.select(
+        "doc_id",
+        "n_chars",
+        F.size("starts").cast("bigint").alias("n_distinct_chars"),
+        F.expr(
+            "zip_with(starts,"
+            " concat(slice(starts, 2, size(starts) - 1), array(n_chars)),"
+            " (a, b) -> b - a)"
+        ).alias("cnts"),
+    )
+    e = counts.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        F.expr(
+            "aggregate(cnts, 0L, (acc, c) -> acc + cast(round(-1e6"
+            " * (cast(c as double) / n_chars)"
+            " * ln(cast(c as double) / n_chars)) as bigint))"
+        ).alias("entropy_micro"),
+    )
+    return e.select(
+        "doc_id", "n_chars", "n_distinct_chars", "entropy_micro",
+        F.col("entropy_micro").between(_ENTROPY_LO, _ENTROPY_HI)
+        .alias("keep"),
+    )

@@ -607,3 +607,105 @@ def perplexity_filter_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_logp_micro",
         F.ntile(10).over(w).cast("int").alias("fluency_decile"),
     ).withColumn("keep", F.col("fluency_decile") <= 8)
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 50
+
+
+@register(
+    "collocation_pmi_top",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    bg AS (
+        SELECT u.w1, u.w2
+        FROM toks, unnest(list_transform(range(1, len(t)),
+                 i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS v(u)
+        WHERE len(t) >= 2
+    ),
+    cbi AS (SELECT w1, w2, count(*) AS c_bi FROM bg GROUP BY w1, w2),
+    uni AS (
+        SELECT token, count(*) AS c_w
+        FROM (SELECT unnest(t) AS token FROM toks)
+        GROUP BY token
+    ),
+    tot AS (
+        SELECT (SELECT count(*) FROM bg) AS nb,
+               (SELECT CAST(sum(len(t)) AS BIGINT) FROM toks) AS nt
+    )
+    SELECT w1, w2, CAST(c_bi AS BIGINT) AS c_bi,
+           CAST(round(ln(CAST(c_bi AS DOUBLE) * nt * nt
+                         / (CAST(nb AS DOUBLE) * u1.c_w * u2.c_w)) * 1e6)
+                AS BIGINT) AS pmi_micro
+    FROM cbi
+    JOIN uni u1 ON cbi.w1 = u1.token
+    JOIN uni u2 ON cbi.w2 = u2.token
+    CROSS JOIN tot
+    WHERE c_bi >= {_PMI_MIN_COUNT}
+    ORDER BY pmi_micro DESC, w1, w2
+    LIMIT {_PMI_TOP}
+    """,
+)
+def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: the corpus's top bigrams by pointwise
+    mutual information, PMI = ln(p(w1,w2) / (p(w1)·p(w2))) — the
+    standard phrase-mining signal (vocabulary induction, tokenizer
+    pre-merges, stopword-free keyphrases). A min-count floor keeps
+    rare-pair noise out (PMI is maximal for hapax pairs). PMI is
+    quantized to integer micro-nats (same discipline as the bigram
+    LM): one ln per PAIR, rounded once — no float aggregation exists
+    anywhere, so ordering is engine-stable with a (w1, w2) tie-break.
+
+    Scale shape: one bigram explode → pair hash agg (map-side
+    partials); unigram counts from a token hash agg; the model joins
+    are word-keyed (bounded by vocab, not corpus); scalar totals
+    broadcast; the final top-k is TakeOrdered (no global sort). The
+    pair table is Zipf-bounded — the same corpus profile the BPE
+    trainer exploits."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("t"))
+    bg = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cbi = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_bi"))
+        .filter(F.col("c_bi") >= _PMI_MIN_COUNT)
+    )
+    uni = toks.select(F.explode("t").alias("token")).groupBy("token").agg(
+        F.count("*").alias("c_w")
+    )
+    tot = bg.agg(F.count("*").alias("nb")).crossJoin(
+        toks.agg(F.sum(F.size("t")).cast("bigint").alias("nt"))
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c_w").alias("c_w1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c_w").alias("c_w2"))
+    scored = (
+        cbi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_bi").cast("bigint").alias("c_bi"),
+            F.round(
+                F.log(
+                    F.col("c_bi").cast("double")
+                    * F.col("nt") * F.col("nt")
+                    / (F.col("nb").cast("double")
+                       * F.col("c_w1") * F.col("c_w2"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_micro"), "w1", "w2"
+    ).limit(_PMI_TOP)

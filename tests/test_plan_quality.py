@@ -214,6 +214,11 @@ class TestShuffleBudget:
             ("c4_quality_rules", 0),
             # ONE canonical-url-keyed hash agg (map-side partials)
             ("url_normalize_dedup", 1),
+            # bigram agg + unigram agg + two word-keyed model joins +
+            # scalar totals; final top-k is TakeOrdered (no sort xchg)
+            ("collocation_pmi_top", 5),
+            # pure map: sorted run-length entropy fused into the scan
+            ("char_entropy_filter", 0),
             # span pipeline + per-doc span agg + doc-keyed join-back
             ("dedup_substring_removal", 4),
         ],
