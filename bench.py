@@ -111,6 +111,7 @@ HEADLINE = [
     "url_normalize_dedup",
     "collocation_pmi_top",
     "char_entropy_filter",
+    "quality_rule_attribution",
 ]
 
 

@@ -1312,3 +1312,151 @@ def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("entropy_micro").between(_ENTROPY_LO, _ENTROPY_HI)
         .alias("keep"),
     )
+
+
+@register(
+    "quality_rule_attribution",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source, {_WORDS_SQL} AS words,
+               string_split(text, '') AS chars
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, source,
+               -- gopher: word count / mean word len / alpha words /
+               -- stopword hits (integer cross-multiplications)
+               (len(words) BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                AND 3 * len(words)
+                    <= list_sum(list_transform(words, x -> length(x)))
+                AND list_sum(list_transform(words, x -> length(x)))
+                    <= 10 * len(words)
+                AND 5 * len(list_filter(words,
+                        x -> regexp_matches(x, '[A-Za-z]')))
+                    >= 4 * len(words)
+                AND len(list_filter(words,
+                        x -> list_contains({_GOPHER_STOPS.replace("(", "[").replace(")", "]")},
+                                           lower(x)))) >= 2) AS keep_gopher,
+               -- c4: >=3 surviving synthetic lines
+               (len(list_filter({_C4_LINES_SQL}, {_C4_KEEP_SQL})) >= 3)
+                   AS keep_c4,
+               -- entropy: micro-nat char entropy in band
+               (CAST(COALESCE(list_sum(list_transform(
+                    list_sort(list_distinct(chars)),
+                    ch -> CAST(round(-1e6
+                        * (CAST(len(list_filter(chars, x -> x = ch))
+                                AS DOUBLE) / len(chars))
+                        * ln(CAST(len(list_filter(chars, x -> x = ch))
+                                AS DOUBLE) / len(chars))) AS BIGINT))), 0)
+                    AS BIGINT)
+                BETWEEN {_ENTROPY_LO} AND {_ENTROPY_HI}) AS keep_entropy,
+               -- repetition: distinct-trigram fraction >= 0.7
+               (len(words) < 3 OR
+                10 * len(list_distinct(list_transform(
+                        range(1, len(words) - 1),
+                        i -> words[i] || ' ' || words[i+1] || ' '
+                             || words[i+2])))
+                >= 7 * (len(words) - 2)) AS keep_repetition
+        FROM w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE NOT keep_gopher) AS BIGINT)
+               AS n_fail_gopher,
+           CAST(count(*) FILTER (WHERE NOT keep_c4) AS BIGINT) AS n_fail_c4,
+           CAST(count(*) FILTER (WHERE NOT keep_entropy) AS BIGINT)
+               AS n_fail_entropy,
+           CAST(count(*) FILTER (WHERE NOT keep_repetition) AS BIGINT)
+               AS n_fail_repetition,
+           CAST(count(*) FILTER (WHERE keep_gopher AND keep_c4
+                AND keep_entropy AND keep_repetition) AS BIGINT)
+               AS n_pass_all,
+           CAST(COALESCE(sum(doc_id) FILTER (WHERE keep_gopher AND keep_c4
+                AND keep_entropy AND keep_repetition), 0) AS BIGINT)
+               AS pass_id_checksum
+    FROM sig
+    GROUP BY source
+    """,
+)
+def quality_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ablation scorecard — the dataset-card table that says
+    which rule family (Gopher thresholds, C4 line cleaning, character
+    entropy, trigram repetition) is responsible for each rejection,
+    per source, plus the pass-all survivor count and an id checksum
+    over the survivors (value-level evidence the SET matches).
+
+    The Spark-first point: all four verdicts are per-row expressions,
+    so the whole scorecard is ONE fused codegen pass over the scan —
+    no joins between 'filter stages', no intermediate materialization
+    — followed by a single source-keyed agg with map-side partials.
+    Running the four registered filter queries separately would scan
+    the corpus four times; composed, the 100 TB cost is one scan."""
+    docs = load_table(spark, "documents", sf_dir)
+    stops = _GOPHER_STOPS.replace("(", "array(").replace(")", ")")
+    w = docs.select(
+        "doc_id", "source",
+        F.expr(_WORDS_SPARK).alias("words"),
+        F.expr("split(text, '')").alias("chars"),
+    )
+    keep_gopher = F.expr(
+        f"size(words) BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}"
+        " AND 3 * size(words)"
+        "     <= aggregate(words, 0L, (a, x) -> a + length(x))"
+        " AND aggregate(words, 0L, (a, x) -> a + length(x))"
+        "     <= 10 * size(words)"
+        " AND 5 * size(filter(words, x -> x rlike '[A-Za-z]'))"
+        "     >= 4 * size(words)"
+        f" AND size(filter(words, x -> array_contains({stops}, lower(x))))"
+        "     >= 2"
+    )
+    keep_c4 = F.expr(
+        f"size(filter({_C4_LINES_SPARK}, {_C4_KEEP_SPARK})) >= 3"
+    )
+    entropy_micro = F.expr(
+        "aggregate("
+        " zip_with("
+        "  filter(sequence(0, size(s) - 1), i -> i = 0 OR s[i] != s[i - 1]),"
+        "  concat(slice(filter(sequence(0, size(s) - 1),"
+        "               i -> i = 0 OR s[i] != s[i - 1]),"
+        "         2, size(filter(sequence(0, size(s) - 1),"
+        "                 i -> i = 0 OR s[i] != s[i - 1])) - 1),"
+        "         array(size(s))),"
+        "  (a, b) -> b - a),"
+        " 0L, (acc, c) -> acc + cast(round(-1e6"
+        "  * (cast(c as double) / size(s))"
+        "  * ln(cast(c as double) / size(s))) as bigint))"
+    )
+    keep_repetition = F.expr(
+        "size(words) < 3 OR"
+        " 10 * size(array_distinct(transform(sequence(0, size(words) - 3),"
+        "      i -> concat_ws(' ', words[i], words[i+1], words[i+2]))))"
+        " >= 7 * (size(words) - 2)"
+    )
+    sig = w.select(
+        "doc_id", "source",
+        keep_gopher.alias("keep_gopher"),
+        keep_c4.alias("keep_c4"),
+        F.expr("array_sort(chars)").alias("s"),
+        keep_repetition.alias("keep_repetition"),
+    ).select(
+        "doc_id", "source", "keep_gopher", "keep_c4", "keep_repetition",
+        entropy_micro.between(_ENTROPY_LO, _ENTROPY_HI).alias("keep_entropy"),
+    )
+    pass_all = (
+        F.col("keep_gopher") & F.col("keep_c4")
+        & F.col("keep_entropy") & F.col("keep_repetition")
+    )
+    return sig.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(~F.col("keep_gopher"), 1)).cast("bigint")
+        .alias("n_fail_gopher"),
+        F.count(F.when(~F.col("keep_c4"), 1)).cast("bigint")
+        .alias("n_fail_c4"),
+        F.count(F.when(~F.col("keep_entropy"), 1)).cast("bigint")
+        .alias("n_fail_entropy"),
+        F.count(F.when(~F.col("keep_repetition"), 1)).cast("bigint")
+        .alias("n_fail_repetition"),
+        F.count(F.when(pass_all, 1)).cast("bigint").alias("n_pass_all"),
+        F.coalesce(F.sum(F.when(pass_all, F.col("doc_id"))), F.lit(0))
+        .cast("bigint").alias("pass_id_checksum"),
+    )

@@ -219,6 +219,8 @@ class TestShuffleBudget:
             ("collocation_pmi_top", 5),
             # pure map: sorted run-length entropy fused into the scan
             ("char_entropy_filter", 0),
+            # four filter verdicts in one fused scan + source-keyed agg
+            ("quality_rule_attribution", 1),
             # span pipeline + per-doc span agg + doc-keyed join-back
             ("dedup_substring_removal", 4),
         ],
