@@ -64,7 +64,8 @@ _R03_PRIORITY = [
     "url_domain_curation", "dedup_substring_removal",
     "c4_quality_rules", "url_normalize_dedup", "dedup_fuzzy_apply",
     "collocation_pmi_top", "char_entropy_filter",
-    "quality_rule_attribution",
+    "quality_rule_attribution", "length_quantile_filter",
+    "embedding_norm_outliers",
 ]
 
 

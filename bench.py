@@ -112,6 +112,8 @@ HEADLINE = [
     "collocation_pmi_top",
     "char_entropy_filter",
     "quality_rule_attribution",
+    "length_quantile_filter",
+    "embedding_norm_outliers",
 ]
 
 

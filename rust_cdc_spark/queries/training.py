@@ -1143,3 +1143,76 @@ def mixture_temperature_weights(
         .cast("bigint")
         .alias("weight_ppm"),
     )
+
+
+_NORM_MAD_K = 3  # keep vectors within mean ± 3·MAD (micro-unit integers)
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle=f"""
+    WITH nv AS (
+        SELECT vec_id,
+               CAST(round(sqrt(list_dot_product(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                   * 1e6) AS BIGINT) AS norm_micro
+        FROM embeddings
+    ),
+    m AS (
+        SELECT CAST(sum(norm_micro) // count(*) AS BIGINT) AS mean_micro
+        FROM nv
+    ),
+    d AS (
+        SELECT CAST(sum(abs(nv.norm_micro - m.mean_micro)) // count(*)
+                    AS BIGINT) AS mad_micro,
+               max(m.mean_micro) AS mean_micro
+        FROM nv CROSS JOIN m
+    )
+    SELECT nv.vec_id, nv.norm_micro, d.mean_micro, d.mad_micro,
+           (abs(nv.norm_micro - d.mean_micro)
+            <= {_NORM_MAD_K} * d.mad_micro) AS keep
+    FROM nv CROSS JOIN d
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm outlier filter — the vector-quality gate run
+    before ANN indexing / semantic dedup: vectors whose L2 norm sits
+    far from the corpus's center are encoder failures (zero vectors,
+    fp overflow, truncated inputs) and poison cosine math. Robust
+    center/spread are the MEAN and MEAN ABSOLUTE DEVIATION of
+    integer micro-unit norms — every aggregate is an exact BIGINT sum
+    (no float accumulation order, no squared-sum overflow), and the
+    one sqrt per vector is rounded once at quantization.
+
+    Scale shape: two scalar aggs over a norms-only projection (the
+    second pass re-derives norms rather than shuffling vectors — at
+    100 TB a 16 B/row re-scan beats materializing the embedding
+    column), each with map-side partials; the 1-row stats broadcast
+    back for a map-side verdict."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    nv = emb.select(
+        "vec_id",
+        F.round(V.norm(F.col("embedding")) * 1e6)
+        .cast("bigint")
+        .alias("norm_micro"),
+    )
+    # `div`, not `/` + cast: double division of two exact BIGINTs can
+    # round up across an integer boundary at ~10⁹ rows, silently
+    # diverging from the oracle's exact `//`.
+    m = nv.agg(
+        F.expr("sum(norm_micro) div count(*)").alias("mean_micro")
+    )
+    d = nv.crossJoin(F.broadcast(m)).agg(
+        F.expr("sum(abs(norm_micro - mean_micro)) div count(*)")
+        .alias("mad_micro"),
+        F.max("mean_micro").alias("mean_micro"),
+    )
+    return nv.crossJoin(F.broadcast(d)).select(
+        "vec_id",
+        "norm_micro",
+        "mean_micro",
+        "mad_micro",
+        (F.abs(F.col("norm_micro") - F.col("mean_micro"))
+         <= _NORM_MAD_K * F.col("mad_micro")).alias("keep"),
+    )

@@ -221,6 +221,12 @@ class TestShuffleBudget:
             ("char_entropy_filter", 0),
             # four filter verdicts in one fused scan + source-keyed agg
             ("quality_rule_attribution", 1),
+            # ONE corpus-scan agg (histogram); the other 7 exchanges
+            # all carry the ~300-row distinct-value table (cum window,
+            # total, lo/hi cutoffs) — tiny by construction
+            ("length_quantile_filter", 8),
+            # two scalar stat aggs over a norms projection + broadcast
+            ("embedding_norm_outliers", 2),
             # span pipeline + per-doc span agg + doc-keyed join-back
             ("dedup_substring_removal", 4),
         ],
