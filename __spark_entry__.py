@@ -65,7 +65,7 @@ _R03_PRIORITY = [
     "c4_quality_rules", "url_normalize_dedup", "dedup_fuzzy_apply",
     "collocation_pmi_top", "char_entropy_filter",
     "quality_rule_attribution", "length_quantile_filter",
-    "embedding_norm_outliers",
+    "embedding_norm_outliers", "host_authority_pagerank",
 ]
 
 

@@ -114,6 +114,7 @@ HEADLINE = [
     "quality_rule_attribution",
     "length_quantile_filter",
     "embedding_norm_outliers",
+    "host_authority_pagerank",
 ]
 
 

@@ -1539,3 +1539,134 @@ def length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hi").alias("hi_tokens"),
         F.col("n_tokens").between(F.col("lo"), F.col("hi")).alias("keep"),
     )
+
+
+# ── Host-authority PageRank ──────────────────────────────────────────
+# Deterministic synthetic host link graph (url_domain_curation's host
+# universe): every document contributes one src→dst host edge derived
+# from doc_id; distinct host pairs (self-loops dropped) form the edge
+# set. Rank arithmetic is pure BIGINT micro-units with `div` floors —
+# bit-identical across engines and partitionings — and runs a FIXED 3
+# damped iterations, so the oracle replays training exactly as
+# unrolled CTEs (the quality_classifier_train precedent).
+_PR_HOSTS = 53
+_PR_SRC = f"(doc_id * doc_id) % {_PR_HOSTS}"
+_PR_DST = f"(doc_id * doc_id + doc_id + 17) % {_PR_HOSTS}"
+_PR_ITERS = 3
+_PR_INIT = 1_000_000
+
+
+def _pr_iter_sql(prev: str, it: int) -> str:
+    return f"""
+    r{it} AS (
+        SELECT n.host,
+               150000 + (850 * COALESCE(c.contrib, 0)) // 1000
+                   AS rank_micro
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS host,
+                   CAST(sum(p.rank_micro // d.outdeg) AS BIGINT) AS contrib
+            FROM edges e
+            JOIN {prev} p ON p.host = e.src
+            JOIN deg d ON d.host = e.src
+            GROUP BY e.dst
+        ) c ON c.host = n.host
+    )"""
+
+
+@register(
+    "host_authority_pagerank",
+    oracle=f"""
+    WITH raw AS (
+        SELECT DISTINCT {_PR_SRC} AS src, {_PR_DST} AS dst
+        FROM documents
+    ),
+    edges AS (SELECT src, dst FROM raw WHERE src <> dst),
+    nodes AS (
+        SELECT DISTINCT src AS host FROM edges
+        UNION SELECT DISTINCT dst FROM edges
+    ),
+    deg AS (
+        SELECT src AS host, CAST(count(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY src
+    ),
+    r0 AS (SELECT host, CAST({_PR_INIT} AS BIGINT) AS rank_micro
+           FROM nodes),
+    {",".join(_pr_iter_sql(f"r{i}", i + 1) for i in range(_PR_ITERS))}
+    SELECT n.host,
+           CAST(r.rank_micro AS BIGINT) AS rank_micro,
+           CAST(COALESCE(d.outdeg, 0) AS BIGINT) AS outdeg,
+           CAST((SELECT count(*) FROM edges e WHERE e.dst = n.host)
+                AS BIGINT) AS indeg
+    FROM nodes n
+    JOIN r{_PR_ITERS} r ON r.host = n.host
+    LEFT JOIN deg d ON d.host = n.host
+    """,
+)
+def host_authority_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-authority PageRank over the crawl's host link graph — the
+    domain-trust signal curation pipelines mix with blocklists (a
+    spam host farm links itself; authoritative hosts accumulate rank
+    from many independent sources). Damped (0.85) power iteration,
+    FIXED {it} rounds, all arithmetic BIGINT micro-units with `div`
+    floors so the oracle replays every iteration as an unrolled CTE
+    and checks the trained ranks value-for-value — same discipline as
+    the logistic-regression trainer.
+
+    Scale shape per iteration: one src-keyed join (rank ⋈ edges ⋈
+    degree — all co-keyed on src, one shuffle) and one dst-keyed agg.
+    The rank/degree tables are |hosts|-sized (millions at web scale —
+    comfortably distributed), never |docs|; the doc scan happens once
+    to build distinct edges. Dangling-host mass is dropped rather
+    than redistributed (documented simplification; redistribution is
+    one extra scalar agg per round).""".replace("{it}", str(_PR_ITERS))
+    docs = load_table(spark, "documents", sf_dir)
+    raw = docs.select(
+        F.expr(_PR_SRC).alias("src"), F.expr(_PR_DST).alias("dst")
+    ).distinct()
+    # The edge table is |hosts|²-bounded (tiny next to the corpus);
+    # checkpoint it so the ONE doc scan that built it is not replayed
+    # by every unrolled iteration's join lineage (31 → ~12 exchanges,
+    # corpus scanned once — the BPE-trainer discipline).
+    edges = raw.filter(F.col("src") != F.col("dst")).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    deg = edges.groupBy(F.col("src").alias("host")).agg(
+        F.count("*").cast("bigint").alias("outdeg")
+    )
+    rank = nodes.select("host", F.lit(_PR_INIT).cast("bigint").alias("rank_micro"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(rank.withColumnRenamed("host", "src"), "src")
+            .join(deg.withColumnRenamed("host", "src")
+                  .withColumnRenamed("outdeg", "d"), "src")
+            .select(
+                F.col("dst").alias("host"),
+                F.expr("rank_micro div d").alias("share"),
+            )
+            .groupBy("host")
+            .agg(F.sum("share").cast("bigint").alias("contrib"))
+        )
+        rank = nodes.join(contrib, "host", "left").select(
+            "host",
+            (F.lit(150000)
+             + F.expr("850 * coalesce(contrib, 0L) div 1000"))
+            .cast("bigint")
+            .alias("rank_micro"),
+        )
+    indeg = edges.groupBy(F.col("dst").alias("host")).agg(
+        F.count("*").cast("bigint").alias("indeg")
+    )
+    return (
+        nodes.join(rank, "host")
+        .join(deg, "host", "left")
+        .join(indeg, "host", "left")
+        .select(
+            "host",
+            "rank_micro",
+            F.coalesce("outdeg", F.lit(0)).cast("bigint").alias("outdeg"),
+            F.coalesce("indeg", F.lit(0)).cast("bigint").alias("indeg"),
+        )
+    )

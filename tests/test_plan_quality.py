@@ -227,6 +227,9 @@ class TestShuffleBudget:
             ("length_quantile_filter", 8),
             # two scalar stat aggs over a norms projection + broadcast
             ("embedding_norm_outliers", 2),
+            # ONE corpus scan → checkpointed host-sized edge table;
+            # 3 unrolled iterations of co-keyed join + dst agg
+            ("host_authority_pagerank", 13),
             # span pipeline + per-doc span agg + doc-keyed join-back
             ("dedup_substring_removal", 4),
         ],
