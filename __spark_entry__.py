@@ -66,6 +66,7 @@ _R03_PRIORITY = [
     "collocation_pmi_top", "char_entropy_filter",
     "quality_rule_attribution", "length_quantile_filter",
     "embedding_norm_outliers", "host_authority_pagerank",
+    "dedup_lsh_recall_eval",
 ]
 
 

@@ -1016,3 +1016,108 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("dist") * F.lit(1e6)).cast("bigint")
         .alias("dist_micro"),
     )
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ')
+                              for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS ss
+        FROM toks
+    ),
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.5
+    ),
+    sig AS (
+        SELECT doc_id,
+               [list_min(list_transform(ss, s -> md5(CAST(h AS VARCHAR) || '|' || s)))
+                for h in range(0, 16)] AS sg
+        FROM sh
+    ),
+    banded AS (
+        SELECT doc_id, r.b AS band_id,
+               md5(sg[4*r.b+1] || '|' || sg[4*r.b+2] || '|'
+                   || sg[4*r.b+3] || '|' || sg[4*r.b+4]) AS band_hash
+        FROM sig, range(0, 4) r(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                      AND a.doc_id < b.doc_id
+    ),
+    j AS (
+        SELECT t.doc_a IS NOT NULL AS is_truth,
+               c.doc_a IS NOT NULL AS is_cand,
+               COALESCE(t.doc_a, c.doc_a) AS doc_a,
+               COALESCE(t.doc_b, c.doc_b) AS doc_b
+        FROM truth t FULL OUTER JOIN cand c
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT CAST(count(*) FILTER (WHERE is_truth) AS BIGINT) AS n_truth,
+           CAST(count(*) FILTER (WHERE is_cand) AS BIGINT) AS n_candidates,
+           CAST(count(*) FILTER (WHERE is_truth AND is_cand) AS BIGINT)
+               AS n_found,
+           CAST(count(*) FILTER (WHERE is_truth AND NOT is_cand) AS BIGINT)
+               AS n_missed,
+           CAST(CASE WHEN count(*) FILTER (WHERE is_truth) = 0 THEN 1000000
+                ELSE (1000000 * count(*) FILTER (WHERE is_truth AND is_cand))
+                     // count(*) FILTER (WHERE is_truth) END AS BIGINT)
+               AS recall_micro,
+           CAST(COALESCE(sum(doc_a + doc_b)
+                FILTER (WHERE is_truth AND NOT is_cand), 0) AS BIGINT)
+               AS missed_checksum
+    FROM j
+    """,
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-operator QA as a first-class query: score the
+    MinHash-LSH candidate generator against exact 3-gram-Jaccard
+    ground truth (threshold 0.5) and report recall in integer
+    micro-units plus a checksum over the MISSED pair set — the audit a
+    pipeline owner runs before trusting the linear-time dedup path at
+    full scale, kept oracle-checkable end-to-end (both the truth side
+    and the md5-seeded LSH side replay bit-identically in DuckDB).
+
+    Scale shape: truth pairs come from the df-capped inverted-index
+    join (never O(n²)); candidates from banded LSH; both sides are
+    pair-keyed tables joined full-outer on the pair key and reduced to
+    ONE summary row. In production this runs on a sampled slice (the
+    exact side is the expensive one — that's the point of measuring
+    its approximation)."""
+    docs = load_table(spark, "documents", sf_dir)
+    truth = DD.jaccard_pairs(docs, threshold=0.5, df_cap=10_000).select(
+        "doc_a", "doc_b", F.lit(True).alias("is_truth")
+    )
+    cand = DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4).select(
+        "doc_a", "doc_b", F.lit(True).alias("is_cand")
+    )
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    is_truth = F.col("is_truth").isNotNull()
+    is_cand = F.col("is_cand").isNotNull()
+    return j.agg(
+        F.count(F.when(is_truth, 1)).cast("bigint").alias("n_truth"),
+        F.count(F.when(is_cand, 1)).cast("bigint").alias("n_candidates"),
+        F.count(F.when(is_truth & is_cand, 1)).cast("bigint")
+        .alias("n_found"),
+        F.count(F.when(is_truth & ~is_cand, 1)).cast("bigint")
+        .alias("n_missed"),
+        F.expr(
+            "cast(case when count(case when is_truth is not null then 1 end) = 0"
+            " then 1000000 else (1000000 *"
+            " count(case when is_truth is not null and is_cand is not null"
+            " then 1 end))"
+            " div count(case when is_truth is not null then 1 end) end"
+            " as bigint)"
+        ).alias("recall_micro"),
+        F.coalesce(
+            F.sum(F.when(is_truth & ~is_cand, F.col("doc_a") + F.col("doc_b"))),
+            F.lit(0),
+        ).cast("bigint").alias("missed_checksum"),
+    )
