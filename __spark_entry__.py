@@ -34,9 +34,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (b) 6 names whose only driver row predates their oracle (r1
 #       no_oracle / canonicalizer error — all have value oracles now),
 #   (c) the PQ/IVF ANN pair, which gained replay oracles this round.
-# 35 names < the 50-cap; the remainder of the cap re-confirms the
-# highest-traffic queries. Everything is continuously verified by the
-# in-repo parity suite at sf0.001 + sf0.01 (tools/check_correctness.py).
+# Round 3 grew the registry to 145, so 53 names have no driver row yet
+# and 3 must spill past the 50-cap (the newest additions, listed last:
+# embedding_norm_outliers, host_authority_pagerank,
+# dedup_lsh_recall_eval — each green at 2-3 SFs + vanilla session via
+# tools/check_correctness.py); they lead round 4's order. Everything is
+# continuously verified by the in-repo parity suite regardless.
 _R03_PRIORITY = [
     # (a) never driver-checked
     "dsir_importance_weights", "split_leakage_check",
