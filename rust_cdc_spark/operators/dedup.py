@@ -558,6 +558,15 @@ def connected_components(
     Converges in O(component diameter) iterations; near-dup components
     are shallow (cliques-ish), so typically 2-3 rounds.
 
+    Per-iteration cost is exactly three keyed shuffles (neighbor join,
+    min-agg, label left-join); convergence is detected from a ``moved``
+    flag computed IN the label pass — no second old-vs-new join — and
+    each round's labels are ``localCheckpoint``ed, so lineage stays
+    O(1) deep (no i-deep join chain to recompute or re-optimize) and
+    the convergence probe is a scan of materialized blocks. Superseded
+    label snapshots drop out of scope and are evicted by the context
+    cleaner; the label table itself is two integer columns, ~16 B/doc.
+
     Returns (node, cluster_id) with cluster_id = min doc id reachable.
     """
     edges = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -568,7 +577,7 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("cluster_id", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         nb = (
@@ -586,18 +595,15 @@ def connected_components(
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nb_label"), F.col("cluster_id")),
-                ).alias("cluster_id"),
+                ).alias("new_id"),
+                F.col("cluster_id").alias("old_id"),
             )
-            .persist()
+            .withColumn("moved", F.col("new_id") < F.col("old_id"))
+            .select(F.col("node"), F.col("new_id").alias("cluster_id"), "moved")
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnsRenamed({"cluster_id": "new_id"})
-            .join(labels, "node")
-            .filter(F.col("new_id") != F.col("cluster_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.filter("moved").limit(1).count()
+        labels = new_labels.drop("moved")
         if changed == 0:
             break
     edges.unpersist()
