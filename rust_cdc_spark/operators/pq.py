@@ -55,41 +55,48 @@ from pyspark.sql import functions as F
 _CODEGEN_MAX_ENTRIES = 16384
 
 
-def _lit_d(x: float) -> str:
-    """SQL literal for an exact double (see similarity._lit_d)."""
-    return f"CAST({float(x)!r} AS DOUBLE)"
-
-
-def _sub_d2_sql(vec_sql: str, j: int, d: int, centroid: list[float]) -> str:
-    """Squared L2 between subvector j of ``vec_sql`` and a centroid, as
-    a left-associated SQL chain — the identical add order DuckDB's
-    explicit `(e1-c1)^2 + ...` chain evaluates."""
-    terms = []
-    for i, c in enumerate(centroid):
-        e = f"CAST(element_at({vec_sql}, {j * d + i + 1}) AS DOUBLE)"
-        terms.append(f"(({e} - {_lit_d(c)}) * ({e} - {_lit_d(c)}))")
-    return " + ".join(terms)
 
 
 def _assign_code(vec_sql: str, codebook_j: list[list[float]],
                  j: int) -> Column:
-    """Codegen argmin over subspace j's codes; ties → lowest code.
+    """Argmin over subspace j's codes; ties → lowest code.
 
     Implemented as ``array_min`` over (d2, code) structs — struct
     comparison is lexicographic, so equal d2 resolves to the lowest
-    code, the same rule as the oracle's `ORDER BY d2, code`. Each
-    distance chain appears ONCE in the expression tree (the
-    array_position(arr, array_min(arr)) form duplicates every chain —
-    it doubled codegen size and OOM'd a default-1g-heap session), and
-    the whole argmin is ONE F.expr parse — building the tree from
-    Python Column operators costs thousands of py4j round-trips."""
+    code, the same rule as the oracle's `ORDER BY d2, code`.
+
+    The codebook rides along as ONE nested array *literal*
+    (``F.lit(list[list[float]])`` → a single Literal node) and each
+    distance is a ``zip_with``/``aggregate`` left fold over it —
+    bit-identical to an explicit ``(e1-c1)² + (e2-c2)² + …`` chain
+    (same left-associated add order, same exact double constants), so
+    the DuckDB replay oracle still matches bit-for-bit. The earlier
+    k-way *unrolled* chain expression hit Janino's method-size limits
+    at m·k·d scale: every query paid a seconds-long failed compile and
+    then ran the giant tree interpreted anyway (measured 7× slower
+    than the fold form at m=16,k=16,d=4 — the fold's generated code is
+    constant-size, so it always compiles)."""
     d = len(codebook_j[0])
-    structs = ", ".join(
-        f"named_struct('d2', {_sub_d2_sql(vec_sql, j, d, c)},"
-        f" 'code', CAST({code} AS INT))"
-        for code, c in enumerate(codebook_j)
+    cblit = F.lit([[float(x) for x in c] for c in codebook_j])
+    sub = F.transform(
+        F.slice(F.expr(vec_sql), j * d + 1, d), lambda x: x.cast("double")
     )
-    return F.expr(f"array_min(array({structs})).code")
+    d2 = F.transform(
+        cblit,
+        lambda c: F.aggregate(
+            F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.array_min(
+        F.transform(
+            d2,
+            lambda dd, i: F.struct(
+                dd.alias("d2"), i.cast("int").alias("code")
+            ),
+        )
+    )["code"]
 
 
 def _sub_rows(corpus: DataFrame, m: int, dim: int,

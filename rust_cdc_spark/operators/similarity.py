@@ -284,26 +284,6 @@ def _nearest_centroids_udf(centroids, n_probe: int):
     return nearest
 
 
-def _lit_d(x: float) -> str:
-    """SQL literal for an exact double: ``CAST(<repr> AS DOUBLE)`` —
-    repr round-trips the double, the parser reads it as an exact
-    DECIMAL, and the cast rounds to the nearest double = the original
-    bits. Works for plain and exponent forms alike."""
-    return f"CAST({float(x)!r} AS DOUBLE)"
-
-
-def _dot_sql(vec_sql: str, centroid: list[float]) -> str:
-    """Left-associated dot(vec, literal centroid) chain as ONE SQL
-    string — the identical add order an explicit ``e1*c1 + e2*c2 + …``
-    chain evaluates in any engine, so Spark and a DuckDB replay land on
-    the same double bit-for-bit. Built as text and parsed JVM-side in
-    one call: assembling the same tree from Python Column operators
-    costs thousands of py4j round-trips (measured ~4 s of plan-build
-    per query at k=8, dim=64)."""
-    return " + ".join(
-        f"(CAST(element_at({vec_sql}, {i + 1}) AS DOUBLE) * {_lit_d(c)})"
-        for i, c in enumerate(centroid)
-    )
 
 
 def centroid_norm(centroid: list[float]) -> float:
@@ -314,6 +294,41 @@ def centroid_norm(centroid: list[float]) -> float:
     for x in centroid:
         s = s + float(x) * float(x)
     return math.sqrt(s)
+
+
+def _score_structs(vec_sql: str, centroids: list[list[float]]) -> Column:
+    """Array of (-cosine-score, cid) structs, one per centroid.
+
+    The centroid matrix and its norms ride along as nested array
+    *literals* (single Literal nodes); each dot product is a
+    ``zip_with``/``aggregate`` left fold — bit-identical to an explicit
+    ``e1*c1 + e2*c2 + …`` chain (same left-associated add order, same
+    exact double constants), so DuckDB replay oracles still match
+    bit-for-bit. The earlier unrolled k·dim chain expression exceeded
+    Janino's method limits (IVF k=8·dim=64 and up): every query paid a
+    seconds-long failed compile, then evaluated the giant tree
+    interpreted — the fold's generated code is constant-size and always
+    compiles, and is measurably faster even interpreted. Each score
+    chain appears ONCE (the argmax-by-array_position form doubles every
+    chain — it OOM'd a default-1g-heap session)."""
+    cents = F.lit([[float(x) for x in c] for c in centroids])
+    norms = F.lit([float(centroid_norm(c) or 1.0) for c in centroids])
+    v = F.transform(F.expr(vec_sql), lambda x: x.cast("double"))
+    dots = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.transform(
+        dots,
+        lambda s, i: F.struct(
+            (-(s / F.element_at(norms, i + 1))).alias("ns"),
+            i.cast("int").alias("cid"),
+        ),
+    )
 
 
 def nearest_cell_col(vec_sql: str, centroids: list[list[float]],
@@ -339,15 +354,10 @@ def nearest_cell_col(vec_sql: str, centroids: list[list[float]],
     if scorer == "numpy":
         return _nearest_centroids_udf(centroids, 1)(F.expr(vec_sql))[0]
     # array_min over (-score, cid) structs: score-descending with ties →
-    # lowest cid (negation is an exact sign flip), each score chain
-    # materialized ONCE in the tree (argmax-by-array_position doubles it)
-    structs = ", ".join(
-        f"named_struct('ns', -(({_dot_sql(vec_sql, c)})"
-        f" / {_lit_d(centroid_norm(c) or 1.0)}),"
-        f" 'cid', CAST({cid} AS INT))"
-        for cid, c in enumerate(centroids)
-    )
-    return F.expr(f"array_min(array({structs})).cid")
+    # lowest cid (negation is an exact sign flip). See _score_structs
+    # for why this is a fold over an array literal, not an unrolled
+    # k·dim chain.
+    return F.array_min(_score_structs(vec_sql, centroids))["cid"]
 
 
 def nearest_cells_col(vec_sql: str, centroids: list[list[float]],
@@ -368,15 +378,9 @@ def nearest_cells_col(vec_sql: str, centroids: list[list[float]],
         )
     if scorer == "numpy":
         return _nearest_centroids_udf(centroids, n_probe)(F.expr(vec_sql))
-    structs = ", ".join(
-        f"named_struct('ns', -(({_dot_sql(vec_sql, c)})"
-        f" / {_lit_d(centroid_norm(c) or 1.0)}),"
-        f" 'cid', CAST({cid} AS INT))"
-        for cid, c in enumerate(centroids)
-    )
-    return F.expr(
-        f"transform(slice(sort_array(array({structs})), 1, {n_probe}),"
-        f" s -> s.cid)"
+    return F.transform(
+        F.slice(F.sort_array(_score_structs(vec_sql, centroids)), 1, n_probe),
+        lambda s: s["cid"],
     )
 
 

@@ -165,14 +165,26 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                    for i in range(1, greatest(len(toks) - 2, 1) + 1)
                ]) AS shingle_set
         FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+    ),
+    -- inverted-index candidates (shingle equi-join): |A∩B| = matching-
+    -- shingle count, |A∪B| by inclusion-exclusion (shingle_set is
+    -- distinct) — the same Jaccard doubles as the naive pairwise scan,
+    -- hash-joined instead of O(n²)
+    sh_e AS (SELECT doc_id, unnest(shingle_set) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shingle_set) AS n FROM sh),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM sh_e a JOIN sh_e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.shingle_set, b.shingle_set))), 4)
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter), 4)
                AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) >= 0.5
+    FROM cand c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) >= 0.5
     """,
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1061,11 +1073,22 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                               for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS ss
         FROM toks
     ),
+    -- exact-truth pairs via the shingle equi-join (inclusion-exclusion
+    -- Jaccard — same values as the naive pairwise scan, hash-joined)
+    jc_sh_e AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+    jc_sizes AS (SELECT doc_id, len(ss) AS n FROM sh),
+    jc_cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM jc_sh_e a JOIN jc_sh_e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
     truth AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.5
+        SELECT c.doc_a, c.doc_b
+        FROM jc_cand c
+        JOIN jc_sizes sa ON sa.doc_id = c.doc_a
+        JOIN jc_sizes sb ON sb.doc_id = c.doc_b
+        WHERE CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) >= 0.5
     ),
     sig AS (
         SELECT doc_id,
