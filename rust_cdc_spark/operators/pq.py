@@ -13,22 +13,23 @@ UDF in the scan.
 
 Engine shapes:
 - **Training** (model-scale driver state only): each Lloyd iteration is
-  one map pass assigning every subspace's code with whole-stage-codegen
-  argmin chains over centroid literals, plus a (subspace, code)-keyed
+  one map pass assigning every subspace's code with argmin folds over
+  codebook array literals, plus a (subspace, code)-keyed
   aggregate returning m·k rows. Centroid updates are INTEGER-QUANTIZED
   (per-element micro-units, summed as BIGINT — aggregation-order-free,
   so the trained codebook is bit-identical across partitionings AND
   across engines; the DuckDB oracle replays the whole training as an
   unrolled CTE chain, queries/ann_replay.py). Deterministic init (md5
   order) + stable argmin (first minimum) complete the reproducibility.
-- **Scorer choice**: codegen argmin chains compile m·k·d scalar ops into
-  the generated Java of the scan stage — zero Python, zero Arrow
-  transfer, bit-reproducible. That is the right call up to a few
-  thousand codebook entries (m·k·d here is 1024). For production-size
-  coarse quantizers (k in the thousands) the expression tree would blow
-  up codegen, so ``scorer="numpy"`` keeps the Arrow-batched matmul path
-  (the operators/similarity.py precedent, measured ~100× over
-  interpreted HOFs at 400k×64, SCALE.md).
+- **Scorer choice**: the SQL scorer folds each distance over the
+  codebook as a nested array *literal* (zip_with/aggregate — constant
+  generated-code size, one Literal node, zero Python, zero Arrow
+  transfer, bit-reproducible; see ``_assign_code`` for why this beats
+  the unrolled-chain form it replaced). For production-size coarse
+  quantizers (k in the thousands) the k·d-per-row interpreted fold
+  loses to BLAS, so ``scorer="numpy"`` keeps the Arrow-batched matmul
+  path (the operators/similarity.py precedent, measured ~100× over
+  element-wise HOF scoring at 400k×64, SCALE.md).
 - **Scan**: map-only codegen + TakeOrdered top-k over integer micro-unit
   ADC scores (quantized per lookup-table cell, so the per-row sum is an
   exact integer — cross-engine aggregation order is moot); composes with

@@ -33,9 +33,10 @@ from pyspark.sql import functions as F
 
 from rust_cdc_spark.functions import vectors as V
 
-# codegen↔numpy auto-switch: total centroid entries (k·dim) above which
-# the literal argmax expression tree is too large to compile pleasantly
-# (the operators/pq.py threshold, shared rationale).
+# sql↔numpy auto-switch: total centroid entries (k·dim) above which the
+# per-row fold over the centroid-matrix literal (k·dim interpreted ops)
+# loses to the Arrow-batched BLAS matmul (operators/pq.py shares the
+# threshold and rationale).
 _CODEGEN_MAX_ENTRIES = 16384
 
 
@@ -178,8 +179,8 @@ def kmeans_centroids(
     data is the centroid matrix itself (same footprint as pyspark.ml's
     KMeans model), so this scales to any corpus size.
 
-    ``codegen`` (default at small k·dim): the assignment is a
-    whole-stage-codegen argmax chain and the centroid update is
+    ``codegen`` (default at small k·dim): the assignment is an argmax
+    fold over the centroid-matrix literal and the centroid update is
     INTEGER-QUANTIZED (Σ round(x·1e6) as BIGINT per element —
     aggregation-order-free — then floor-div by the count), so the
     trained centroids are bit-identical across partitionings AND across
@@ -336,11 +337,11 @@ def nearest_cell_col(vec_sql: str, centroids: list[list[float]],
     """Nearest-centroid (coarse cell) id by cosine; ``vec_sql`` is the
     SQL expression (usually a column name) of the vector.
 
-    ``codegen``: per-centroid score = chain-dot / ‖c‖ (the probe norm is
-    constant across candidates, so dividing by it cannot change the
-    argmax — it is omitted); argmax ties → lowest cid (struct-min over
-    (-score, cid)). One F.expr parse, all whole-stage codegen,
-    bit-shared with the DuckDB replay oracle.
+    ``codegen``: per-centroid score = left-fold-dot / ‖c‖ (the probe
+    norm is constant across candidates, so dividing by it cannot change
+    the argmax — it is omitted); argmax ties → lowest cid (struct-min
+    over (-score, cid)). Centroids ride as one array literal
+    (_score_structs); bit-shared with the DuckDB replay oracle.
 
     ``numpy``: the Arrow-batched matmul ranking (the large-k·dim escape
     hatch — see ``_nearest_centroids_udf``); NOT bit-guaranteed against
@@ -368,8 +369,9 @@ def nearest_cells_col(vec_sql: str, centroids: list[list[float]],
     ``codegen``: sort an array of (-score, cid) structs ascending —
     struct comparison gives score-descending with ties → lowest cid
     (negation is an exact sign flip, so the order equals a DESC sort on
-    the raw score bit-for-bit) — then slice and project the cids. One
-    F.expr parse, bit-shared with the DuckDB replay's window ranking."""
+    the raw score bit-for-bit) — then slice and project the cids.
+    Centroids ride as one array literal (_score_structs); bit-shared
+    with the DuckDB replay's window ranking."""
     if scorer == "auto":
         scorer = (
             "codegen"

@@ -270,3 +270,54 @@ class TestExecutionShape:
             assert X.codegen_stage_count(q(spark, "q1_pricing_summary")) >= 1
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+class TestScorersCompile:
+    """The ANN scorers must actually reach compiled code: with
+    ``spark.sql.codegen.fallback=false`` + ``factoryMode=CODEGEN_ONLY``
+    a Janino failure raises instead of silently running the expression
+    tree interpreted (the r3 regression this guards: the unrolled k·dim
+    chain form exceeded Janino's method limits at IVF/PQ size, so every
+    query paid a seconds-long failed compile and then ran interpreted —
+    see SCALE.md 'Literal expression trees vs array-literal folds')."""
+
+    @pytest.fixture()
+    def strict_codegen(self, spark):
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        spark.conf.set(
+            "spark.sql.codegen.factoryMode", "CODEGEN_ONLY"
+        )
+        try:
+            yield spark
+        finally:
+            spark.conf.set("spark.sql.codegen.fallback", "true")
+            spark.conf.set(
+                "spark.sql.codegen.factoryMode", "FALLBACK"
+            )
+
+    def test_pq_assign_compiles(self, strict_codegen):
+        from rust_cdc_spark.operators import pq as PQ
+        from rust_cdc_spark.sources.tables import load_table
+
+        emb = load_table(strict_codegen, "embeddings", SF_SMOKE).limit(32)
+        cb = [
+            [[float(j * 16 + c + i) for i in range(4)] for c in range(16)]
+            for j in range(16)
+        ]
+        out = PQ.encode_pq(emb, cb, scorer="codegen").collect()
+        assert len(out) == 32 and all(len(r["codes"]) == 16 for r in out)
+
+    def test_centroid_scorer_compiles(self, strict_codegen):
+        from rust_cdc_spark.operators import similarity as SIM
+        from rust_cdc_spark.sources.tables import load_table
+
+        emb = load_table(strict_codegen, "embeddings", SF_SMOKE).limit(32)
+        cents = [[float(c + i) for i in range(64)] for c in range(8)]
+        out = emb.select(
+            SIM.nearest_cell_col("embedding", cents, scorer="codegen")
+            .alias("cid"),
+            SIM.nearest_cells_col("embedding", cents, 2, scorer="codegen")
+            .alias("cids"),
+        ).collect()
+        assert len(out) == 32
+        assert all(0 <= r["cid"] < 8 and len(r["cids"]) == 2 for r in out)
