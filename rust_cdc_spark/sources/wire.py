@@ -36,6 +36,7 @@ CLIENT_PROTOCOL_41 = 0x0200
 CLIENT_SECURE_CONNECTION = 0x8000
 CLIENT_PLUGIN_AUTH = 0x0008_0000
 CLIENT_CONNECT_WITH_DB = 0x0008
+CLIENT_SSL = 0x0800
 CLIENT_DEPRECATE_EOF = 0x0100_0000
 
 COM_BINLOG_DUMP = 0x12
@@ -333,15 +334,9 @@ def authenticate(
         raise WireError(0, f"unexpected auth packet header {head:#x}")
 
 
-def build_handshake_response(
-    user: str,
-    password: str,
-    handshake: Handshake,
-    database: str | None = None,
-) -> bytes:
-    """Handshake Response 41 (conn.rs:499-604 writes the same fields)."""
-    plugin = handshake.auth_plugin or "mysql_native_password"
-    auth = _SCRAMBLERS[plugin](password, handshake.nonce)
+def _capability_flags(
+    handshake: Handshake, database: str | None, ssl: bool
+) -> int:
     caps = (
         CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41
         | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
@@ -352,6 +347,36 @@ def build_handshake_response(
     caps |= handshake.capabilities & CLIENT_DEPRECATE_EOF
     if database:
         caps |= CLIENT_CONNECT_WITH_DB
+    if ssl:
+        caps |= CLIENT_SSL
+    return caps
+
+
+def build_ssl_request(
+    handshake: Handshake, database: str | None = None
+) -> bytes:
+    """SSLRequest: the 32-byte fixed prefix of HandshakeResponse41 with
+    CLIENT_SSL set (protocol/connect/ssl_request.rs encodes the same
+    caps/max-packet/collation/23-reserved layout). Sent in the clear at
+    seq 1; the full HandshakeResponse then repeats these flags over the
+    upgraded TLS stream at seq 2."""
+    caps = _capability_flags(handshake, database, ssl=True)
+    return struct.pack("<IIB23x", caps, 1 << 24, 45)
+
+
+def build_handshake_response(
+    user: str,
+    password: str,
+    handshake: Handshake,
+    database: str | None = None,
+    ssl: bool = False,
+) -> bytes:
+    """Handshake Response 41 (conn.rs:499-604 writes the same fields).
+    ``ssl=True`` keeps CLIENT_SSL in the flags so they byte-match the
+    SSLRequest that preceded the TLS upgrade."""
+    plugin = handshake.auth_plugin or "mysql_native_password"
+    auth = _SCRAMBLERS[plugin](password, handshake.nonce)
+    caps = _capability_flags(handshake, database, ssl=ssl)
     out = struct.pack("<IIB23x", caps, 1 << 24, 45)  # caps, max pkt, utf8mb4
     out += user.encode() + b"\x00"
     out += bytes([len(auth)]) + auth
@@ -359,6 +384,63 @@ def build_handshake_response(
         out += database.encode() + b"\x00"
     out += plugin.encode() + b"\x00"
     return out
+
+
+def tls_upgrade(sock, context=None, server_hostname: str | None = None):
+    """Wrap an already-connected socket in TLS, at the point right after
+    the SSLRequest packet went out (the reference upgrades its stream the
+    same way: connection/stream.rs, Capabilities::SSL at :61). The
+    default context skips certificate verification — the posture of the
+    reference's MySqlSslMode::Preferred with no ssl_ca (conn.rs:64-65);
+    pass a verifying context (``ssl.create_default_context(cafile=…)``)
+    for VerifyCa/VerifyIdentity semantics."""
+    import ssl
+
+    if context is None:
+        context = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        context.check_hostname = False
+        context.verify_mode = ssl.CERT_NONE
+    return context.wrap_socket(
+        sock, server_hostname=server_hostname or "mysql"
+    )
+
+
+def establish(
+    sock,
+    user: str,
+    password: str,
+    database: str | None = None,
+    ssl_mode: str = "preferred",
+    ssl_context=None,
+):
+    """Connection phase over a real socket: read the greeting; if
+    ``ssl_mode`` allows and the server offers CLIENT_SSL, send SSLRequest
+    and upgrade to TLS; send HandshakeResponse41 (over TLS when
+    upgraded); drive auth to OK. Returns ``(stream, send, handshake)``
+    speaking over the (possibly TLS-wrapped) socket — ready for
+    ``session_setup`` / ``replicate``-style conversations.
+
+    ``ssl_mode``: ``"disabled"`` never upgrades, ``"preferred"`` upgrades
+    when the server offers (the reference's default, conn.rs:64),
+    ``"required"`` raises if the server lacks CLIENT_SSL."""
+    stream = sock.makefile("rb")
+    seq, payload = read_packet(stream)
+    hs = parse_handshake(payload)
+    offers = bool(hs.capabilities & CLIENT_SSL)
+    if ssl_mode == "required" and not offers:
+        raise WireError(0, "server does not support TLS")
+    use_ssl = ssl_mode != "disabled" and offers
+    if use_ssl:
+        sock.sendall(write_packet(seq + 1, build_ssl_request(hs, database)))
+        sock = tls_upgrade(sock, context=ssl_context)
+        stream = sock.makefile("rb")
+        seq += 1
+    sock.sendall(write_packet(
+        seq + 1,
+        build_handshake_response(user, password, hs, database, ssl=use_ssl),
+    ))
+    authenticate(stream, sock.sendall, password, hs, seq + 1)
+    return stream, sock.sendall, hs
 
 
 def build_com_binlog_dump(server_id: int, log_file: str, log_pos: int) -> bytes:

@@ -51,11 +51,12 @@ class TestPacketFraming:
 
 
 def _greeting(
-    nonce: bytes, plugin: str = "mysql_native_password", cap_extra: int = 0
+    nonce: bytes, plugin: str = "mysql_native_password", cap_extra: int = 0,
+    cap_mask: int = ~0,
 ) -> bytes:
     """Hand-built Initial Handshake v10 (independent of parse_handshake)."""
     assert len(nonce) == 20
-    cap = 0xFFFF | (W.CLIENT_PLUGIN_AUTH) | cap_extra
+    cap = (0xFFFF | (W.CLIENT_PLUGIN_AUTH) | cap_extra) & cap_mask
     out = bytes([10]) + b"8.0.33\x00"
     out += (7).to_bytes(4, "little")        # connection id
     out += nonce[:8] + b"\x00"              # auth-data-1 + filler
@@ -600,3 +601,125 @@ class TestFullAuthReplication:
         ) == b"s3cret!\x00"
         _, dump = W.read_packet(io.BytesIO(sent[3]))
         assert dump[0] == W.COM_BINLOG_DUMP
+
+
+# ── TLS connection phase ─────────────────────────────────────────────
+# The reference upgrades its stream to TLS between the greeting and the
+# HandshakeResponse: a 32-byte SSLRequest goes out in the clear
+# (protocol/connect/ssl_request.rs), then the TLS handshake runs, then
+# the full HandshakeResponse repeats the same capability flags over the
+# encrypted stream (connection/stream.rs declares Capabilities::SSL).
+# A real loopback TLS server (self-signed cert minted by the openssl
+# CLI) exercises establish() end-to-end: greeting → SSLRequest → TLS →
+# auth → COM_PING, all asserted from the server's viewpoint.
+
+
+class TestTlsEstablish:
+    def test_ssl_request_layout_matches_response_prefix(self):
+        hs = W.parse_handshake(_greeting(bytes(range(20))))
+        req = W.build_ssl_request(hs)
+        assert len(req) == 32  # caps(4) + max packet(4) + collation(1) + 23x0
+        caps = int.from_bytes(req[:4], "little")
+        assert caps & W.CLIENT_SSL
+        assert int.from_bytes(req[4:8], "little") == 1 << 24
+        assert req[8] == 45 and req[9:] == bytes(23)
+        resp = W.build_handshake_response("u", "p", hs, ssl=True)
+        assert resp[:32] == req  # byte-identical fixed prefix
+
+    def test_required_without_server_ssl_raises(self):
+        import socket as socketlib
+
+        a, b = socketlib.socketpair()
+        a.settimeout(10)
+        try:
+            # greeting with CLIENT_SSL stripped from the advertised caps
+            no_ssl = _greeting(bytes(range(20)), cap_mask=~W.CLIENT_SSL)
+            b.sendall(W.write_packet(0, no_ssl))
+            with pytest.raises(W.WireError, match="TLS"):
+                W.establish(a, "u", "p", ssl_mode="required")
+        finally:
+            a.close()
+            b.close()
+
+    @pytest.fixture(scope="class")
+    def certpair(self, tmp_path_factory):
+        import subprocess
+
+        d = tmp_path_factory.mktemp("tls")
+        key, cert = d / "key.pem", d / "cert.pem"
+        r = subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048",
+             "-keyout", str(key), "-out", str(cert), "-days", "1",
+             "-nodes", "-subj", "/CN=mysql"],
+            capture_output=True,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"openssl unavailable: {r.stderr[:200]!r}")
+        return str(cert), str(key)
+
+    def test_full_conversation_over_tls(self, certpair):
+        import socket as socketlib
+        import ssl as ssllib
+        import threading
+
+        cert, key = certpair
+        nonce = bytes(range(1, 21))
+        password = "s3cret!"
+        seen: dict = {}
+
+        srv_ctx = ssllib.SSLContext(ssllib.PROTOCOL_TLS_SERVER)
+        srv_ctx.load_cert_chain(cert, key)
+        lsock = socketlib.socket()
+        lsock.bind(("127.0.0.1", 0))
+        lsock.listen(1)
+        port = lsock.getsockname()[1]
+
+        def server():
+            conn, _ = lsock.accept()
+            try:
+                conn.sendall(W.write_packet(0, _greeting(nonce)))
+                # unbuffered: must not read past the 36-byte SSLRequest
+                # into the TLS ClientHello that follows it
+                raw = conn.makefile("rb", buffering=0)
+                seen["sslreq"] = W.read_packet(raw)
+                tconn = srv_ctx.wrap_socket(conn, server_side=True)
+                tf = tconn.makefile("rb")
+                seen["resp"] = W.read_packet(tf)
+                tconn.sendall(W.write_packet(3, b"\x00\x00\x00\x02\x00"))
+                seen["ping"] = W.read_packet(tf)
+                tconn.sendall(W.write_packet(1, b"\x00\x00\x00\x02\x00"))
+                tconn.close()
+            except Exception as exc:  # surfaced via seen for the assert
+                seen["server_error"] = exc
+            finally:
+                lsock.close()
+
+        t = threading.Thread(target=server, daemon=True)
+        t.start()
+        csock = socketlib.create_connection(("127.0.0.1", port), timeout=10)
+        try:
+            stream, send, hs = W.establish(
+                csock, "repl", password, ssl_mode="required"
+            )
+            assert W.ping(stream, send)
+        finally:
+            csock.close()
+        t.join(10)
+        assert "server_error" not in seen, seen.get("server_error")
+
+        sseq, sslreq = seen["sslreq"]
+        assert sseq == 1 and len(sslreq) == 32
+        caps = int.from_bytes(sslreq[:4], "little")
+        assert caps & W.CLIENT_SSL
+
+        rseq, resp = seen["resp"]
+        assert rseq == 2
+        assert resp[:32] == sslreq  # response repeats the SSLRequest flags
+        # server-side scramble check: the auth bytes that crossed the
+        # encrypted stream verify against the greeting nonce
+        end = resp.index(0, 32)
+        assert resp[32:end] == b"repl"
+        alen = resp[end + 1]
+        auth = resp[end + 2:end + 2 + alen]
+        assert auth == W.scramble_native_password(password, nonce)
+        assert seen["ping"][1][0] == W.COM_PING
