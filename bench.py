@@ -45,6 +45,7 @@ HEADLINE = [
     "similarity_ivf_topk",
     "dedup_ngram_jaccard_pairs",
     "events_tumbling_window",
+    "events_sliding_window",
     "events_sessionize",
     "asof_join_purchase_last_click",
     "range_join_click_attribution",

@@ -42,6 +42,52 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                    - i * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events CROSS JOIN generate_series(0, 3) AS t(i)
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) 1-hour window advancing every 15 minutes — the
+    other half of the streaming window surface next to
+    ``events_tumbling_window`` (identical expression under readStream +
+    withWatermark). Each event lands in exactly width/slide = 4 windows;
+    Spark's ``window(ts, width, slide)`` explodes them engine-side, and
+    the oracle replays the same assignment arithmetically: the 4 window
+    starts of event t are time_bucket(slide, t) - i·slide, i ∈ 0..3
+    (every one satisfies t - width < start ≤ t when width = 4·slide).
+
+    Scale shape: the explode is map-side (×4 rows before the partial
+    agg, the unavoidable hopping-window cost); one hash aggregate on
+    (window, event_type) — same single shuffle as the tumbling query."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
     "events_sessionize",
     oracle="""
     WITH g AS (

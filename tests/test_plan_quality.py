@@ -103,6 +103,7 @@ class TestShuffleBudget:
             ("similarity_topk_cosine", 0),  # broadcast probes, rank window map-side
             ("text_stats", 0),             # pure map
             ("events_tumbling_window", 1),
+            ("events_sliding_window", 1),  # map-side ×4 explode; one agg
             ("agg_percentiles_by_status", 1),
             ("q4_order_priority_check", 1),
             ("q6_forecast_revenue", 1),

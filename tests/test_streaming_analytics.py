@@ -64,6 +64,28 @@ def test_windowed_agg_stream_matches_batch(spark, events_stream_dir):
     assert got == want and len(got) > 0
 
 
+def test_sliding_window_stream_matches_batch(spark, events_stream_dir):
+    """Hopping window (1 h width / 15 min slide) under readStream +
+    watermark — the streaming twin of events_sliding_window. Every event
+    lands in 4 windows in both engines."""
+    schema = spark.read.parquet(events_stream_dir).schema
+    win = F.window("ts", "1 hour", "15 minutes")
+    agg = lambda df: df.groupBy(win, F.col("event_type")).agg(  # noqa: E731
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v")
+    )
+    stream = agg(
+        spark.readStream.schema(schema)
+        .parquet(events_stream_dir)
+        .withWatermark("ts", "1 hour")
+    )
+    key = lambda r: (str(r["window"]["start"]), r["event_type"])  # noqa: E731
+    got = {key(r): (r["n"], r["v"])
+           for r in _run_stream(spark, stream, "slide_out").collect()}
+    want = {key(r): (r["n"], r["v"])
+            for r in agg(spark.read.parquet(events_stream_dir)).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_session_window_stream(spark, events_stream_dir):
     """session_window(ts, 30 min) — the streaming sessionizer whose batch
     twin is events_sessionize. Assert per-user session counts match the
