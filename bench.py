@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_ngram_jaccard_pairs",
     "events_tumbling_window",
     "events_sliding_window",
+    "events_rolling_1h_features",
     "events_sessionize",
     "asof_join_purchase_last_click",
     "range_join_click_attribution",

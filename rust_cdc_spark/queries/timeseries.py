@@ -389,3 +389,44 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "events_rolling_1h_features",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_events_1h,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS value_cents_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_1h_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frame: per-user rolling count and value
+    over the trailing hour at every event — the rolling-feature shape
+    feature stores compute (ROWS frames are window_frame_functions;
+    this is the time-range-frame sibling). The frame bound is numeric
+    epoch-microseconds in BOTH engines ([t - 1h + 1µs, t]), so frame
+    membership is integer-exact — no interval/timestamp coercion in
+    the comparison. Per-event value in integer cents for cross-engine
+    exact sums.
+
+    Scale shape: one exchange on user_id; the range frame is a
+    per-partition sliding scan (no self-join, no explode) — state at
+    any moment is one user's in-hour events."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-(3_600_000_000 - 1), Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_events_1h"),
+        F.sum(cents).over(w).cast("bigint").alias("value_cents_1h"),
+    )

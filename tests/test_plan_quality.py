@@ -104,6 +104,7 @@ class TestShuffleBudget:
             ("text_stats", 0),             # pure map
             ("events_tumbling_window", 1),
             ("events_sliding_window", 1),  # map-side ×4 explode; one agg
+            ("events_rolling_1h_features", 1),  # range frame on user key
             ("agg_percentiles_by_status", 1),
             ("q4_order_priority_check", 1),
             ("q6_forecast_revenue", 1),
