@@ -1514,24 +1514,38 @@ def length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"cast(size({_WORDS_SPARK}) as bigint)").alias("n_tokens"),
     )
-    hist = t.groupBy(F.col("n_tokens").alias("v")).agg(
-        F.count("*").alias("c")
+    # localCheckpoint pins the BOUNDED histogram (≤ distinct lengths
+    # rows) so the three downstream consumers (total, bounds, verdict
+    # join) don't each re-scan the corpus to rebuild it — without it
+    # this query's plan read the documents table five times.
+    hist = (
+        t.groupBy(F.col("n_tokens").alias("v"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
     )
     cum = hist.select(
         "v", "c",
         F.sum("c").over(Window.orderBy("v")).alias("cum_le"),
     )
     # total doc count from the histogram's own running-sum max — no
-    # third corpus scan just to count rows
+    # second corpus scan just to count rows
     tot = cum.agg(F.max("cum_le").alias("n"))
-    ranked = cum.crossJoin(F.broadcast(tot))
-    lo = ranked.filter(
-        F.col("cum_le") >= (F.col("n") * _TRIM_PCT) / 100 + 1
-    ).agg(F.min("v").alias("lo"))
-    hi = ranked.filter(
-        F.col("cum_le") >= F.col("n") - (F.col("n") * _TRIM_PCT) / 100
-    ).agg(F.min("v").alias("hi"))
-    bounds = lo.crossJoin(hi)
+    # both cutoffs in ONE pass over the (tiny) cumulated histogram
+    bounds = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(
+                F.col("cum_le") >= (F.col("n") * _TRIM_PCT) / 100 + 1,
+                F.col("v"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("cum_le")
+                >= F.col("n") - (F.col("n") * _TRIM_PCT) / 100,
+                F.col("v"),
+            )
+        ).alias("hi"),
+    )
     return t.crossJoin(F.broadcast(bounds)).select(
         "doc_id",
         "n_tokens",

@@ -105,6 +105,9 @@ class TestShuffleBudget:
             ("events_tumbling_window", 1),
             ("events_sliding_window", 1),  # map-side ×4 explode; one agg
             ("events_rolling_1h_features", 1),  # range frame on user key
+            # checkpointed histogram: verdict plan re-reads the corpus
+            # once, not once per bounds branch (was 5 scans/8 exchanges)
+            ("length_quantile_filter", 4),
             ("agg_percentiles_by_status", 1),
             ("q4_order_priority_check", 1),
             ("q6_forecast_revenue", 1),
