@@ -83,3 +83,16 @@ def uses_top_k(df: DataFrame) -> bool:
     """Global ORDER BY + LIMIT should plan as TakeOrderedAndProject
     (per-partition heaps), not a full sort."""
     return "TakeOrderedAndProject" in plan_text(df)
+
+
+def executed_reuse_count(df: DataFrame) -> int:
+    """ReusedExchange nodes in the EXECUTED adaptive plan. AQE inserts
+    exchange reuse during execution, so this runs the query (collect on
+    a small SF) and reads the final plan — the initial plan string
+    always shows zero. Guards the shared-subtree designs (a dedup
+    self-join whose signature computation must run once, not per
+    side)."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, "plan was not executed adaptively"
+    return plan.count("ReusedExchange")

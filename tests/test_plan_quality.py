@@ -326,3 +326,23 @@ class TestScorersCompile:
         ).collect()
         assert len(out) == 32
         assert all(0 <= r["cid"] < 8 and len(r["cids"]) == 2 for r in out)
+
+
+class TestExecutedExchangeReuse:
+    """The dedup pair generators are self-joins over an expensive
+    derived table (md5-minhash signatures; the hashed shingle inverted
+    index). Their scale contract is that the derived subtree is
+    computed ONCE and shared across the join sides via AQE exchange
+    reuse — visible only in the EXECUTED final plan (the initial plan
+    always prints zero ReusedExchange; measuring that is a trap this
+    test also documents)."""
+
+    @pytest.mark.parametrize(
+        "name",
+        ["dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs"],
+    )
+    def test_pair_selfjoin_reuses_exchange(self, spark, name):
+        from rust_cdc_spark.queries import load_all
+
+        df = load_all()[name].spark_fn(spark, SF_SMOKE)
+        assert X.executed_reuse_count(df) >= 1
