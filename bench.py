@@ -47,6 +47,7 @@ HEADLINE = [
     "events_tumbling_window",
     "events_sliding_window",
     "events_rolling_1h_features",
+    "events_session_stats",
     "events_sessionize",
     "asof_join_purchase_last_click",
     "range_join_click_attribution",

@@ -430,3 +430,61 @@ def events_rolling_1h_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_events_1h"),
         F.sum(cents).over(w).cast("bigint").alias("value_cents_1h"),
     )
+
+
+@register(
+    "events_session_stats",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL '30 minutes',
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native dynamic-gap session windows (``F.session_window``) in
+    batch — per (user, session) start/end/size, where a session extends
+    while consecutive events are < 30 minutes apart. The streaming twin
+    is the same expression under readStream (see
+    test_streaming_analytics.py's session test); ``events_sessionize``
+    counts sessions with the lag/island formulation — this query emits
+    the sessions themselves via the engine-native operator. The oracle
+    replays Spark's merge rule exactly: a gap of ≥ 30 min opens a new
+    island (Spark merges [t, t+gap) intervals only when the next event
+    is STRICTLY inside), and session_end = last event + gap.
+
+    Scale shape: one exchange on user_id; session merging is a
+    per-partition ordered scan (no self-join), state = one user's open
+    session."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_end"),
+            "n_events",
+        )
+    )
