@@ -438,7 +438,7 @@ def events_rolling_1h_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT user_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
-                      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                      OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -465,9 +465,11 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_streaming_analytics.py's session test); ``events_sessionize``
     counts sessions with the lag/island formulation — this query emits
     the sessions themselves via the engine-native operator. The oracle
-    replays Spark's merge rule exactly: a gap of ≥ 30 min opens a new
-    island (Spark merges [t, t+gap) intervals only when the next event
-    is STRICTLY inside), and session_end = last event + gap.
+    replays Spark's merge rule exactly: an event merges into the open
+    session when it is ≤ the session end (INCLUSIVE — an event at
+    exactly last + 30 min still merges; pinned by the boundary test in
+    test_streaming_analytics.py), so a new island opens only on a gap
+    STRICTLY greater than 30 min, and session_end = last event + gap.
 
     Scale shape: one exchange on user_id; session merging is a
     per-partition ordered scan (no self-join), state = one user's open

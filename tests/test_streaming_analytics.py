@@ -396,3 +396,42 @@ def test_streaming_funnel_matches_batch_conversions(
     assert sorted(r.user_id for r in all_rows) == sorted(by_user)
     abandoned = {r.user_id for r in all_rows if not r.converted}
     assert abandoned == set(by_user) - want_converted
+
+
+def test_session_window_boundary_gap_semantics(spark):
+    """Spark merges an event into the open session INCLUSIVELY: an
+    event at exactly last + 30:00 still merges; only a strictly larger
+    gap opens a new session. The events_session_stats oracle must
+    therefore use `ts - lag(ts) > INTERVAL '30 minutes'` (the `>=` form
+    looked right and passed at three SFs — random event data never
+    lands on the boundary — so pin it with microsecond-adjacent
+    gaps)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    gap = dt.timedelta(minutes=30)
+    rows = [
+        (1, t0),
+        (1, t0 + gap - us),        # 29:59.999999 later → same session
+        (1, t0 + 2 * gap - us),    # gap exactly 30:00 → still merges
+        (2, t0),
+        (2, t0 + gap),             # exactly 30:00 → merges (inclusive)
+        (2, t0 + 2 * gap + us),    # 30:00.000001 → NEW session
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {
+        (r["user_id"], str(r["start"]), r["n"])
+        for r in df.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("start"), "n")
+        .collect()
+    }
+    want = {
+        (1, "2024-01-01 00:00:00", 3),
+        (2, "2024-01-01 00:00:00", 2),
+        (2, "2024-01-01 01:00:00.000001", 1),
+    }
+    assert got == want
