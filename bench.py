@@ -118,6 +118,7 @@ HEADLINE = [
     "length_quantile_filter",
     "embedding_norm_outliers",
     "host_authority_pagerank",
+    "corpus_drift_kl",
 ]
 
 

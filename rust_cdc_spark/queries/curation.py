@@ -1684,3 +1684,89 @@ def host_authority_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("indeg", F.lit(0)).cast("bigint").alias("indeg"),
         )
     )
+
+
+_DRIFT_REF = [f"src{i}" for i in range(10)]  # reference corpus sources
+_DRIFT_TOPK = 50
+
+
+@register(
+    "corpus_drift_kl",
+    oracle=f"""
+    WITH tok AS (
+        SELECT CASE WHEN source IN ({", ".join(f"'{s}'" for s in _DRIFT_REF)})
+                    THEN 1 ELSE 0 END AS is_ref,
+               lower(unnest({_WORDS_SQL})) AS token
+        FROM documents
+    ),
+    c AS (
+        SELECT token,
+               CAST(sum(is_ref) AS BIGINT) AS n_ref,
+               CAST(sum(1 - is_ref) AS BIGINT) AS n_cand
+        FROM tok GROUP BY token
+    ),
+    tot AS (
+        SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+               CAST(sum(n_cand) AS BIGINT) AS t_cand,
+               CAST(count(*) AS BIGINT) AS v
+        FROM c
+    )
+    SELECT token, n_ref, n_cand,
+           CAST(round(1e6 * ((n_ref + 1.0) / (t_ref + v))
+                * ln(((n_ref + 1.0) / (t_ref + v))
+                     / ((n_cand + 1.0) / (t_cand + v)))) AS BIGINT)
+               AS kl_contrib_micro
+    FROM c CROSS JOIN tot
+    ORDER BY kl_contrib_micro DESC, token
+    LIMIT {_DRIFT_TOPK}
+    """,
+)
+def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: per-token contributions to
+    KL(reference ‖ candidate) over add-one-smoothed unigram
+    distributions — the dataset-ops check for "did the new crawl's
+    token distribution shift against the curated reference?". The
+    reference corpus is sources src0-src9, the candidate is the rest;
+    output is the top {k} tokens over-represented in the reference
+    (largest positive p·ln(p/q), ties broken by token), with raw
+    counts so the drift is auditable.
+
+    Scale shape: one token explode feeding one hash aggregate keyed by
+    token (both sides counted in the same pass via conditional sums —
+    no per-side scans, no join of two count tables); totals and vocab
+    size are a second 1-row agg over the (bounded, Zipf) token table,
+    broadcast back; the top-k is a TakeOrdered, never a full sort.
+    Micro-unit rounding keeps the ranking deterministic; both engines
+    evaluate the identical double expression.""".replace(
+        "{k}", str(_DRIFT_TOPK)
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    is_ref = F.col("source").isin(_DRIFT_REF).cast("int")
+    tok = docs.select(
+        is_ref.alias("is_ref"),
+        F.explode(F.expr(f"transform({_WORDS_SPARK}, w -> lower(w))"))
+        .alias("token"),
+    )
+    c = tok.groupBy("token").agg(
+        F.sum("is_ref").cast("bigint").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("n_cand"),
+    )
+    tot = c.agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cand").cast("bigint").alias("t_cand"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    p = (F.col("n_ref") + 1.0) / (F.col("t_ref") + F.col("v"))
+    q = (F.col("n_cand") + 1.0) / (F.col("t_cand") + F.col("v"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "n_ref",
+            "n_cand",
+            F.round(F.lit(1e6) * p * F.log(p / q)).cast("bigint")
+            .alias("kl_contrib_micro"),
+        )
+        .orderBy(F.desc("kl_contrib_micro"), F.asc("token"))
+        .limit(_DRIFT_TOPK)
+    )

@@ -106,6 +106,8 @@ class TestShuffleBudget:
             ("events_sliding_window", 1),  # map-side ×4 explode; one agg
             ("events_rolling_1h_features", 1),  # range frame on user key
             ("events_session_stats", 1),   # native session windows
+            # token agg + 1-row totals agg + TakeOrdered top-k
+            ("corpus_drift_kl", 3),
             # checkpointed histogram: verdict plan re-reads the corpus
             # once, not once per bounds branch (was 5 scans/8 exchanges)
             ("length_quantile_filter", 4),
