@@ -119,6 +119,7 @@ HEADLINE = [
     "embedding_norm_outliers",
     "host_authority_pagerank",
     "corpus_drift_kl",
+    "events_user_profile_similarity",
 ]
 
 

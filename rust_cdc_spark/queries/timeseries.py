@@ -490,3 +490,125 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_PROF_PROBES = 5   # probe users (user_id 1..5)
+_PROF_TOPK = 3
+
+
+@register(
+    "events_user_profile_similarity",
+    oracle=f"""
+    WITH prof AS (
+        SELECT user_id,
+               dayofweek(ts) * 24 + hour(ts) AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT user_id, CAST(sum(c * c) AS BIGINT) AS n2
+        FROM prof GROUP BY 1
+    ),
+    dots AS (
+        SELECT p.user_id AS probe_user, q.user_id AS match_user,
+               CAST(sum(p.c * q.c) AS BIGINT) AS dot
+        FROM prof p JOIN prof q ON p.h = q.h
+        WHERE p.user_id <= {_PROF_PROBES} AND q.user_id <> p.user_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.probe_user, d.match_user,
+               CAST(round(1e6 * d.dot / sqrt(np.n2 * nq.n2)) AS BIGINT)
+                   AS cos_micro
+        FROM dots d
+        JOIN norms np ON np.user_id = d.probe_user
+        JOIN norms nq ON nq.user_id = d.match_user
+    )
+    SELECT probe_user, match_user, cos_micro
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_user
+                   ORDER BY cos_micro DESC, match_user) AS rn
+        FROM scored
+    ) WHERE rn <= {_PROF_TOPK}
+    """,
+)
+def events_user_profile_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-series similarity search over behavioral profiles (the
+    distributed-similarity-search shape of PAPERS.md's EDBT'19 entry,
+    composed from this engine's existing patterns): each user's event
+    stream becomes a 168-bin hour-of-week activity profile (one hash
+    aggregate), and the 5 probe users' profiles rank every other
+    user by cosine — top 3 matches per probe, micro-unit scores
+    (integer dot products and sum-of-squares; sqrt/divide are
+    identically-rounded IEEE doubles in both engines, ties break on
+    match_user).
+
+    Scale shape: profile agg = one exchange; the probe×candidate dot
+    product joins on the 168-value hour key with the PROBE side
+    broadcast (a shuffle keyed by h would put the whole corpus on 168
+    partitions — the skew trap); per-pair agg + tiny norm joins +
+    per-probe top-k window over ≤ n_users rows."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    how = ((F.dayofweek("ts") - 1) * 24 + F.hour("ts")).alias("h")
+    # localCheckpoint pins the BOUNDED profile table (≤168 rows per
+    # user): its three consumers (dot-product scan, probe slice, norm
+    # agg) would otherwise each re-aggregate the raw event stream —
+    # filter pushdown specializes their subtrees, so AQE exchange reuse
+    # cannot merge them (verified executed_reuse_count == 0 without
+    # this).
+    prof = (
+        ev.groupBy("user_id", how)
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    norms = prof.groupBy("user_id").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2")
+    )
+    probes = prof.filter(F.col("user_id") <= _PROF_PROBES).select(
+        F.col("user_id").alias("probe_user"),
+        F.col("h"),
+        F.col("c").alias("pc"),
+    )
+    dots = (
+        prof.join(F.broadcast(probes), on="h")
+        .filter(F.col("user_id") != F.col("probe_user"))
+        .groupBy("probe_user", F.col("user_id").alias("match_user"))
+        .agg(F.sum(F.col("pc") * F.col("c")).cast("bigint").alias("dot"))
+    )
+    scored = (
+        dots.join(
+            F.broadcast(
+                norms.filter(F.col("user_id") <= _PROF_PROBES).select(
+                    F.col("user_id").alias("probe_user"),
+                    F.col("n2").alias("np2"),
+                )
+            ),
+            "probe_user",
+        )
+        .join(
+            norms.select(
+                F.col("user_id").alias("match_user"),
+                F.col("n2").alias("nq2"),
+            ),
+            "match_user",
+        )
+        .select(
+            "probe_user",
+            "match_user",
+            F.round(
+                F.lit(1e6) * F.col("dot")
+                / F.sqrt(F.col("np2") * F.col("nq2"))
+            ).cast("bigint").alias("cos_micro"),
+        )
+    )
+    w = Window.partitionBy("probe_user").orderBy(
+        F.desc("cos_micro"), F.asc("match_user")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PROF_TOPK)
+        .select("probe_user", "match_user", "cos_micro")
+    )

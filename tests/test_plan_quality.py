@@ -108,6 +108,10 @@ class TestShuffleBudget:
             ("events_session_stats", 1),   # native session windows
             # token agg + 1-row totals agg + TakeOrdered top-k
             ("corpus_drift_kl", 3),
+            # checkpointed profile table: one events aggregation feeds
+            # dots/probes/norms (filter pushdown had specialized their
+            # subtrees past AQE reuse - 8 exchanges, 4 scans without it)
+            ("events_user_profile_similarity", 4),
             # checkpointed histogram: verdict plan re-reads the corpus
             # once, not once per bounds branch (was 5 scans/8 exchanges)
             ("length_quantile_filter", 4),
