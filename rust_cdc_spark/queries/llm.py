@@ -1154,6 +1154,13 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4).select(
         "doc_a", "doc_b", F.lit(True).alias("is_cand")
     )
+    return _recall_summary(truth, cand)
+
+
+def _recall_summary(truth, cand):
+    """Shared recall scorecard: full-outer join the pair-keyed truth
+    and candidate sets, reduce to one row of counts + recall_micro +
+    missed-pair checksum (used by the LSH and SimHash recall evals)."""
     j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
     is_truth = F.col("is_truth").isNotNull()
     is_cand = F.col("is_cand").isNotNull()
@@ -1177,3 +1184,91 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("bigint").alias("missed_checksum"),
     )
+
+
+@register(
+    "dedup_simhash_recall_eval",
+    # Truth side = the exact-Jaccard CTEs of dedup_lsh_recall_eval;
+    # candidate side = the oracle-checked md5 SimHash fingerprint +
+    # pigeonhole banding of dedup_simhash_pairs; same one-row scorecard.
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ')
+                              for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS ss
+        FROM toks
+    ),
+    jc_sh_e AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+    jc_sizes AS (SELECT doc_id, len(ss) AS n FROM sh),
+    jc_cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM jc_sh_e a JOIN jc_sh_e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT c.doc_a, c.doc_b
+        FROM jc_cand c
+        JOIN jc_sizes sa ON sa.doc_id = c.doc_a
+        JOIN jc_sizes sb ON sb.doc_id = c.doc_b
+        WHERE CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) >= 0.5
+    ),
+    {_SIMHASH_FP_CTE.strip().lstrip()},
+    banded AS (
+        SELECT doc_id, simhash, b AS band_id,
+               (simhash >> (b * 8)) & 255 AS chunk
+        FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band_id = b.band_id AND a.chunk = b.chunk
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    j AS (
+        SELECT t.doc_a IS NOT NULL AS is_truth,
+               c.doc_a IS NOT NULL AS is_cand,
+               COALESCE(t.doc_a, c.doc_a) AS doc_a,
+               COALESCE(t.doc_b, c.doc_b) AS doc_b
+        FROM truth t FULL OUTER JOIN cand c
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT CAST(count(*) FILTER (WHERE is_truth) AS BIGINT) AS n_truth,
+           CAST(count(*) FILTER (WHERE is_cand) AS BIGINT) AS n_candidates,
+           CAST(count(*) FILTER (WHERE is_truth AND is_cand) AS BIGINT)
+               AS n_found,
+           CAST(count(*) FILTER (WHERE is_truth AND NOT is_cand) AS BIGINT)
+               AS n_missed,
+           CAST(CASE WHEN count(*) FILTER (WHERE is_truth) = 0 THEN 1000000
+                ELSE (1000000 * count(*) FILTER (WHERE is_truth AND is_cand))
+                     // count(*) FILTER (WHERE is_truth) END AS BIGINT)
+               AS recall_micro,
+           CAST(COALESCE(sum(doc_a + doc_b)
+                FILTER (WHERE is_truth AND NOT is_cand), 0) AS BIGINT)
+               AS missed_checksum
+    FROM j
+    """,
+)
+def dedup_simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-banding QA, the twin of dedup_lsh_recall_eval: how much
+    of the exact 3-gram-Jaccard ≥ 0.5 truth does the 32-bit
+    hamming ≤ 3 pigeonhole path recover? SimHash measures a DIFFERENT
+    notion of similarity (token-multiset bit votes, not shingle sets),
+    so its recall against Jaccard truth is precisely what a pipeline
+    owner must check before choosing the cheaper fingerprint path over
+    MinHash-LSH at full scale. Same one-row scorecard + missed-pair
+    checksum, fully DuckDB-replayable (md5 fingerprints both sides).
+
+    Scale shape: truth from the df-capped inverted-index join;
+    candidates from 4×8-bit pigeonhole banding (linear in band-bucket
+    co-occupancy); one full-outer pair join reduced to a single row."""
+    docs = load_table(spark, "documents", sf_dir)
+    truth = DD.jaccard_pairs(docs, threshold=0.5, df_cap=10_000).select(
+        "doc_a", "doc_b", F.lit(True).alias("is_truth")
+    )
+    cand = DD.simhash_near_pairs(docs, use_md5=True).select(
+        "doc_a", "doc_b", F.lit(True).alias("is_cand")
+    )
+    return _recall_summary(truth, cand)
