@@ -761,9 +761,17 @@ def _duplicate_spans(docs: DataFrame) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.st").alias("st"), F.col("s.g").alias("g"))
-    dup = grams.groupBy("g").agg(F.count("*").alias("n")).filter("n > 1")
-    cand = grams.join(dup.select("g"), "g").select(
-        "doc_id", "st", (F.col("st") + _SPAN_K - 1).alias("en")
+    # Duplicate test via a count window, not agg + join-back: the
+    # window shuffles grams by g ONCE and the filter is a map-side
+    # slice of that exchange — the agg/join form computed the whole
+    # corpus-scale gram explode TWICE (executed-plan reuse is zero
+    # there: the agg exchange carries partial rows, so AQE cannot
+    # share it with the join side; the jaccard df-cap path proved
+    # this same rewrite at −25%).
+    cand = (
+        grams.withColumn("n", F.count("*").over(Window.partitionBy("g")))
+        .filter(F.col("n") > 1)
+        .select("doc_id", "st", (F.col("st") + _SPAN_K - 1).alias("en"))
     )
     prev_max = F.max("en").over(
         Window.partitionBy("doc_id").orderBy("st")
