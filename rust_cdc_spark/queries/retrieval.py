@@ -450,13 +450,19 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
     cbi = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
-    cw = cbi.groupBy("w1").agg(F.sum("c_bi").alias("c_w1"))
+    # Backoff count attached to the MODEL table (a w1-keyed window over
+    # the vocab-scale bigram counts), not joined to the instances: the
+    # previous bg⋈cbi⋈cw chain re-shuffled the corpus-scale instance
+    # table a second time by w1 — enriching cbi first keeps that work
+    # at model scale and leaves ONE corpus-side join shuffle.
+    model = cbi.withColumn(
+        "c_w1", F.sum("c_bi").over(Window.partitionBy("w1"))
+    )
     vsz = toks.select(F.explode("t").alias("token")).agg(
         F.countDistinct("token").alias("v")
     )
     inst = (
-        bg.join(cbi, ["w1", "w2"])
-        .join(cw, "w1")
+        bg.join(model, ["w1", "w2"])
         .crossJoin(F.broadcast(vsz))
         .select(
             "doc_id",
