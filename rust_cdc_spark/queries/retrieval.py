@@ -686,8 +686,14 @@ def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = toks.select(F.explode("t").alias("token")).groupBy("token").agg(
         F.count("*").alias("c_w")
     )
-    tot = bg.agg(F.count("*").alias("nb")).crossJoin(
-        toks.agg(F.sum(F.size("t")).cast("bigint").alias("nt"))
+    # Both scalar totals from ONE pass over the token arrays — nb as a
+    # per-doc length sum (Σ max(len-1, 0)), never a second run of the
+    # corpus-scale bigram explode just to count its rows.
+    tot = toks.agg(
+        F.sum(
+            F.when(F.size("t") >= 2, F.size("t") - 1).otherwise(0)
+        ).cast("bigint").alias("nb"),
+        F.sum(F.size("t")).cast("bigint").alias("nt"),
     )
     u1 = uni.select(F.col("token").alias("w1"), F.col("c_w").alias("c_w1"))
     u2 = uni.select(F.col("token").alias("w2"), F.col("c_w").alias("c_w2"))
