@@ -106,6 +106,8 @@ class TestShuffleBudget:
             ("events_sliding_window", 1),  # map-side ×4 explode; one agg
             ("events_rolling_1h_features", 1),  # range frame on user key
             ("events_session_stats", 1),   # native session windows
+            # chained stage windows + final agg share one user key
+            ("events_funnel_conversion", 2),
             # token agg + 1-row totals agg + TakeOrdered top-k
             ("corpus_drift_kl", 3),
             # checkpointed profile table: one events aggregation feeds
