@@ -120,6 +120,9 @@ HEADLINE = [
     "host_authority_pagerank",
     "corpus_drift_kl",
     "events_user_profile_similarity",
+    "dedup_containment_pairs",
+    "dedup_source_matrix",
+    "vocab_oov_rate",
 ]
 
 

@@ -194,15 +194,19 @@ def _jaccard_score(n_common: Column, size_a: Column, size_b: Column) -> Column:
     )
 
 
-def _jaccard_pairs_direct(
+def _pair_intersections(
     docs: DataFrame,
     text_col: str,
     id_col: str,
     k: int,
-    threshold: float,
     parallelism: int | None = None,
     df_cap: int | None = None,
 ) -> DataFrame:
+    """Candidate pairs with exact intersection counts:
+    (doc_a, doc_b, size_a, size_b, n_common), doc_a < doc_b, for every
+    pair sharing ≥1 (rare, when capped) shingle. The shared engine under
+    Jaccard and containment scoring — see :func:`jaccard_pairs` for the
+    inverted-index / df_cap shape discussion."""
     sh = shingle_sets(docs, text_col, id_col, k, parallelism)
     inv = _hashed_inverted_index(sh)
     if df_cap is None:
@@ -219,12 +223,6 @@ def _jaccard_pairs_direct(
                 F.col("b.set_size").alias("size_b"),
             )
             .agg(F.count("*").alias("n_common"))
-            .withColumn(
-                "jaccard",
-                _jaccard_score(F.col("n_common"), F.col("size_a"), F.col("size_b")),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard")
         )
     # Capped path: candidates from rare shingles only (buckets bounded
     # at df_cap → ≤ df_cap² candidate rows per shingle). The rare join
@@ -291,14 +289,66 @@ def _jaccard_pairs_direct(
         )
         .withColumn("n_common", F.col("n_rare") + F.col("n_hot"))
     )
+    return verified.select("doc_a", "doc_b", "size_a", "size_b", "n_common")
+
+
+def _jaccard_pairs_direct(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    threshold: float,
+    parallelism: int | None = None,
+    df_cap: int | None = None,
+) -> DataFrame:
+    inter = _pair_intersections(docs, text_col, id_col, k, parallelism, df_cap)
     return (
-        verified.withColumn(
+        inter.withColumn(
             "jaccard",
             _jaccard_score(F.col("n_common"), F.col("size_a"), F.col("size_b")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    parallelism: int | None = None,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-containment pairs: |A∩B| / min(|A|,|B|) ≥ threshold.
+
+    Catches quote/boilerplate *inclusion* that symmetric Jaccard misses —
+    a short document wholly embedded in a long one has containment 1.0
+    but Jaccard ≈ |A|/|B| (arbitrarily small), so a dedup pass keyed on
+    Jaccard alone keeps both copies. Same inverted-index engine as
+    :func:`jaccard_pairs` (canonical-rep collapse, hashed shingle join,
+    exact df-capped intersection recovery), so cost and 100 TB shape are
+    identical; only the score/filter differs. Returns
+    (doc_a, doc_b, containment), doc_a < doc_b.
+    """
+    reps, members = _canonical_reps(docs, text_col, id_col, parallelism)
+    inter = _pair_intersections(reps, text_col, "doc_id", k, None, df_cap)
+    rep_pairs = (
+        inter.withColumn(
+            "containment",
+            F.round(
+                F.col("n_common")
+                / F.least("size_a", "size_b").cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+    return _expand_rep_pairs(
+        rep_pairs, reps, members, "containment", 1.0
+    ).filter(F.col("containment") >= threshold)
 
 
 def _minhash_col(shingle_set: Column, seed: int) -> Column:

@@ -207,6 +207,114 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_source_matrix",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)
+               ]) AS shingle_set
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+    ),
+    sh_e AS (SELECT doc_id, unnest(shingle_set) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shingle_set) AS n FROM sh),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM sh_e a JOIN sh_e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) >= 0.5
+    )
+    SELECT least(da.source, db.source)    AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT)       AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup attribution matrix: which source pairs duplicate each
+    other (Jaccard ≥ 0.5 pairs rolled up by unordered source pair).
+
+    The dataset-card diagnostic behind mixture decisions: a heavy
+    off-diagonal cell means two "independent" sources are actually
+    mirrors and their mixture weights double-count. Scale shape: the
+    pair generator is the df-capped inverted-index join (linear-ish);
+    attribution is two doc_id-keyed equi-joins of the (small) pair set
+    against a 2-column projection of the corpus, then a ≤|sources|²
+    hash agg — no new quadratic surface.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = DD.jaccard_pairs(docs, threshold=0.5, df_cap=10_000)
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)
+               ]) AS shingle_set
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+    ),
+    sh_e AS (SELECT doc_id, unnest(shingle_set) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shingle_set) AS n FROM sh),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM sh_e a JOIN sh_e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(c.inter AS DOUBLE) / least(sa.n, sb.n), 4)
+               AS containment
+    FROM cand c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.inter AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment pairs: |A∩B|/min(|A|,|B|) ≥ 0.8 over
+    3-gram shingle sets.
+
+    The quote/boilerplate-inclusion detector symmetric Jaccard cannot
+    express: a short doc fully embedded in a long one scores containment
+    1.0 but Jaccard |A|/|B| → 0, so it survives a Jaccard-keyed dedup
+    pass. Shares :func:`~rust_cdc_spark.operators.dedup.jaccard_pairs`'s
+    entire engine (canonical-rep collapse, hashed inverted index,
+    df-capped exact intersection recovery) — only the score changes, so
+    the 100 TB cost shape is identical to `dedup_ngram_jaccard_pairs`.
+    """
+    return DD.containment_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.8, df_cap=10_000
+    )
+
+
+@register(
     "dedup_minhash_lsh_pairs",
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),

@@ -488,6 +488,86 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OOV_VOCAB = 500  # closed-vocabulary size for the coverage eval
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH st AS (
+        SELECT source, lower(t) AS token, count(*) AS cnt
+        FROM documents, LATERAL unnest({_TOKENS_SQL}) AS u(t)
+        GROUP BY source, lower(t)
+    ),
+    vocab AS (
+        SELECT token
+        FROM (SELECT token, sum(cnt) AS n FROM st GROUP BY token)
+        ORDER BY n DESC, token LIMIT {_OOV_VOCAB}
+    )
+    SELECT st.source,
+           CAST(sum(st.cnt) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN st.cnt ELSE 0 END)
+                AS BIGINT) AS oov_tokens,
+           round(CAST(sum(CASE WHEN v.token IS NULL THEN st.cnt ELSE 0 END)
+                      AS DOUBLE) / sum(st.cnt), 6) AS oov_rate
+    FROM st LEFT JOIN vocab v ON st.token = v.token
+    GROUP BY st.source
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OOV rate against the global top-500 vocabulary — the
+    tokenizer-coverage eval run before committing to a vocab size: a
+    source whose occurrence mass falls outside the closed vocabulary
+    will fragment into long byte-level token sequences.
+
+    Scale shape: ONE corpus explode feeds a (source, token) hash agg
+    (map-side partials → the shuffle carries distinct (source, token)
+    rows, not occurrences); the global vocabulary is a re-agg of that
+    same small table (AQE reuses the exchange — no second corpus scan)
+    with TakeOrderedAndProject top-k; membership is a broadcast left
+    join; the final per-source rollup aggregates ≤ sources·|st| rows.
+    Tie-break at the vocab boundary is (count desc, token) — stable
+    across engines and partitionings.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    st = (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr(f"transform({_TOKENS_SPARK}, t -> lower(t))")
+            ).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = (
+        st.groupBy("token")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(_OOV_VOCAB)
+        .select("token", F.lit(1).alias("__iv"))
+    )
+    oov_cnt = F.sum(
+        F.when(F.col("__iv").isNull(), F.col("cnt")).otherwise(F.lit(0))
+    )
+    return (
+        st.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("total_tokens"),
+            oov_cnt.cast("bigint").alias("oov_tokens"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "oov_tokens",
+            F.round(
+                F.col("oov_tokens") / F.col("total_tokens").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
 @register(
     "bpe_merge_candidates",
     oracle=f"""

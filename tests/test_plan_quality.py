@@ -155,6 +155,9 @@ class TestShuffleBudget:
             ("embedding_cluster_profile", 3),
             # token agg + scalar total + tiny post-limit rank window
             ("vocab_top_tokens", 3),
+            # ONE (source,token) agg feeds both vocab re-agg and the
+            # broadcast-membership rollup; top-k is TakeOrdered
+            ("vocab_oov_rate", 4),
             ("bpe_merge_candidates", 2),    # token agg + pair agg
             # user agg; span/join/ffill reuse the user_id partitioning
             ("events_gap_fill", 2),
@@ -348,7 +351,12 @@ class TestExecutedExchangeReuse:
 
     @pytest.mark.parametrize(
         "name",
-        ["dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs"],
+        [
+            "dedup_minhash_lsh_pairs",
+            "dedup_ngram_jaccard_pairs",
+            "dedup_containment_pairs",
+            "dedup_source_matrix",
+        ],
     )
     def test_pair_selfjoin_reuses_exchange(self, spark, name):
         from rust_cdc_spark.queries import load_all

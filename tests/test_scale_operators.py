@@ -228,6 +228,63 @@ class TestDuplicationProofPairs:
         assert capped == uncapped  # hot-only overlaps score < 0.5 anyway
         assert {(i, 100 + i) for i in range(3)} <= set(capped)
 
+    def test_containment_catches_embedded_doc_jaccard_misses(self, spark):
+        """The asymmetric score's reason to exist: a short doc wholly
+        embedded in a much longer one has containment 1.0 but Jaccard
+        ≈ |A|/|B| < 0.5 — a Jaccard-keyed dedup pass keeps both."""
+        from rust_cdc_spark.operators.dedup import (
+            containment_pairs,
+            jaccard_pairs,
+        )
+
+        quote = "the quick brown fox jumps over the lazy dog tonight"
+        filler = " ".join(f"filler{i} word{i} body{i}" for i in range(40))
+        corpus = spark.createDataFrame(
+            [(1, quote), (2, quote + " " + filler), (3, filler)],
+            ["doc_id", "text"],
+        )
+        cont = {
+            (r.doc_a, r.doc_b): r.containment
+            for r in containment_pairs(corpus, threshold=0.8).collect()
+        }
+        jac = {
+            (r.doc_a, r.doc_b)
+            for r in jaccard_pairs(corpus, threshold=0.5).collect()
+        }
+        assert cont[(1, 2)] == 1.0  # quote ⊂ long doc
+        assert (1, 2) not in jac  # symmetric score misses it
+        assert (2, 3) in cont  # filler ⊂ long doc too
+        assert (1, 3) not in cont  # disjoint texts
+
+    def test_containment_rep_collapse_and_cap_are_exact(self, spark):
+        """Rep-collapse + a generous df_cap must be output-identical to
+        the direct uncapped computation (same contract as Jaccard's)."""
+        from rust_cdc_spark.operators.dedup import (
+            _pair_intersections,
+            containment_pairs,
+        )
+
+        corpus = self._dup_corpus(spark)
+        fast = {
+            (r.doc_a, r.doc_b): r.containment
+            for r in containment_pairs(corpus, threshold=0.8).collect()
+        }
+        capped = {
+            (r.doc_a, r.doc_b): r.containment
+            for r in containment_pairs(
+                corpus, threshold=0.8, df_cap=10_000
+            ).collect()
+        }
+        naive = {
+            (r.doc_a, r.doc_b): round(r.n_common / min(r.size_a, r.size_b), 4)
+            for r in _pair_intersections(
+                corpus, "text", "doc_id", 3
+            ).collect()
+            if r.n_common / min(r.size_a, r.size_b) >= 0.8
+        }
+        assert fast == naive == capped
+        assert len(fast) >= 40  # every duplicated doc pairs with its copy
+
     def test_parallelize_is_noop_on_already_parallel_input(self, spark):
         """At scale the scan arrives already split (maxPartitionBytes);
         _parallelize must then NOT round-robin-shuffle the raw text. On a
