@@ -34,15 +34,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (b) 6 names whose only driver row predates their oracle (r1
 #       no_oracle / canonicalizer error — all have value oracles now),
 #   (c) the PQ/IVF ANN pair, which gained replay oracles this round.
-# Round 3 grew the registry to 154, so 62 names have no driver row yet
-# and 12 must spill past the 50-cap (the newest additions:
+# Round 3 grew the registry to 155, so 63 names have no driver row yet
+# and 13 must spill past the 50-cap (the newest additions:
 # embedding_norm_outliers, host_authority_pagerank,
 # dedup_lsh_recall_eval at the priority tail, plus the window/drift
 # family — events_sliding_window, events_rolling_1h_features,
 # events_session_stats, corpus_drift_kl,
 # events_user_profile_similarity, dedup_simhash_recall_eval — and the
-# containment/attribution/OOV trio — dedup_containment_pairs,
-# dedup_source_matrix, vocab_oov_rate — in registry order; each is
+# containment/attribution/OOV/novelty batch — dedup_containment_pairs,
+# dedup_source_matrix, vocab_oov_rate, doc_novelty_score — in registry
+# order; each is
 # green at 3 SFs + vanilla session via tools/check_correctness.py);
 # they lead round 4's order. Everything is
 # continuously verified by the in-repo parity suite regardless.

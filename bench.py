@@ -123,6 +123,7 @@ HEADLINE = [
     "dedup_containment_pairs",
     "dedup_source_matrix",
     "vocab_oov_rate",
+    "doc_novelty_score",
 ]
 
 

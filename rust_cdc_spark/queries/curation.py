@@ -1790,3 +1790,74 @@ def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("kl_contrib_micro"), F.asc("token"))
         .limit(_DRIFT_TOPK)
     )
+
+
+@register(
+    "doc_novelty_score",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, unnest(list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)
+               ])) AS gram
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+              FROM documents)
+    ),
+    f AS (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY gram) AS first_doc
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS novelty_micro
+    FROM f
+    GROUP BY doc_id
+    """,
+)
+def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 3-gram
+    shingles whose FIRST corpus occurrence (min doc_id — the ingestion-
+    order proxy) is this doc. The diversity/freshness signal a curation
+    pipeline uses to downweight documents that only restate earlier
+    content (novelty ~0 = pure rehash; ~1 = new material).
+
+    Scale shape: ONE gram-keyed exchange — first-occurrence is a
+    min-window over the hashed-shingle explode (8-byte xxhash64 keys,
+    the inverted-index trick), consumed map-side by the per-doc rollup's
+    partial aggregation; no join-back, no second corpus scan. The
+    novelty ratio is integer micro-units (BIGINT DIV — bit-identical
+    across engines).
+    """
+    from rust_cdc_spark.functions import text as TX
+
+    docs = load_table(spark, "documents", sf_dir)
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.shingles("text", 3))
+        ).alias("gram"),
+    ).select("doc_id", F.xxhash64("gram").alias("gh"))
+    firsts = g.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("gh"))
+    )
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        firsts.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            novel.cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("CAST(n_novel * 1000000 DIV n_shingles AS BIGINT)")
+            .alias("novelty_micro"),
+        )
+    )

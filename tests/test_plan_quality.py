@@ -158,6 +158,8 @@ class TestShuffleBudget:
             # ONE (source,token) agg feeds both vocab re-agg and the
             # broadcast-membership rollup; top-k is TakeOrdered
             ("vocab_oov_rate", 4),
+            # ONE gram-keyed min-window exchange + doc-keyed rollup
+            ("doc_novelty_score", 2),
             ("bpe_merge_candidates", 2),    # token agg + pair agg
             # user agg; span/join/ffill reuse the user_id partitioning
             ("events_gap_fill", 2),
