@@ -316,7 +316,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh_pairs",
-    oracle="""
+    oracle=f"""
     WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
     sh AS (
         SELECT doc_id,
@@ -324,11 +324,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                               for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS ss
         FROM toks
     ),
+    hsx AS (SELECT doc_id, {DD.MINHASH_HS_SQL} AS hs FROM sh),
     sig AS (
-        SELECT doc_id,
-               [list_min(list_transform(ss, s -> md5(CAST(h AS VARCHAR) || '|' || s)))
-                for h in range(0, 16)] AS sg
-        FROM sh
+        SELECT doc_id, {DD.minhash_sig_sql(16)} AS sg
+        FROM hsx
     ),
     banded AS (
         SELECT doc_id, sg, r.b AS band_id,
@@ -347,10 +346,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16 md5-hashes) + LSH(4 bands × 4 rows) near-dup candidate
-    pairs with Jaccard estimates — the linear-time path that replaces the
-    exact pairwise join at 100 TB. md5-based permutations make even the
-    LSH layer oracle-checkable (bit-identical in DuckDB)."""
+    """MinHash(16 affine permutations over one md5 base hash) +
+    LSH(4 bands × 4 rows) near-dup candidate pairs with Jaccard
+    estimates — the linear-time path that replaces the exact pairwise
+    join at 100 TB. The base hash is md5-derived and the permutations
+    are exact BIGINT arithmetic, so even the LSH layer is
+    oracle-checkable (bit-identical in DuckDB)."""
     return DD.minhash_lsh_pairs(
         load_table(spark, "documents", sf_dir), num_hashes=16, bands=4
     )
@@ -1173,7 +1174,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_lsh_recall_eval",
-    oracle="""
+    oracle=f"""
     WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
     sh AS (
         SELECT doc_id,
@@ -1198,11 +1199,10 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN jc_sizes sb ON sb.doc_id = c.doc_b
         WHERE CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) >= 0.5
     ),
+    hsx AS (SELECT doc_id, {DD.MINHASH_HS_SQL} AS hs FROM sh),
     sig AS (
-        SELECT doc_id,
-               [list_min(list_transform(ss, s -> md5(CAST(h AS VARCHAR) || '|' || s)))
-                for h in range(0, 16)] AS sg
-        FROM sh
+        SELECT doc_id, {DD.minhash_sig_sql(16)} AS sg
+        FROM hsx
     ),
     banded AS (
         SELECT doc_id, r.b AS band_id,
