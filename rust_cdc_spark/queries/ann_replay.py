@@ -333,6 +333,136 @@ def ivf_replay_sql(
     """
 
 
+# ── PCA chain (all-but-the-top): exact-integer moments → covariance →
+#    comps × (power iteration + deflation) → projection/residual.
+#    Mirrors operators/pca.py (moment_stats + train_components +
+#    project_abtt). ─────────────────────────────────────────────────────
+
+
+def pca_replay_sql(dim: int = 64, comps: int = 2, iters: int = 24) -> str:
+    """Oracle for ``embedding_pca_abtt``: replays the micro-unit moment
+    aggregation, covariance construction, ``comps`` rounds of
+    fixed-count power iteration with Hotelling deflation, and the
+    centered projection + residual — returns
+    (vec_id, pc1_micro…, resid_micro). Every double chain is
+    left-associated to match the Python trainer's folds."""
+    # AS MATERIALIZED on every multiply-referenced CTE: crow{c} feeds all
+    # `iters` matvec steps and cov{c} feeds both the pivot and the next
+    # deflation — inlined, the moment self-join would be re-evaluated
+    # once per iteration.
+    parts = [
+        """q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+        FROM embeddings
+    )""",
+        f"""flat AS MATERIALIZED (
+        SELECT q.vec_id, p.range AS pos, q.q[p.range + 1] AS v
+        FROM q CROSS JOIN range({dim}) p
+    )""",
+        """s AS MATERIALIZED (
+        SELECT pos, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+        FROM flat GROUP BY pos
+    )""",
+        """mean AS MATERIALIZED (
+        SELECT pos, (CAST(s AS DOUBLE) / n) / 1e6 AS md FROM s
+    )""",
+        """mom AS MATERIALIZED (
+        SELECT a.pos AS p1, b.pos AS p2,
+               CAST(sum(a.v * b.v) AS BIGINT) AS m
+        FROM flat a JOIN flat b USING (vec_id)
+        GROUP BY a.pos, b.pos
+    )""",
+        """cov0 AS MATERIALIZED (
+        SELECT m.p1, m.p2,
+               (CAST(m.m AS DOUBLE) / s1.n) / 1e12 - ma.md * mb.md AS cv
+        FROM mom m
+        JOIN s s1 ON s1.pos = m.p1
+        JOIN mean ma ON ma.pos = m.p1
+        JOIN mean mb ON mb.pos = m.p2
+    )""",
+    ]
+    for c in range(comps):
+        parts.append(f"""crow{c} AS MATERIALIZED (
+        SELECT p1, list(cv ORDER BY p2) AS cr FROM cov{c} GROUP BY p1
+    )""")
+        parts.append(f"""v{c}_0 AS (
+        SELECT list_transform(range(1, {dim + 1}), x -> 0.125) AS vv
+    )""")
+        for t in range(iters):
+            matvec = _chain(
+                [f"cr.cr[{i + 1}] * v.vv[{i + 1}]" for i in range(dim)]
+            )
+            parts.append(f"""w{c}_{t} AS (
+        SELECT cr.p1, {matvec} AS w
+        FROM crow{c} cr CROSS JOIN v{c}_{t} v
+    )""")
+            parts.append(f"""wl{c}_{t} AS (
+        SELECT list(w ORDER BY p1) AS wl FROM w{c}_{t}
+    )""")
+            nchain = _chain(
+                [f"wl[{i + 1}] * wl[{i + 1}]" for i in range(dim)]
+            )
+            parts.append(f"""nz{c}_{t} AS (
+        SELECT wl, CASE WHEN sqrt({nchain}) = 0 THEN 1.0
+                        ELSE sqrt({nchain}) END AS nrm
+        FROM wl{c}_{t}
+    )""")
+            parts.append(f"""v{c}_{t + 1} AS (
+        SELECT list_transform(wl, x -> x / nrm) AS vv, nrm
+        FROM nz{c}_{t}
+    )""")
+        if c + 1 < comps:
+            parts.append(f"""cov{c + 1} AS (
+        SELECT c0.p1, c0.p2,
+               c0.cv - (vf.nrm * vf.vv[c0.p1 + 1]) * vf.vv[c0.p2 + 1] AS cv
+        FROM cov{c} c0 CROSS JOIN v{c}_{iters} vf
+    )""")
+    parts.append("""meanl AS (
+        SELECT list(md ORDER BY pos) AS ml FROM mean
+    )""")
+    cterm = "(CAST(q.q[{i}] AS DOUBLE) / 1e6 - m.ml[{i}])"
+    pchains = [
+        _chain(
+            [
+                f"{cterm.format(i=i + 1)} * v{c}.vv[{i + 1}]"
+                for i in range(dim)
+            ]
+        )
+        for c in range(comps)
+    ]
+    csq = _chain(
+        [
+            f"{cterm.format(i=i + 1)} * {cterm.format(i=i + 1)}"
+            for i in range(dim)
+        ]
+    )
+    vjoins = " ".join(
+        f"CROSS JOIN v{c}_{iters} v{c}" for c in range(comps)
+    )
+    pcols = ", ".join(f"{pchains[c]} AS p{c + 1}v" for c in range(comps))
+    resid = "csq"
+    for c in range(comps):
+        resid = f"({resid} - p{c + 1}v * p{c + 1}v)"
+    outs = ", ".join(
+        f"CAST(round(p{c + 1}v * 1e6) AS BIGINT) AS pc{c + 1}_micro"
+        for c in range(comps)
+    )
+    parts.append(f"""proj AS (
+        SELECT q.vec_id, {pcols}, {csq} AS csq
+        FROM q CROSS JOIN meanl m {vjoins}
+    )""")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT vec_id, {outs},
+           CAST(round(sqrt(greatest({resid}, 0.0)) * 1e6) AS BIGINT)
+               AS resid_micro
+    FROM proj
+    """
+
+
 def ivfpq_replay_sql(
     n_centroids: int = 8,
     m: int = 16,

@@ -1225,6 +1225,113 @@ def mixture_temperature_weights(
     )
 
 
+_JL_OUT = 16  # Johnson-Lindenstrauss target dimensionality
+
+
+def _jl_signs() -> list[list[int]]:
+    """±1 sign matrix [out][in], derived from md5 at import time —
+    deterministic across engines/retries (Achlioptas' database-friendly
+    JL projection uses exactly such a Rademacher matrix)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl|{j}|{i}".encode()).hexdigest()[0], 16)
+            % 2
+            == 0
+            else -1
+            for i in range(64)
+        ]
+        for j in range(_JL_OUT)
+    ]
+
+
+_JL = _jl_signs()
+
+
+def _jl_oracle() -> str:
+    cols = ", ".join(
+        " + ".join(f"q.q[{i + 1}] * ({s})" for i, s in enumerate(signs))
+        + f" AS p{j:02d}"
+        for j, signs in enumerate(_JL)
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+        FROM embeddings
+    )
+    SELECT vec_id, {cols} FROM q
+    """
+
+
+@register("embedding_jl_project", oracle=_jl_oracle())
+def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection 64 → 16 dims — the cheap
+    dimensionality reduction run before LSH bucketing / coarse ANN when
+    the full embedding is too wide to shuffle (a 4× byte cut here means
+    a 4× smaller candidate-join exchange). The projection matrix is a
+    deterministic md5-derived Rademacher (±1) matrix, so each output
+    coordinate is an exact BIGINT dot product over micro-unit inputs —
+    no float accumulation anywhere, bit-stable under any partitioning
+    and any engine.
+
+    Scale shape: map-only pure codegen (one zip_with/aggregate fold per
+    output dim over a literal sign array); zero shuffles, zero
+    driver-side state, no Python row path. At 100 TB this is a
+    scan-transform-write pass whose cost is IO-bound."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+    )
+    df = emb.select("vec_id", q.alias("q"))
+    outs = []
+    for j, signs in enumerate(_JL):
+        sl = F.array(*[F.lit(s) for s in signs])
+        p = F.aggregate(
+            F.zip_with(F.col("q"), sl, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        outs.append(p.alias(f"p{j:02d}"))
+    return df.select("vec_id", *outs)
+
+
+from rust_cdc_spark.queries.ann_replay import pca_replay_sql  # noqa: E402
+
+
+@register("embedding_pca_abtt", oracle=pca_replay_sql())
+def embedding_pca_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top embedding postprocess (Mu & Viswanath 2018):
+    remove the corpus mean and the top-2 principal components, the
+    standard cleanup before cosine retrieval / semantic dedup — the
+    dominant directions encode corpus-wide frequency, not meaning.
+    Returns per-vector projections onto the removed components plus the
+    residual norm, all micro-unit integers.
+
+    The eigensolver is a fixed-count power iteration with Hotelling
+    deflation over an exact-integer moment matrix
+    (operators/pca.py), every step of which the DuckDB oracle REPLAYS
+    as unrolled CTEs (ann_replay.pca_replay_sql) — the training is
+    value-hash-checked end to end, the same discipline as the PQ/IVF
+    and logistic-GD oracles.
+
+    Scale shape: ONE partial-aggregated shuffle keyed on (pos1, pos2)
+    — dim² = 4096 keys, constant in corpus size — collects a 64×64
+    model matrix to the driver (same class as PQ codebooks); the
+    projection pass is map-only codegen folds over component
+    literals."""
+    from rust_cdc_spark.operators import pca as PCA
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n, S, M = PCA.moment_stats(emb)
+    mean, comps = PCA.train_components(n, S, M)
+    return PCA.project_abtt(emb, mean, comps)
+
+
 _NORM_MAD_K = 3  # keep vectors within mean ± 3·MAD (micro-unit integers)
 
 

@@ -269,3 +269,103 @@ class TestTrainValTestSplit:
         from rust_cdc_spark.plans import explain as X
 
         assert X.count_exchanges(run(spark, "train_val_test_split")) == 0
+
+
+class TestEmbeddingProjection:
+    """embedding_jl_project + embedding_pca_abtt: numpy ground truth for
+    the linear algebra the oracle replays relationally."""
+
+    def _emb(self, spark):
+        from rust_cdc_spark.sources.tables import load_table
+
+        rows = load_table(spark, "embeddings", SF_SMOKE).collect()
+        ids = [r.vec_id for r in rows]
+        X = np.array([r.embedding for r in rows], dtype=np.float64)
+        return ids, X
+
+    def test_jl_matches_numpy_exact_integers(self, spark):
+        from rust_cdc_spark.queries.training import _JL, _JL_OUT
+
+        ids, X = self._emb(spark)
+        Q = np.round(X * 1e6).astype(np.int64)
+        S = np.array(_JL, dtype=np.int64)  # [out][in]
+        want = Q @ S.T  # exact int64
+        got = {r.vec_id: r for r in run(spark, "embedding_jl_project").collect()}
+        for k, vid in enumerate(ids):
+            for j in range(_JL_OUT):
+                assert got[vid][f"p{j:02d}"] == want[k][j]
+
+    def test_jl_is_near_isometric(self, spark):
+        """JL's point: projected distances concentrate around true
+        distances (×sqrt(d_out) scale). Loose bound at d_out=16."""
+        ids, X = self._emb(spark)
+        Q = np.round(X * 1e6).astype(np.int64)
+        from rust_cdc_spark.queries.training import _JL
+
+        P = (Q @ np.array(_JL, dtype=np.int64).T).astype(np.float64)
+        rng = np.random.RandomState(7)
+        idx = rng.choice(len(ids), size=(200, 2))
+        ratios = []
+        for a, b in idx:
+            if a == b:
+                continue
+            dt = np.linalg.norm(Q[a] - Q[b])
+            dp = np.linalg.norm(P[a] - P[b]) / math.sqrt(len(_JL))
+            ratios.append(dp / dt)
+        med = float(np.median(ratios))
+        assert 0.7 < med < 1.3
+
+    def test_pca_components_capture_top_variance(self, spark):
+        """The learned directions capture near-maximal variance of the
+        micro-quantized covariance (Rayleigh quotient ≥ 0.95·λmax — on
+        this synthetic corpus the spectrum is Marchenko-Pastur-flat, so
+        *direction* identity with eigh is ill-posed but variance capture
+        is not), are unit-norm, near-orthogonal, and the λ estimate
+        agrees with the Rayleigh quotient."""
+        from rust_cdc_spark.operators import pca as PCA
+
+        _, X = self._emb(spark)
+        emb = __import__(
+            "rust_cdc_spark.sources.tables", fromlist=["load_table"]
+        ).load_table(spark, "embeddings", SF_SMOKE)
+        n, S, M = PCA.moment_stats(emb)
+        mean, comps = PCA.train_components(n, S, M)
+        Q = np.round(X * 1e6) / 1e6
+        C = np.cov(Q.T, bias=True)
+        evals = np.linalg.eigvalsh(C)
+        v1 = np.array(comps[0][1])
+        v2 = np.array(comps[1][1])
+        assert abs(np.linalg.norm(v1) - 1.0) < 1e-9
+        assert abs(np.linalg.norm(v2) - 1.0) < 1e-9
+        rq1 = float(v1 @ C @ v1)
+        assert rq1 >= 0.95 * evals[-1], (rq1, evals[-1])
+        assert abs(comps[0][0] - rq1) < 0.05 * rq1
+        # v2 maximizes variance on the deflated matrix → near-⊥ to v1
+        assert abs(float(v1 @ v2)) < 0.1
+        rq2 = float(v2 @ C @ v2)
+        assert rq2 >= 0.9 * evals[-2], (rq2, evals[-2])
+
+    def test_pca_energy_conservation(self, spark):
+        """pc1² + pc2² + resid² == ||x − mean||² per vector (micro
+        rounding tolerance) and residual never exceeds centered norm."""
+        from rust_cdc_spark.operators import pca as PCA
+
+        ids, X = self._emb(spark)
+        emb = __import__(
+            "rust_cdc_spark.sources.tables", fromlist=["load_table"]
+        ).load_table(spark, "embeddings", SF_SMOKE)
+        n, S, M = PCA.moment_stats(emb)
+        mean, comps = PCA.train_components(n, S, M)
+        got = {r.vec_id: r for r in run(spark, "embedding_pca_abtt").collect()}
+        Q = np.round(X * 1e6) / 1e6
+        cent = Q - np.array(mean)
+        for k, vid in enumerate(ids):
+            r = got[vid]
+            lhs = (
+                (r.pc1_micro / 1e6) ** 2
+                + (r.pc2_micro / 1e6) ** 2
+                + (r.resid_micro / 1e6) ** 2
+            )
+            rhs = float(np.dot(cent[k], cent[k]))
+            assert abs(lhs - rhs) < 1e-3, (vid, lhs, rhs)
+            assert r.resid_micro >= 0
