@@ -124,6 +124,8 @@ HEADLINE = [
     "dedup_source_matrix",
     "vocab_oov_rate",
     "doc_novelty_score",
+    "embedding_jl_project",
+    "embedding_pca_abtt",
 ]
 
 

@@ -251,6 +251,11 @@ class TestShuffleBudget:
             ("host_authority_pagerank", 13),
             # span pipeline + per-doc span agg + doc-keyed join-back
             ("dedup_substring_removal", 4),
+            # map-only codegen folds over literal sign rows
+            ("embedding_jl_project", 0),
+            # returned projection is map-only (training moments run as
+            # their own dim²-keyed job before the plan is built)
+            ("embedding_pca_abtt", 0),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
