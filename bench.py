@@ -126,6 +126,10 @@ HEADLINE = [
     "doc_novelty_score",
     "embedding_jl_project",
     "embedding_pca_abtt",
+    "embedding_centroid_drift",
+    "tokenizer_fertility",
+    "vocab_countmin_topk",
+    "events_transition_matrix",
 ]
 
 

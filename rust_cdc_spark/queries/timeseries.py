@@ -616,3 +616,67 @@ def events_user_profile_similarity(
         .filter(F.col("rn") <= _PROF_TOPK)
         .select("probe_user", "match_user", "cos_micro")
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST(round(CAST(n AS DOUBLE)
+                      / sum(n) OVER (PARTITION BY from_type) * 1e6)
+                AS BIGINT) AS p_micro
+    FROM trans
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the behavioral model
+    behind next-action prediction features, funnel anomaly detection,
+    and bot heuristics (bots have near-degenerate transition rows).
+    Tie-break on event_id makes same-timestamp ordering deterministic
+    under any partitioning; probabilities are one int/int IEEE division
+    rounded once to micro-units.
+
+    Scale shape: one user-keyed window (the sequence exchange — the
+    same partitioning every sessionization query reuses) feeding a
+    (from, to)-keyed hash agg whose key space is |types|² (constant in
+    corpus size, map-side partials); the probability window runs over
+    that |types|²-row table, not the corpus."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wf) * 1e6)
+        .cast("long")
+        .alias("p_micro"),
+    )

@@ -1403,3 +1403,267 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("norm_micro") - F.col("mean_micro"))
          <= _NORM_MAD_K * F.col("mad_micro")).alias("keep"),
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH q AS (
+        SELECT label,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    flat AS (
+        SELECT label, p.range AS pos, q.q[p.range + 1] AS v
+        FROM q CROSS JOIN range(64) p
+    ),
+    ls AS (
+        SELECT label, pos, CAST(sum(v) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM flat GROUP BY 1, 2
+    ),
+    lm AS (
+        SELECT label, pos,
+               CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS m, n
+        FROM ls
+    ),
+    gs AS (
+        SELECT pos, CAST(sum(s) AS BIGINT) AS s, CAST(sum(n) AS BIGINT) AS n
+        FROM ls GROUP BY 1
+    ),
+    gm AS (
+        SELECT pos, CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS m
+        FROM gs
+    ),
+    j AS (
+        SELECT lm.label, lm.n, lm.m AS ml, gm.m AS mg
+        FROM lm JOIN gm USING (pos)
+    )
+    SELECT label,
+           CAST(max(n) AS BIGINT) AS n_vecs,
+           CAST(sum(ml * mg) AS BIGINT) AS dot_mm,
+           CAST(sum((ml - mg) * (ml - mg)) AS BIGINT) AS l2sq_mm,
+           CAST(round(CAST(sum(ml * mg) AS DOUBLE)
+                      / sqrt(CAST(sum(ml * ml) AS DOUBLE))
+                      / sqrt(CAST(sum(mg * mg) AS DOUBLE)) * 1e6) AS BIGINT)
+               AS cos_micro
+    FROM j GROUP BY label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice embedding drift monitor: cosine and squared-L2 between
+    each label-slice centroid and the global corpus centroid — the
+    embedding-space counterpart of ``corpus_drift_kl`` (token space).
+    Run per ingestion batch / per source, it catches encoder version
+    skew and distribution shift before vectors enter a shared ANN
+    index. Centroids are micro-unit integer means (exact BIGINT sums,
+    one rounded int/int division per coordinate), so every output but
+    the final cosine is exact-integer and the cosine is one
+    deterministic double chain over exact ints.
+
+    Scale shape: ONE corpus-scan aggregate keyed on (label, pos) —
+    dim·|labels| keys, constant in corpus size, map-side partials —
+    then label-sized arithmetic: the global centroid derives from the
+    label sums (64·|labels| rows, no second corpus pass), the
+    pos-join is between two model-scale tables, and ||g||² is
+    recovered inside the per-label group (each pos appears exactly
+    once), so no scalar broadcast is needed."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.select(
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+        ).alias("q"),
+    )
+    flat = q.select("label", F.posexplode("q").alias("pos", "v"))
+    ls = flat.groupBy("label", "pos").agg(
+        F.sum("v").alias("s"), F.count("*").alias("n")
+    )
+    lm = ls.select(
+        "label",
+        "pos",
+        F.round(F.col("s").cast("double") / F.col("n"))
+        .cast("long")
+        .alias("ml"),
+        "n",
+    )
+    gs = ls.groupBy("pos").agg(
+        F.sum("s").alias("s"), F.sum("n").alias("gn")
+    )
+    gm = gs.select(
+        "pos",
+        F.round(F.col("s").cast("double") / F.col("gn"))
+        .cast("long")
+        .alias("mg"),
+    )
+    j = lm.join(F.broadcast(gm), "pos")
+    return j.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.sum(F.col("ml") * F.col("mg")).alias("dot_mm"),
+        F.sum((F.col("ml") - F.col("mg")) * (F.col("ml") - F.col("mg"))).alias(
+            "l2sq_mm"
+        ),
+        F.round(
+            F.sum(F.col("ml") * F.col("mg")).cast("double")
+            / F.sqrt(F.sum(F.col("ml") * F.col("ml")).cast("double"))
+            / F.sqrt(F.sum(F.col("mg") * F.col("mg")).cast("double"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("cos_micro"),
+    )
+
+
+@register(
+    "tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source, lang,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+               CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_ws,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws) * 1e6)
+                AS BIGINT) AS fertility_micro,
+           CAST(round(CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe) * 1e6)
+                AS BIGINT) AS chars_per_token_micro
+    FROM per_doc GROUP BY source, lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per (source, lang): BPE-ish tokens per
+    whitespace word and characters per token — the dataset-card metric
+    that decides whether a tokenizer is a fit for a corpus slice
+    (fertility far above ~1.3 on a language means the vocab
+    under-covers it, inflating training cost per effective token).
+    Numerators/denominators are exact BIGINT sums of per-doc integer
+    counts; each ratio is one int/int IEEE division rounded once to
+    micro-units.
+
+    Scale shape: pure map (two regex counts + a length per doc) into
+    ONE hash aggregate keyed on (source, lang) — |sources|·|langs|
+    keys, map-side partials; no joins, no second corpus pass."""
+    docs = load_table(spark, "documents", sf_dir)
+    per_doc = docs.select(
+        "source",
+        "lang",
+        TX.bpe_ish_token_count("text").cast("long").alias("n_bpe"),
+        TX.token_count("text").cast("long").alias("n_ws"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return per_doc.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bpe").alias("bpe_tokens"),
+        F.sum("n_ws").alias("ws_tokens"),
+        F.round(F.sum("n_bpe").cast("double") / F.sum("n_ws") * 1e6)
+        .cast("long")
+        .alias("fertility_micro"),
+        F.round(F.sum("n_chars").cast("double") / F.sum("n_bpe") * 1e6)
+        .cast("long")
+        .alias("chars_per_token_micro"),
+    )
+
+
+_CM_DEPTH = 4  # count-min hash rows
+_CM_WIDTH = 1024  # buckets per row (counters = 4096 total, any corpus)
+
+
+@register(
+    "vocab_countmin_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lower(t) AS token
+        FROM documents, LATERAL unnest({_TOKENS_SQL}) AS u(t)
+    ),
+    counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    sketch AS (
+        SELECT d.range AS depth,
+               CAST(('0x' || substr(md5('cm' || d.range || '|' || token), 1, 8))
+                    AS BIGINT) % {_CM_WIDTH} AS bucket,
+               CAST(sum(n) AS BIGINT) AS cnt
+        FROM counts CROSS JOIN range({_CM_DEPTH}) d
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT token, n FROM counts
+        ORDER BY n DESC, token LIMIT 20
+    ),
+    probes AS (
+        SELECT t.token, t.n, d.range AS depth,
+               CAST(('0x' || substr(md5('cm' || d.range || '|' || t.token), 1, 8))
+                    AS BIGINT) % {_CM_WIDTH} AS bucket
+        FROM top t CROSS JOIN range({_CM_DEPTH}) d
+    )
+    SELECT p.token, CAST(max(p.n) AS BIGINT) AS n_true,
+           CAST(min(s.cnt) AS BIGINT) AS n_est,
+           CAST(min(s.cnt) - max(p.n) AS BIGINT) AS overestimate
+    FROM probes p JOIN sketch s USING (depth, bucket)
+    GROUP BY p.token
+    """,
+)
+def vocab_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimation, validated against the
+    exact counts: build a 4×1024 sketch over the token
+    stream, then read back the top-20 true tokens through the sketch
+    (estimate = min over the 4 hash rows) and report the
+    one-sided overestimate. The sketch is THE fixed-memory substitute
+    for an exact vocabulary count at 100 TB — 4096 counters regardless
+    of corpus size, mergeable across partitions/days by plain addition
+    — and this query doubles as its accuracy audit.
+
+    Scale shape: the sketch is one hash aggregate whose key space is
+    capped at depth·width = 4096 (map-side partials collapse every
+    partition to ≤4096 rows before the exchange, the textbook
+    mergeable-sketch property); the exact side reuses the token agg,
+    and the probe join is 80 rows against ≤4096 — broadcast. md5
+    bucketing is bit-identical in DuckDB, so estimates hash-match
+    exactly."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        F.explode(
+            F.expr(f"transform({_TOKENS_SPARK}, t -> lower(t))")
+        ).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+
+    def bucket(tokcol):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cm"), F.col("depth"), F.lit("|"), tokcol)),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CM_WIDTH
+        )
+
+    depths = spark.range(_CM_DEPTH).select(F.col("id").alias("depth"))
+    sketch = (
+        counts.crossJoin(F.broadcast(depths))
+        .groupBy("depth", bucket(F.col("token")).alias("bucket"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "token").limit(20)
+    probes = top.crossJoin(F.broadcast(depths)).select(
+        "token", "n", "depth", bucket(F.col("token")).alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.max("n").alias("n_true"),
+            F.min("cnt").alias("n_est"),
+            (F.min("cnt") - F.max("n")).alias("overestimate"),
+        )
+    )

@@ -253,6 +253,16 @@ class TestShuffleBudget:
             ("dedup_substring_removal", 4),
             # map-only codegen folds over literal sign rows
             ("embedding_jl_project", 0),
+            # ONE corpus agg on (label,pos); rest is model-scale
+            # (global-from-label-sums agg, broadcast pos-join, label agg)
+            ("embedding_centroid_drift", 4),
+            # ONE (source,lang)-keyed hash agg, pure-map inputs
+            ("tokenizer_fertility", 1),
+            # token agg + ≤4096-key sketch agg + top-k probe joins
+            ("vocab_countmin_topk", 3),
+            # user-keyed sequence window + |types|²-keyed agg + tiny
+            # probability window
+            ("events_transition_matrix", 3),
             # returned projection is map-only (training moments run as
             # their own dim²-keyed job before the plan is built)
             ("embedding_pca_abtt", 0),
