@@ -130,6 +130,7 @@ HEADLINE = [
     "tokenizer_fertility",
     "vocab_countmin_topk",
     "events_transition_matrix",
+    "retrieval_mmr_rerank",
 ]
 
 

@@ -502,3 +502,94 @@ def ivfpq_replay_sql(
     body = ",\n    ".join(parts)
     return f"""
     WITH {body}{_RERANK_SELECT.format(topk=topk)}"""
+
+
+def mmr_replay_sql(
+    probe_ids: tuple[int, ...] = (0, 1, 2),
+    pool: int = 8,
+    k: int = 4,
+    dim: int = 64,
+    lam_num: int = 7,
+    lam_cmp: int = 3,
+) -> str:
+    """Oracle for ``retrieval_mmr_rerank``: replays the exact-integer
+    greedy MMR selection (operators/mmr.py) as unrolled CTEs — pool by
+    relevance rank, then k rounds of anti-join + max-sim + argmax. All
+    dots are BIGINT over micro-unit coordinates, so every round's pick
+    is bit-identical to the Spark side."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    dot = (
+        f"CAST(list_sum([{{a}}.{{ac}}[i+1] * {{b}}.{{bc}}[i+1] "
+        f"for i in range(0, {dim})]) AS BIGINT)"
+    )
+    rel_dot = dot.format(a="e", ac="qv", b="p", bc="pv")
+    sim_dot = dot.format(a="r", ac="cv", b="s", bc="cv")
+    parts = [
+        """q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+        FROM embeddings
+    )""",
+        f"""probes AS (
+        SELECT vec_id AS query_id, qv AS pv FROM q WHERE vec_id IN ({ids})
+    )""",
+        f"""scored AS (
+        SELECT p.query_id, e.vec_id AS cand_id, e.qv AS cv,
+               {rel_dot} AS rel
+        FROM q e CROSS JOIN probes p
+        WHERE e.vec_id != p.query_id
+    )""",
+        f"""pool AS MATERIALIZED (
+        SELECT query_id, cand_id, cv, rel FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+            FROM scored
+        ) WHERE rn <= {pool}
+    )""",
+        f"""sel1 AS (
+        SELECT query_id, cand_id, cv, rel,
+               {lam_num} * rel AS score, 1 AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+            FROM pool
+        ) WHERE rn = 1
+    )""",
+        "acc1 AS (SELECT * FROM sel1)",
+    ]
+    for t in range(2, k + 1):
+        p = t - 1
+        parts.append(f"""rem{t} AS (
+        SELECT pool.* FROM pool
+        LEFT JOIN acc{p} a ON pool.query_id = a.query_id
+                          AND pool.cand_id = a.cand_id
+        WHERE a.cand_id IS NULL
+    )""")
+        parts.append(f"""ms{t} AS (
+        SELECT r.query_id, r.cand_id, max({sim_dot}) AS maxsim
+        FROM rem{t} r JOIN acc{p} s USING (query_id)
+        GROUP BY 1, 2
+    )""")
+        parts.append(f"""sel{t} AS (
+        SELECT query_id, cand_id, cv, rel, score, {t} AS rank FROM (
+            SELECT r.query_id, r.cand_id, r.cv, r.rel,
+                   {lam_num} * r.rel - {lam_cmp} * m.maxsim AS score,
+                   row_number() OVER (
+                       PARTITION BY r.query_id
+                       ORDER BY {lam_num} * r.rel - {lam_cmp} * m.maxsim DESC,
+                                r.cand_id) AS rn
+            FROM rem{t} r JOIN ms{t} m
+                ON r.query_id = m.query_id AND r.cand_id = m.cand_id
+        ) WHERE rn = 1
+    )""")
+        parts.append(
+            f"acc{t} AS (SELECT * FROM acc{p} UNION ALL SELECT * FROM sel{t})"
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT query_id, cand_id, CAST(rank AS INT) AS rank,
+           CAST(rel AS BIGINT) AS rel, CAST(score AS BIGINT) AS score
+    FROM acc{k}
+    """

@@ -721,3 +721,34 @@ def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("pmi_micro"), "w1", "w2"
     ).limit(_PMI_TOP)
+
+
+from rust_cdc_spark.queries import ann_replay as _AR  # noqa: E402
+
+
+@register(
+    "retrieval_mmr_rerank",
+    oracle=_AR.mmr_replay_sql(probe_ids=(0, 1, 2), pool=8, k=4),
+)
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversity re-rank (Carbonell &
+    Goldstein 1998): from each probe's top-8 relevance pool, greedily
+    select 4 results maximizing λ·rel − (1−λ)·max-sim-to-selected with
+    λ = 0.7 — the post-retrieval step that keeps a result page (or a
+    k-shot example set) from being four near-duplicates of the best
+    hit. Greedy argmax is the classic cross-engine divergence trap, so
+    the arithmetic is exact-integer end to end (micro-unit BIGINT dots,
+    integer λ weights 7/3, cand_id tie-break) and the DuckDB oracle
+    replays every selection round as unrolled CTEs
+    (``ann_replay.mmr_replay_sql``) — the greedy *training-free
+    iteration* is value-hash-checked, the same discipline as the
+    PQ/IVF/PCA/logistic replays.
+
+    Scale shape: ONE scored corpus scan (broadcast probes, codegen
+    integer folds) + a per-query pool window; the pool
+    (|probes|·8 rows) is localCheckpoint'd, so the 4 greedy rounds are
+    constant-size joins that never re-touch the corpus."""
+    from rust_cdc_spark.operators import mmr as MMR
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return MMR.mmr_rerank(emb, probe_ids=(0, 1, 2), pool=8, k=4)

@@ -263,6 +263,9 @@ class TestShuffleBudget:
             # user-keyed sequence window + |types|²-keyed agg + tiny
             # probability window
             ("events_transition_matrix", 3),
+            # greedy rounds run over checkpointed model-scale tables;
+            # the returned plan is a projection over the final one
+            ("retrieval_mmr_rerank", 0),
             # returned projection is map-only (training moments run as
             # their own dim²-keyed job before the plan is built)
             ("embedding_pca_abtt", 0),

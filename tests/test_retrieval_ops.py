@@ -166,5 +166,80 @@ class TestHistogramAndQuality:
             assert r.keep == (r.quality_prob >= 0.5)
 
 
+class TestMMRRerank:
+    """retrieval_mmr_rerank vs an independent pure-Python greedy MMR
+    over the same micro-quantized integers."""
+
+    def _reference(self, spark, probe_ids=(0, 1, 2), pool=8, k=4):
+        from rust_cdc_spark.sources.tables import load_table
+
+        rows = load_table(spark, "embeddings", SF_SMOKE).collect()
+        q = {
+            r.vec_id: [int(round(float(x) * 1e6)) for x in r.embedding]
+            for r in rows
+        }
+        out = []
+        for pid in probe_ids:
+            pv = q[pid]
+            rel = {
+                vid: sum(a * b for a, b in zip(v, pv))
+                for vid, v in q.items()
+                if vid != pid
+            }
+            cands = sorted(rel, key=lambda v: (-rel[v], v))[:pool]
+            sel = []
+            for rank in range(1, k + 1):
+                best = None
+                for c in cands:
+                    if c in [s[0] for s in sel]:
+                        continue
+                    if not sel:
+                        score = 7 * rel[c]
+                    else:
+                        ms = max(
+                            sum(a * b for a, b in zip(q[c], q[s[0]]))
+                            for s in sel
+                        )
+                        score = 7 * rel[c] - 3 * ms
+                    if best is None or (score, -c) > (best[1], -best[0]):
+                        best = (c, score)
+                sel.append(best)
+                out.append((pid, best[0], rank, rel[best[0]], best[1]))
+        return sorted(out)
+
+    def test_matches_pure_python_greedy(self, spark):
+        got = sorted(
+            (r.query_id, r.cand_id, r.rank, r.rel, r.score)
+            for r in run(spark, "retrieval_mmr_rerank").collect()
+        )
+        assert got == self._reference(spark)
+
+    def test_selection_is_diverse_not_pure_topk(self, spark):
+        """MMR must diverge from pure relevance ranking somewhere: at
+        least one probe's selection order differs from its top-4 by
+        rel (otherwise the diversity term is dead code at this data)."""
+        rows = run(spark, "retrieval_mmr_rerank").collect()
+        by_probe = {}
+        for r in rows:
+            by_probe.setdefault(r.query_id, []).append(r)
+        diverged = 0
+        for pid, sel in by_probe.items():
+            sel.sort(key=lambda r: r.rank)
+            by_rel = sorted(sel, key=lambda r: (-r.rel, r.cand_id))
+            if [r.cand_id for r in sel] != [r.cand_id for r in by_rel]:
+                diverged += 1
+        assert diverged >= 1, "MMR == top-k everywhere; penalty inert"
+
+    def test_first_pick_is_top_relevance(self, spark):
+        rows = run(spark, "retrieval_mmr_rerank").collect()
+        pools = {}
+        for r in rows:
+            pools.setdefault(r.query_id, []).append(r)
+        for pid, sel in pools.items():
+            first = min(sel, key=lambda r: r.rank)
+            assert first.rel == max(r.rel for r in sel)
+            assert first.score == 7 * first.rel
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
