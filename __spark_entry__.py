@@ -34,19 +34,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (b) 6 names whose only driver row predates their oracle (r1
 #       no_oracle / canonicalizer error — all have value oracles now),
 #   (c) the PQ/IVF ANN pair, which gained replay oracles this round.
-# Round 3 grew the registry to 155, so 63 names have no driver row yet
-# and 13 must spill past the 50-cap (the newest additions:
-# embedding_norm_outliers, host_authority_pagerank,
-# dedup_lsh_recall_eval at the priority tail, plus the window/drift
+# Round 3 grew the registry to 162, so names past the 50-cap spill to
+# round 4 (the priority tail embedding_norm_outliers /
+# host_authority_pagerank / dedup_lsh_recall_eval, the window/drift
 # family — events_sliding_window, events_rolling_1h_features,
 # events_session_stats, corpus_drift_kl,
-# events_user_profile_similarity, dedup_simhash_recall_eval — and the
+# events_user_profile_similarity, dedup_simhash_recall_eval — the
 # containment/attribution/OOV/novelty batch — dedup_containment_pairs,
-# dedup_source_matrix, vocab_oov_rate, doc_novelty_score — in registry
-# order; each is
-# green at 3 SFs + vanilla session via tools/check_correctness.py);
-# they lead round 4's order. Everything is
-# continuously verified by the in-repo parity suite regardless.
+# dedup_source_matrix, vocab_oov_rate, doc_novelty_score — and the
+# late-round-3 batch: embedding_jl_project, embedding_pca_abtt,
+# embedding_centroid_drift, tokenizer_fertility, vocab_countmin_topk,
+# events_transition_matrix, retrieval_mmr_rerank,
+# contamination_semantic; each is green at 3 SFs + vanilla session via
+# tools/check_correctness.py); they lead round 4's order. Everything
+# is continuously verified by the in-repo parity suite regardless.
 _R03_PRIORITY = [
     # (a) never driver-checked
     "dsir_importance_weights", "split_leakage_check",

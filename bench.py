@@ -131,6 +131,7 @@ HEADLINE = [
     "vocab_countmin_topk",
     "events_transition_matrix",
     "retrieval_mmr_rerank",
+    "contamination_semantic",
 ]
 
 

@@ -1861,3 +1861,119 @@ def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_micro"),
         )
     )
+
+
+_SEM_CONTAM_MOD = 97  # vec_id % mod == 0 → held-out benchmark slice
+_SEM_CONTAM_TAU = 950_000  # cosine threshold, micro-units
+
+
+@register(
+    "contamination_semantic",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv,
+               CAST(list_sum([qv[i+1] * qv[i+1] for i in range(0, 64)])
+                    AS BIGINT) AS n2
+        FROM q
+    ),
+    bench AS (SELECT * FROM n WHERE vec_id % {_SEM_CONTAM_MOD} = 0),
+    train AS (SELECT * FROM n WHERE vec_id % {_SEM_CONTAM_MOD} != 0),
+    pairs AS (
+        SELECT t.vec_id, b.vec_id AS bench_id,
+               CAST(round(
+                   CAST(CAST(list_sum([t.qv[i+1] * b.qv[i+1]
+                                       for i in range(0, 64)]) AS BIGINT)
+                        AS DOUBLE)
+                   / sqrt(CAST(t.n2 AS DOUBLE))
+                   / sqrt(CAST(b.n2 AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS cos_micro
+        FROM train t CROSS JOIN bench b
+    )
+    SELECT vec_id, bench_id, cos_micro,
+           cos_micro >= {_SEM_CONTAM_TAU} AS contaminated
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos_micro DESC, bench_id) AS rn
+        FROM pairs
+    ) WHERE rn = 1
+    """,
+)
+def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-level) benchmark decontamination — the
+    companion to ``contamination_ngram_overlap`` that n-gram matching
+    cannot replace: a paraphrased or translated eval example shares no
+    13-gram with its source but sits at cosine ≈ 1 in embedding space
+    (the canonical check on web-scale pretraining sets). The held-out
+    slice is ``vec_id % 97 == 0`` (~1%); every training vector reports
+    its nearest benchmark neighbor and a ``contaminated`` verdict at
+    cosine ≥ 0.95.
+
+    Determinism: dots and squared norms are exact BIGINT over
+    micro-unit coordinates; the one double chain per pair
+    (dot/√·/√·, rounded once to micro-units) is bit-identical
+    cross-engine, and the argmax is a deterministic struct-max
+    (cos_micro, then smallest bench_id).
+
+    Scale shape: benchmark slice broadcast, ONE scored corpus scan;
+    the per-doc argmax is a hash aggregate with map-side partials
+    (struct max — the exchange carries ONE row per training doc, not
+    |bench| candidate rows). At 100 TB, a benchmark too big to
+    broadcast drops into the hyperplane-LSH candidate engine
+    (operators/similarity.lsh_topk) with exact re-scoring — same
+    verdict, bounded candidates."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+        ).alias("qv"),
+    )
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = q.select("vec_id", "qv", idot(F.col("qv"), F.col("qv")).alias("n2"))
+    bench = n.filter(F.col("vec_id") % _SEM_CONTAM_MOD == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("qv").alias("bv"),
+        F.col("n2").alias("bn2"),
+    )
+    train = n.filter(F.col("vec_id") % _SEM_CONTAM_MOD != 0)
+    pairs = train.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "bench_id",
+        F.round(
+            idot(F.col("qv"), F.col("bv")).cast("double")
+            / F.sqrt(F.col("n2").cast("double"))
+            / F.sqrt(F.col("bn2").cast("double"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("cos_micro"),
+    )
+    best = (
+        pairs.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_micro"), (-F.col("bench_id")).alias("nbid")
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            (-F.col("m.nbid")).alias("bench_id"),
+            F.col("m.cos_micro").alias("cos_micro"),
+        )
+    )
+    return best.withColumn(
+        "contaminated", F.col("cos_micro") >= _SEM_CONTAM_TAU
+    )

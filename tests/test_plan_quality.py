@@ -266,6 +266,9 @@ class TestShuffleBudget:
             # greedy rounds run over checkpointed model-scale tables;
             # the returned plan is a projection over the final one
             ("retrieval_mmr_rerank", 0),
+            # bench slice broadcast; ONE vec_id-keyed struct-max agg
+            # (exchange carries one row per train doc, not |bench| rows)
+            ("contamination_semantic", 1),
             # returned projection is map-only (training moments run as
             # their own dim²-keyed job before the plan is built)
             ("embedding_pca_abtt", 0),

@@ -241,5 +241,43 @@ class TestMMRRerank:
             assert first.score == 7 * first.rel
 
 
+class TestSemanticContamination:
+    """contamination_semantic vs numpy nearest-benchmark ground truth."""
+
+    def test_matches_numpy_argmax(self, spark):
+        import numpy as np
+        from rust_cdc_spark.sources.tables import load_table
+
+        rows = load_table(spark, "embeddings", SF_SMOKE).collect()
+        ids = np.array([r.vec_id for r in rows])
+        Q = np.round(
+            np.array([r.embedding for r in rows], dtype=np.float64) * 1e6
+        )
+        n2 = (Q * Q).sum(axis=1)
+        bmask = ids % 97 == 0
+        B, bids, bn2 = Q[bmask], ids[bmask], n2[bmask]
+        got = {
+            r.vec_id: (r.bench_id, r.cos_micro, r.contaminated)
+            for r in run(spark, "contamination_semantic").collect()
+        }
+        assert len(got) == int((~bmask).sum())
+        for k in np.nonzero(~bmask)[0]:
+            dots = B @ Q[k]
+            cm = np.round(
+                dots / np.sqrt(n2[k]) / np.sqrt(bn2) * 1e6
+            ).astype(np.int64)
+            best = cm.max()
+            bid = int(bids[cm == best].min())
+            g = got[int(ids[k])]
+            assert g[1] == best, (ids[k], g, best)
+            assert g[0] == bid
+            assert g[2] == (best >= 950_000)
+
+    def test_benchmark_rows_are_excluded(self, spark):
+        rows = run(spark, "contamination_semantic").collect()
+        assert all(r.vec_id % 97 != 0 for r in rows)
+        assert all(r.bench_id % 97 == 0 for r in rows)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
