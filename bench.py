@@ -132,6 +132,9 @@ HEADLINE = [
     "events_transition_matrix",
     "retrieval_mmr_rerank",
     "contamination_semantic",
+    "cdc_snapshot_diff",
+    "corpus_burstiness",
+    "embedding_quantize_int8",
 ]
 
 

@@ -588,3 +588,92 @@ def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         img("event_type").alias("event_type"),
         img("value").alias("value"),
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    # Oracle = two independent truncated LWW replays, full-outer joined
+    # — the SCD2-derived diff must agree with diffing two from-scratch
+    # reconstructions.
+    oracle="""
+    WITH b AS (
+        SELECT CAST(max(event_id) // 3 AS BIGINT) AS p1,
+               CAST(max(event_id) * 2 // 3 AS BIGINT) AS p2
+        FROM events
+    ),
+    s1 AS (
+        SELECT user_id AS key, event_type AS t1, value AS v1 FROM (
+            SELECT e.user_id, e.event_type, e.value,
+                   row_number() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.event_id DESC) AS rn
+            FROM events e, b WHERE e.event_id <= b.p1
+        ) WHERE rn = 1 AND event_type <> 'error'
+    ),
+    s2 AS (
+        SELECT user_id AS key, event_type AS t2, value AS v2 FROM (
+            SELECT e.user_id, e.event_type, e.value,
+                   row_number() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.event_id DESC) AS rn
+            FROM events e, b WHERE e.event_id <= b.p2
+        ) WHERE rn = 1 AND event_type <> 'error'
+    ),
+    j AS (
+        SELECT coalesce(s1.key, s2.key) AS key, t1, v1, t2, v2,
+               CASE WHEN t1 IS NULL AND t2 IS NOT NULL THEN 'added'
+                    WHEN t2 IS NULL AND t1 IS NOT NULL THEN 'removed'
+                    WHEN t1 <> t2 OR v1 <> v2 THEN 'changed'
+                    ELSE 'unchanged' END AS change
+        FROM s1 FULL OUTER JOIN s2 ON s1.key = s2.key
+    )
+    SELECT key, change, t1, v1, t2, v2 FROM j WHERE change <> 'unchanged'
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff audit: classify every key's transition between the
+    table states AS OF two binlog positions (⅓ and ⅔ of the log) as
+    added / removed / changed — the change-data-feed a downstream
+    consumer reads when it reconciles two historical versions (the
+    reference only ever materializes the latest state,
+    /root/reference/src/delta/value_buffer.rs; this is the audit query
+    its users run against the sink's history).
+
+    Spark-first: BOTH states are validity-range filters over ONE SCD2
+    history build (one key-window shuffle; Catalyst reuses the window
+    exchange across the two branches) — never two log replays; the
+    oracle does the two truncated replays independently, so agreement
+    proves the interval bookkeeping end to end. The positions come
+    from exact integer `div`, bit-identical cross-engine.
+
+    Scale shape: one key-keyed window + one key-keyed full-outer join
+    of two state-sized tables; with history stored partitioned on the
+    validity range both as-of filters are partition-prunable scans."""
+    cdc = events_as_cdc(spark, sf_dir)
+    hist = SCD.scd2_history(cdc, ["key"], order_by="log_pos")
+    bounds = cdc.agg(
+        F.expr("max(log_pos) div 3").alias("__p1"),
+        F.expr("max(log_pos) * 2 div 3").alias("__p2"),
+    )
+    h = hist.crossJoin(F.broadcast(bounds))
+    s1 = SCD.as_of_snapshot(h, F.col("__p1")).select(
+        "key",
+        F.col("after.event_type").alias("t1"),
+        F.col("after.value").alias("v1"),
+    )
+    s2 = SCD.as_of_snapshot(h, F.col("__p2")).select(
+        "key",
+        F.col("after.event_type").alias("t2"),
+        F.col("after.value").alias("v2"),
+    )
+    j = s1.join(s2, ["key"], "full_outer")
+    change = (
+        F.when(F.col("t1").isNull() & F.col("t2").isNotNull(), F.lit("added"))
+        .when(F.col("t2").isNull() & F.col("t1").isNotNull(), F.lit("removed"))
+        .when(
+            (F.col("t1") != F.col("t2")) | (F.col("v1") != F.col("v2")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "key", change.alias("change"), "t1", "v1", "t2", "v2"
+    ).filter(F.col("change") != "unchanged")

@@ -1667,3 +1667,174 @@ def vocab_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cnt") - F.max("n")).alias("overestimate"),
         )
     )
+
+
+_BURST_TOP = 50  # tokens reported, by corpus frequency
+
+
+@register(
+    "corpus_burstiness",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lower(t) AS token
+        FROM documents, LATERAL unnest({_TOKENS_SQL}) AS u(t)
+    ),
+    per_doc AS (
+        SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT token,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(c) AS BIGINT) AS tc,
+               CAST(sum(c * c) AS BIGINT) AS sq
+        FROM per_doc GROUP BY token
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+    top AS (
+        SELECT * FROM stats ORDER BY tc DESC, token LIMIT {_BURST_TOP}
+    )
+    SELECT t.token, t.df, t.tc, t.sq,
+           CAST(round(
+               (CAST(t.sq AS DOUBLE) / n.nd
+                - (CAST(t.tc AS DOUBLE) / n.nd) * (CAST(t.tc AS DOUBLE) / n.nd))
+               / (CAST(t.tc AS DOUBLE) / n.nd) * 1e6) AS BIGINT)
+               AS vmr_micro
+    FROM top t CROSS JOIN n
+    """,
+)
+def corpus_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Church & Gale): variance-to-mean ratio of
+    per-document counts for the top-50 corpus tokens. VMR ≈ 1 means
+    Poisson scatter (function words); VMR ≫ 1 means the token clumps
+    into few documents (topical/boilerplate) — the statistic that
+    separates stopword-like from content-bearing vocabulary in a
+    dataset card, and a boilerplate tripwire when a supposedly common
+    token's VMR spikes. Counts are exact BIGINT (df, Σc, Σc²); VMR is
+    one double chain over those exact ints, rounded once to
+    micro-units.
+
+    Scale shape: (doc, token) hash agg → token hash agg (both
+    map-side-partial'd; the second's key space is the vocabulary),
+    TakeOrdered top-50, scalar doc count broadcast. No joins on the
+    corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform({_TOKENS_SPARK}, t -> lower(t))")
+        ).alias("token"),
+    )
+    per_doc = tok.groupBy("token", "doc_id").agg(F.count("*").alias("c"))
+    stats = per_doc.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.sum("c").alias("tc"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    top = stats.orderBy(F.col("tc").desc(), "token").limit(_BURST_TOP)
+    n = docs.agg(F.count("*").alias("nd"))
+    mean = F.col("tc").cast("double") / F.col("nd")
+    return top.crossJoin(F.broadcast(n)).select(
+        "token",
+        "df",
+        "tc",
+        "sq",
+        F.round(
+            (F.col("sq").cast("double") / F.col("nd") - mean * mean)
+            / mean
+            * 1e6
+        )
+        .cast("long")
+        .alias("vmr_micro"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, qv,
+               CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT)
+                   AS scale
+        FROM q
+    ),
+    codes AS (
+        SELECT vec_id, qv, scale,
+               CASE WHEN scale = 0
+                    THEN list_transform(qv, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(qv, x ->
+                        CAST(round(CAST(x AS DOUBLE) * 127 / scale)
+                             AS BIGINT))
+               END AS cd
+        FROM s
+    )
+    SELECT vec_id, scale AS scale_micro,
+           CAST(list_sum(cd) AS BIGINT) AS sum_codes,
+           CAST(list_sum(list_transform(cd, x -> abs(x))) AS BIGINT)
+               AS sum_abs_codes,
+           CAST(list_sum([(127 * qv[i+1] - cd[i+1] * scale)
+                          * (127 * qv[i+1] - cd[i+1] * scale)
+                          for i in range(0, 64)]) AS BIGINT) AS err_sq
+    FROM codes
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit — the standard
+    serving/storage format for ANN indexes (4× smaller than fp32,
+    SIMD-dot-friendly): scale = max|coordinate|, code_i =
+    round(x_i·127/scale) ∈ [−127,127]. Reports, per vector, the scale
+    and exact-integer reconstruction diagnostics: Σ codes (bias drift),
+    Σ|codes| (utilization of the int8 range), and the squared error in
+    the 127×-micro domain — 127·q_i − code_i·scale is an EXACT BIGINT
+    residual, so the error needs no float accumulation at all.
+
+    Scale shape: pure map over the corpus (codegen transforms + folds,
+    zero shuffles, zero driver state) — a scan-transform pass whose
+    cost is IO-bound at 100 TB; the zero-vector guard keeps degenerate
+    rows deterministic instead of NaN."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+        ).alias("qv"),
+    )
+    s = q.withColumn(
+        "scale", F.array_max(F.transform(F.col("qv"), F.abs)).cast("long")
+    )
+    codes = s.withColumn(
+        "cd",
+        F.when(
+            F.col("scale") == 0,
+            F.transform(F.col("qv"), lambda x: F.lit(0).cast("long")),
+        ).otherwise(
+            F.transform(
+                F.col("qv"),
+                lambda x: F.round(
+                    x.cast("double") * 127 / F.col("scale")
+                ).cast("long"),
+            )
+        ),
+    )
+    isum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    resid = F.zip_with(
+        F.col("qv"),
+        F.col("cd"),
+        lambda x, c: 127 * x - c * F.col("scale"),
+    )
+    return codes.select(
+        "vec_id",
+        F.col("scale").alias("scale_micro"),
+        isum(F.col("cd")).alias("sum_codes"),
+        isum(F.transform(F.col("cd"), F.abs)).alias("sum_abs_codes"),
+        isum(F.transform(resid, lambda d: d * d)).alias("err_sq"),
+    )

@@ -269,6 +269,13 @@ class TestShuffleBudget:
             # bench slice broadcast; ONE vec_id-keyed struct-max agg
             # (exchange carries one row per train doc, not |bench| rows)
             ("contamination_semantic", 1),
+            # ONE key window (reused across both as-of branches) +
+            # key-keyed full-outer join of two state-sized tables
+            ("cdc_snapshot_diff", 4),
+            # (doc,token) agg → token agg → TakeOrdered; scalar bcast
+            ("corpus_burstiness", 3),
+            # pure map: quantize + codes + exact-integer residuals
+            ("embedding_quantize_int8", 0),
             # returned projection is map-only (training moments run as
             # their own dim²-keyed job before the plan is built)
             ("embedding_pca_abtt", 0),
