@@ -135,6 +135,7 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "corpus_burstiness",
     "embedding_quantize_int8",
+    "dedup_jaccard_prefix_pairs",
 ]
 
 

@@ -730,3 +730,127 @@ def dedup_clusters(
     return clustered.withColumn(
         "is_canonical", F.col("doc_id") == F.col("cluster_id")
     )
+
+
+def jaccard_pairs_prefix(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PPJoin-style prefix filtering
+    (Xiao et al., WWW 2008) — same output as :func:`jaccard_pairs`,
+    different candidate generator.
+
+    Prefix-filter lemma: order every document's shingles by one global
+    total order (ascending document frequency, ties by hash — rarest
+    first); if J(x, y) ≥ t, then the first
+    |x| − ⌈t·|x|⌉ + 1 shingles of x and the first
+    |y| − ⌈t·|y|⌉ + 1 of y must share at least one element. Candidates
+    therefore come from an inverted index over PREFIXES only — and
+    because prefixes are df-ascending, the boilerplate shingles that
+    make full-index buckets |bucket|² are exactly the ones prefixes
+    push past the cut. Unlike ``df_cap`` (which bounds the same hazard
+    but can miss pairs whose every shared shingle is hot), prefix
+    filtering is lossless at any df skew: the guarantee is structural,
+    not statistical. Verification recovers the EXACT intersection from
+    the two docs' full hash arrays (codegen ``array_intersect``), so
+    reported scores are identical to the naive all-pairs computation.
+
+    Scale shape: one shingle-keyed df window (the same single-exchange
+    trick as the capped path), one doc-keyed sort-collect, a prefix
+    self-join whose bucket sizes are df-bounded *by construction*, and
+    two doc-keyed verify joins. Candidate volume: measured vs the full
+    inverted index in SCALE.md.
+    """
+    reps, members = _canonical_reps(docs, text_col, id_col, parallelism)
+    rep_pairs = _jaccard_prefix_direct(reps, text_col, "doc_id", k, threshold)
+    return _expand_rep_pairs(rep_pairs, reps, members, "jaccard", 1.0).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _jaccard_prefix_direct(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    threshold: float,
+) -> DataFrame:
+    sh = shingle_sets(docs, text_col, id_col, k)
+    inv = _hashed_inverted_index(sh)
+    # Global order = (df asc, hash asc): ONE shingle-keyed window
+    # exchange gives every index row its df; both the doc-side sort and
+    # the prefix cut are derived map-side from it.
+    invdf = inv.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    )
+    arr = (
+        invdf.groupBy("doc_id", "set_size")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("df", "shingle"))
+            ).alias("__sorted")
+        )
+        .select(
+            "doc_id",
+            "set_size",
+            F.transform(F.col("__sorted"), lambda x: x["shingle"]).alias(
+                "hashes"
+            ),
+        )
+        # The diamond: prefix index, verify-side A, verify-side B all
+        # read this table. Materialize ONCE (it is the same volume as
+        # the inverted-index exchange — 8 B hashes per shingle) instead
+        # of rebuilding the window+sort-collect three times (static
+        # plan showed zero ReusedExchange across the three branches;
+        # measured 4.5 → 2.6 s at sf0.1).
+        .localCheckpoint()
+    )
+    prefix_len = (
+        F.col("set_size")
+        - F.ceil(F.lit(threshold) * F.col("set_size")).cast("int")
+        + 1
+    )
+    pref = arr.select(
+        "doc_id",
+        F.explode(F.slice(F.col("hashes"), F.lit(1), prefix_len)).alias(
+            "token"
+        ),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, on="token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    va = arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("set_size").alias("size_a"),
+        F.col("hashes").alias("ha"),
+    )
+    vb = arr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("set_size").alias("size_b"),
+        F.col("hashes").alias("hb"),
+    )
+    verified = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+        )
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        _jaccard_score(
+            F.col("n_common"), F.col("size_a"), F.col("size_b")
+        ).alias("jaccard"),
+    )

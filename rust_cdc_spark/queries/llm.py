@@ -155,9 +155,11 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard_pairs",
-    oracle="""
+# Exact pairwise-equivalent Jaccard oracle — shared by the inverted-
+# index query (dedup_ngram_jaccard_pairs) and the prefix-filtered query
+# (dedup_jaccard_prefix_pairs): both generators are exact, so one
+# ground-truth SQL value-checks both.
+_JACCARD_EXACT_SQL = """
     WITH sh AS (
         SELECT doc_id,
                list_distinct([
@@ -185,8 +187,10 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = c.doc_a
     JOIN sizes sb ON sb.doc_id = c.doc_b
     WHERE CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) >= 0.5
-    """,
-)
+    """
+
+
+@register("dedup_ngram_jaccard_pairs", oracle=_JACCARD_EXACT_SQL)
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by 3-gram Jaccard ≥ 0.5.
 
@@ -203,6 +207,28 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return DD.jaccard_pairs(
         load_table(spark, "documents", sf_dir), threshold=0.5, df_cap=10_000
+    )
+
+
+@register("dedup_jaccard_prefix_pairs", oracle=_JACCARD_EXACT_SQL)
+def dedup_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram Jaccard >= 0.5 via PPJoin-style PREFIX
+    FILTERING (Xiao et al., WWW 2008) — the lossless alternative to the
+    df-capped inverted index for boilerplate-heavy crawls: candidates
+    come only from each document's df-ascending shingle prefix
+    (|x| - ceil(t|x|) + 1 elements), which structurally excludes the
+    hot-shingle |bucket|^2 blowup while guaranteeing (prefix-filter
+    lemma) that every pair with J >= t still collides. Verification
+    recovers exact intersections from full hash arrays in codegen, so
+    the output is identical to dedup_ngram_jaccard_pairs — one shared
+    ground-truth oracle value-checks both generators.
+
+    Scale shape: ONE shingle-keyed df window + doc-keyed sort-collect +
+    prefix self-join (df-bounded buckets by construction) + two
+    doc-keyed verify joins; candidate volume vs the full index is
+    measured in SCALE.md."""
+    return DD.jaccard_pairs_prefix(
+        load_table(spark, "documents", sf_dir), threshold=0.5
     )
 
 

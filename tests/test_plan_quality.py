@@ -276,6 +276,9 @@ class TestShuffleBudget:
             ("corpus_burstiness", 3),
             # pure map: quantize + codes + exact-integer residuals
             ("embedding_quantize_int8", 0),
+            # df window + doc sort-collect (checkpointed diamond) +
+            # prefix self-join + pair distinct + 2 verify joins + expand
+            ("dedup_jaccard_prefix_pairs", 9),
             # returned projection is map-only (training moments run as
             # their own dim²-keyed job before the plan is built)
             ("embedding_pca_abtt", 0),

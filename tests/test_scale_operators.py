@@ -204,6 +204,87 @@ class TestDuplicationProofPairs:
         }
         assert capped == uncapped
 
+
+
+    def test_prefix_filter_equals_inverted_index(self, spark):
+        """PPJoin prefix filtering must reproduce jaccard_pairs EXACTLY
+        (pair set and scores) — on the duplicated corpus and on the
+        hot-shingle corpus where every doc shares boilerplate."""
+        from rust_cdc_spark.operators.dedup import (
+            jaccard_pairs,
+            jaccard_pairs_prefix,
+        )
+
+        for corpus in (self._dup_corpus(spark), self._boiler_corpus(spark)):
+            full = {
+                (r.doc_a, r.doc_b): r.jaccard
+                for r in jaccard_pairs(corpus, threshold=0.5).collect()
+            }
+            pref = {
+                (r.doc_a, r.doc_b): r.jaccard
+                for r in jaccard_pairs_prefix(corpus, threshold=0.5).collect()
+            }
+            assert pref == full
+
+    def _boiler_corpus(self, spark):
+        boiler = " subscribe to our newsletter for updates"
+        rows = [(i, f"unique document body number {i} talks about topic {i}"
+                 + boiler) for i in range(60)]
+        for i in range(3):
+            rows.append((100 + i, f"unique document body number {i} talks about topic {i} extra{boiler}"))
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_prefix_filter_generates_fewer_candidates(self, spark):
+        """Realistic crawl shape: boilerplate is a small fraction of
+        each page. The full inverted index pays |bucket|² on the shared
+        sentence (all-pairs candidates); the df-ascending prefix cut —
+        which fits inside each doc's rare shingles when boilerplate is
+        < (1−t) of the doc — must structurally avoid it (≥10× fewer
+        candidate pairs). NOTE: when boilerplate dominates a doc
+        (> 1−t of its shingles), the prefix legitimately reaches hot
+        shingles — the lemma trades candidates for losslessness, it is
+        not a cap (see _boiler_corpus, where short bodies make prefix
+        == full)."""
+        from pyspark.sql import functions as F
+        from rust_cdc_spark.operators.dedup import (
+            _hashed_inverted_index,
+            _jaccard_prefix_direct,
+            shingle_sets,
+        )
+
+        boiler = " subscribe to our newsletter for updates today"
+        rows = [
+            (
+                i,
+                " ".join(f"w{i}x{j}" for j in range(20)) + boiler,
+            )
+            for i in range(60)
+        ]
+        for i in range(3):  # 3 true near-dups of docs 0..2
+            rows.append(
+                (
+                    100 + i,
+                    " ".join(f"w{i}x{j}" for j in range(20))
+                    + " extra"
+                    + boiler,
+                )
+            )
+        corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+        inv = _hashed_inverted_index(shingle_sets(corpus))
+        a, b = inv.alias("a"), inv.alias("b")
+        full_cand = (
+            a.join(b, "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+        # candidate count of the prefix path = verified rows pre-filter
+        pref_cand = _jaccard_prefix_direct(
+            corpus, "text", "doc_id", 3, 0.5
+        ).count()
+        assert pref_cand * 10 <= full_cand, (pref_cand, full_cand)
+
     def test_jaccard_df_cap_hot_shingle_corpus(self, spark):
         """Every doc shares one boilerplate sentence (the |bucket|² hazard).
         With a cap the hot shingles leave candidate generation, but true
