@@ -136,6 +136,8 @@ HEADLINE = [
     "corpus_burstiness",
     "embedding_quantize_int8",
     "dedup_jaccard_prefix_pairs",
+    "host_graph_triangles",
+    "sample_nested_subsets",
 ]
 
 

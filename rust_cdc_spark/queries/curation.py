@@ -1977,3 +1977,145 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.withColumn(
         "contaminated", F.col("cos_micro") >= _SEM_CONTAM_TAU
     )
+
+
+_TRI_ORD = 1000  # order key: deg·1000 + host (hosts < 1000 by construction)
+
+
+@register(
+    "host_graph_triangles",
+    oracle=f"""
+    WITH raw AS (
+        SELECT DISTINCT {_PR_SRC} AS src, {_PR_DST} AS dst
+        FROM documents
+    ),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst
+    ),
+    deg AS (
+        SELECT host, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS host FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY host
+    ),
+    okey AS (SELECT host, d * {_TRI_ORD} + host AS o FROM deg),
+    orient AS (
+        SELECT CASE WHEN oa.o < ob.o THEN u.a ELSE u.b END AS s,
+               CASE WHEN oa.o < ob.o THEN u.b ELSE u.a END AS t,
+               CASE WHEN oa.o < ob.o THEN ob.o ELSE oa.o END AS t_o
+        FROM und u
+        JOIN okey oa ON oa.host = u.a
+        JOIN okey ob ON ob.host = u.b
+    ),
+    wedge AS (
+        SELECT CASE WHEN e1.t_o < e2.t_o THEN e1.t ELSE e2.t END AS x,
+               CASE WHEN e1.t_o < e2.t_o THEN e2.t ELSE e1.t END AS y
+        FROM orient e1 JOIN orient e2
+            ON e1.s = e2.s AND e1.t_o < e2.t_o
+    ),
+    tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM wedge w JOIN orient e ON e.s = w.x AND e.t = w.y
+    ),
+    wtot AS (
+        SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+    ),
+    counts AS (
+        SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+               CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges
+    )
+    SELECT c.n_nodes, c.n_edges, w.n_wedges, t.n_triangles,
+           CAST(round(3.0 * t.n_triangles / w.n_wedges * 1e6) AS BIGINT)
+               AS gcc_micro
+    FROM counts c CROSS JOIN wtot w CROSS JOIN tri t
+    """,
+)
+def host_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the host link
+    graph — the graph-shape statistic that separates organic link
+    neighborhoods (high clustering) from spam farms and scraped link
+    wheels (near-zero or near-complete clustering), complementing
+    ``host_authority_pagerank`` on the same edge table.
+
+    Spark-first via the DEGREE-ORDERED algorithm (the distributed
+    standard, cf. Cohen 2009 / Suri-Vassilvitskii MapReduce
+    triangles): orient every undirected edge from the (degree, id)-
+    smaller endpoint to the larger, enumerate wedges only at each
+    edge's LOW-order endpoint, and close them with a hash semi-join.
+    A naive 3-way edge join does |N(v)|² work at every high-degree
+    hub; orientation bounds per-node wedge fan-out by out-degree ≤
+    O(√m), the difference between feasible and not on a power-law web
+    graph. All counts exact BIGINT; gcc = 3·triangles/wedges rounded
+    once to micro-units.
+
+    Scale shape: ONE doc scan builds the distinct edge table
+    (host²-bounded, checkpointed); degree/orientation are edge-keyed
+    aggs/joins; the wedge join and the closing join are both equi-hash
+    joins on model-scale tables."""
+    docs = load_table(spark, "documents", sf_dir)
+    raw = docs.select(
+        F.expr(_PR_SRC).alias("src"), F.expr(_PR_DST).alias("dst")
+    ).distinct()
+    und = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()  # one doc scan; reused by degree + orientation
+    )
+    deg = (
+        und.select(F.col("a").alias("host"))
+        .unionAll(und.select(F.col("b").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").alias("d"))
+    )
+    okey = deg.select(
+        "host", (F.col("d") * _TRI_ORD + F.col("host")).alias("o")
+    )
+    orient = (
+        und.join(okey.withColumnsRenamed({"host": "a", "o": "oa"}), "a")
+        .join(okey.withColumnsRenamed({"host": "b", "o": "ob"}), "b")
+        .select(
+            F.when(F.col("oa") < F.col("ob"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("s"),
+            F.when(F.col("oa") < F.col("ob"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("t"),
+            F.greatest("oa", "ob").alias("t_o"),
+        )
+        .localCheckpoint()  # wedge join + closing join both read it
+    )
+    e1, e2 = orient.alias("e1"), orient.alias("e2")
+    wedge = e1.join(
+        e2,
+        (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t_o") < F.col("e2.t_o")),
+    ).select(F.col("e1.t").alias("x"), F.col("e2.t").alias("y"))
+    tri = wedge.join(
+        orient.select(F.col("s").alias("x"), F.col("t").alias("y")),
+        ["x", "y"],
+        "inner",
+    ).agg(F.count("*").alias("n_triangles"))
+    wtot = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    )
+    counts = und.agg(F.count("*").alias("n_edges")).crossJoin(
+        deg.agg(F.count("*").alias("n_nodes"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(wtot))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges") * 1e6
+            )
+            .cast("long")
+            .alias("gcc_micro"),
+        )
+    )

@@ -1838,3 +1838,55 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         isum(F.transform(F.col("cd"), F.abs)).alias("sum_abs_codes"),
         isum(F.transform(resid, lambda d: d * d)).alias("err_sq"),
     )
+
+
+_NEST_TIERS = [(10, 1), (50, 5), (100, 10), (250, 25), (500, 50), (1000, 100)]
+
+
+@register(
+    "sample_nested_subsets",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('ns|' || doc_id), 1, 8)) AS BIGINT)
+                   % 1000 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE {" ".join(f"WHEN bucket < {cut} THEN {pct}" for cut, pct in _NEST_TIERS)}
+           END AS subset_pct
+    FROM b
+    """,
+)
+def sample_nested_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested scaling-law subsets: every document is assigned the
+    SMALLEST of the 1/5/10/25/50/100 % tiers it belongs to, via one
+    md5 bucket in [0,1000) — so the 5 % set contains the 1 % set, the
+    10 % contains the 5 %, and so on by construction (threshold
+    nesting). This is the split a scaling-law study needs: training
+    runs at growing data sizes must use SUPERSETS, not independent
+    samples, or the curve confounds data growth with data change.
+    md5 keeps membership deterministic across engines, retries, and
+    corpus growth (a new doc never reshuffles old members between
+    tiers).
+
+    Scale shape: pure map over the corpus — zero shuffles, zero
+    state; at 100 TB it is a scan-annotate-write pass."""
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ns|"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    # CASE chain in ascending-cut order: first match wins, so each doc
+    # lands in the smallest tier containing its bucket.
+    expr = None
+    for cut, pct in _NEST_TIERS:
+        cond = F.col("bucket") < cut
+        expr = F.when(cond, F.lit(pct)) if expr is None else expr.when(cond, F.lit(pct))
+    return docs.select("doc_id").withColumn("bucket", bucket).withColumn(
+        "subset_pct", expr
+    )

@@ -279,6 +279,11 @@ class TestShuffleBudget:
             # df window + doc sort-collect (checkpointed diamond) +
             # prefix self-join + pair distinct + 2 verify joins + expand
             ("dedup_jaccard_prefix_pairs", 9),
+            # degree-ordered wedge+close joins over a checkpointed
+            # host²-bounded edge table; ONE doc scan
+            ("host_graph_triangles", 6),
+            # pure map: md5 bucket + CASE tier
+            ("sample_nested_subsets", 0),
             # returned projection is map-only (training moments run as
             # their own dim²-keyed job before the plan is built)
             ("embedding_pca_abtt", 0),
