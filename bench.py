@@ -138,6 +138,7 @@ HEADLINE = [
     "dedup_jaccard_prefix_pairs",
     "host_graph_triangles",
     "sample_nested_subsets",
+    "retrieval_maxsim_topk",
 ]
 
 

@@ -752,3 +752,140 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     return MMR.mmr_rerank(emb, probe_ids=(0, 1, 2), pool=8, k=4)
+
+
+_MAXSIM_DIM = 16  # hash-embedding dimensionality (sign bits)
+_MAXSIM_QTOK = 8  # query tokens per probe
+_MAXSIM_K = 10  # results per probe
+_MAXSIM_PROBES = (0, 1, 2)
+
+
+@register(
+    "retrieval_maxsim_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, lower(t) AS token
+        FROM documents, LATERAL unnest(string_split(trim(text), ' ')) AS u(t)
+    ),
+    h AS (
+        SELECT doc_id, token,
+               CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) & 65535
+                   AS ht
+        FROM tok
+    ),
+    qt AS (
+        SELECT doc_id AS query_id, ht AS qh
+        FROM (
+            SELECT doc_id, ht,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY token) AS rn
+            FROM h WHERE doc_id IN {_MAXSIM_PROBES}
+        ) WHERE rn <= {_MAXSIM_QTOK}
+    ),
+    best AS (
+        SELECT q.query_id, h.doc_id, q.qh,
+               CAST(min(bit_count(xor(h.ht, q.qh))) AS BIGINT) AS min_ham
+        FROM h CROSS JOIN qt q
+        WHERE h.doc_id != q.query_id
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               CAST(sum({_MAXSIM_DIM} - 2 * min_ham) AS BIGINT) AS maxsim
+        FROM best GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, maxsim, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY maxsim DESC, doc_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_MAXSIM_K}
+    """,
+)
+def retrieval_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) retrieval with hash
+    embeddings: every token gets a deterministic {_MAXSIM_DIM}-bit
+    sign vector from md5 (feature hashing), and a document's score
+    against a query is MaxSim — for each query token, the best-
+    matching document token's similarity, summed over query tokens
+    (Khattab & Zaharia 2020). Sign-vector dot products collapse to
+    bit algebra: dot = dim − 2·popcount(xor), so the entire scorer is
+    exact-integer XOR+popcount — no floats, bit-identical in DuckDB.
+    Query = the 8 lexicographically-first distinct tokens of each
+    probe document.
+
+    Scale shape: ONE distinct-(doc,token) aggregate feeds everything;
+    the 24-row query-token table broadcasts; per-(query,doc,qtoken)
+    min and per-(query,doc) sum are hash aggs with map-side partials
+    (key spaces linear in the corpus); top-k is a rank window over
+    per-query score tables. At 100 TB the byte cost per candidate is
+    2 B (one 16-bit pattern), ~1000× below shipping float token
+    embeddings — the reason hash late-interaction is a feasible
+    first-stage ranker at web scale.""".replace(
+        "{_MAXSIM_DIM}", str(_MAXSIM_DIM)
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(split(trim(text), ' '), t -> lower(t))")
+            )
+        ).alias("token"),
+    ).distinct()
+    h = tok.select(
+        "doc_id",
+        "token",
+        (
+            F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % 65536
+        ).alias("ht"),
+    )
+    wq = Window.partitionBy("doc_id").orderBy("token")
+    qt = (
+        h.filter(F.col("doc_id").isin(list(_MAXSIM_PROBES)))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _MAXSIM_QTOK)
+        .select(F.col("doc_id").alias("query_id"), F.col("ht").alias("qh"))
+    )
+    # Fold shape, not join shape: collapsing each doc to ONE row of
+    # distinct 16-bit patterns first means the per-query-token work
+    # (min-hamming over the doc's patterns) runs as codegen array
+    # folds on that single row — the corpus is exchanged ONCE
+    # (doc-keyed collect_set), instead of shipping every token row
+    # ×|query tokens| into a 3-level aggregation (measured 3.4 → 1.5 s
+    # at sf0.1, and the exchange payload drops ~24×).
+    darr = h.groupBy("doc_id").agg(F.collect_set("ht").alias("hts"))
+    qarr = qt.groupBy("query_id").agg(
+        F.sort_array(F.collect_list("qh")).alias("qhs")
+    )
+    scored = (
+        darr.crossJoin(F.broadcast(qarr))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.aggregate(
+                F.col("qhs"),
+                F.lit(0).cast("long"),
+                lambda acc, qh: acc
+                + _MAXSIM_DIM
+                - 2
+                * F.array_min(
+                    F.transform(
+                        F.col("hts"),
+                        lambda ht: F.bit_count(ht.bitwiseXOR(qh)),
+                    )
+                ),
+            ).alias("maxsim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _MAXSIM_K)
+        .select("query_id", "doc_id", "maxsim", "rank")
+    )

@@ -284,6 +284,10 @@ class TestShuffleBudget:
             ("host_graph_triangles", 6),
             # pure map: md5 bucket + CASE tier
             ("sample_nested_subsets", 0),
+            # distinct (doc,token) agg + doc pattern-array agg + tiny
+            # query-array agg + per-query rank window; scorer is pure
+            # codegen bit algebra over the broadcast query arrays
+            ("retrieval_maxsim_topk", 4),
             # returned projection is map-only (training moments run as
             # their own dim²-keyed job before the plan is built)
             ("embedding_pca_abtt", 0),
