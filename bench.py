@@ -139,6 +139,7 @@ HEADLINE = [
     "host_graph_triangles",
     "sample_nested_subsets",
     "retrieval_maxsim_topk",
+    "events_decay_activity_score",
 ]
 
 

@@ -680,3 +680,81 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p_micro"),
     )
+
+
+_DECAY_CAP = 40  # max shift: 2^-40 of the micro multiplier is already 0
+
+
+@register(
+    "events_decay_activity_score",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    mx AS (SELECT max(es) AS emax FROM e),
+    aged AS (
+        SELECT user_id,
+               least((mx.emax - e.es) // 86400, {_DECAY_CAP}) AS age,
+               e.cents
+        FROM e CROSS JOIN mx
+    ),
+    buckets AS (
+        SELECT user_id, age, CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM aged GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(sum_cents * 1000000 //
+                    (CAST(1 AS BIGINT) << age)) AS BIGINT)
+               AS score_micro_cents,
+           CAST(count(*) AS BIGINT) AS active_days,
+           CAST(min(age) AS BIGINT) AS days_since_last
+    FROM buckets GROUP BY user_id
+    """,
+)
+def events_decay_activity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed user activity score with a 1-day
+    half-life — the recency-weighted engagement feature behind churn
+    models and ranking freshness boosts: score = Σ value·2^(−age_days).
+    Float exp() sums are order-dependent (non-associative) and
+    therefore partitioning-dependent; here the decay is EXACT integer
+    arithmetic instead — powers of two as bit shifts, one floored
+    `div` per (user, age-bucket), BIGINT sums throughout — so the
+    score is bit-identical under any shuffle and replays perfectly in
+    DuckDB. Also emits active-day count and days-since-last (the
+    classic RFM trio).
+
+    Scale shape: ONE (user, age)-keyed agg over the corpus (≤41 age
+    buckets per user, map-side partials) then a user-keyed rollup of
+    ≤41 rows each; the global max-timestamp is a scalar broadcast. No
+    windows, no joins on the corpus."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mx = e.agg(F.max("es").alias("emax"))
+    aged = e.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.least(
+            F.expr("(emax - es) div 86400"), F.lit(_DECAY_CAP).cast("long")
+        ).alias("age"),
+        "cents",
+    )
+    buckets = aged.groupBy("user_id", "age").agg(
+        F.sum("cents").alias("sum_cents")
+    )
+    return buckets.groupBy("user_id").agg(
+        F.sum(
+            F.expr(
+                "sum_cents * 1000000 div shiftleft(cast(1 as bigint), "
+                "cast(age as int))"
+            )
+        ).alias("score_micro_cents"),
+        F.count("*").alias("active_days"),
+        F.min("age").alias("days_since_last"),
+    )

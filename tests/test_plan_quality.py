@@ -288,6 +288,8 @@ class TestShuffleBudget:
             # query-array agg + per-query rank window; scorer is pure
             # codegen bit algebra over the broadcast query arrays
             ("retrieval_maxsim_topk", 4),
+            # scalar max broadcast + (user,age) agg + user rollup
+            ("events_decay_activity_score", 3),
             # returned projection is map-only (training moments run as
             # their own dim²-keyed job before the plan is built)
             ("embedding_pca_abtt", 0),
