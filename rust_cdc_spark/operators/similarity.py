@@ -86,7 +86,7 @@ def _bucket_col(vec, planes) -> F.Column:
     """Sign-bit bucket id for one hash table: bit i = (vec · plane_i) > 0."""
     bits = [
         F.when(
-            V.dot(vec, F.array(*[F.lit(x) for x in plane])) > 0, F.lit(1 << i)
+            V.dot(vec, V.lit_doubles(plane)) > 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
         for i, plane in enumerate(planes)
     ]

@@ -9,7 +9,9 @@ verify even the MinHash path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rust_cdc_spark.functions import text as TX
@@ -1134,7 +1136,7 @@ def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_row = emb.filter(F.col("vec_id") == 0).first()
     probe = [float(x) for x in probe_row.embedding]
     pool = PQ.pq_topk(codes, cb, probe, k=max(64, n // 5))
-    probe_lit = F.array(*[F.lit(x) for x in probe])
+    probe_lit = V.lit_doubles(probe)
     reranked = (
         pool.join(emb, "vec_id")
         .select(
@@ -1181,7 +1183,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_row = emb.filter(F.col("vec_id") == 0).first()
     probe = [float(x) for x in probe_row.embedding]
     pool = PQ.ivf_pq_topk(index, cents, cb, probe, n_probe=4, k=64)
-    probe_lit = F.array(*[F.lit(x) for x in probe])
+    probe_lit = V.lit_doubles(probe)
     reranked = (
         pool.select("vec_id").join(emb, "vec_id")
         .select(
@@ -1406,3 +1408,150 @@ def dedup_simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", F.lit(True).alias("is_cand")
     )
     return _recall_summary(truth, cand)
+
+
+# nDCG term table: round(rel / log2(pos+1) · 1e6), rel 1..10, pos 1..10,
+# PRECOMPUTED on the driver and inlined as literals in BOTH engines —
+# log2 is not guaranteed correctly-rounded in either libm, so no log is
+# ever evaluated engine-side; the whole metric is exact integers.
+_NDCG_K = 10
+_NDCG_TERMS = [
+    [
+        int(round(rel / math.log2(pos + 1) * 1e6))
+        for pos in range(1, _NDCG_K + 1)
+    ]
+    for rel in range(1, _NDCG_K + 1)
+]
+_NDCG_IDCG = sum(_NDCG_TERMS[_NDCG_K - t][t - 1] for t in range(1, _NDCG_K + 1))
+_NDCG_TERMS_FLAT = [v for row in _NDCG_TERMS for v in row]
+_NDCG_TERMS_SQL = "[" + ", ".join(str(v) for v in _NDCG_TERMS_FLAT) + "]"
+
+
+@register(
+    "similarity_lsh_ndcg_eval",
+    oracle=f"""
+    WITH planes(table_id, bit, plane) AS (
+        VALUES {{planes}}
+    ),
+    corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    probes AS (SELECT vec_id AS query_id, v AS qv FROM corpus
+               WHERE vec_id IN (0, 1, 2)),
+    truth AS (
+        SELECT query_id, vec_id, CAST(11 - rnk AS BIGINT) AS rel FROM (
+            SELECT p.query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {_COS_SQL.format(a="c.v", b="p.qv")} DESC,
+                                c.vec_id) AS rnk
+            FROM corpus c CROSS JOIN probes p
+            WHERE c.vec_id != p.query_id
+        ) WHERE rnk <= {_NDCG_K}
+    ),
+    buckets AS (
+        SELECT c.vec_id, p.table_id,
+               CAST(sum(CASE WHEN list_dot_product(c.v, p.plane) > 0
+                             THEN 1 << p.bit ELSE 0 END) AS INT) AS bucket
+        FROM corpus c CROSS JOIN planes p
+        GROUP BY c.vec_id, p.table_id
+    ),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+        FROM buckets qb
+        JOIN buckets cb ON qb.table_id = cb.table_id
+                       AND qb.bucket = cb.bucket
+        WHERE qb.vec_id IN (0, 1, 2) AND cb.vec_id != qb.vec_id
+    ),
+    approx AS (
+        SELECT query_id, vec_id, pos FROM (
+            SELECT cand.query_id, cand.vec_id,
+                   row_number() OVER (
+                       PARTITION BY cand.query_id
+                       ORDER BY {_COS_SQL.format(a="cv.v", b="qv.v")} DESC,
+                                cand.vec_id) AS pos
+            FROM cand
+            JOIN corpus cv ON cv.vec_id = cand.vec_id
+            JOIN corpus qv ON qv.vec_id = cand.query_id
+        ) WHERE pos <= {_NDCG_K}
+    ),
+    terms AS (
+        SELECT a.query_id,
+               CASE WHEN t.rel IS NULL THEN 0
+                    ELSE {_NDCG_TERMS_SQL}[(t.rel - 1) * {_NDCG_K} + a.pos]
+               END AS term,
+               CASE WHEN t.rel IS NULL THEN 0 ELSE 1 END AS hit
+        FROM approx a
+        LEFT JOIN truth t
+            ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+    )
+    SELECT query_id,
+           CAST(sum(term) AS BIGINT) AS dcg_micro,
+           CAST(sum(term) * 1000000 // {_NDCG_IDCG} AS BIGINT) AS ndcg_ppm,
+           CAST(sum(hit) AS BIGINT) AS hits
+    FROM terms GROUP BY query_id
+    """.replace("{planes}", _planes_values_sql(64, 6, 4)),
+)
+def similarity_lsh_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded quality evaluation of the LSH ANN path: nDCG@10 of
+    hyperplane-LSH results against the exact cosine top-10 — the
+    companion to `dedup_lsh_recall_eval`'s binary recall, sensitive to
+    WHERE the approximation loses results (missing the #1 neighbor
+    costs ~4× more than missing #10). Relevance of exact-rank-r = 11−r;
+    every DCG term round(rel/log2(pos+1)·1e6) is precomputed on the
+    driver and inlined as a literal array in BOTH engines, so no log()
+    is ever evaluated engine-side — the metric is exact-integer and
+    hash-matches (libm log2 is not correctly-rounded-guaranteed).
+
+    Scale shape: truth = broadcast-probe scored scan + rank window
+    (the brute-force baseline, probe-batch-sized); approx = the
+    bucket-equi LSH join; the term join is k·|probes| rows against the
+    10-row truth per probe. Evaluation cost is probe-bounded, not
+    corpus-bounded."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    truth = SIM.brute_force_topk(
+        emb, probes, k=_NDCG_K, exclude_self=True
+    ).select(
+        "query_id", "vec_id", (11 - F.col("rank")).cast("long").alias("rel")
+    )
+    # rank-after-self-exclusion == exclude from candidates then rank
+    # (the oracle's shape): take k+1, drop self, re-rank the ≤k+1 rows.
+    raw = SIM.lsh_topk(
+        emb, probes, dim=64, k=_NDCG_K + 1, n_bits=6, n_tables=4
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    wpos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    approx = (
+        raw.withColumn("pos", F.row_number().over(wpos))
+        .filter(F.col("pos") <= _NDCG_K)
+        .select("query_id", "vec_id", "pos")
+    )
+    terms_arr = V.lit_longs(_NDCG_TERMS_FLAT)
+    # truth is k·|probes| rows — broadcast it so the term join adds no
+    # exchange on the approx side.
+    joined = approx.join(
+        F.broadcast(truth), ["query_id", "vec_id"], "left"
+    ).select(
+        "query_id",
+        F.when(F.col("rel").isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            F.element_at(
+                terms_arr,
+                ((F.col("rel") - 1) * _NDCG_K + F.col("pos")).cast("int"),
+            )
+        )
+        .alias("term"),
+        F.when(F.col("rel").isNull(), F.lit(0)).otherwise(F.lit(1)).alias(
+            "hit"
+        ),
+    )
+    return joined.groupBy("query_id").agg(
+        F.sum("term").alias("dcg_micro"),
+        F.expr(f"sum(term) * 1000000 div {_NDCG_IDCG}").alias("ndcg_ppm"),
+        F.sum("hit").cast("long").alias("hits"),
+    )

@@ -1290,7 +1290,7 @@ def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = emb.select("vec_id", q.alias("q"))
     outs = []
     for j, signs in enumerate(_JL):
-        sl = F.array(*[F.lit(s) for s in signs])
+        sl = V.lit_longs(signs)
         p = F.aggregate(
             F.zip_with(F.col("q"), sl, lambda a, b: a * b),
             F.lit(0).cast("long"),

@@ -290,6 +290,9 @@ class TestShuffleBudget:
             ("retrieval_maxsim_topk", 4),
             # scalar max broadcast + (user,age) agg + user rollup
             ("events_decay_activity_score", 3),
+            # truth rank window + LSH candidate dedup + approx window;
+            # term join broadcasts the 30-row truth
+            ("similarity_lsh_ndcg_eval", 3),
             # returned projection is map-only (training moments run as
             # their own dim²-keyed job before the plan is built)
             ("embedding_pca_abtt", 0),
