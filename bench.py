@@ -141,6 +141,8 @@ HEADLINE = [
     "retrieval_maxsim_topk",
     "events_decay_activity_score",
     "similarity_lsh_ndcg_eval",
+    "corpus_lang_source_mi",
+    "text_ttr_mattr",
 ]
 
 

@@ -1890,3 +1890,155 @@ def sample_nested_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").withColumn("bucket", bucket).withColumn(
         "subset_pct", expr
     )
+
+
+@register(
+    "corpus_lang_source_mi",
+    oracle="""
+    WITH xy AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_xy
+        FROM documents GROUP BY lang, source
+    ),
+    x AS (SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_x FROM xy GROUP BY lang),
+    y AS (SELECT source, CAST(sum(n_xy) AS BIGINT) AS n_y FROM xy GROUP BY source),
+    n AS (SELECT CAST(sum(n_xy) AS BIGINT) AS nd FROM xy)
+    SELECT xy.lang, xy.source, xy.n_xy, x.n_x, y.n_y,
+           CAST(round(ln(CAST(xy.n_xy AS DOUBLE) * n.nd / x.n_x / y.n_y)
+                      * 1e6) AS BIGINT) AS pmi_micro,
+           CAST(xy.n_xy * CAST(round(ln(CAST(xy.n_xy AS DOUBLE) * n.nd
+                                        / x.n_x / y.n_y) * 1e6) AS BIGINT)
+                AS BIGINT) AS w_micro
+    FROM xy JOIN x USING (lang) JOIN y USING (source) CROSS JOIN n
+    """,
+)
+def corpus_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between language and source — the
+    dataset-card dependence audit: a corpus where one source
+    contributes all of one language (high |PMI|) will silently skew
+    any per-language ablation toward that source's style. Each cell's
+    PMI is ONE ln over exact integer counts rounded once to
+    micro-nats (the collocation-PMI discipline); the MI estimate is
+    Σ w_micro / (N·1e6) over the returned cells — w_micro = n_xy·pmi
+    is exact BIGINT, so the rollup is engine-stable.
+
+    Scale shape: ONE (lang, source)-keyed corpus aggregate
+    (|langs|·|sources| keys, map-side partials); the marginals derive
+    from the cell table, never a second corpus scan; joins are
+    model-scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    xy = docs.groupBy("lang", "source").agg(F.count("*").alias("n_xy"))
+    x = xy.groupBy("lang").agg(F.sum("n_xy").alias("n_x"))
+    y = xy.groupBy("source").agg(F.sum("n_xy").alias("n_y"))
+    n = xy.agg(F.sum("n_xy").alias("nd"))
+    pmi = (
+        F.round(
+            F.log(
+                F.col("n_xy").cast("double")
+                * F.col("nd")
+                / F.col("n_x")
+                / F.col("n_y")
+            )
+            * 1e6
+        )
+        .cast("long")
+    )
+    return (
+        xy.join(F.broadcast(x), "lang")
+        .join(F.broadcast(y), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "n_xy",
+            "n_x",
+            "n_y",
+            pmi.alias("pmi_micro"),
+            (F.col("n_xy") * pmi).alias("w_micro"),
+        )
+    )
+
+
+_MATTR_W = 50  # moving-average TTR window (tokens)
+
+
+@register(
+    "text_ttr_mattr",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(string_split(trim(text), ' '),
+                              t -> lower(t)) AS tk
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(tk) AS n_tokens,
+               len(list_distinct(tk)) AS n_types, tk
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(round(CAST(n_types AS DOUBLE) / n_tokens * 1e6) AS BIGINT)
+               AS ttr_micro,
+           CASE WHEN n_tokens <= {_MATTR_W}
+                THEN CAST(round(CAST(n_types AS DOUBLE) / n_tokens * 1e6)
+                          AS BIGINT)
+                ELSE CAST(round(
+                    CAST(list_sum(list_transform(
+                        range(1, n_tokens - {_MATTR_W} + 2),
+                        i -> len(list_distinct(tk[i:i+{_MATTR_W - 1}]))))
+                         AS DOUBLE)
+                    / ((n_tokens - {_MATTR_W} + 1) * {_MATTR_W}) * 1e6)
+                    AS BIGINT)
+           END AS mattr_micro
+    FROM base
+    """,
+)
+def text_ttr_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity: type-token ratio and MATTR (moving-average
+    TTR over 50-token windows, Covington & McFall 2010) — the
+    length-robust variant a dataset card should prefer, since raw TTR
+    decays mechanically with document length and makes short docs look
+    artificially "diverse". Repetitive/boilerplate text scores low on
+    MATTR even when its global TTR looks healthy. All counts are exact
+    integers; each ratio is one IEEE division rounded once.
+
+    Scale shape: pure map — per-doc token arrays, window distinct
+    counts as codegen transform/slice folds (O(n·w) per doc, no
+    explode, no shuffle, zero exchanges). At 100 TB it is a
+    scan-annotate pass."""
+    docs = load_table(spark, "documents", sf_dir)
+    tk = F.expr("transform(split(trim(text), ' '), t -> lower(t))")
+    base = docs.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        F.size(F.array_distinct(tk)).alias("n_types"),
+        tk.alias("tk"),
+    )
+    ttr = F.round(
+        F.col("n_types").cast("double") / F.col("n_tokens") * 1e6
+    ).cast("long")
+    win_sum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - _MATTR_W + 1),
+            lambda i: F.size(
+                F.array_distinct(F.slice(F.col("tk"), i, _MATTR_W))
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    mattr = F.when(F.col("n_tokens") <= _MATTR_W, ttr).otherwise(
+        F.round(
+            win_sum.cast("double")
+            / ((F.col("n_tokens") - _MATTR_W + 1) * _MATTR_W)
+            * 1e6
+        ).cast("long")
+    )
+    return base.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        ttr.alias("ttr_micro"),
+        mattr.alias("mattr_micro"),
+    )

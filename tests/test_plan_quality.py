@@ -293,6 +293,11 @@ class TestShuffleBudget:
             # truth rank window + LSH candidate dedup + approx window;
             # term join broadcasts the 30-row truth
             ("similarity_lsh_ndcg_eval", 3),
+            # ONE (lang,source) corpus agg; marginals + joins are
+            # model-scale (broadcast)
+            ("corpus_lang_source_mi", 7),
+            # pure map: codegen window-distinct folds, no explode
+            ("text_ttr_mattr", 0),
             # returned projection is map-only (training moments run as
             # their own dim²-keyed job before the plan is built)
             ("embedding_pca_abtt", 0),
