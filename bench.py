@@ -143,6 +143,8 @@ HEADLINE = [
     "similarity_lsh_ndcg_eval",
     "corpus_lang_source_mi",
     "text_ttr_mattr",
+    "preference_pairs_by_source",
+    "contrastive_negatives",
 ]
 
 

@@ -1555,3 +1555,188 @@ def similarity_lsh_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"sum(term) * 1000000 div {_NDCG_IDCG}").alias("ndcg_ppm"),
         F.sum("hit").cast("long").alias("hits"),
     )
+
+
+_PREF_PAIRS_PER_SOURCE = 5
+
+
+@register(
+    "preference_pairs_by_source",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len({_TOKENS_SQL}) AS DOUBLE) AS tc,
+               CAST(len(list_filter({_TOKENS_SQL},
+                        t -> list_contains({_SW_SQL}, lower(t)))) AS DOUBLE)
+                   / len({_TOKENS_SQL}) AS sw,
+               CAST(list_sum(list_transform({_TOKENS_SQL},
+                                            t -> length(t))) AS DOUBLE)
+                   / len({_TOKENS_SQL}) AS atl
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source,
+               round(0.4 * least(tc / 64.0, 1.0)
+                     + 0.4 * least(sw * 4.0, 1.0)
+                     + 0.2 * (CASE WHEN atl BETWEEN 2.0 AND 12.0
+                              THEN 1.0 ELSE 0.0 END), 4) AS quality
+        FROM t
+    ),
+    best AS (
+        SELECT source, doc_id, quality,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS r
+        FROM q
+    ),
+    worst AS (
+        SELECT source, doc_id, quality,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality ASC, doc_id) AS r
+        FROM q
+    )
+    SELECT b.source, CAST(b.r AS INT) AS pair_rank,
+           b.doc_id AS chosen_id, b.quality AS chosen_quality,
+           w.doc_id AS rejected_id, w.quality AS rejected_quality
+    FROM best b JOIN worst w ON b.source = w.source AND b.r = w.r
+    WHERE b.r <= {_PREF_PAIRS_PER_SOURCE} AND b.quality > w.quality
+    """,
+)
+def preference_pairs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining: per source, pair the r-th best document
+    with the r-th worst by quality score (r ≤ 5, degenerate equal-
+    quality pairs dropped) — the construction behind reward-model /
+    DPO training sets when no human labels exist: the quality scorer
+    supplies weak preferences, and pairing WITHIN a source controls
+    for style so the pair reflects quality, not provenance. The
+    doc_id tie-break makes pair selection deterministic at equal
+    scores.
+
+    Scale shape: quality is a pure-map expression; both rankings are
+    windows over the SAME source partitioning (one exchange,
+    Catalyst reuses it across the two sorts); the pair join is
+    5·|sources| rows against 5·|sources|. At 100 TB a full sort per
+    source is avoided — rank ≤ 5 windows are TakeOrdered-style
+    per-partition heaps after AQE."""
+    docs = load_table(spark, "documents", sf_dir)
+    q = docs.select(
+        "doc_id", "source", TX.quality_score("text").alias("quality")
+    )
+    wb = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    ww = Window.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id")
+    )
+    best = (
+        q.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") <= _PREF_PAIRS_PER_SOURCE)
+        .select(
+            "source",
+            F.col("r").alias("pair_rank"),
+            F.col("doc_id").alias("chosen_id"),
+            F.col("quality").alias("chosen_quality"),
+        )
+    )
+    worst = (
+        q.withColumn("r", F.row_number().over(ww))
+        .filter(F.col("r") <= _PREF_PAIRS_PER_SOURCE)
+        .select(
+            "source",
+            F.col("r").alias("pair_rank"),
+            F.col("doc_id").alias("rejected_id"),
+            F.col("quality").alias("rejected_quality"),
+        )
+    )
+    return best.join(worst, ["source", "pair_rank"]).filter(
+        F.col("chosen_quality") > F.col("rejected_quality")
+    )
+
+
+_NEG_K = 5  # negatives per anchor
+_NEG_EXCLUDE = 50  # top-N cosine neighborhood excluded from negatives
+
+
+@register(
+    "contrastive_negatives",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    probes AS (SELECT vec_id AS anchor_id, v AS qv FROM corpus
+               WHERE vec_id IN (0, 1, 2)),
+    ranked AS (
+        SELECT p.anchor_id, c.vec_id,
+               row_number() OVER (
+                   PARTITION BY p.anchor_id
+                   ORDER BY {_COS_SQL.format(a="c.v", b="p.qv")} DESC,
+                            c.vec_id) AS rnk
+        FROM corpus c CROSS JOIN probes p
+        WHERE c.vec_id != p.anchor_id
+    ),
+    eligible AS (
+        SELECT anchor_id, vec_id,
+               md5(anchor_id || '|' || vec_id) AS h
+        FROM ranked WHERE rnk > {_NEG_EXCLUDE}
+    )
+    SELECT anchor_id, vec_id AS negative_id, CAST(pick AS INT) AS pick
+    FROM (
+        SELECT anchor_id, vec_id,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY h, vec_id) AS pick
+        FROM eligible
+    ) WHERE pick <= {_NEG_K}
+    """,
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-exclusion negative sampling for contrastive training: per
+    anchor, pick {k} pseudo-random negatives from OUTSIDE its top-{n}
+    cosine neighborhood — the standard guard against false negatives
+    (sampling a true near-neighbor as a "negative" actively corrupts
+    the embedding objective). Selection is md5-ordered, so the sample
+    is uniform-ish, deterministic across engines/retries, and stable
+    under partitioning; the exclusion zone reuses the brute-force
+    ranking (at index scale, the ANN path supplies it).
+
+    Scale shape: one broadcast-probe scored scan + per-anchor rank
+    window (probe-batch-bounded), then an md5-keyed top-k window over
+    the eligible set. Nothing is corpus-keyed except the one scored
+    scan.""".replace("{k}", str(_NEG_K)).replace("{n}", str(_NEG_EXCLUDE))
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            F.round(V.cosine(F.col("embedding"), F.col("qv")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wr = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    eligible = (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") > _NEG_EXCLUDE)
+        .select(
+            "anchor_id",
+            "vec_id",
+            F.md5(
+                F.concat_ws("|", F.col("anchor_id"), F.col("vec_id"))
+            ).alias("h"),
+        )
+    )
+    wp = Window.partitionBy("anchor_id").orderBy("h", "vec_id")
+    return (
+        eligible.withColumn("pick", F.row_number().over(wp))
+        .filter(F.col("pick") <= _NEG_K)
+        .select(
+            "anchor_id", F.col("vec_id").alias("negative_id"), "pick"
+        )
+    )

@@ -298,6 +298,12 @@ class TestShuffleBudget:
             ("corpus_lang_source_mi", 7),
             # pure map: codegen window-distinct folds, no explode
             ("text_ttr_mattr", 0),
+            # ONE source-keyed exchange shared by both rank windows;
+            # pair join is 5·|sources| rows
+            ("preference_pairs_by_source", 2),
+            # broadcast probes + per-anchor rank/pick windows on one
+            # anchor-keyed exchange
+            ("contrastive_negatives", 1),
             # returned projection is map-only (training moments run as
             # their own dim²-keyed job before the plan is built)
             ("embedding_pca_abtt", 0),
