@@ -145,6 +145,7 @@ HEADLINE = [
     "text_ttr_mattr",
     "preference_pairs_by_source",
     "contrastive_negatives",
+    "dedup_minhash_estimate_eval",
 ]
 
 

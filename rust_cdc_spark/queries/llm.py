@@ -1740,3 +1740,95 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_id", F.col("vec_id").alias("negative_id"), "pick"
         )
     )
+
+
+@register(
+    "dedup_minhash_estimate_eval",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)
+               ]) AS shingle_set
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+              FROM documents)
+    ),
+    sh_e AS (SELECT doc_id, unnest(shingle_set) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shingle_set) AS n FROM sh),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM sh_e a JOIN sh_e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter), 4)
+                   AS jaccard
+        FROM cand c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) >= 0.5
+    ),
+    hsx AS (
+        SELECT doc_id,
+               {DD.MINHASH_HS_SQL.replace("ss", "shingle_set")} AS hs
+        FROM sh
+    ),
+    sig AS (SELECT doc_id, {DD.minhash_sig_sql(16)} AS sg FROM hsx)
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           CAST(len(list_filter(range(1, 17),
+                    i -> a.sg[i] = b.sg[i])) * 62500 AS BIGINT) AS est_micro,
+           CAST(len(list_filter(range(1, 17),
+                    i -> a.sg[i] = b.sg[i])) * 62500
+                - round(p.jaccard * 1e6) AS BIGINT) AS err_micro
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.doc_a
+    JOIN sig b ON b.doc_id = p.doc_b
+    """,
+)
+def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every TRUE near-dup pair
+    (exact Jaccard ≥ 0.5), compare the 16-permutation MinHash estimate
+    (matching components / 16) against the exact score — the audit
+    that tells you whether the LSH banding thresholds are set where
+    the estimator actually operates (E[matches]/16 = J, but at 16
+    permutations the estimate quantizes to 1/16 steps; err_micro makes
+    the quantization and variance visible per pair). Completes the
+    approx-operator QA trio: recall (binary), nDCG (graded ranking),
+    and now estimator bias.
+
+    Scale shape: the exact side reuses `jaccard_pairs`'s full engine
+    (canonical reps, df-capped index, exact recovery); signatures are
+    the one-md5 affine-permutation pipeline; the comparison joins the
+    pair table (near-dup-sized, tiny) against the doc-keyed signature
+    table twice. All signature arithmetic is exact BIGINT — the
+    estimate hash-matches to the last component."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = DD.jaccard_pairs(docs, threshold=0.5, df_cap=10_000)
+    sig = DD.minhash_signatures(docs).select("doc_id", "sig")
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
+            lambda b: b,
+        )
+    )
+    est = (matches * F.lit(62500)).cast("long")
+    return (
+        pairs.join(
+            sig.withColumnsRenamed({"doc_id": "doc_a", "sig": "sa"}), "doc_a"
+        )
+        .join(
+            sig.withColumnsRenamed({"doc_id": "doc_b", "sig": "sb"}), "doc_b"
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            est.alias("est_micro"),
+            (est - F.round(F.col("jaccard") * 1e6).cast("long")).alias(
+                "err_micro"
+            ),
+        )
+    )

@@ -304,6 +304,9 @@ class TestShuffleBudget:
             # broadcast probes + per-anchor rank/pick windows on one
             # anchor-keyed exchange
             ("contrastive_negatives", 1),
+            # full jaccard engine + signature pipeline + two doc-keyed
+            # sig joins onto the (tiny) pair table
+            ("dedup_minhash_estimate_eval", 29),
             # returned projection is map-only (training moments run as
             # their own dim²-keyed job before the plan is built)
             ("embedding_pca_abtt", 0),
