@@ -34,20 +34,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (b) 6 names whose only driver row predates their oracle (r1
 #       no_oracle / canonicalizer error — all have value oracles now),
 #   (c) the PQ/IVF ANN pair, which gained replay oracles this round.
-# Round 3 grew the registry to 162, so names past the 50-cap spill to
-# round 4 (the priority tail embedding_norm_outliers /
-# host_authority_pagerank / dedup_lsh_recall_eval, the window/drift
-# family — events_sliding_window, events_rolling_1h_features,
-# events_session_stats, corpus_drift_kl,
-# events_user_profile_similarity, dedup_simhash_recall_eval — the
-# containment/attribution/OOV/novelty batch — dedup_containment_pairs,
-# dedup_source_matrix, vocab_oov_rate, doc_novelty_score — and the
-# late-round-3 batch: embedding_jl_project, embedding_pca_abtt,
-# embedding_centroid_drift, tokenizer_fertility, vocab_countmin_topk,
-# events_transition_matrix, retrieval_mmr_rerank,
-# contamination_semantic; each is green at 3 SFs + vanilla session via
-# tools/check_correctness.py); they lead round 4's order. Everything
-# is continuously verified by the in-repo parity suite regardless.
+# Round 3 grew the registry past the 50-cap: every name not in the
+# priority list below (the priority tail embedding_norm_outliers /
+# host_authority_pagerank / dedup_lsh_recall_eval, the window/drift/
+# containment batches, and all operators added after the cap — in
+# registry order) spills to round 4 and leads its order. Each spilled
+# name is green at 3 SFs + vanilla session via
+# tools/check_correctness.py (full-registry sweeps recorded in the
+# round-3 session), and everything is continuously verified by the
+# in-repo parity suite regardless.
 _R03_PRIORITY = [
     # (a) never driver-checked
     "dsir_importance_weights", "split_leakage_check",

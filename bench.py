@@ -146,6 +146,8 @@ HEADLINE = [
     "preference_pairs_by_source",
     "contrastive_negatives",
     "dedup_minhash_estimate_eval",
+    "join_salted_orders_lineitem",
+    "agg_salted_event_totals",
 ]
 
 

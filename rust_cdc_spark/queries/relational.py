@@ -1341,3 +1341,95 @@ def agg_filter_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_totalprice") > 200000, F.col("o_custkey"))
         ).cast("bigint").alias("big_spenders"),
     )
+
+
+@register(
+    "join_salted_orders_lineitem",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join, value-checked against the plain
+    join: the big side (lineitem) is salted into 8 sub-keys and the
+    orders side replicated across them, so one hot orderkey fans out
+    over 8 reducers instead of pinning one straggler task — the manual
+    remedy when AQE's skew-join threshold isn't reached or the skew is
+    in an aggregation upstream of it. The salt is md5-deterministic,
+    and the oracle is the UNSALTED join — agreement proves salting is
+    semantics-free. (Synthetic TPC-H keys aren't skewed; the operator's
+    outer-mode replication hazards are pinned separately in
+    test_scale_operators.)
+
+    Scale shape: same single shuffle as the plain join, keys widened
+    by the salt; the replicated small side costs n_salts× its (already
+    small) size. Result rolled up per priority to keep the checked
+    output compact."""
+    from rust_cdc_spark.operators.skew import salted_join
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    j = salted_join(
+        li, orders, on=["o_orderkey"], n_salts=8,
+        big_unique_col="l_extendedprice",
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("revenue_cents"),
+    )
+
+
+@register(
+    "agg_salted_event_totals",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a pathologically low-cardinality
+    key (|event_type| = 5): phase 1 aggregates per (key, salt) — 8×
+    the reducers — phase 2 combines the 8 partials per key. This is
+    the explicit remedy when a hash aggregate's key space is so small
+    that map-side partials still funnel into a handful of reducers;
+    value-checked against the plain GROUP BY (cents are exact BIGINTs,
+    so the two-phase sum is bit-equal).
+
+    Scale shape: two exchanges of at most |keys|·n_salts rows — the
+    corpus is only scanned once, map-side partials still apply within
+    each salt."""
+    from rust_cdc_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    return salted_agg(
+        ev,
+        key_cols=["event_type"],
+        partial_aggs=[
+            F.count("*").alias("c"),
+            F.sum("cents").alias("s"),
+        ],
+        final_aggs=[
+            F.sum("c").alias("n"),
+            F.sum("s").alias("total_cents"),
+        ],
+        n_salts=8,
+        unique_col="event_id",
+    )

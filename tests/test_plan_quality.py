@@ -307,6 +307,11 @@ class TestShuffleBudget:
             # full jaccard engine + signature pipeline + two doc-keyed
             # sig joins onto the (tiny) pair table
             ("dedup_minhash_estimate_eval", 29),
+            # salted join broadcasts the replicated small side: ONE
+            # exchange total (the priority rollup agg)
+            ("join_salted_orders_lineitem", 1),
+            # two exchanges of ≤ |keys|·n_salts rows
+            ("agg_salted_event_totals", 2),
             # returned projection is map-only (training moments run as
             # their own dim²-keyed job before the plan is built)
             ("embedding_pca_abtt", 0),
