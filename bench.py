@@ -148,6 +148,8 @@ HEADLINE = [
     "dedup_minhash_estimate_eval",
     "join_salted_orders_lineitem",
     "agg_salted_event_totals",
+    "boilerplate_sentence_inventory",
+    "events_hourly_seasonality",
 ]
 
 

@@ -2119,3 +2119,86 @@ def host_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gcc_micro"),
         )
     )
+
+
+_SENT_TOP = 20  # most-duplicated passages reported
+_SENT_PLEN = 8  # tokens per non-overlapping passage
+
+
+@register(
+    "boilerplate_sentence_inventory",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+    ),
+    ch AS (
+        SELECT doc_id,
+               array_to_string(tk[{_SENT_PLEN}*i+1:{_SENT_PLEN}*i+{_SENT_PLEN}], ' ')
+                   AS passage
+        FROM toks, LATERAL unnest(range(0, len(tk) // {_SENT_PLEN})) AS u(i)
+    ),
+    per_doc AS (
+        SELECT DISTINCT doc_id, passage FROM ch
+        WHERE length(passage) >= 20
+    ),
+    counts AS (
+        SELECT passage, CAST(count(*) AS BIGINT) AS df,
+               md5(passage) AS fp
+        FROM per_doc GROUP BY passage
+    )
+    SELECT passage, df, fp FROM counts
+    WHERE df >= 2
+    ORDER BY df DESC, passage
+    LIMIT {_SENT_TOP}
+    """,
+)
+def boilerplate_sentence_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate discovery: the most-duplicated passages across the
+    corpus (non-overlapping 8-token chunks, >=20 chars, per-doc
+    deduplicated, document frequency >= 2) — the INVENTORY view that
+    tells a curation team WHAT to strip before near-dup thresholds are
+    tuned (cookie banners, subscription prompts, license footers),
+    complementing `dedup_passage_exact` (which removes) and
+    `c4_quality_rules` (which filters lines). On punctuated text the
+    unit would be the sentence; the fixed-token chunk is the
+    punctuation-free generalization. The md5 fingerprint column is
+    what a downstream strip-list keys on.
+
+    Scale shape: chunk explode → per-doc distinct → ONE passage-keyed
+    hash agg (the exchange carries distinct passages, boilerplate
+    collapsing map-side); top-k is TakeOrdered. At 100 TB the df >= 2
+    filter drops the (dominant) unique-passage tail before any
+    ordering."""
+    docs = load_table(spark, "documents", sf_dir)
+    tk = F.split(F.trim(F.col("text")), " ")
+    nch = F.expr(f"size(split(trim(text), ' ')) div {_SENT_PLEN}").cast(
+        "int"
+    )
+    # explode drops the NULL produced for docs shorter than one chunk
+    # (sequence(0, -1) would otherwise generate a DESCENDING range).
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                nch > 0,
+                F.transform(
+                    F.sequence(F.lit(0), nch - 1),
+                    lambda i: F.array_join(
+                        F.slice(tk, i * _SENT_PLEN + 1, _SENT_PLEN), " "
+                    ),
+                ),
+            )
+        ).alias("passage"),
+    )
+    per_doc = (
+        ch.filter(F.length("passage") >= 20)
+        .select("doc_id", "passage")
+        .distinct()
+    )
+    counts = per_doc.groupBy("passage").agg(F.count("*").alias("df"))
+    return (
+        counts.filter(F.col("df") >= 2)
+        .select("passage", "df", F.md5("passage").alias("fp"))
+        .orderBy(F.col("df").desc(), "passage")
+        .limit(_SENT_TOP)
+    )

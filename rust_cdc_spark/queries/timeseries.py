@@ -758,3 +758,35 @@ def events_decay_activity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("active_days"),
         F.min("age").alias("days_since_last"),
     )
+
+
+@register(
+    "events_hourly_seasonality",
+    oracle="""
+    SELECT CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal activity profile: event volume and value by hour-of-day
+    × event type — the seasonality baseline behind anomaly alerts
+    (is 3 am traffic low because it's 3 am, or because ingestion
+    broke?) and capacity planning. Hour extraction happens in the
+    session's pinned UTC zone on both engines; cents are exact BIGINT.
+
+    Scale shape: pure map → ONE hash aggregate with a 24·|types| key
+    space (constant in corpus size, map-side partials)."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(
+        F.hour("ts").alias("hour_of_day"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )

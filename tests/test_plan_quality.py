@@ -312,6 +312,11 @@ class TestShuffleBudget:
             ("join_salted_orders_lineitem", 1),
             # two exchanges of ≤ |keys|·n_salts rows
             ("agg_salted_event_totals", 2),
+            # chunk explode → (doc,passage) distinct → passage agg;
+            # TakeOrdered top-k
+            ("boilerplate_sentence_inventory", 2),
+            # pure map → ONE 24·|types|-keyed agg
+            ("events_hourly_seasonality", 1),
             # returned projection is map-only (training moments run as
             # their own dim²-keyed job before the plan is built)
             ("embedding_pca_abtt", 0),
