@@ -150,6 +150,7 @@ HEADLINE = [
     "agg_salted_event_totals",
     "boilerplate_sentence_inventory",
     "events_hourly_seasonality",
+    "quality_calibration_bins",
 ]
 
 

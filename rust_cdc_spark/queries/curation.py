@@ -2202,3 +2202,107 @@ def boilerplate_sentence_inventory(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.col("df").desc(), "passage")
         .limit(_SENT_TOP)
     )
+
+
+@register(
+    "quality_calibration_bins",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, text,
+               len({_WORDS_SQL}) AS ntok,
+               CAST(len(list_filter({_WORDS_SQL},
+                    w -> lower(w) IN {_QLR_STOPS})) AS DOUBLE)
+                   / len({_WORDS_SQL}) AS stop_ratio,
+               CAST(list_sum(list_transform({_WORDS_SQL}, w -> len(w)))
+                    AS DOUBLE) / len({_WORDS_SQL}) AS avg_len,
+               CAST(len(list_distinct({_WORDS_SQL})) AS DOUBLE)
+                   / len({_WORDS_SQL}) AS uniq_ratio
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(round(round(1.0 / (1.0 + exp(-({_QLR_W[0]}
+                     + {_QLR_W[1]} * ln(1 + ntok)
+                     + {_QLR_W[2]} * stop_ratio
+                     + {_QLR_W[3]} * avg_len
+                     + {_QLR_W[4]} * uniq_ratio))), 6) * 1e6) AS BIGINT)
+                   AS pred_micro,
+               CASE WHEN round(0.4 * least(CAST(len(string_split(trim(text), ' ')) AS DOUBLE) / 64.0, 1.0)
+                     + 0.4 * least(CAST(len(list_filter(string_split(trim(text), ' '),
+                           t -> list_contains(['the','a','an','and','of','to','in','is','it','that'], lower(t)))) AS DOUBLE)
+                           / len(string_split(trim(text), ' ')) * 4.0, 1.0)
+                     + 0.2 * (CASE WHEN CAST(list_sum(list_transform(string_split(trim(text), ' '),
+                           t -> length(t))) AS DOUBLE) / len(string_split(trim(text), ' '))
+                           BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END),
+                     4) >= 0.5 THEN 1 ELSE 0 END AS y
+        FROM feats
+    )
+    SELECT CAST(least(pred_micro // 100000, 9) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pred_micro) AS BIGINT) AS sum_pred_micro,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(pred_micro) // count(*) AS BIGINT) AS mean_pred_micro,
+           CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_micro
+    FROM scored GROUP BY 1
+    """,
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the logistic quality scorer: bucket
+    predictions into 10 probability deciles and compare the mean
+    predicted probability against the observed positive rate under the
+    heuristic weak label (composite quality ≥ 0.5 — the label the
+    distributed trainer fits). A well-calibrated filter has
+    mean_pred ≈ pos_rate per bin; systematic gaps say the 0.5 keep
+    threshold is not operating at the confidence the scores claim —
+    the standard pre-deployment audit for any model-based filter.
+    Predictions quantize to exact micro-units BEFORE binning and
+    summing, so every per-bin statistic is exact-integer (means and
+    rates via floored `div`).
+
+    Scale shape: pure-map features + scoring, ONE hash aggregate with
+    ≤10 keys (map-side partials absorb the corpus)."""
+    from rust_cdc_spark.functions import text as TX
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.expr(_WORDS_SPARK)
+    ntok = F.size(w)
+    stop_ratio = (
+        F.size(
+            F.filter(
+                w, lambda x: F.lower(x).isin("the", "a", "of", "and", "to")
+            )
+        ).cast("double")
+        / ntok
+    )
+    avg_len = (
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / ntok
+    )
+    uniq_ratio = F.size(F.array_distinct(w)).cast("double") / ntok
+    z = (
+        F.lit(_QLR_W[0])
+        + _QLR_W[1] * F.log(1 + ntok)
+        + _QLR_W[2] * stop_ratio
+        + _QLR_W[3] * avg_len
+        + _QLR_W[4] * uniq_ratio
+    )
+    pred_micro = F.round(
+        F.round(1.0 / (1.0 + F.exp(-z)), 6) * 1e6
+    ).cast("long")
+    y = (TX.quality_score("text") >= 0.5).cast("int")
+    scored = docs.select(pred_micro.alias("pred_micro"), y.alias("y"))
+    return scored.groupBy(
+        F.least(F.expr("pred_micro div 100000"), F.lit(9).cast("long"))
+        .cast("int")
+        .alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("pred_micro").alias("sum_pred_micro"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.expr("sum(pred_micro) div count(*)").alias("mean_pred_micro"),
+        F.expr("sum(y) * 1000000 div count(*)").alias("pos_rate_micro"),
+    )

@@ -317,6 +317,8 @@ class TestShuffleBudget:
             ("boilerplate_sentence_inventory", 2),
             # pure map → ONE 24·|types|-keyed agg
             ("events_hourly_seasonality", 1),
+            # pure-map scoring → ONE ≤10-key agg
+            ("quality_calibration_bins", 1),
             # returned projection is map-only (training moments run as
             # their own dim²-keyed job before the plan is built)
             ("embedding_pca_abtt", 0),
