@@ -151,6 +151,7 @@ HEADLINE = [
     "boilerplate_sentence_inventory",
     "events_hourly_seasonality",
     "quality_calibration_bins",
+    "lang_id_confusion_matrix",
 ]
 
 

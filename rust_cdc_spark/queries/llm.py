@@ -1832,3 +1832,63 @@ def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "lang_id_confusion_matrix",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, lang, {{scores}} FROM documents),
+    m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM s),
+    pred AS (
+        SELECT lang,
+               CASE WHEN mx < 0.04 THEN 'other'
+                    WHEN s_de = mx THEN 'de'
+                    WHEN s_en = mx THEN 'en'
+                    WHEN s_es = mx THEN 'es'
+                    WHEN s_fr = mx THEN 'fr'
+                    ELSE 'zh' END AS lang_pred
+        FROM m
+    ),
+    cells AS (
+        SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY lang, lang_pred
+    ),
+    tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+            FROM cells GROUP BY lang)
+    SELECT c.lang, c.lang_pred, c.n,
+           CAST(c.n * 1000000 // t.n_lang AS BIGINT) AS row_rate_micro,
+           c.lang = c.lang_pred AS is_correct
+    FROM cells c JOIN tot t USING (lang)
+    """.replace("{scores}", _SCORES),
+)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-coverage language identifier
+    against the corpus's metadata labels — the evaluation every lang-ID
+    gate needs before its verdicts route documents (per-language recall
+    sits on the diagonal; systematic confusions like es→fr tell you
+    which stopword lists collide). Completes the operator-QA pattern
+    for the text family: the classifier itself is oracle-checked
+    (`lang_id_multiclass`); this derives its quality against labels.
+    Rates are exact floored ppm of exact counts.
+
+    Scale shape: pure-map scoring → ONE (lang, pred)-keyed agg
+    (≤ |langs|² keys, map-side partials); the row-total join is
+    model-scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    pred = docs.select(
+        "lang", TX.lang_id_multi("text").alias("lang_pred")
+    )
+    cells = pred.groupBy("lang", "lang_pred").agg(
+        F.count("*").alias("n")
+    )
+    tot = cells.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    return (
+        cells.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.expr("n * 1000000 div n_lang").alias("row_rate_micro"),
+            (F.col("lang") == F.col("lang_pred")).alias("is_correct"),
+        )
+    )

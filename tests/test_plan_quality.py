@@ -319,6 +319,8 @@ class TestShuffleBudget:
             ("events_hourly_seasonality", 1),
             # pure-map scoring → ONE ≤10-key agg
             ("quality_calibration_bins", 1),
+            # pure-map lang-ID → (lang,pred) agg + model-scale rollup
+            ("lang_id_confusion_matrix", 3),
             # returned projection is map-only (training moments run as
             # their own dim²-keyed job before the plan is built)
             ("embedding_pca_abtt", 0),
