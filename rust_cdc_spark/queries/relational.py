@@ -1433,3 +1433,74 @@ def agg_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=8,
         unique_col="event_id",
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey AS custkey,
+               max(o_orderdate) AS last_order,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+        SELECT custkey,
+               ntile(4) OVER (ORDER BY last_order DESC, custkey) AS r_q,
+               ntile(4) OVER (ORDER BY n_orders DESC, custkey) AS f_q,
+               ntile(4) OVER (ORDER BY cents DESC, custkey) AS m_q,
+               n_orders, cents
+        FROM rfm
+    )
+    SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+           CAST(m_q AS INT) AS m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n_orders) AS BIGINT) AS orders,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM q GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile-bucket every customer on Recency
+    (last order date), Frequency (order count), and Monetary (lifetime
+    cents), then profile the ≤64 segments — the classic lifecycle
+    segmentation (1,1,1 = champions; 4,1,1 = at-risk big spenders).
+    ntile with a custkey tie-break is deterministic and has identical
+    bucket-size semantics in both engines; money is exact cents.
+
+    Scale shape: ONE custkey-keyed aggregate over orders; the three
+    ntile windows run over the CUSTOMER-level table (not orders) —
+    at this cardinality a single-key window is fine on a cluster, and
+    at true 100 TB customer counts the quartile thresholds would come
+    from the exact distinct-value histogram technique already proven
+    in `length_quantile_filter` (same output, no global sort); the
+    final rollup is a ≤64-key agg."""
+    orders = load_table(spark, "orders", sf_dir)
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents"),
+    )
+    q = rfm.select(
+        "custkey",
+        "n_orders",
+        "cents",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_order").desc(), "custkey"))
+        .alias("r_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("n_orders").desc(), "custkey"))
+        .alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("cents").desc(), "custkey"))
+        .alias("m_q"),
+    )
+    return q.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("n_orders").alias("orders"),
+        F.sum("cents").alias("cents"),
+    )
