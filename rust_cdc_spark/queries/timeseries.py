@@ -790,3 +790,76 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents"
         ),
     )
+
+
+_ANOM_K = 3  # flag beyond mean ± 3·MAD
+
+
+@register(
+    "events_value_anomaly_mad",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, CAST(sum(cents) // count(*) AS BIGINT)
+                   AS mean_cents
+        FROM e GROUP BY event_type
+    ),
+    d AS (
+        SELECT e.event_type,
+               CAST(sum(abs(e.cents - m.mean_cents)) // count(*) AS BIGINT)
+                   AS mad_cents,
+               CAST(max(m.mean_cents) AS BIGINT) AS mean_cents
+        FROM e JOIN m USING (event_type) GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.cents, d.mean_cents, d.mad_cents
+    FROM e JOIN d USING (event_type)
+    WHERE abs(e.cents - d.mean_cents) > {_ANOM_K} * d.mad_cents
+    """,
+)
+def events_value_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type value anomaly gate: events whose value sits
+    outside mean ± 3·MAD of their own event type — the telemetry
+    tripwire for fat-finger values, unit-mixups (dollars vs cents),
+    and upstream corruption, robust to the outliers it hunts (unlike
+    stddev, MAD doesn't move when the anomaly enters the window).
+    Mean and MAD are exact floored-integer statistics over exact
+    cents — the embedding-norm outlier gate's discipline applied to
+    the event stream.
+
+    Scale shape: two corpus-scan aggregates into |types| keys (the
+    second re-derives cents rather than shuffling them — cheaper than
+    materializing at 100 TB), stats broadcast back for a map-side
+    verdict; only anomalies are emitted."""
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    m = e.groupBy("event_type").agg(
+        F.expr("sum(cents) div count(*)").alias("mean_cents")
+    )
+    d = (
+        e.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("sum(abs(cents - mean_cents)) div count(*)").alias(
+                "mad_cents"
+            ),
+            F.max("mean_cents").alias("mean_cents"),
+        )
+    )
+    return (
+        e.join(F.broadcast(d), "event_type")
+        .filter(
+            F.abs(F.col("cents") - F.col("mean_cents"))
+            > _ANOM_K * F.col("mad_cents")
+        )
+        .select(
+            "event_id", "event_type", "cents", "mean_cents", "mad_cents"
+        )
+    )
