@@ -1504,3 +1504,44 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").alias("orders"),
         F.sum("cents").alias("cents"),
     )
+
+
+@register(
+    "supplier_return_rate",
+    oracle="""
+    SELECT l_suppkey AS suppkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS return_rate_micro
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def supplier_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier quality scorecard: per-supplier return rate
+    (returnflag = 'R') beside discounted revenue — the rollup behind
+    q10's returned-items blame, pivoted from customers to suppliers
+    (who SHIPPED the items that came back). Rates are exact floored
+    ppm; money is exact cents (rounded once per line item — the same
+    cent discipline every revenue query here uses).
+
+    Scale shape: pure map → ONE suppkey-keyed hash aggregate with
+    map-side partials. No joins."""
+    li = load_table(spark, "lineitem", sf_dir)
+    returned = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    return li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count("*").alias("n_items"),
+        F.sum(returned).cast("long").alias("n_returned"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("revenue_cents"),
+        F.expr(
+            "sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*)"
+        ).alias("return_rate_micro"),
+    )
