@@ -863,3 +863,62 @@ def events_value_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type", "cents", "mean_cents", "mad_cents"
         )
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        FROM events
+    ),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS n_dau
+            FROM ud GROUP BY day),
+    wau AS (
+        SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_wau
+        FROM dau d JOIN ud u
+            ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    )
+    SELECT d.day, d.n_dau, w.n_wau,
+           CAST(d.n_dau * 1000000 // w.n_wau AS BIGINT)
+               AS stickiness_micro
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU engagement: per day, the distinct active users that
+    day, the distinct users over the trailing 7 days, and their ratio
+    (the "stickiness" KPI — how much of the weekly audience shows up
+    daily). Days are exact integer epoch-day buckets; the ratio is a
+    floored ppm of exact counts.
+
+    Scale shape: ONE (user, day) distinct aggregate collapses the
+    event stream to active-pairs (map-side partials); the trailing
+    window is a 7-day band join against the |days|-row day table
+    (broadcast — the per-day side is calendar-sized, never
+    corpus-sized), then a (day)-keyed distinct count. No per-event
+    window, no 7× event replication."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    ud = ev.select(
+        "user_id",
+        F.expr("floor(unix_timestamp(ts)) div 86400").alias("day"),
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("n_dau"))
+    wau = (
+        ud.join(
+            F.broadcast(dau.select("day").withColumnRenamed("day", "d")),
+            (F.col("day") >= F.col("d") - 6) & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("n_wau"))
+        .withColumnRenamed("d", "day")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "n_dau",
+        "n_wau",
+        F.expr("n_dau * 1000000 div n_wau").alias("stickiness_micro"),
+    )
