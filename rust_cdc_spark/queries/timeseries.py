@@ -922,3 +922,75 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_wau",
         F.expr("n_dau * 1000000 div n_wau").alias("stickiness_micro"),
     )
+
+
+@register(
+    "events_power_users_pareto",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY user_id
+    ),
+    d AS (
+        SELECT user_id, cents,
+               ntile(10) OVER (ORDER BY cents DESC, user_id) AS decile
+        FROM u
+    ),
+    t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM u)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(sum(cents) * 1000000 // t.total AS BIGINT)
+               AS share_micro,
+           CAST(sum(sum(cents)) OVER (ORDER BY decile) * 1000000
+                // t.total AS BIGINT) AS cum_share_micro
+    FROM d CROSS JOIN t
+    GROUP BY decile, t.total
+    """,
+)
+def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / Lorenz concentration of user value: bucket users into
+    value deciles and report each decile's share and cumulative share
+    of total event value — the 80/20 audit behind whale-risk analysis
+    (when decile 1 carries most of the value, the corpus — or the
+    revenue — hinges on a handful of accounts). ntile with a user_id
+    tie-break is deterministic cross-engine; shares are floored ppm of
+    exact cent sums.
+
+    Scale shape: ONE user-keyed agg over events; the decile window
+    runs on the USER-level table; the rollup is a 10-key agg with a
+    10-row cumulative window. At extreme user counts the decile cuts
+    would come from the exact histogram technique
+    (`length_quantile_filter`), not a global sort."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    d = u.select(
+        "cents",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("cents").desc(), "user_id"))
+        .alias("decile"),
+    )
+    t = u.agg(F.sum("cents").alias("total"))
+    per = (
+        d.groupBy("decile")
+        .agg(F.count("*").alias("n_users"), F.sum("cents").alias("cents"))
+        .crossJoin(F.broadcast(t))
+    )
+    wcum = Window.orderBy("decile")
+    # cum share via integer `div`, not double division: at an exact
+    # ppm boundary the double quotient can land 1 ulp low and truncate
+    # off-by-one vs the oracle's floored integer division.
+    return per.withColumn(
+        "cum_cents", F.sum("cents").over(wcum)
+    ).select(
+        "decile",
+        "n_users",
+        "cents",
+        F.expr("cents * 1000000 div total").alias("share_micro"),
+        F.expr("cum_cents * 1000000 div total").alias("cum_share_micro"),
+    )

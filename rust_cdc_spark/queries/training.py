@@ -2042,3 +2042,109 @@ def text_ttr_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ttr.alias("ttr_micro"),
         mattr.alias("mattr_micro"),
     )
+
+
+_HEAPS_STEPS = 10  # corpus-prefix checkpoints (doc_id deciles)
+
+
+@register(
+    "corpus_vocab_growth_heaps",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lower(t) AS token
+        FROM documents, LATERAL unnest({_TOKENS_SQL}) AS u(t)
+    ),
+    firsts AS (
+        SELECT token, CAST(min(doc_id) AS BIGINT) AS first_doc,
+               CAST(count(*) AS BIGINT) AS occurrences
+        FROM tok GROUP BY token
+    ),
+    b AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM tok),
+    cuts AS (
+        SELECT CAST(s.range + 1 AS INT) AS step,
+               CAST((s.range + 1) * b.mx // {_HEAPS_STEPS} AS BIGINT)
+                   AS cut
+        FROM range({_HEAPS_STEPS}) s CROSS JOIN b
+    ),
+    toks_at AS (
+        SELECT c.step, c.cut,
+               CAST(sum(CASE WHEN t.doc_id <= c.cut THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tokens
+        FROM tok t CROSS JOIN cuts c GROUP BY c.step, c.cut
+    ),
+    vocab_at AS (
+        SELECT c.step,
+               CAST(sum(CASE WHEN f.first_doc <= c.cut THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_types
+        FROM firsts f CROSS JOIN cuts c GROUP BY c.step
+    )
+    SELECT t.step, t.cut, t.n_tokens, v.n_types,
+           CAST(v.n_types * 1000000 // t.n_tokens AS BIGINT)
+               AS ttr_micro
+    FROM toks_at t JOIN vocab_at v USING (step)
+    """,
+)
+def corpus_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law audit: vocabulary size vs cumulative token count at
+    10 corpus-prefix checkpoints (doc_id deciles) — the growth curve
+    that sizes tokenizer vocabularies and detects corpus contamination
+    (natural text grows as V ≈ K·nᵝ with β ≈ 0.5; a flattening curve
+    means the tail is duplicated content adding tokens but no types,
+    and a straightening one means injected noise). Companion to
+    `corpus_burstiness` (Zipf) and `vocab_top_tokens`.
+
+    Scale shape: ONE token aggregate produces per-token
+    (first_doc, occurrences) — the vocabulary-sized table every
+    checkpoint question is answered from (prefix vocab = first_doc ≤
+    cut; no re-scan per checkpoint). Token counts per cut come from
+    one corpus-scan agg against the broadcast 10-row cut table. All
+    counts exact; TTR is a floored ppm."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform({_TOKENS_SPARK}, t -> lower(t))")
+        ).alias("token"),
+    )
+    firsts = tok.groupBy("token").agg(
+        F.min("doc_id").alias("first_doc"),
+        F.count("*").alias("occurrences"),
+    )
+    b = tok.agg(F.max("doc_id").alias("mx"))
+    cuts = (
+        spark.range(_HEAPS_STEPS)
+        .select((F.col("id") + 1).cast("int").alias("step"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "step",
+            F.expr(f"step * mx div {_HEAPS_STEPS}").alias("cut"),
+        )
+    )
+    toks_at = (
+        tok.crossJoin(F.broadcast(cuts))
+        .groupBy("step", "cut")
+        .agg(
+            F.sum(
+                F.when(F.col("doc_id") <= F.col("cut"), 1).otherwise(0)
+            ).alias("n_tokens")
+        )
+    )
+    vocab_at = (
+        firsts.crossJoin(F.broadcast(cuts.select("step", "cut")))
+        .groupBy("step")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") <= F.col("cut"), 1).otherwise(0)
+            ).alias("n_types")
+        )
+    )
+    return (
+        toks_at.join(vocab_at, "step")
+        .select(
+            "step",
+            "cut",
+            "n_tokens",
+            "n_types",
+            F.expr("n_types * 1000000 div n_tokens").alias("ttr_micro"),
+        )
+    )
