@@ -152,6 +152,12 @@ HEADLINE = [
     "events_hourly_seasonality",
     "quality_calibration_bins",
     "lang_id_confusion_matrix",
+    "customer_rfm_segments",
+    "events_value_anomaly_mad",
+    "supplier_return_rate",
+    "events_dau_wau_stickiness",
+    "events_power_users_pareto",
+    "corpus_vocab_growth_heaps",
 ]
 
 

@@ -321,6 +321,19 @@ class TestShuffleBudget:
             ("quality_calibration_bins", 1),
             # pure-map lang-ID → (lang,pred) agg + model-scale rollup
             ("lang_id_confusion_matrix", 3),
+            # custkey agg → customer-level ntile windows → ≤64-key agg
+            ("customer_rfm_segments", 4),
+            # two |types|-keyed stats aggs, broadcast verdict join
+            ("events_value_anomaly_mad", 2),
+            # pure map → ONE suppkey agg
+            ("supplier_return_rate", 1),
+            # (user,day) 2-phase distinct + calendar band join +
+            # 2-phase distinct-count + day join
+            ("events_dau_wau_stickiness", 6),
+            # user agg → decile window → 10-key rollup + tiny cum window
+            ("events_power_users_pareto", 5),
+            # token agg (firsts) + corpus-vs-cuts agg + step joins
+            ("corpus_vocab_growth_heaps", 5),
             # returned projection is map-only (training moments run as
             # their own dim²-keyed job before the plan is built)
             ("embedding_pca_abtt", 0),
