@@ -1545,3 +1545,100 @@ def supplier_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div count(*)"
         ).alias("return_rate_micro"),
     )
+
+
+@register(
+    "revenue_growth_by_region_month",
+    oracle="""
+    WITH m AS (
+        SELECT r.r_name AS region,
+               CAST(strftime(o.o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, month, cents,
+           lag(cents) OVER (PARTITION BY region ORDER BY month)
+               AS prev_cents,
+           CAST(CASE WHEN lag(cents) OVER (PARTITION BY region
+                                           ORDER BY month) IS NULL
+                THEN NULL
+                ELSE (cents - lag(cents) OVER (PARTITION BY region
+                                               ORDER BY month)) * 1000000
+                     // lag(cents) OVER (PARTITION BY region
+                                         ORDER BY month)
+           END AS BIGINT) AS growth_micro
+    FROM m
+    """,
+)
+def revenue_growth_by_region_month(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Month-over-month revenue growth per region — the BI trendline
+    every revenue dashboard leads with, here as a join-pipeline +
+    window shape: three dimension hops (customer → nation → region,
+    all broadcast), a (region, month)-keyed money rollup in exact
+    cents, and a lag window over the ~|regions|·|months| trend table.
+    Growth is exact floored ppm of exact cents (floor semantics match
+    `div` and `//` on the positive sums).
+
+    Scale shape: dims broadcast (no shuffle for the hops), ONE
+    (region, month) hash agg over orders, and the growth window runs
+    on the model-scale trend table — never on orders."""
+    utc(spark)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    m = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("region").orderBy("month")
+    prev = F.lag("cents").over(w)
+    # Integer `//` in DuckDB and `div` in Spark BOTH truncate toward
+    # zero (−7 // 2 = −3 in DuckDB integer math), so negative growth
+    # months agree under plain truncating division. (A double-division
+    # + floor() formulation disagreed on every negative month.)
+    growth = F.expr("__num div prev_cents")
+    return (
+        m.select(
+            "region",
+            "month",
+            "cents",
+            prev.alias("prev_cents"),
+        )
+        .withColumn("__num", (F.col("cents") - F.col("prev_cents")) * 1000000)
+        .select(
+            "region",
+            "month",
+            "cents",
+            "prev_cents",
+            F.when(F.col("prev_cents").isNull(), F.lit(None).cast("long"))
+            .otherwise(growth)
+            .alias("growth_micro"),
+        )
+    )
