@@ -1892,3 +1892,104 @@ def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang") == F.col("lang_pred")).alias("is_correct"),
         )
     )
+
+
+_DUPC_STEPS = 10  # corpus-prefix checkpoints (doc_id deciles)
+
+
+@register(
+    "dedup_accumulation_curve",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fp
+        FROM documents
+    ),
+    firsts AS (
+        SELECT fp, CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM fp GROUP BY fp
+    ),
+    b AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM fp),
+    cuts AS (
+        SELECT CAST(s.range + 1 AS INT) AS step,
+               CAST((s.range + 1) * b.mx // {_DUPC_STEPS} AS BIGINT)
+                   AS cut
+        FROM range({_DUPC_STEPS}) s CROSS JOIN b
+    ),
+    docs_at AS (
+        SELECT c.step, c.cut,
+               CAST(sum(CASE WHEN f.doc_id <= c.cut THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs
+        FROM fp f CROSS JOIN cuts c GROUP BY c.step, c.cut
+    ),
+    uniq_at AS (
+        SELECT c.step,
+               CAST(sum(CASE WHEN fs.first_doc <= c.cut THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unique
+        FROM firsts fs CROSS JOIN cuts c GROUP BY c.step
+    )
+    SELECT d.step, d.cut, d.n_docs, u.n_unique,
+           CAST((d.n_docs - u.n_unique) * 1000000 // d.n_docs AS BIGINT)
+               AS dup_rate_micro
+    FROM docs_at d JOIN uniq_at u USING (step)
+    """,
+)
+def dedup_accumulation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-accumulation curve: exact-duplicate rate at 10
+    corpus-prefix checkpoints (canonical-fingerprint first occurrences,
+    doc_id deciles) — the diagnostic that says WHERE duplication enters
+    a crawl (a flat curve = uniformly duplicated sources; a late bend =
+    the tail re-crawled what the head already had, so incremental
+    ingestion plus `dedup_incremental_new_docs` saves most of the
+    compute). The Heaps-curve trick applied to document identity
+    instead of vocabulary.
+
+    Scale shape: ONE fingerprint aggregate produces per-text
+    first_doc (distinct-text-sized); each checkpoint answers from it
+    and one corpus-scan agg against the broadcast 10-row cut table.
+    All counts exact; rates are floored ppm."""
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select(
+        "doc_id", TX.fingerprint("text").alias("fp")
+    )
+    firsts = fp.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    b = fp.agg(F.max("doc_id").alias("mx"))
+    cuts = (
+        spark.range(_DUPC_STEPS)
+        .select((F.col("id") + 1).cast("int").alias("step"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "step", F.expr(f"step * mx div {_DUPC_STEPS}").alias("cut")
+        )
+    )
+    docs_at = (
+        fp.crossJoin(F.broadcast(cuts))
+        .groupBy("step", "cut")
+        .agg(
+            F.sum(
+                F.when(F.col("doc_id") <= F.col("cut"), 1).otherwise(0)
+            ).alias("n_docs")
+        )
+    )
+    uniq_at = (
+        firsts.crossJoin(F.broadcast(cuts.select("step", "cut")))
+        .groupBy("step")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") <= F.col("cut"), 1).otherwise(0)
+            ).alias("n_unique")
+        )
+    )
+    return (
+        docs_at.join(uniq_at, "step")
+        .select(
+            "step",
+            "cut",
+            "n_docs",
+            "n_unique",
+            F.expr(
+                "(n_docs - n_unique) * 1000000 div n_docs"
+            ).alias("dup_rate_micro"),
+        )
+    )
