@@ -994,3 +994,113 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cents * 1000000 div total").alias("share_micro"),
         F.expr("cum_cents * 1000000 div total").alias("cum_share_micro"),
     )
+
+
+_BOT_RATE = 20_000_000  # events/day ≥ 20 (micro) AND …
+_BOT_VMR = 500_000  # … gap VMR < 0.5 (micro) → machine-regular
+
+
+@register(
+    "events_bot_score_heuristic",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, event_type, es,
+               es - lag(es) OVER (PARTITION BY user_id
+                                  ORDER BY es, event_id) AS gap
+        FROM e
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(count(DISTINCT es // 86400) AS BIGINT) AS active_days,
+               CAST(count(gap) AS BIGINT) AS n_gaps,
+               CAST(sum(gap) AS BIGINT) AS sum_gap,
+               CAST(sum(gap * gap) AS BIGINT) AS sum_gap2
+        FROM g GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types, active_days,
+           CAST(n_events * 1000000 // active_days AS BIGINT)
+               AS rate_micro,
+           CASE WHEN n_gaps < 2 OR sum_gap = 0 THEN NULL
+                ELSE CAST(round(
+                    (CAST(sum_gap2 AS DOUBLE) / n_gaps
+                     - (CAST(sum_gap AS DOUBLE) / n_gaps)
+                       * (CAST(sum_gap AS DOUBLE) / n_gaps))
+                    / (CAST(sum_gap AS DOUBLE) / n_gaps) * 1e6)
+                    AS BIGINT)
+           END AS gap_vmr_micro,
+           (n_events * 1000000 // active_days >= {_BOT_RATE}
+            AND n_gaps >= 2 AND sum_gap > 0
+            AND round(
+                (CAST(sum_gap2 AS DOUBLE) / n_gaps
+                 - (CAST(sum_gap AS DOUBLE) / n_gaps)
+                   * (CAST(sum_gap AS DOUBLE) / n_gaps))
+                / (CAST(sum_gap AS DOUBLE) / n_gaps) * 1e6)
+                < {_BOT_VMR}) AS bot_flag
+    FROM u
+    """,
+)
+def events_bot_score_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot heuristic per user: event rate (events per active day),
+    behavioral diversity (distinct event types), and TIMING REGULARITY
+    — the variance-to-mean ratio of inter-event gaps. Humans are
+    bursty (gap VMR ≫ 1); schedulers fire on clocks (VMR → 0), so
+    high-rate + low-VMR is the classic automation signature. Gaps are
+    exact integer seconds; the VMR is one double chain over exact
+    BIGINT moments rounded once (the burstiness discipline); the flag
+    is pure integer/boolean logic.
+
+    Scale shape: one user-keyed sequence window (the sessionization
+    exchange) feeding ONE user-keyed aggregate; no joins, output is
+    user-sized."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    g = e.withColumn("gap", F.col("es") - F.lag("es").over(w))
+    u = g.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct(F.expr("es div 86400")).alias("active_days"),
+        F.count("gap").alias("n_gaps"),
+        F.sum("gap").alias("sum_gap"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sum_gap2"),
+    )
+    mean_gap = F.col("sum_gap").cast("double") / F.col("n_gaps")
+    vmr = F.round(
+        (F.col("sum_gap2").cast("double") / F.col("n_gaps")
+         - mean_gap * mean_gap)
+        / mean_gap
+        * 1e6
+    )
+    rate = F.expr("n_events * 1000000 div active_days")
+    return u.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "active_days",
+        rate.alias("rate_micro"),
+        F.when(
+            (F.col("n_gaps") < 2) | (F.col("sum_gap") == 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(vmr.cast("long"))
+        .alias("gap_vmr_micro"),
+        (
+            (rate >= _BOT_RATE)
+            & (F.col("n_gaps") >= 2)
+            & (F.col("sum_gap") > 0)
+            & (vmr < _BOT_VMR)
+        ).alias("bot_flag"),
+    )
