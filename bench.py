@@ -158,7 +158,26 @@ HEADLINE = [
     "events_dau_wau_stickiness",
     "events_power_users_pareto",
     "corpus_vocab_growth_heaps",
+    # round-4 additions: the three names registered after the r3
+    # headline refresh (ADVICE r3) — every OTHER registry name is
+    # appended programmatically below, so the bench sweeps the FULL
+    # registry from round 4 on while this explicit prefix keeps
+    # round-over-round ordering comparable.
+    "events_bot_score_heuristic",
+    "dedup_accumulation_curve",
+    "revenue_growth_by_region_month",
 ]
+
+
+def bench_names(registry) -> list[str]:
+    """Full-registry bench order: the historical HEADLINE prefix (kept
+    stable so r2/r3/r4 timings compare row-for-row), then every other
+    registered query in registry order. No exclusions — anything
+    registered is benched."""
+    seen = set(HEADLINE)
+    return [n for n in HEADLINE if n in registry] + [
+        n for n in registry if n not in seen
+    ]
 
 
 def main() -> None:
@@ -173,20 +192,20 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    names = bench_names(registry)
+
     # Warmup pass: JVM startup + whole-stage-codegen compilation are
     # one-time costs (seconds) that would swamp sub-second queries; the
     # metric is steady-state engine throughput, as in a long-lived job.
-    for name in HEADLINE:
-        if name in registry:
-            run(name)
+    for name in names:
+        run(name)
 
     # Min of 3 runs per query: GC/AQE timing noise on a shared box is
     # one-sided, so the minimum is the cleanest steady-state estimate.
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        if name in registry:
-            times[name] = round(min(run(name) for _ in range(3)), 3)
-            print(json.dumps({"query": name, "sec": times[name]}), flush=True)
+    for name in names:
+        times[name] = round(min(run(name) for _ in range(3)), 3)
+        print(json.dumps({"query": name, "sec": times[name]}), flush=True)
 
     total = round(sum(times.values()), 3)
     detail = {

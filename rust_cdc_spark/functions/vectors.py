@@ -12,6 +12,8 @@ not the arithmetic.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -48,6 +50,22 @@ def l2_distance(a: Column, b: Column) -> Column:
     )
 
 
+def _finite(v) -> float:
+    """Literal-safety guard: repr(float) yields 'inf'/'nan', which the
+    SQL parser rejects ('infD' is not a literal) — so a NaN sneaking
+    into a centroid/hyperplane (e.g. a degenerate k-means cluster)
+    would crash at PARSE time with an opaque error. Fail loud at build
+    time instead; non-finite model state is always an upstream bug."""
+    f = float(v)
+    if not math.isfinite(f):
+        raise ValueError(
+            f"non-finite value {f!r} in a vector literal — refusing to"
+            " build an unparseable SQL constant (check for degenerate"
+            " clusters / zero-norm divisions upstream)"
+        )
+    return f
+
+
 def lit_doubles(values) -> Column:
     """DOUBLE array literal built as ONE parsed SQL expression instead
     of len(values) py4j `F.lit` round-trips. Driver-side plan
@@ -58,7 +76,7 @@ def lit_doubles(values) -> Column:
     Spark's DOUBLE literal parse is correctly rounded, so values are
     bit-identical to the `F.lit` chain."""
     return F.expr(
-        "array(" + ",".join(f"{float(v)!r}D" for v in values) + ")"
+        "array(" + ",".join(f"{_finite(v)!r}D" for v in values) + ")"
     )
 
 
@@ -80,7 +98,7 @@ def lit_matrix(rows) -> Column:
     return F.expr(
         "array("
         + ",".join(
-            "array(" + ",".join(f"{float(v)!r}D" for v in row) + ")"
+            "array(" + ",".join(f"{_finite(v)!r}D" for v in row) + ")"
             for row in rows
         )
         + ")"

@@ -64,10 +64,15 @@ def moment_stats(
 ) -> tuple[int, list[int], list[list[int]]]:
     """Exact integer first/second moments: (n, S[dim], M[dim][dim]) with
     S_i = Σ q_i and M_ij = Σ q_i·q_j over the corpus. |q| ≤ ~1e6 for
-    unit-scale embeddings, so products are ≤ 1e12 and int64 sums hold
-    to ~9e6 vectors per 1e12-scale product — far past the test SFs; at
-    larger corpora the same aggregate shards by (pos1, pos2, salt)
-    without changing the result (integer addition commutes)."""
+    unit-scale embeddings, so products are ≤ 1e12 and int64 sums never
+    wrap before ~9e3 such products; the BINDING cross-engine bound is
+    tighter — train_components rounds each moment to binary64 before
+    dividing (matching the oracle's CAST(m AS DOUBLE)/n), and a BIGINT
+    moment is exactly representable in a double only below 2^53
+    (~9e15), i.e. ~10⁴–10⁶ typical-magnitude vectors. Past that scale,
+    shard the aggregate by (pos1, pos2, salt) AND divide per shard
+    before combining (double addition of per-shard means), or widen to
+    DECIMAL in both engines."""
     q = quantized(emb)
     flat = q.select("vec_id", F.posexplode("q").alias("pos", "v"))
     srows = (
@@ -111,12 +116,19 @@ def train_components(
 ) -> tuple[list[float], list[tuple[float, list[float]]]]:
     """Mean + top-``comps`` (eigenvalue-scale, component) pairs via
     power iteration with Hotelling deflation. Bit-for-bit the
-    arithmetic of ``ann_replay.pca_replay_sql``: int/int true division
-    (== SQL DOUBLE/BIGINT, both correctly rounded), left-fold chains,
+    arithmetic of ``ann_replay.pca_replay_sql``: moments round to
+    binary64 FIRST and then divide (float(m)/n — exactly the oracle's
+    CAST(m AS DOUBLE)/n; a direct int/int true division would round
+    the exact rational instead and diverge 1 ulp once |m| > 2^53,
+    which 24 power iterations can amplify into a flipped rounded
+    output), left-fold chains,
     `sqrt` IEEE, zero-norm guarded, deflation as C - (λ·v_i)·v_j."""
-    mean = [(S[i] / n) / 1e6 for i in range(dim)]
+    mean = [(float(S[i]) / n) / 1e6 for i in range(dim)]
     C = [
-        [(M[i][j] / n) / 1e12 - mean[i] * mean[j] for j in range(dim)]
+        [
+            (float(M[i][j]) / n) / 1e12 - mean[i] * mean[j]
+            for j in range(dim)
+        ]
         for i in range(dim)
     ]
     out: list[tuple[float, list[float]]] = []

@@ -96,3 +96,30 @@ def executed_reuse_count(df: DataFrame) -> int:
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan, "plan was not executed adaptively"
     return plan.count("ReusedExchange")
+
+
+def global_windows(df: DataFrame) -> list[str]:
+    """Every Window physical node with an EMPTY partitionSpec — the
+    single-partition scale hazard (Spark funnels ALL rows through one
+    task and warns ``WindowExec: No Partition Defined``). Walks the
+    executed-plan tree through AQE wrapper nodes. Returns the nodes'
+    simpleStrings; [] means the plan has no global window."""
+    out: list[str] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowGroupLimitExec") and (
+            node.partitionSpec().isEmpty()
+        ):
+            out.append(f"{name}: {node.simpleString(200)}")
+        if name == "AdaptiveSparkPlanExec":  # hides subtree from children()
+            walk(node.inputPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

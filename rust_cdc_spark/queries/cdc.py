@@ -145,11 +145,14 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full-log collapse; the Spark side actually executes the
     target/changes merge (anti-join ∪ upserts, operators/merge.py)."""
     cdc = events_as_cdc(spark, sf_dir)
-    mid = load_table(spark, "events", sf_dir).agg(
-        (F.max("event_id") / 2).cast("long")
-    ).collect()[0][0]
-    first = cdc.filter(F.col("log_pos") <= mid)
-    second = cdc.filter(F.col("log_pos") > mid)
+    # log midpoint as a broadcast 1-row agg (the cdc_scd2_as_of
+    # pattern) — no data-dependent driver action / extra Spark job, and
+    # the split predicate evaluates engine-side after a broadcast of
+    # one scalar row.
+    bounds = cdc.agg((F.max("log_pos") / 2).cast("long").alias("__mid"))
+    log = cdc.crossJoin(F.broadcast(bounds))
+    first = log.filter(F.col("log_pos") <= F.col("__mid")).drop("__mid")
+    second = log.filter(F.col("log_pos") > F.col("__mid")).drop("__mid")
     target = (
         collapse_last_image(first, ["key"], keep_deletes=False)
         .select(F.col("after.*"))
@@ -275,11 +278,14 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest event_type changes retracts from the old group and lands in
     the new one."""
     cdc = events_as_cdc(spark, sf_dir)
-    mid = load_table(spark, "events", sf_dir).agg(
-        (F.max("event_id") / 2).cast("long")
-    ).collect()[0][0]
-    first = cdc.filter(F.col("log_pos") <= mid)
-    second = cdc.filter(F.col("log_pos") > mid)
+    # log midpoint as a broadcast 1-row agg (the cdc_scd2_as_of
+    # pattern) — no data-dependent driver action / extra Spark job, and
+    # the split predicate evaluates engine-side after a broadcast of
+    # one scalar row.
+    bounds = cdc.agg((F.max("log_pos") / 2).cast("long").alias("__mid"))
+    log = cdc.crossJoin(F.broadcast(bounds))
+    first = log.filter(F.col("log_pos") <= F.col("__mid")).drop("__mid")
+    second = log.filter(F.col("log_pos") > F.col("__mid")).drop("__mid")
 
     cents = lambda c: F.round(c * 100).cast("bigint")  # noqa: E731
     state1 = collapse_last_image(first, ["key"], keep_deletes=False).select(

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from rust_cdc_spark.operators.ranks import exact_global_ntile
 from rust_cdc_spark.queries import register, utc
 from rust_cdc_spark.sources.tables import load_table
 
@@ -1470,13 +1471,12 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile with a custkey tie-break is deterministic and has identical
     bucket-size semantics in both engines; money is exact cents.
 
-    Scale shape: ONE custkey-keyed aggregate over orders; the three
-    ntile windows run over the CUSTOMER-level table (not orders) —
-    at this cardinality a single-key window is fine on a cluster, and
-    at true 100 TB customer counts the quartile thresholds would come
-    from the exact distinct-value histogram technique already proven
-    in `length_quantile_filter` (same output, no global sort); the
-    final rollup is a ≤64-key agg."""
+    Scale shape: ONE custkey-keyed aggregate over orders; each
+    quartile comes from `exact_global_ntile` (operators/ranks.py:
+    range-repartition + per-partition row_number + partition offsets),
+    so no single-partition window exists at ANY customer count — three
+    range exchanges of the slim customer-level frame, each fully
+    parallel; the final rollup is a ≤64-key agg."""
     orders = load_table(spark, "orders", sf_dir)
     rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
@@ -1485,20 +1485,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long")
         ).alias("cents"),
     )
-    q = rfm.select(
-        "custkey",
-        "n_orders",
-        "cents",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("last_order").desc(), "custkey"))
-        .alias("r_q"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("n_orders").desc(), "custkey"))
-        .alias("f_q"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("cents").desc(), "custkey"))
-        .alias("m_q"),
+    q = exact_global_ntile(
+        rfm, [F.col("last_order").desc(), F.col("custkey")], 4, "r_q"
     )
+    q = exact_global_ntile(
+        q, [F.col("n_orders").desc(), F.col("custkey")], 4, "f_q"
+    )
+    q = exact_global_ntile(
+        q, [F.col("cents").desc(), F.col("custkey")], 4, "m_q"
+    ).select("custkey", "n_orders", "cents", "r_q", "f_q", "m_q")
     return q.groupBy("r_q", "f_q", "m_q").agg(
         F.count("*").alias("n_customers"),
         F.sum("n_orders").alias("orders"),

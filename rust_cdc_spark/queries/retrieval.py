@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rust_cdc_spark.functions import vectors as V
+from rust_cdc_spark.operators.ranks import exact_global_ntile
 from rust_cdc_spark.queries import register
 from rust_cdc_spark.queries.training import _assign_nearest, _centroid_sql
 from rust_cdc_spark.sources.tables import load_table
@@ -596,22 +597,25 @@ def perplexity_filter_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the ordering key is one correctly-rounded IEEE
     division of two exact integers (sum_logp_micro / n_bigrams), so
     both engines order identically, with a doc_id tie-break; ntile
-    splits are the SQL-standard sizes in both engines. Scale note: the
-    exact global ntile is one slim single-key exchange of DOC-level
-    rows (16 B/doc — fine to ~10⁹ docs); past that, production cuts
-    deciles with percentile thresholds from a t-digest sketch
-    (percentile_approx) and a map-only filter — documented rather than
-    swapped in because approx sketches are not oracle-checkable."""
+    splits are the SQL-standard sizes in both engines. Scale note:
+    deciles come from `exact_global_ntile` (operators/ranks.py) —
+    range-repartition + per-partition row_number + partition offsets —
+    so the doc-level frame is never funneled through one partition;
+    exact at any corpus size with fully parallel sort."""
     base = text_bigram_logprob(spark, sf_dir)
-    w = Window.orderBy(
-        (F.col("sum_logp_micro").cast("double") / F.col("n_bigrams")).desc(),
-        "doc_id",
+    d = exact_global_ntile(
+        base,
+        [
+            (
+                F.col("sum_logp_micro").cast("double") / F.col("n_bigrams")
+            ).desc(),
+            F.col("doc_id"),
+        ],
+        10,
+        "fluency_decile",
     )
-    return base.select(
-        "doc_id",
-        "n_bigrams",
-        "sum_logp_micro",
-        F.ntile(10).over(w).cast("int").alias("fluency_decile"),
+    return d.select(
+        "doc_id", "n_bigrams", "sum_logp_micro", "fluency_decile"
     ).withColumn("keep", F.col("fluency_decile") <= 8)
 
 
@@ -857,8 +861,13 @@ def retrieval_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ×|query tokens| into a 3-level aggregation (measured 3.4 → 1.5 s
     # at sf0.1, and the exchange payload drops ~24×).
     darr = h.groupBy("doc_id").agg(F.collect_set("ht").alias("hts"))
+    # DISTINCT query patterns: two query tokens that collide to the
+    # same 16-bit hash contribute ONE MaxSim term (the oracle's
+    # GROUP BY query_id, doc_id, qh has exactly these semantics — a
+    # collect_list here would sum the colliding pattern twice and
+    # break cross-engine parity with ~0.04% probability per probe).
     qarr = qt.groupBy("query_id").agg(
-        F.sort_array(F.collect_list("qh")).alias("qhs")
+        F.sort_array(F.collect_set("qh")).alias("qhs")
     )
     scored = (
         darr.crossJoin(F.broadcast(qarr))

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from rust_cdc_spark.operators.ranks import exact_global_ntile
 from rust_cdc_spark.queries import register, utc
 from rust_cdc_spark.sources.tables import load_table
 
@@ -959,22 +960,19 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break is deterministic cross-engine; shares are floored ppm of
     exact cent sums.
 
-    Scale shape: ONE user-keyed agg over events; the decile window
-    runs on the USER-level table; the rollup is a 10-key agg with a
-    10-row cumulative window. At extreme user counts the decile cuts
-    would come from the exact histogram technique
-    (`length_quantile_filter`), not a global sort."""
+    Scale shape: ONE user-keyed agg over events; deciles come from
+    `exact_global_ntile` (range-repartition + per-partition row_number
+    + partition offsets — operators/ranks.py), so the user-level table
+    is never funneled through a single-partition window; the rollup is
+    a 10-key agg with a 10-row cumulative window."""
     utc(spark)
     ev = load_table(spark, "events", sf_dir)
     u = ev.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
     )
-    d = u.select(
-        "cents",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("cents").desc(), "user_id"))
-        .alias("decile"),
-    )
+    d = exact_global_ntile(
+        u, [F.col("cents").desc(), F.col("user_id")], 10, "decile"
+    ).select("cents", "decile")
     t = u.agg(F.sum("cents").alias("total"))
     per = (
         d.groupBy("decile")

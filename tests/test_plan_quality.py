@@ -193,7 +193,7 @@ class TestShuffleBudget:
             ("events_retention_cohorts", 6),
             # 2 key-keyed collapse windows + semi join + delta/view aggs;
             # every shuffle is batch- or |groups|-sized, never table-sized
-            ("cdc_incremental_agg", 12),
+            ("cdc_incremental_agg", 10),
             ("cdc_scd2_history", 1),  # one key-keyed lead() window
             # union + carry window share the key partitioning of the
             # upstream SCD2 lead(); no range join, no broadcast of dim
@@ -224,7 +224,7 @@ class TestShuffleBudget:
             ("mixture_temperature_weights", 2),
             # bigram model aggs + co-keyed join + doc agg + global ntile
             # (single-key exchange of doc-level rows — see docstring)
-            ("perplexity_filter_buckets", 7),
+            ("perplexity_filter_buckets", 5),
             # prefix window + batch window + key-equi closing join
             ("cdc_scd2_incremental", 3),
             # ONE host-keyed exchange: cap window + audit agg share it
@@ -321,8 +321,10 @@ class TestShuffleBudget:
             ("quality_calibration_bins", 1),
             # pure-map lang-ID → (lang,pred) agg + model-scale rollup
             ("lang_id_confusion_matrix", 3),
-            # custkey agg → customer-level ntile windows → ≤64-key agg
-            ("customer_rfm_segments", 4),
+            # custkey agg → 3× exact_global_ntile (each: P-row counts
+            # agg + triangular offset agg; the range exchange itself is
+            # behind the pinning checkpoint) → ≤64-key agg
+            ("customer_rfm_segments", 6),
             # two |types|-keyed stats aggs, broadcast verdict join
             ("events_value_anomaly_mad", 2),
             # pure map → ONE suppkey agg
@@ -330,13 +332,20 @@ class TestShuffleBudget:
             # (user,day) 2-phase distinct + calendar band join +
             # 2-phase distinct-count + day join
             ("events_dau_wau_stickiness", 6),
-            # user agg → decile window → 10-key rollup + tiny cum window
-            ("events_power_users_pareto", 5),
+            # user agg → exact_global_ntile bookkeeping (bounded P-row
+            # frames) → 10-key rollup + tiny cum window
+            ("events_power_users_pareto", 9),
             # token agg (firsts) + corpus-vs-cuts agg + step joins
             ("corpus_vocab_growth_heaps", 5),
             # returned projection is map-only (training moments run as
             # their own dim²-keyed job before the plan is built)
             ("embedding_pca_abtt", 0),
+            # user-keyed gap window + user agg share one exchange pair
+            ("events_bot_score_heuristic", 3),
+            # dedup engine reuse + per-source-prefix dedup accumulation
+            ("dedup_accumulation_curve", 5),
+            # order-month agg over broadcast dims + 1 region-month agg
+            ("revenue_growth_by_region_month", 2),
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
@@ -451,3 +460,59 @@ class TestExecutedExchangeReuse:
 
         df = load_all()[name].spark_fn(spark, SF_SMOKE)
         assert X.executed_reuse_count(df) >= 1
+
+
+# ── Registry-wide single-partition-window gate ───────────────────────
+# Partition-less WindowExec funnels EVERY row through one task — the
+# one plan shape that cannot survive a 100× scale-up no matter how
+# slim the rows. The exact-ntile rewrites (operators/ranks.py) removed
+# the last data-scale offenders in round 4; this gate pins the whole
+# registry so none regresses. Entries below are the DELIBERATE
+# exceptions — every one is a window over a frame whose size is
+# bounded by something other than data volume.
+GLOBAL_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
+    # max partition-less Window nodes, why the frame is bounded
+    "length_quantile_filter": (
+        2,
+        "cumulative sums over the distinct token-count VALUE histogram"
+        " — bounded by max document length, not corpus size",
+    ),
+    "mixture_temperature_weights": (
+        2,
+        "global-total windows over the SOURCE-level frame — one row"
+        " per corpus source (single digits), not per document",
+    ),
+    "events_power_users_pareto": (
+        1,
+        "cumulative share over the 10-row decile rollup",
+    ),
+    "vocab_top_tokens": (
+        1,
+        "rank over the token frequency top-k candidate set (TakeOrdered"
+        " prunes to <=k rows upstream)",
+    ),
+    "bpe_merge_candidates": (
+        1,
+        "rank over the <=k-row merge-candidate set",
+    ),
+    "retrieval_bm25_topk": (
+        1,
+        "rank over per-query top-k candidates (<=k rows per query, "
+        "3 probe queries)",
+    ),
+    "retrieval_rrf_fusion": (
+        3,
+        "per-ranker rank windows over <=k-row top-k lists",
+    ),
+}
+
+
+class TestNoGlobalWindows:
+    @pytest.mark.parametrize("name", sorted(REGISTRY))
+    def test_no_partition_less_window(self, spark, name):
+        hits = X.global_windows(q(spark, name))
+        cap, why = GLOBAL_WINDOW_ALLOWED.get(name, (0, "not allow-listed"))
+        assert len(hits) <= cap, (
+            f"{name}: {len(hits)} partition-less Window node(s), cap {cap}"
+            f" ({why}):\n" + "\n".join(hits)
+        )
