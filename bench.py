@@ -24,6 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from rust_cdc_spark.operators import ranks
 from rust_cdc_spark.queries import load_all
 from rust_cdc_spark.session import get_spark
 
@@ -190,7 +191,13 @@ def main() -> None:
         t0 = time.perf_counter()
         df = registry[name].spark_fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        # Free executor storage pinned by exact-ntile localCheckpoints —
+        # a 192×4-run sweep would otherwise accumulate hundreds of
+        # pinned blocks (ADVICE r4). Outside the timed section: the pin
+        # itself is part of the query; the cleanup is harness hygiene.
+        ranks.release_pinned()
+        return dt
 
     names = bench_names(registry)
 

@@ -40,6 +40,38 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def normalized(a: Column) -> Column:
+    """Unit-normalized DOUBLE copy of the vector. Pairwise scoring
+    should pre-normalize each row ONCE and use :func:`dot_pre` — the
+    naive ``cosine(a, b)`` inside a pair join re-evaluates both norms
+    (plus the float→double casts) PER PAIR, tripling the per-candidate
+    higher-order-function cost; over an O(candidates) join that is the
+    dominant term (measured ~4× on the near-dup queries at sf0.1).
+
+    Implementation note: the sum-of-squares is bound ONCE per row as
+    the ``aggregate`` accumulator and the normalization happens in the
+    aggregate's ``finish`` lambda — a naive
+    ``transform(v, x -> x / norm(v))`` would re-evaluate the norm
+    aggregate per ELEMENT after Catalyst collapses the projection."""
+    d = _d(a)
+    return F.aggregate(
+        d,
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+        lambda s: F.transform(d, lambda x: x / F.sqrt(s)),
+    )
+
+
+def dot_pre(a: Column, b: Column) -> Column:
+    """Dot product of two already-DOUBLE (e.g. pre-normalized) vectors —
+    skips the element casts :func:`dot` performs."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(

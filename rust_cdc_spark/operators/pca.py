@@ -65,7 +65,7 @@ def moment_stats(
     """Exact integer first/second moments: (n, S[dim], M[dim][dim]) with
     S_i = Σ q_i and M_ij = Σ q_i·q_j over the corpus. |q| ≤ ~1e6 for
     unit-scale embeddings, so products are ≤ 1e12 and int64 sums never
-    wrap before ~9e3 such products; the BINDING cross-engine bound is
+    wrap before ~9e6 such products; the BINDING cross-engine bound is
     tighter — train_components rounds each moment to binary64 before
     dividing (matching the oracle's CAST(m AS DOUBLE)/n), and a BIGINT
     moment is exactly representable in a double only below 2^53

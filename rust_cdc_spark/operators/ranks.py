@@ -27,6 +27,20 @@ its bucket — is independent of where the sampled range boundaries
 happen to fall. ``localCheckpoint`` pins the sampled partitioning so
 the offsets job and the rank job see identical partition membership.
 
+Checkpoint lifecycle and fault tolerance: ``localCheckpoint`` stores
+the pinned partitions in EXECUTOR storage memory/disk and is NOT
+fault-tolerant — losing an executor loses its blocks and fails the
+query (Spark cannot recompute a local checkpoint). Two mitigations:
+
+* Long-lived sessions (bench sweeps, plan gates, notebooks) should
+  call :func:`release_pinned` once downstream results are consumed,
+  or the pinned blocks accumulate for the session's lifetime.
+* Real clusters that need lineage-safe recovery should set a
+  checkpoint dir (``sc.setCheckpointDir``) and pass
+  ``reliable=True`` — the pin then goes through ``checkpoint()``
+  (HDFS/object-store backed, survives executor loss) at the cost of
+  a write to reliable storage.
+
 Reference parity: the reference engine has no distributed ntile at
 all (single-node scan, `src/delta/mod.rs` query surface is DataFusion
 on one box); this is the Spark-first scale path for the same result.
@@ -42,22 +56,52 @@ _OFF = "__rank_off"
 _CNT = "__rank_cnt"
 _TOT = "__rank_n"
 
+# DataFrames pinned by with_global_rank, so callers that build many
+# ranked frames in one session (bench sweeps, plan gates) can free the
+# executor storage the local checkpoints occupy. Strong references on
+# purpose: the Python wrapper is a few hundred bytes — the resource
+# being managed is the executor block storage behind it, which only
+# release_pinned() (or session stop) frees.
+_PINNED: list[DataFrame] = []
+
+
+def release_pinned(blocking: bool = False) -> int:
+    """Unpersist every checkpoint block pinned by
+    :func:`with_global_rank` in this session. Call after the ranked
+    results have been materialized (collected/written); the returned
+    DataFrames become unusable. Returns the number of frames freed."""
+    n = 0
+    while _PINNED:
+        df = _PINNED.pop()
+        try:
+            df.rdd.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass  # session already stopped / block already dropped
+    return n
+
 
 def with_global_rank(
     df: DataFrame,
     order_by: list[Column],
     rank_col: str = "__rank",
     total_col: str | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Append an exact 1-based global rank under ``order_by`` (which
     must be a total order — include a unique tie-break) without a
     single-partition window. Optionally also appends the total row
-    count as ``total_col`` (broadcast 1-row agg, no collect)."""
-    pinned = (
-        df.repartitionByRange(*order_by)
-        .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint()
+    count as ``total_col`` (broadcast 1-row agg, no collect).
+
+    ``reliable=True`` pins through ``checkpoint()`` (requires
+    ``sc.setCheckpointDir``; survives executor loss) instead of
+    ``localCheckpoint()`` (executor-memory pin, faster, but an
+    executor failure fails the query — see module docstring)."""
+    ranged = df.repartitionByRange(*order_by).withColumn(
+        _PID, F.spark_partition_id()
     )
+    pinned = ranged.checkpoint() if reliable else ranged.localCheckpoint()
+    _PINNED.append(pinned)
     counts = pinned.groupBy(_PID).agg(F.count("*").alias(_CNT))
     # offsets = running sum of the counts of all EARLIER partitions.
     # counts has one row per range partition — bounded by cluster

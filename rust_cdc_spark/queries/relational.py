@@ -394,12 +394,24 @@ def agg_approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts here exist to make the estimate's error bound an
     oracle-checkable value rather than a rows-only row count."""
     li = load_table(spark, "lineitem", sf_dir)
-    agg = li.agg(
+    # Deliberately SPLIT passes: mixing countDistinct with
+    # approx_count_distinct in one agg makes Catalyst rewrite through
+    # Expand(×3) and key the partial HLL sketches by the distinct
+    # values themselves — one rsd=0.01 sketch PER GROUP (measured 11.8 s
+    # at sf0.1 vs 1.6 s for this shape). Separate one-row aggs keep the
+    # HLL partials per-partition and the exact counts on the standard
+    # two-phase distinct; the broadcast crossJoins are 1-row frames.
+    approx = li.agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("n_orders_approx"),
-        F.countDistinct("l_partkey").alias("n_parts_exact"),
-        F.countDistinct("l_orderkey").alias("n_orders_exact"),
     )
+    parts = li.select("l_partkey").distinct().agg(
+        F.count("*").alias("n_parts_exact")
+    )
+    orders = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders_exact")
+    )
+    agg = approx.crossJoin(F.broadcast(parts)).crossJoin(F.broadcast(orders))
     within = lambda a, e: (  # noqa: E731
         F.abs(F.col(a) - F.col(e)) <= F.col(e) * F.lit(0.05)
     )
