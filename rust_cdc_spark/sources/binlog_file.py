@@ -117,6 +117,13 @@ def envelopes_from_events(
         BR.UPDATE_ROWS_V2, BR.DELETE_ROWS_V1, BR.DELETE_ROWS_V2,
     }
     for ev in events:
+        if ev.type_code == ROTATE_EVENT:
+            # body: u64 next-pos + next file name. Covers both the real
+            # rotation at the end of a file and the ARTIFICIAL rotate a
+            # live dump stream opens with (which is how a wire consumer
+            # learns the current file name at all — conn.rs:311-317).
+            file_name = ev.body[8:].decode("utf-8", errors="replace")
+            continue
         if ev.type_code in (GTID_EVENT, ANONYMOUS_GTID_EVENT):
             current_gtid = _decode_gtid(ev.body) if ev.type_code == GTID_EVENT else None
             continue

@@ -435,7 +435,6 @@ def start_cdc_pipeline(
     idempotence guard scopes to the incarnation; cross-server dedup is
     the GTID set's job, same-stream replay dedup is txn_version's.
     """
-    from rust_cdc_spark.operators.router import route
     from rust_cdc_spark.streaming.replay_source import register
 
     register(spark)
@@ -449,6 +448,25 @@ def start_cdc_pipeline(
         # on restart (see BinlogReplayReader._durable_start).
         reader = reader.option("checkpointlocation", checkpoint_dir)
     stream = reader.load()
+    return _route_and_merge(
+        stream, table, dbs, tables, checkpoint_dir, processing_time, app_id
+    )
+
+
+def _route_and_merge(
+    stream: DataFrame,
+    table: ParquetUpsertTable,
+    dbs: list[str] | None,
+    tables: list[str] | None,
+    checkpoint_dir: str | None,
+    processing_time: str | None,
+    app_id: str | None,
+):
+    """Shared pipeline tail: regex routing on the stream (narrow filter)
+    then collapse+MERGE per microbatch — identical for the JSONL replay
+    source and the live wire source."""
+    from rust_cdc_spark.operators.router import route
+
     if dbs or tables:
         stream = route(stream, dbs or ["*"], tables or ["*"])
 
@@ -463,6 +481,37 @@ def start_cdc_pipeline(
     if processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def start_live_cdc_pipeline(
+    spark: SparkSession,
+    conn: dict,
+    table: ParquetUpsertTable,
+    dbs: list[str] | None = None,
+    tables: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    processing_time: str | None = None,
+    gtid_executed: str | None = None,
+    app_id: str | None = None,
+):
+    """The same pipeline over the LIVE wire connector
+    (``streaming/live_source.py``): handshake → COM_BINLOG_DUMP → decode
+    → route → collapse+MERGE, end to end over TCP — the reference's full
+    loop (/root/reference/src/mysql/conn.rs:133-157) as one streaming
+    query. ``conn`` carries host/port/user/password/serverid/
+    startingoffsets/sslmode."""
+    from rust_cdc_spark.streaming.live_source import register as register_live
+
+    register_live(spark)
+    reader = spark.readStream.format("mysql-cdc")
+    for k, v in conn.items():
+        reader = reader.option(k, str(v))
+    if gtid_executed:
+        reader = reader.option("gtidexecuted", gtid_executed)
+    return _route_and_merge(
+        reader.load(), table, dbs, tables, checkpoint_dir,
+        processing_time, app_id,
+    )
 
 
 def bootstrap_from_snapshot(
@@ -538,6 +587,41 @@ def streaming_dedup(stream: DataFrame, key_cols: list[str], watermark_col: str,
     return stream.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark: SparkSession, changelog: bool = True) -> bool:
+    """O3 parity: back stateful streaming operators (dedup, funnels,
+    txn assembly, windowed aggs) with the RocksDB state store — the
+    engine analog of the reference's RocksDB offset/snapshot backend
+    (/root/reference/src/snapshot/rocksdb_backend.rs:10-85), but holding
+    OPERATOR state (the reference only persists offsets there; Spark's
+    state store covers both, with the offset log handling offsets).
+
+    Returns True when the provider class is present (it ships with this
+    Spark build) and the session conf was set; False on builds without
+    the RocksDB jar — callers keep the default HDFS-backed provider.
+    The conf applies to queries STARTED afterwards; running queries keep
+    the provider they started with. ``changelog`` enables changelog
+    checkpointing (upload per-batch deltas instead of full snapshots —
+    the right default for large state at scale)."""
+    try:
+        spark._jvm.java.lang.Class.forName(ROCKSDB_PROVIDER)  # noqa: SLF001
+    except Exception:
+        return False
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+        ".enabled",
+        "true" if changelog else "false",
+    )
+    return True
 
 
 def start_sharded_pipeline(

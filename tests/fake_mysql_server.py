@@ -1,0 +1,227 @@
+"""Loopback fake MySQL server for end-to-end live-connector tests.
+
+Speaks just enough of the public protocol to drive
+``rust_cdc_spark/streaming/live_source.py`` over a REAL TCP socket:
+Initial Handshake v10 + mysql_native_password verification, the
+COM_QUERY text protocol (SET → OK, SHOW MASTER STATUS / SHOW BINARY
+LOGS → resultsets, classic EOF framing), COM_PING, and
+COM_BINLOG_DUMP streaming raw event frames from a reference binlog
+fixture (artificial ROTATE first, exactly like a live server, so the
+client learns the current file name from the wire).
+
+The visible binlog tail is mutable (``server.tail = pos``) so tests can
+simulate new transactions arriving between microbatches: SHOW MASTER
+STATUS reports the current tail and dumps stop there.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import socket
+import socketserver
+import struct
+import threading
+
+from rust_cdc_spark.sources import wire as W
+
+_CAPS_LOW = 0xFFFF & ~W.CLIENT_SSL  # classic framing: no DEPRECATE_EOF
+NONCE = bytes(range(1, 21))
+
+
+def _greeting_payload() -> bytes:
+    cap = (_CAPS_LOW | W.CLIENT_PLUGIN_AUTH) & ~W.CLIENT_DEPRECATE_EOF
+    out = bytes([10]) + b"8.0.99-fake\x00"
+    out += (99).to_bytes(4, "little")
+    out += NONCE[:8] + b"\x00"
+    out += (cap & 0xFFFF).to_bytes(2, "little")
+    out += bytes([45])
+    out += (2).to_bytes(2, "little")
+    out += (cap >> 16).to_bytes(2, "little")
+    out += bytes([21])
+    out += bytes(10)
+    out += NONCE[8:] + b"\x00"
+    out += b"mysql_native_password\x00"
+    return out
+
+
+def _native_expected(password: str) -> bytes:
+    if not password:
+        return b""
+    h1 = hashlib.sha1(password.encode()).digest()
+    h2 = hashlib.sha1(h1).digest()
+    mask = hashlib.sha1(NONCE + h2).digest()
+    return bytes(a ^ b for a, b in zip(h1, mask))
+
+
+OK = b"\x00\x00\x00\x02\x00"
+EOF_PKT = b"\xfe\x00\x00\x02\x00"
+
+
+def _lenenc(s: bytes) -> bytes:
+    assert len(s) < 0xFB
+    return bytes([len(s)]) + s
+
+
+def _coldef(name: bytes) -> bytes:
+    return (
+        _lenenc(b"def") + _lenenc(b"") + _lenenc(b"") + _lenenc(b"")
+        + _lenenc(name) + b"\x0c" + b"\x00" * 12
+    )
+
+
+def split_frames(path: str) -> list[bytes]:
+    """Binlog file → raw event frames (header+body+checksum intact)."""
+    data = open(path, "rb").read()
+    assert data[:4] == b"\xfebin", f"{path}: not a binlog"
+    frames, pos = [], 4
+    while pos < len(data):
+        size = int.from_bytes(data[pos + 9: pos + 13], "little")
+        frames.append(data[pos: pos + size])
+        pos += size
+    return frames
+
+
+def _frame_bounds(frames: list[bytes]) -> list[tuple[int, int]]:
+    """(start_offset, end_offset) of each frame within the log file."""
+    out, pos = [], 4
+    for f in frames:
+        out.append((pos, pos + len(f)))
+        pos += len(f)
+    return out
+
+
+def _artificial_rotate(file_name: str, pos: int) -> bytes:
+    body = struct.pack("<Q", pos) + file_name.encode()
+    header = struct.pack(
+        "<IBIIIH", 0, 0x04, 1, W.HEADER_LEN + len(body), 0, 0x20
+    )
+    return header + body
+
+
+class FakeMySQLServer:
+    """``with FakeMySQLServer(fixture_path, "binlog.000002") as srv:`` —
+    then connect to 127.0.0.1:``srv.port`` with user/password
+    ``srv.user``/``srv.password``."""
+
+    def __init__(self, fixture_path: str, file_name: str,
+                 user: str = "repl", password: str = "replpass"):
+        self.frames = split_frames(fixture_path)
+        self.bounds = _frame_bounds(self.frames)
+        self.file_name = file_name
+        self.user, self.password = user, password
+        self.tail = self.bounds[-1][1]  # visible end of the log
+        self.dump_requests: list[tuple[str, int]] = []
+        self.queries: list[str] = []
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):  # noqa: PLR0912 — protocol switch
+                sock = self.request
+                sock.settimeout(60)
+                stream = sock.makefile("rb")
+                sock.sendall(W.write_packet(0, _greeting_payload()))
+                _, resp = W.read_packet(stream)
+                # HandshakeResponse41: caps u32, max-packet u32, charset,
+                # 23 reserved, NUL-user, lenenc auth
+                user_end = resp.index(0, 32)
+                user = resp[32:user_end].decode()
+                alen = resp[user_end + 1]
+                auth = resp[user_end + 2: user_end + 2 + alen]
+                if user != outer.user or auth != _native_expected(outer.password):
+                    sock.sendall(W.write_packet(
+                        2, b"\xff\x15\x04#28000Access denied".replace(b"#", b"#", 1)
+                    ))
+                    return
+                sock.sendall(W.write_packet(2, OK))
+                while True:
+                    try:
+                        _, cmd = W.read_packet(stream)
+                    except (EOFError, OSError):
+                        return
+                    if not cmd:
+                        return
+                    op = cmd[0]
+                    if op == 0x01:  # COM_QUIT
+                        return
+                    if op == W.COM_PING:
+                        sock.sendall(W.write_packet(1, OK))
+                    elif op == W.COM_QUERY:
+                        self._com_query(sock, cmd[1:].decode())
+                    elif op == 0x12:  # COM_BINLOG_DUMP
+                        self._dump(sock, cmd)
+                        return  # dump mode ends the command loop
+                    else:
+                        sock.sendall(W.write_packet(
+                            1, b"\xff\x30\x04#42000unknown command"
+                        ))
+
+            def _com_query(self, sock, sql: str):
+                outer.queries.append(sql)
+                up = sql.strip().upper()
+                if up == "SHOW MASTER STATUS":
+                    self._resultset(
+                        sock, [b"File", b"Position"],
+                        [[outer.file_name.encode(),
+                          str(outer.tail).encode()]],
+                    )
+                elif up == "SHOW BINARY LOGS":
+                    self._resultset(
+                        sock, [b"Log_name", b"File_size"],
+                        [[outer.file_name.encode(),
+                          str(outer.tail).encode()]],
+                    )
+                else:  # SET …, anything session-shaped
+                    sock.sendall(W.write_packet(1, OK))
+
+            def _resultset(self, sock, cols, rows):
+                seq = 1
+                sock.sendall(W.write_packet(seq, bytes([len(cols)])))
+                for c in cols:
+                    seq += 1
+                    sock.sendall(W.write_packet(seq, _coldef(c)))
+                seq += 1
+                sock.sendall(W.write_packet(seq, EOF_PKT))  # classic sep
+                for r in rows:
+                    seq += 1
+                    sock.sendall(W.write_packet(
+                        seq, b"".join(_lenenc(v) for v in r)
+                    ))
+                seq += 1
+                sock.sendall(W.write_packet(seq, EOF_PKT))
+
+            def _dump(self, sock, cmd: bytes):
+                pos = int.from_bytes(cmd[1:5], "little")
+                file = cmd[11:].decode() or outer.file_name
+                outer.dump_requests.append((file, pos))
+                seq = 1
+                sock.sendall(W.write_packet(
+                    seq, b"\x00" + _artificial_rotate(file, pos)
+                ))
+                for frame, (lo, hi) in zip(outer.frames, outer.bounds):
+                    if hi > outer.tail:
+                        break
+                    # FDE is always (re)sent; data events from pos on
+                    if lo >= pos or frame[4] == 0x0F:
+                        seq += 1
+                        sock.sendall(W.write_packet(seq, b"\x00" + frame))
+                seq += 1
+                sock.sendall(W.write_packet(seq, EOF_PKT))  # end of dump
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server(("127.0.0.1", 0), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._server.shutdown()
+        self._server.server_close()
+        return False

@@ -329,3 +329,78 @@ class TestDeltaLogExport:
         adds = [a["add"] for c in actions for a in c if "add" in a]
         assert adds and all(a["partitionValues"].get("part") in ("x", "y")
                             for a in adds)
+
+    # Pinned-bytes golden of the serialized protocol (no Delta reader
+    # ships in this image — ADVICE/VERDICT r3 ask #7 — so the exact
+    # JSON layout a reader would parse is frozen here). Volatile fields
+    # (table uuid, task-uuid file names, sizes, wall-clock timestamps)
+    # are normalized to placeholders; EVERYTHING else — action order,
+    # key order, schemaString encoding, flag values — must match
+    # byte-for-byte.
+    GOLDEN = (
+        "## 00000000000000000000.json\n"
+        '{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}\n'
+        '{"metaData": {"id": "<TABLE_ID>", "format": {"provider": '
+        '"parquet", "options": {}}, "schemaString": '
+        '"{\\"fields\\":[{\\"metadata\\":{},\\"name\\":\\"id\\",'
+        '\\"nullable\\":true,\\"type\\":\\"long\\"},'
+        '{\\"metadata\\":{},\\"name\\":\\"val\\",\\"nullable\\":true,'
+        '\\"type\\":\\"string\\"},{\\"metadata\\":{},\\"name\\":'
+        '\\"part\\",\\"nullable\\":true,\\"type\\":\\"string\\"}],'
+        '\\"type\\":\\"struct\\"}", "partitionColumns": [], '
+        '"configuration": {}}}\n'
+        '{"add": {"path": "v=0/<FILE0>", "partitionValues": {}, '
+        '"size": <SIZE>, "modificationTime": <TS>, "dataChange": true}}\n'
+        "## 00000000000000000001.json\n"
+        '{"remove": {"path": "v=0/<FILE0>", "deletionTimestamp": <TS>, '
+        '"dataChange": true}}\n'
+        '{"add": {"path": "v=1/<FILE1>", "partitionValues": {}, '
+        '"size": <SIZE>, "modificationTime": <TS>, "dataChange": true}}\n'
+    )
+
+    def test_pinned_golden_action_bytes(self, spark, tmp_path):
+        import json as _json
+        import os as _os
+        import re as _re
+        from rust_cdc_spark.streaming.pipeline import ParquetUpsertTable
+
+        t = ParquetUpsertTable(str(tmp_path / "t"), ["id"])
+        df1 = spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")], ["id", "val", "part"]
+        ).coalesce(1)
+        df2 = spark.createDataFrame(
+            [(1, "a2", "x"), (3, "c", "y")], ["id", "val", "part"]
+        ).coalesce(1)
+        t.overwrite(df1)
+        t.overwrite(df2)
+        log_dir = t.export_delta_log(spark)
+
+        out, file_ids = [], {}
+        for f in sorted(_os.listdir(log_dir)):
+            out.append(f"## {f}\n")
+            for line in open(_os.path.join(log_dir, f)):
+                for m in _re.findall(r"v=(\d+)/(part-[^\"]+\.parquet)", line):
+                    file_ids.setdefault(m[1], f"<FILE{m[0]}>")
+                for name, ph in file_ids.items():
+                    line = line.replace(name, ph)
+                line = _re.sub(r'("size": )\d+', r"\1<SIZE>", line)
+                line = _re.sub(
+                    r'("(?:modificationTime|deletionTimestamp)": )\d+',
+                    r"\1<TS>", line,
+                )
+                line = _re.sub(
+                    r'("id": ")[0-9a-f-]{36}(")', r"\1<TABLE_ID>\2", line
+                )
+                out.append(line)
+        normalized = "".join(out)
+        assert normalized == self.GOLDEN
+        # and the placeholder-free parts still parse as JSON objects
+        for raw in self.GOLDEN.splitlines():
+            if raw.startswith("##"):
+                continue
+            parseable = (
+                raw.replace("<TABLE_ID>", "x").replace("<FILE0>", "f0")
+                .replace("<FILE1>", "f1").replace("<SIZE>", "1")
+                .replace("<TS>", "1")
+            )
+            assert isinstance(_json.loads(parseable), dict)
