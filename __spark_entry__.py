@@ -27,15 +27,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["cdc_merge_upsert"].spark_fn(spark, "/root/testdata/sf0.001")
 
 
-# Round-4 priority order. After rounds 1-3 the driver has green
-# CORRECTNESS rows for 142 of the 192 registry names (50-query/round
-# cap). The 50 names below are the exact complement — every registry
-# name with no CORRECTNESS_r0*.json row yet — so round 4 closes driver
-# verification to 192/192. All 50 are already green vs the DuckDB
-# oracle via tools/check_correctness.py (sweeps recorded in the round-3
-# session and re-confirmed by the round-3 judge); the driver artifact
-# is the remaining hard signal. Names not listed spill after, in
-# registry order (all of those already have a green driver row).
+# Round-5 priority order (the driver checks 50 names per round, in this
+# order). Rounds 1-4 drove the whole 192-name registry to green driver
+# rows, so round 5 leads with (a) the queries ADDED this round and (b)
+# every query whose implementation CHANGED this round (near-dup rewrite
+# onto blocked GEMM / ids-only LSH, the split approx-distinct agg, the
+# let-bound lang-id argmax) — the names whose last driver row predates
+# the current code. The round-4 closure list follows, then the rest in
+# registry order; everything is green under tools/check_correctness.py
+# at sf0.01 (standard + vanilla-TZ sweeps, this session).
+_R05_PRIORITY = [
+    # new in round 5
+    "preference_bradley_terry", "curriculum_difficulty_phases",
+    "corpus_bleu_source_overlap", "events_abandoned_views",
+    "multimodal_audio_frame_energy",
+    # implementation changed in round 5
+    "embedding_near_dup_exact", "embedding_near_dup",
+    "agg_approx_distinct_lineitem", "lang_id_multiclass",
+    "lang_id_confusion_matrix", "customer_rfm_segments",
+    "events_power_users_pareto", "perplexity_filter_buckets",
+    "cdc_scd2_as_of",
+]
+
+# Round-4 closure list (kept: these spill right after the round-5 names
+# so the driver's 50-cap still sweeps recently-relevant queries first).
 _R04_PRIORITY = [
     "cdc_snapshot_diff", "host_authority_pagerank",
     "corpus_drift_kl", "doc_novelty_score", "contamination_semantic",
@@ -67,7 +82,12 @@ _R04_PRIORITY = [
 
 def _ordered():
     reg = load_all()
-    first = [n for n in _R04_PRIORITY if n in reg]
+    prio = [*_R05_PRIORITY, *_R04_PRIORITY]
+    seen: set[str] = set()
+    first = [
+        n for n in prio
+        if n in reg and not (n in seen or seen.add(n))
+    ]
     rest = [n for n in reg if n not in set(first)]
     return {n: reg[n] for n in [*first, *rest]}
 

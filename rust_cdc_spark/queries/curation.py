@@ -2306,3 +2306,50 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(pred_micro) div count(*)").alias("mean_pred_micro"),
         F.expr("sum(y) * 1000000 div count(*)").alias("pos_rate_micro"),
     )
+
+
+@register(
+    "curriculum_difficulty_phases",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len({_TOKENS_SQL}) * 1000000
+                    + length(text) * 1000000
+                      // greatest(len({_TOKENS_SQL}), 1) AS BIGINT)
+                   AS difficulty_micro
+        FROM documents
+    )
+    SELECT doc_id, difficulty_micro,
+           CAST(ntile(4) OVER (ORDER BY difficulty_micro, doc_id) AS INT)
+               AS phase
+    FROM d
+    """,
+)
+def curriculum_difficulty_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: every document gets an integer difficulty
+    score (token count + mean token length in micro-units — longer
+    documents with longer words train later) and an exact ntile(4)
+    curriculum phase. Phase 1 feeds the early training steps, phase 4
+    the late ones — the standard easy-to-hard schedule.
+
+    Scale shape: the difficulty score is a pure-map expression, and the
+    phase comes from `exact_global_ntile` (operators/ranks.py) — range
+    partition + per-partition rank + broadcast offsets — NOT a global
+    single-partition NTILE window (the oracle uses one because DuckDB
+    runs on one box anyway; the plan gate forbids it in the engine)."""
+    from rust_cdc_spark.operators.ranks import exact_global_ntile
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        (
+            F.size(F.split(F.trim("text"), " ")).cast("long") * F.lit(1000000)
+            + F.expr(
+                "length(text) * 1000000"
+                " div greatest(size(split(trim(text), ' ')), 1)"
+            )
+        ).alias("difficulty_micro"),
+    )
+    return exact_global_ntile(
+        d, [F.col("difficulty_micro"), F.col("doc_id")], 4, "phase"
+    ).select("doc_id", "difficulty_micro", "phase")

@@ -1989,3 +1989,75 @@ def dedup_accumulation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate_micro"),
         )
     )
+
+
+@register(
+    "corpus_bleu_source_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, {_TOKENS_SQL} AS t FROM documents
+    ),
+    bg AS (
+        SELECT source, t[i] || ' ' || t[i + 1] AS gram
+        FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)
+    ),
+    per_src AS (
+        SELECT source, gram, CAST(count(*) AS BIGINT) AS c
+        FROM bg GROUP BY source, gram
+    ),
+    tot AS (
+        SELECT gram, CAST(sum(c) AS BIGINT) AS c_all
+        FROM per_src GROUP BY gram
+    )
+    SELECT s.source,
+           CAST(sum(s.c) AS BIGINT) AS n_bigrams,
+           CAST(sum(least(s.c, t.c_all - s.c)) AS BIGINT) AS n_clipped,
+           CAST(sum(least(s.c, t.c_all - s.c)) * 1000000 // sum(s.c)
+                AS BIGINT) AS precision_ppm
+    FROM per_src s JOIN tot t USING (gram)
+    GROUP BY s.source
+    """,
+)
+def corpus_bleu_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level modified bigram precision (the BLEU clipping rule)
+    of each source against the pooled REST of the corpus: how much of a
+    source's phrasing already exists elsewhere. High precision = the
+    source is stylistically redundant (a dedup/downweight candidate);
+    low = it contributes novel phrasing. The leave-one-out reference
+    count is c_all − c_s, so no per-pair source×source comparison is
+    ever materialized.
+
+    Scale shape: one bigram aggregate per (source, gram) —
+    vocabulary-sized, the same inverted-index discipline as the dedup
+    family — then a gram-keyed join of the per-source counts against
+    the gram totals (both vocabulary-sized; no document re-scan, no
+    |sources|² term). Precision is a floored ppm (integer div), exact
+    across engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    bg = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(trim(text), ' ')) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(split(trim(text), ' ')) - 1), "
+                "i -> concat(element_at(split(trim(text), ' '), i), ' ', "
+                "element_at(split(trim(text), ' '), i + 1))) END"
+            )
+        ).alias("gram"),
+    )
+    per_src = bg.groupBy("source", "gram").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = per_src.groupBy("gram").agg(F.sum("c").alias("c_all"))
+    clipped = F.least(F.col("c"), F.col("c_all") - F.col("c"))
+    return (
+        per_src.join(tot, "gram")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(clipped).alias("n_clipped"),
+            F.expr(
+                "sum(least(c, c_all - c)) * 1000000 div sum(c)"
+            ).alias("precision_ppm"),
+        )
+    )

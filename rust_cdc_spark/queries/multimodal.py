@@ -260,3 +260,37 @@ def multimodal_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").over(w).cast("bigint").alias("n_bucket"),
         )
     )
+
+
+@register(
+    "multimodal_audio_frame_energy",
+    # 8-bit PCM stand-in: byte i == unicode(substr(text, i, 1)) (corpus
+    # is pure ASCII, asserted in pytest). Frame f covers 1-based char
+    # positions f*160+1 .. f*160+400; energy = Σ byte².
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    f AS (
+        SELECT doc_id, text,
+               CAST(fi AS INT) AS frame_idx,
+               CAST(fi * 160 AS BIGINT) AS start_sample
+        FROM d, LATERAL unnest(
+            range(0, CASE WHEN n >= 400 THEN 1 + (n - 400) // 160
+                          ELSE 0 END)) AS r(fi)
+    )
+    SELECT doc_id AS media_id, frame_idx, start_sample,
+           CAST(sum(unicode(substr(text, start_sample + i, 1))
+                    * unicode(substr(text, start_sample + i, 1)))
+                AS BIGINT) AS energy
+    FROM f, LATERAL unnest(range(1, 401)) AS p(i)
+    GROUP BY doc_id, frame_idx, start_sample
+    """,
+)
+def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing: short-time energy per 400-sample frame with a
+    160-sample hop (the 50 ms/20 ms VAD-and-STFT framing at 8 kHz) over
+    binary payloads — Arrow-batched mapInPandas with a cumulative
+    sum-of-squares (operators/multimodal.py:audio_frame_energy); exact
+    BIGINT energies value-checked against a character-arithmetic
+    oracle."""
+    audio = MM.documents_as_audio(load_table(spark, "documents", sf_dir))
+    return MM.audio_frame_energy(audio, frame=400, hop=160)

@@ -1102,3 +1102,64 @@ def events_bot_score_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (vmr < _BOT_VMR)
         ).alias("bot_flag"),
     )
+
+
+@register(
+    "events_abandoned_views",
+    oracle="""
+    WITH v AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view'),
+    converted AS (
+        SELECT v.event_id FROM v
+        WHERE EXISTS (
+            SELECT 1 FROM events p
+            WHERE p.event_type = 'purchase'
+              AND p.user_id = v.user_id
+              AND p.ts > v.ts
+              AND p.ts <= v.ts + INTERVAL '1 hour'
+        )
+    )
+    SELECT v.user_id,
+           CAST(count(*) AS BIGINT) AS n_views,
+           CAST(sum(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_abandoned
+    FROM v LEFT JOIN converted c USING (event_id)
+    GROUP BY v.user_id
+    """,
+)
+def events_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence detection — the funnel's negative space: views with NO
+    purchase by the same user within the following hour (cart
+    abandonment / missing-follow-up alerting). The batch shape of a
+    stateful absence detector (streaming: register state on A, emit on
+    timer expiry unless B arrives).
+
+    Scale shape: an EQUI anti-join on user_id carrying the time-range
+    predicate as a residual condition — SortMergeJoin(LeftAnti) after
+    both sides shuffle once on user_id (per-user event counts are
+    human-bounded, so no skew salting needed); no all-pairs time join,
+    no window over the full event stream. The per-user aggregate
+    reuses the same user_id partitioning — AQE drops the second
+    exchange."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    abandoned = views.join(
+        purch,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_anti",
+    ).select("event_id")
+    flagged = views.join(
+        abandoned.withColumn("abandoned", F.lit(1)), "event_id", "left"
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_views"),
+        F.coalesce(F.sum("abandoned"), F.lit(0)).cast("long").alias("n_abandoned"),
+    )

@@ -2148,3 +2148,206 @@ def corpus_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_types * 1000000 div n_tokens").alias("ttr_micro"),
         )
     )
+
+
+_BT_SCALE = 1_000_000  # strength unit (p0 = 1.0 ≙ 1e6)
+_BT_NUM = 1_000_000_000_000  # SCALE² — keeps the MM quotients at 6+ digits
+
+
+@register(
+    "preference_bradley_terry",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, source,
+               CAST(round({_QUALITY_SQL} * 10000) AS BIGINT) AS qm,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS r
+        FROM documents
+    ),
+    duel AS (
+        SELECT CASE WHEN a.qm > b.qm THEN a.source ELSE b.source END
+                   AS winner,
+               CASE WHEN a.qm > b.qm THEN b.source ELSE a.source END
+                   AS loser
+        FROM q a JOIN q b ON a.r = b.r AND a.source < b.source
+        WHERE a.qm <> b.qm
+    ),
+    e AS (
+        SELECT winner AS i, loser AS j, CAST(count(*) AS BIGINT) AS w
+        FROM duel GROUP BY winner, loser
+    ),
+    pairs AS (
+        SELECT i, j, w + coalesce(
+                   (SELECT e2.w FROM e e2 WHERE e2.i = e.j AND e2.j = e.i),
+                   0) AS n
+        FROM e
+        UNION
+        SELECT j AS i, i AS j, w + coalesce(
+                   (SELECT e2.w FROM e e2 WHERE e2.i = e.j AND e2.j = e.i),
+                   0) AS n
+        FROM e
+    ),
+    wins AS (SELECT i AS source, CAST(sum(w) AS BIGINT) AS wins
+             FROM e GROUP BY i),
+    players AS (
+        SELECT p.i AS source,
+               coalesce(w.wins, 0) AS wins,
+               CAST(sum(p.n) AS BIGINT) AS n_matches
+        FROM pairs p LEFT JOIN wins w ON w.source = p.i
+        GROUP BY p.i, w.wins
+    ),
+    d1 AS (
+        SELECT i AS source,
+               CAST(sum(n * {_BT_NUM} // (2 * {_BT_SCALE})) AS BIGINT)
+                   AS d
+        FROM pairs GROUP BY i
+    ),
+    p1 AS (
+        SELECT pl.source,
+               greatest(pl.wins * {_BT_NUM} // d1.d, 1) AS p
+        FROM players pl JOIN d1 ON d1.source = pl.source
+    ),
+    d2 AS (
+        SELECT pr.i AS source,
+               CAST(sum(pr.n * {_BT_NUM} // (pi.p + pj.p)) AS BIGINT)
+                   AS d
+        FROM pairs pr
+        JOIN p1 pi ON pi.source = pr.i
+        JOIN p1 pj ON pj.source = pr.j
+        GROUP BY pr.i
+    ),
+    p2 AS (
+        SELECT pl.source,
+               greatest(pl.wins * {_BT_NUM} // d2.d, 1) AS p
+        FROM players pl JOIN d2 ON d2.source = pl.source
+    )
+    SELECT pl.source, pl.wins, pl.n_matches,
+           CAST(p1.p AS BIGINT) AS strength1_micro,
+           CAST(p2.p AS BIGINT) AS strength2_micro
+    FROM players pl
+    JOIN p1 ON p1.source = pl.source
+    JOIN p2 ON p2.source = pl.source
+    """,
+)
+def preference_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry source-strength estimation from pairwise quality
+    duels — the model behind reward-model data curation and ChatBot-
+    Arena-style rankings, run as two minorization-maximization
+    iterations entirely in integer micro-units (bit-exact across
+    engines; the oracle REPLAYS both iterations as CTEs).
+
+    Duels: the r-th document (by doc_id) of source A meets the r-th of
+    source B; the higher quality score wins, exact ties are discarded.
+    MM update: p'_i = W_i / Σ_j n_ij/(p_i + p_j), computed as
+    W_i·SCALE² div Σ_j (n_ij·SCALE² div (p_i + p_j)) — BIGINT floor
+    division throughout (never round a float quotient: half-points
+    split between engines), clamped at 1 so a winless source cannot
+    zero a later denominator.
+
+    Scale shape: duels are a rank-aligned equi-join (|sources|·rank
+    rows, never |docs|²); each MM iteration is one join of the
+    pair-edge table against the broadcast strength vector (players are
+    model-scale) + one aggregate. Iteration count is fixed — the
+    convergence loop is 2 unrolled DataFrame stages, no driver loop."""
+    docs = load_table(spark, "documents", sf_dir)
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.round(TX.quality_score("text") * 10000).cast("long").alias("qm"),
+    ).withColumn(
+        "r",
+        F.row_number().over(Window.partitionBy("source").orderBy("doc_id")),
+    )
+    a = q.select(
+        F.col("source").alias("sa"), F.col("qm").alias("qa"), "r"
+    )
+    b = q.select(
+        F.col("source").alias("sb"), F.col("qm").alias("qb"), "r"
+    )
+    duel = (
+        a.join(b, "r")
+        .filter((F.col("sa") < F.col("sb")) & (F.col("qa") != F.col("qb")))
+        .select(
+            F.when(F.col("qa") > F.col("qb"), F.col("sa"))
+            .otherwise(F.col("sb")).alias("winner"),
+            F.when(F.col("qa") > F.col("qb"), F.col("sb"))
+            .otherwise(F.col("sa")).alias("loser"),
+        )
+    )
+    e = duel.groupBy("winner", "loser").agg(
+        F.count("*").cast("long").alias("w")
+    )
+    rev = e.select(
+        F.col("loser").alias("winner"),
+        F.col("winner").alias("loser"),
+        F.col("w").alias("w_rev"),
+    )
+    pairs = (
+        e.select("winner", "loser", "w")
+        .unionByName(
+            rev.select("winner", "loser", F.lit(0).cast("long").alias("w"))
+        )
+        .groupBy("winner", "loser")
+        .agg(F.sum("w").alias("w"))
+        .alias("f")
+        .join(
+            rev.groupBy("winner", "loser").agg(F.sum("w_rev").alias("wr")),
+            ["winner", "loser"],
+            "left",
+        )
+        .select(
+            F.col("winner").alias("i"),
+            F.col("loser").alias("j"),
+            (F.col("w") + F.coalesce(F.col("wr"), F.lit(0))).alias("n"),
+        )
+    )
+    wins = e.groupBy("winner").agg(F.sum("w").alias("wins")).select(
+        F.col("winner").alias("source"), "wins"
+    )
+    players = (
+        pairs.groupBy("i").agg(F.sum("n").alias("n_matches"))
+        .select(F.col("i").alias("source"), "n_matches")
+        .join(wins, "source", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("wins"), F.lit(0)).cast("long").alias("wins"),
+            F.col("n_matches").cast("long"),
+        )
+    )
+
+    def mm_step(p: DataFrame) -> DataFrame:
+        pi = p.select(F.col("source").alias("i"), F.col("p").alias("p_i"))
+        pj = p.select(F.col("source").alias("j"), F.col("p").alias("p_j"))
+        d = (
+            pairs.join(F.broadcast(pi), "i")
+            .join(F.broadcast(pj), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.expr(f"n * {_BT_NUM} div (p_i + p_j)")
+                ).alias("d")
+            )
+            .select(F.col("i").alias("source"), "d")
+        )
+        return players.join(d, "source").select(
+            "source",
+            F.greatest(
+                F.expr(f"wins * {_BT_NUM} div d"), F.lit(1).cast("long")
+            ).alias("p"),
+        )
+
+    p0 = players.select("source", F.lit(_BT_SCALE).cast("long").alias("p"))
+    p1 = mm_step(p0)
+    p2 = mm_step(p1)
+    return (
+        players.join(
+            p1.select("source", F.col("p").alias("strength1_micro")), "source"
+        )
+        .join(
+            p2.select("source", F.col("p").alias("strength2_micro")), "source"
+        )
+        .select(
+            "source", "wins", "n_matches",
+            "strength1_micro", "strength2_micro",
+        )
+    )
