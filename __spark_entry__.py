@@ -40,7 +40,8 @@ _R05_PRIORITY = [
     # new in round 5
     "preference_bradley_terry", "curriculum_difficulty_phases",
     "corpus_bleu_source_overlap", "events_abandoned_views",
-    "multimodal_audio_frame_energy",
+    "multimodal_audio_frame_energy", "vocab_coverage_curve",
+    "host_graph_hits", "multimodal_shot_boundaries",
     # implementation changed in round 5
     "embedding_near_dup_exact", "embedding_near_dup",
     "agg_approx_distinct_lineitem", "lang_id_multiclass",

@@ -2353,3 +2353,117 @@ def curriculum_difficulty_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_global_ntile(
         d, [F.col("difficulty_micro"), F.col("doc_id")], 4, "phase"
     ).select("doc_id", "difficulty_micro", "phase")
+
+
+_HITS_ITERS = 2
+_HITS_SCALE = 1_000_000
+
+
+def _hits_iter_sql(prev_h: str, it: int) -> str:
+    """One HITS round: authority from hubs, hub from authorities, each
+    max-normalized to micro-units."""
+    return f"""
+    a{it}_raw AS (
+        SELECT n.host,
+               CAST(coalesce((SELECT sum(p.v) FROM edges e
+                              JOIN {prev_h} p ON p.host = e.src
+                              WHERE e.dst = n.host), 0) AS BIGINT) AS v
+        FROM nodes n
+    ),
+    a{it}_m AS (SELECT greatest(max(v), 1) AS m FROM a{it}_raw),
+    a{it} AS (
+        SELECT r.host,
+               CAST(r.v * {_HITS_SCALE} // m.m AS BIGINT) AS v
+        FROM a{it}_raw r CROSS JOIN a{it}_m m
+    ),
+    h{it}_raw AS (
+        SELECT n.host,
+               CAST(coalesce((SELECT sum(a.v) FROM edges e
+                              JOIN a{it} a ON a.host = e.dst
+                              WHERE e.src = n.host), 0) AS BIGINT) AS v
+        FROM nodes n
+    ),
+    h{it}_m AS (SELECT greatest(max(v), 1) AS m FROM h{it}_raw),
+    h{it} AS (
+        SELECT r.host,
+               CAST(r.v * {_HITS_SCALE} // m.m AS BIGINT) AS v
+        FROM h{it}_raw r CROSS JOIN h{it}_m m
+    )"""
+
+
+@register(
+    "host_graph_hits",
+    oracle=f"""
+    WITH raw AS (
+        SELECT DISTINCT {_PR_SRC} AS src, {_PR_DST} AS dst
+        FROM documents
+    ),
+    edges AS (SELECT src, dst FROM raw WHERE src <> dst),
+    nodes AS (
+        SELECT DISTINCT src AS host FROM edges
+        UNION SELECT DISTINCT dst FROM edges
+    ),
+    h0 AS (SELECT host, CAST({_HITS_SCALE} AS BIGINT) AS v FROM nodes),
+    {",".join(_hits_iter_sql(f"h{i}", i + 1) for i in range(_HITS_ITERS))}
+    SELECT n.host,
+           CAST(a{_HITS_ITERS}.v AS BIGINT) AS authority_micro,
+           CAST(h{_HITS_ITERS}.v AS BIGINT) AS hub_micro
+    FROM nodes n
+    JOIN a{_HITS_ITERS} ON a{_HITS_ITERS}.host = n.host
+    JOIN h{_HITS_ITERS} ON h{_HITS_ITERS}.host = n.host
+    """,
+)
+def host_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores over the same host link graph as
+    `host_authority_pagerank` — the complementary trust signal (a page
+    farm has hubs pointing at its own authorities; HITS separates the
+    two roles where PageRank mixes them). Fixed 2 rounds, each score
+    max-normalized into BIGINT micro-units with floor div (the max is
+    a broadcast 1-row agg, never a collect), so the oracle replays
+    both rounds as CTE chains value-for-value.
+
+    Scale shape per half-round: one edge-keyed join against the
+    |hosts|-sized score vector + one dst- (or src-) keyed agg + one
+    scalar max — identical exchange budget to a PageRank round; the
+    corpus is scanned once to build distinct edges (checkpointed,
+    BPE-trainer discipline)."""
+    docs = load_table(spark, "documents", sf_dir)
+    raw = docs.select(
+        F.expr(_PR_SRC).alias("src"), F.expr(_PR_DST).alias("dst")
+    ).distinct()
+    edges = raw.filter(F.col("src") != F.col("dst")).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+
+    def normalize(scores: DataFrame) -> DataFrame:
+        m = scores.agg(
+            F.greatest(F.max("v"), F.lit(1)).cast("long").alias("m")
+        )
+        return scores.crossJoin(F.broadcast(m)).select(
+            "host", F.expr(f"v * {_HITS_SCALE} div m").cast("long").alias("v")
+        )
+
+    def push(scores: DataFrame, src_to_dst: bool) -> DataFrame:
+        key, out = ("src", "dst") if src_to_dst else ("dst", "src")
+        summed = (
+            edges.join(scores.withColumnRenamed("host", key), key)
+            .groupBy(F.col(out).alias("host"))
+            .agg(F.sum("v").cast("long").alias("v"))
+        )
+        return nodes.join(summed, "host", "left").select(
+            "host", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("v")
+        )
+
+    h = nodes.select("host", F.lit(_HITS_SCALE).cast("long").alias("v"))
+    a = None
+    for _ in range(_HITS_ITERS):
+        a = normalize(push(h, src_to_dst=True))     # authority ← hubs
+        h = normalize(push(a, src_to_dst=False))    # hub ← authorities
+    return (
+        nodes.join(a.withColumnRenamed("v", "authority_micro"), "host")
+        .join(h.withColumnRenamed("v", "hub_micro"), "host")
+        .select("host", "authority_micro", "hub_micro")
+    )

@@ -294,3 +294,69 @@ def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle."""
     audio = MM.documents_as_audio(load_table(spark, "documents", sf_dir))
     return MM.audio_frame_energy(audio, frame=400, hop=160)
+
+
+@register(
+    "multimodal_shot_boundaries",
+    # boundary: relative energy change vs the previous frame ≥ 25%
+    # (ppm arithmetic, integer-exact). Frame energies as in
+    # multimodal_audio_frame_energy.
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    f AS (
+        SELECT doc_id, text,
+               CAST(fi AS INT) AS frame_idx,
+               CAST(fi * 160 AS BIGINT) AS start_sample
+        FROM d, LATERAL unnest(
+            range(0, CASE WHEN n >= 400 THEN 1 + (n - 400) // 160
+                          ELSE 0 END)) AS r(fi)
+    ),
+    e AS (
+        SELECT doc_id, frame_idx,
+               CAST(sum(unicode(substr(text, start_sample + i, 1))
+                        * unicode(substr(text, start_sample + i, 1)))
+                    AS BIGINT) AS energy
+        FROM f, LATERAL unnest(range(1, 401)) AS p(i)
+        GROUP BY doc_id, frame_idx
+    ),
+    lagged AS (
+        SELECT doc_id, frame_idx, energy,
+               lag(energy) OVER (PARTITION BY doc_id
+                                 ORDER BY frame_idx) AS prev_e
+        FROM e
+    )
+    SELECT doc_id AS media_id, frame_idx, energy,
+           CAST(abs(energy - prev_e) * 1000000
+                // greatest(energy, prev_e, 1) AS BIGINT) AS change_ppm
+    FROM lagged
+    WHERE prev_e IS NOT NULL
+      AND abs(energy - prev_e) * 1000000
+          // greatest(energy, prev_e, 1) >= 250000
+    """,
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot/segment boundary detection over the framed energy signal:
+    a frame whose energy moved ≥ 25% relative to its predecessor marks
+    a boundary (the classic cut detector shape — swap energy for a
+    frame-histogram distance and the plumbing is identical). Change is
+    integer ppm of the larger energy, exact across engines.
+
+    Scale shape: the lag window is PARTITIONED by media_id (frames per
+    media are metadata-bounded — seconds × fps — so per-partition state
+    is small); upstream framing is the Arrow-batched mapInPandas
+    operator, map-side only."""
+    audio = MM.documents_as_audio(load_table(spark, "documents", sf_dir))
+    frames = MM.audio_frame_energy(audio, frame=400, hop=160)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    lagged = frames.withColumn("prev_e", F.lag("energy").over(w))
+    change = F.expr(
+        "abs(energy - prev_e) * 1000000 div greatest(energy, prev_e, 1L)"
+    )
+    return (
+        lagged.filter(F.col("prev_e").isNotNull())
+        .withColumn("change_ppm", change)
+        .filter(F.col("change_ppm") >= 250000)
+        .select("media_id", "frame_idx", "energy", "change_ppm")
+    )

@@ -2351,3 +2351,119 @@ def preference_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             "strength1_micro", "strength2_micro",
         )
     )
+
+
+_COVERAGE_KS = (256, 1024, 4096, 16384)
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lower(t) AS token
+        FROM documents, LATERAL unnest({_TOKENS_SQL}) AS u(t)
+    ),
+    vocab AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY token
+    ),
+    classes AS (
+        SELECT c, CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(c * count(*) AS BIGINT) AS occ
+        FROM vocab GROUP BY c
+    ),
+    run AS (
+        SELECT c, n_tok, occ,
+               CAST(coalesce(sum(n_tok) OVER w, 0) AS BIGINT) AS cum_cnt_before,
+               CAST(coalesce(sum(occ) OVER w, 0) AS BIGINT) AS cum_occ_before
+        FROM classes
+        WINDOW w AS (ORDER BY c DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    tot AS (
+        SELECT CAST(sum(occ) AS BIGINT) AS total_occ,
+               CAST(sum(n_tok) AS BIGINT) AS n_vocab
+        FROM classes
+    ),
+    ks(k) AS (VALUES {", ".join(f"({k})" for k in _COVERAGE_KS)})
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(least(ks.k, tot.n_vocab) AS BIGINT) AS vocab_size,
+           CAST((
+               SELECT coalesce(sum(
+                   CASE
+                     WHEN r.cum_cnt_before + r.n_tok <= ks.k THEN r.occ
+                     WHEN r.cum_cnt_before < ks.k
+                       THEN (ks.k - r.cum_cnt_before) * r.c
+                     ELSE 0
+                   END), 0)
+               FROM run r) * 1000000 // tot.total_occ AS BIGINT)
+               AS coverage_ppm
+    FROM ks CROSS JOIN tot
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary sizing curve: what fraction of corpus token
+    OCCURRENCES a top-k frequency vocabulary covers, at k ∈ {256, 1K,
+    4K, 16K} — the curve that picks a vocab size before BPE training
+    (companion to `vocab_oov_rate`, which scores one fixed vocab).
+
+    Exactness without a global rank: all tokens in a frequency class
+    are interchangeable for coverage (same c), so coverage(k) =
+    full classes above the boundary + (k − tokens_before)·c_boundary —
+    no per-token ordering exists anywhere. The running sums run over
+    the distinct-FREQUENCY histogram (O(√corpus tokens) rows by
+    Heaps/Zipf — same bounded-value-histogram pattern as
+    `length_quantile_filter`, allow-listed in the plan gate); the
+    vocabulary itself is only ever aggregated, never sorted."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        F.explode(
+            F.expr(f"transform({_TOKENS_SPARK}, t -> lower(t))")
+        ).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").cast("long").alias("c"))
+    classes = vocab.groupBy("c").agg(
+        F.count("*").cast("long").alias("n_tok"),
+        (F.col("c") * F.count("*")).cast("long").alias("occ"),
+    )
+    w = (
+        Window.orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = classes.select(
+        "c", "n_tok", "occ",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_cnt_before"),
+    )
+    tot = classes.agg(
+        F.sum("occ").cast("long").alias("total_occ"),
+        F.sum("n_tok").cast("long").alias("n_vocab"),
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in _COVERAGE_KS], "k long"
+    )
+    contrib = (
+        ks.crossJoin(run)
+        .select(
+            "k",
+            F.when(
+                F.col("cum_cnt_before") + F.col("n_tok") <= F.col("k"),
+                F.col("occ"),
+            )
+            .when(
+                F.col("cum_cnt_before") < F.col("k"),
+                (F.col("k") - F.col("cum_cnt_before")) * F.col("c"),
+            )
+            .otherwise(F.lit(0))
+            .alias("covered"),
+        )
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("covered"), F.lit(0)).alias("covered"))
+    )
+    return (
+        contrib.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            F.least(F.col("k"), F.col("n_vocab")).alias("vocab_size"),
+            F.expr("covered * 1000000 div total_occ").alias("coverage_ppm"),
+        )
+    )

@@ -504,6 +504,11 @@ GLOBAL_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
         3,
         "per-ranker rank windows over <=k-row top-k lists",
     ),
+    "vocab_coverage_curve": (
+        1,
+        "running count over the distinct token-FREQUENCY value histogram"
+        " — O(sqrt(corpus tokens)) rows by Heaps/Zipf, not corpus size",
+    ),
 }
 
 
