@@ -28,8 +28,10 @@ _CAPS_LOW = 0xFFFF & ~W.CLIENT_SSL  # classic framing: no DEPRECATE_EOF
 NONCE = bytes(range(1, 21))
 
 
-def _greeting_payload() -> bytes:
+def _greeting_payload(offer_ssl: bool = False) -> bytes:
     cap = (_CAPS_LOW | W.CLIENT_PLUGIN_AUTH) & ~W.CLIENT_DEPRECATE_EOF
+    if offer_ssl:
+        cap |= W.CLIENT_SSL
     out = bytes([10]) + b"8.0.99-fake\x00"
     out += (99).to_bytes(4, "little")
     out += NONCE[:8] + b"\x00"
@@ -104,14 +106,17 @@ class FakeMySQLServer:
     ``srv.user``/``srv.password``."""
 
     def __init__(self, fixture_path: str, file_name: str,
-                 user: str = "repl", password: str = "replpass"):
+                 user: str = "repl", password: str = "replpass",
+                 ssl_context=None):
         self.frames = split_frames(fixture_path)
         self.bounds = _frame_bounds(self.frames)
         self.file_name = file_name
         self.user, self.password = user, password
+        self.ssl_context = ssl_context  # server-side TLS when set
         self.tail = self.bounds[-1][1]  # visible end of the log
         self.dump_requests: list[tuple[str, int]] = []
         self.queries: list[str] = []
+        self.tls_upgrades = 0
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -119,8 +124,22 @@ class FakeMySQLServer:
                 sock = self.request
                 sock.settimeout(60)
                 stream = sock.makefile("rb")
-                sock.sendall(W.write_packet(0, _greeting_payload()))
+                sock.sendall(W.write_packet(
+                    0, _greeting_payload(offer_ssl=outer.ssl_context is not None)
+                ))
                 _, resp = W.read_packet(stream)
+                caps = int.from_bytes(resp[0:4], "little")
+                if outer.ssl_context is not None and (caps & W.CLIENT_SSL):
+                    # 32-byte SSLRequest → upgrade, then the real
+                    # HandshakeResponse arrives over TLS
+                    assert len(resp) == 32, "expected SSLRequest prefix"
+                    sock = outer.ssl_context.wrap_socket(
+                        sock, server_side=True
+                    )
+                    self.request = sock
+                    stream = sock.makefile("rb")
+                    outer.tls_upgrades += 1
+                    _, resp = W.read_packet(stream)
                 # HandshakeResponse41: caps u32, max-packet u32, charset,
                 # 23 reserved, NUL-user, lenenc auth
                 user_end = resp.index(0, 32)

@@ -199,3 +199,53 @@ class TestLiveStream:
                     q.stop()
                 if exc is not None:
                     raise exc
+
+
+class TestLiveTLS:
+    def test_stream_over_tls(self, spark, tmp_path):
+        """sslmode=required drives the SSLRequest → TLS upgrade → auth →
+        dump conversation over a real encrypted socket (reference:
+        MySqlSslMode + connection/stream.rs upgrade)."""
+        import ssl
+        import subprocess
+
+        key = str(tmp_path / "srv.key")
+        crt = str(tmp_path / "srv.crt")
+        subprocess.run(
+            [
+                "openssl", "req", "-x509", "-newkey", "rsa:2048",
+                "-keyout", key, "-out", crt, "-days", "1", "-nodes",
+                "-subj", "/CN=mysql",
+            ],
+            check=True, capture_output=True,
+        )
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(crt, key)
+        with FakeMySQLServer(
+            FIX_INSERTS, "mysql-bin.000002", ssl_context=ctx
+        ) as srv:
+            register(spark)
+            q = (
+                spark.readStream.format("mysql-cdc")
+                .option("host", "127.0.0.1")
+                .option("port", str(srv.port))
+                .option("user", srv.user)
+                .option("password", srv.password)
+                .option("startingoffsets", "earliest")
+                .option("sslmode", "required")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", str(tmp_path / "sink_tls"))
+                .option("checkpointLocation", str(tmp_path / "cp_tls"))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            assert srv.tls_upgrades >= 2  # admin conn + dump conn
+        from rust_cdc_spark.datamodel import CDC_SCHEMA
+
+        got = spark.read.schema(CDC_SCHEMA).parquet(
+            str(tmp_path / "sink_tls")
+        )
+        want = [_canon(e) for e in parse_binlog_file(FIX_INSERTS)]
+        assert got.count() == len(want)

@@ -435,3 +435,63 @@ def test_session_window_boundary_gap_semantics(spark):
         (2, "2024-01-01 01:00:00.000001", 1),
     }
     assert got == want
+
+
+def test_streaming_absence_matches_batch_anti_join(spark, tmp_path):
+    """The stateful absence detector must agree with the batch
+    anti-join semantics (events_abandoned_views): a trigger is
+    'followed' iff a follow-up for the same user lands inside the
+    window. In-band event-time expiry covers users who keep producing
+    events; the processing-time timeout covers users who go quiet."""
+    import time
+    from rust_cdc_spark.streaming.absence import absence_stream
+
+    T0 = 1_700_000_000
+    rows = [
+        # u1: matched inside the window
+        (1, T0, "view"), (1, T0 + 600, "purchase"),
+        # u2: purchase OUTSIDE window → in-band expiry (user kept
+        # producing events past the deadline)
+        (2, T0, "view"), (2, T0 + 7200, "purchase"),
+        # u3: no follow-up at all → processing-time timeout flush
+        (3, T0, "view"),
+        # u4: one purchase satisfies BOTH open triggers
+        (4, T0, "view"), (4, T0 + 100, "view"), (4, T0 + 200, "purchase"),
+    ]
+    src = str(tmp_path / "absence_src")
+    spark.createDataFrame(
+        [(u, float(ts), et) for u, ts, et in rows],
+        "user_id long, ts double, event_type string",
+    ).coalesce(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = absence_stream(
+        stream, trigger="view", followup="purchase",
+        window_s=3600.0, timeout_ms=5_000,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("absence_sink")
+        .option("checkpointLocation", str(tmp_path / "cp_absence"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 180
+    got = []
+    while time.time() < deadline:
+        got = spark.sql("SELECT * FROM absence_sink").collect()
+        if len(got) >= 5:
+            break
+        time.sleep(5)
+    q.stop()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(got) == 5, got
+    assert [(r.followed, r.latency_s) for r in by_user[1]] == [(True, 600.0)]
+    assert [(r.followed, r.latency_s) for r in by_user[2]] == [(False, None)]
+    assert [(r.followed, r.latency_s) for r in by_user[3]] == [(False, None)]
+    assert sorted((r.followed, r.trigger_ts) for r in by_user[4]) == [
+        (True, float(T0)), (True, float(T0 + 100)),
+    ]
