@@ -42,6 +42,8 @@ _R05_PRIORITY = [
     "corpus_bleu_source_overlap", "events_abandoned_views",
     "multimodal_audio_frame_energy", "vocab_coverage_curve",
     "host_graph_hits", "multimodal_shot_boundaries",
+    "cdc_scd2_type6", "text_readability_scores",
+    "embedding_matryoshka_recall",
     # implementation changed in round 5
     "embedding_near_dup_exact", "embedding_near_dup",
     "agg_approx_distinct_lineitem", "lang_id_multiclass",

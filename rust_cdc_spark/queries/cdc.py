@@ -683,3 +683,59 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "key", change.alias("change"), "t1", "v1", "t2", "v2"
     ).filter(F.col("change") != "unchanged")
+
+
+@register(
+    "cdc_scd2_type6",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, event_type, value,
+               lead(event_id) OVER (PARTITION BY user_id
+                                    ORDER BY event_id) AS valid_to,
+               CASE event_type WHEN 'signup' THEN 'I'
+                               WHEN 'error' THEN 'D'
+                               ELSE 'U' END AS op
+        FROM events
+    ),
+    hist AS (
+        SELECT user_id AS key, event_id AS valid_from, valid_to,
+               (valid_to IS NULL) AS is_current, event_type, value
+        FROM v WHERE op <> 'D'
+    ),
+    curr AS (
+        SELECT key, event_type AS current_type, value AS current_value
+        FROM hist WHERE is_current
+    )
+    SELECT h.key, h.valid_from, h.valid_to, h.is_current,
+           h.event_type, h.value,
+           c.current_type, c.current_value
+    FROM hist h LEFT JOIN curr c ON c.key = h.key
+    """,
+)
+def cdc_scd2_type6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 6 (hybrid 1+2+3): the Type-2 version history with the
+    key's CURRENT attribute denormalized onto every historic row — the
+    Kimball pattern that lets \"as-was vs as-is\" analyses run without a
+    self-join at query time. A key whose last change was a delete has
+    no current version: its history rows carry NULL current columns.
+
+    Scale shape: the history build is the same one-lead()-window shuffle
+    as cdc_scd2_history; the current-image table is one row per LIVE
+    key (dimension-sized) and joins back on the same key partitioning —
+    AQE broadcasts it when small, reuses the exchange when not."""
+    cdc = events_as_cdc(spark, sf_dir)
+    img = lambda f: F.coalesce(F.col(f"after.{f}"), F.col(f"before.{f}"))  # noqa: E731
+    hist = SCD.scd2_history(cdc, ["key"], order_by="log_pos").select(
+        "key",
+        F.col("log_pos").alias("valid_from"),
+        F.col("valid_to_log_pos").alias("valid_to"),
+        "is_current",
+        img("event_type").alias("event_type"),
+        img("value").alias("value"),
+    )
+    curr = hist.filter(F.col("is_current")).select(
+        "key",
+        F.col("event_type").alias("current_type"),
+        F.col("value").alias("current_value"),
+    )
+    return hist.join(curr, "key", "left")

@@ -2467,3 +2467,53 @@ def host_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(h.withColumnRenamed("v", "hub_micro"), "host")
         .select("host", "authority_micro", "hub_micro")
     )
+
+
+@register(
+    "text_readability_scores",
+    # Flesch-Kincaid grade in integer micro-units: 0.39·wps + 11.8·spw
+    # − 15.59, with 11.8 = 59/5 and all divisions integer floor — no
+    # float quotient ever rounds.
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS n_syllables,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                AS BIGINT) AS n_sentences,
+           CAST(
+             39 * (len({_TOKENS_SQL}) * 1000000
+                   // greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+                // 100
+             + 59 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                     * 1000000 // len({_TOKENS_SQL})) // 5
+             - 15590000 AS BIGINT) AS fk_grade_micro
+    FROM documents
+    """,
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade-level readability — the classic curation
+    signal for audience targeting and for spotting degenerate text
+    (negative grades = fragment soup; very high = run-on machine
+    output). Syllables are approximated as vowel groups (the standard
+    dictionary-free heuristic), sentences as terminal-punctuation
+    runs, clamped at 1. Entirely map-side integer arithmetic:
+    grade_micro = 39·wps_micro/100 + 59·spw_micro/5 − 15.59e6 with
+    floor division — bit-identical across engines, no float quotient."""
+    docs = load_table(spark, "documents", sf_dir)
+    counted = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_words"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
+        .cast("long").alias("n_syllables"),
+        F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
+        .cast("long").alias("n_sentences"),
+    )
+    return counted.select(
+        "doc_id", "n_words", "n_syllables", "n_sentences",
+        F.expr(
+            "39 * (n_words * 1000000 div n_sentences) div 100"
+            " + 59 * (n_syllables * 1000000 div n_words) div 5"
+            " - 15590000"
+        ).cast("long").alias("fk_grade_micro"),
+    )

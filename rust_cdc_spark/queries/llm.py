@@ -2061,3 +2061,94 @@ def corpus_bleu_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_ppm"),
         )
     )
+
+
+_MRL_DIMS = 16
+_MRL_K = 10
+
+
+@register(
+    "embedding_matryoshka_recall",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               list_transform(embedding[1:{_MRL_DIMS}],
+                              x -> CAST(x AS DOUBLE)) AS vt
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, vt AS qvt FROM corpus
+        WHERE vec_id IN (0, 1, 2)
+    ),
+    full_rank AS (
+        SELECT p.query_id, c.vec_id,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {_COS_SQL.format(a="c.v", b="p.qv")} DESC,
+                            c.vec_id) AS r
+        FROM probes p JOIN corpus c ON c.vec_id <> p.query_id
+    ),
+    trunc_rank AS (
+        SELECT p.query_id, c.vec_id,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {_COS_SQL.format(a="c.vt", b="p.qvt")} DESC,
+                            c.vec_id) AS r
+        FROM probes p JOIN corpus c ON c.vec_id <> p.query_id
+    )
+    SELECT f.query_id,
+           CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+           CAST(count(t.vec_id) * 1000000 // {_MRL_K} AS BIGINT)
+               AS recall_ppm
+    FROM full_rank f
+    LEFT JOIN trunc_rank t
+      ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+     AND t.r <= {_MRL_K}
+    WHERE f.r <= {_MRL_K}
+    GROUP BY f.query_id
+    """,
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation evaluation: recall@10 of brute-force
+    search over the FIRST {d} dims against the full 64-dim truth, per
+    probe — the measurement behind MRL-style dimension-adaptive
+    retrieval (serve short prefixes, rerank with full vectors; this
+    query tells you what the prefix alone costs). Same QA-of-the-
+    approximation discipline as dedup_lsh_recall_eval.
+
+    Scale shape: two brute-force top-k passes over the same corpus
+    scan (probe set broadcast, rank windows over per-query candidate
+    heaps), then a top-k-sized join — no new machinery, the truncated
+    pass just slices the vector column before scoring.""".format(d=_MRL_DIMS)
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes_full = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    probes_tr = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.slice("embedding", 1, _MRL_DIMS).alias("qv"),
+    )
+    corpus_tr = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("embedding")
+    )
+    full = SIM.brute_force_topk(
+        emb, probes_full, k=_MRL_K, exclude_self=True
+    ).select("query_id", "vec_id")
+    trunc = SIM.brute_force_topk(
+        corpus_tr, probes_tr, k=_MRL_K, exclude_self=True
+    ).select("query_id", F.col("vec_id").alias("t_vec"))
+    return (
+        full.join(
+            trunc,
+            (full.query_id == trunc.query_id)
+            & (F.col("vec_id") == F.col("t_vec")),
+            "left",
+        )
+        .groupBy(full.query_id)
+        .agg(
+            F.count("t_vec").cast("long").alias("n_overlap"),
+            F.expr(f"count(t_vec) * 1000000 div {_MRL_K}")
+            .cast("long").alias("recall_ppm"),
+        )
+    )
