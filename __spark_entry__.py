@@ -43,7 +43,8 @@ _R05_PRIORITY = [
     "multimodal_audio_frame_energy", "vocab_coverage_curve",
     "host_graph_hits", "multimodal_shot_boundaries",
     "cdc_scd2_type6", "text_readability_scores",
-    "embedding_matryoshka_recall",
+    "embedding_matryoshka_recall", "agg_approx_quantile_eval",
+    "events_forecast_ses",
     # implementation changed in round 5
     "embedding_near_dup_exact", "embedding_near_dup",
     "agg_approx_distinct_lineitem", "lang_id_multiclass",

@@ -1163,3 +1163,63 @@ def events_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_views"),
         F.coalesce(F.sum("abandoned"), F.lit(0)).cast("long").alias("n_abandoned"),
     )
+
+
+@register(
+    "events_forecast_ses",
+    # α = 1/4 simple exponential smoothing folded per user over the
+    # event_id order, entirely in integer cents with floor division:
+    # level_t = (cents_t + 3·level_{t-1}) div 4, level_0 = first value.
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    series AS (
+        SELECT user_id,
+               list(cents ORDER BY event_id) AS xs
+        FROM e GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(xs) AS BIGINT) AS n_obs,
+           CAST(xs[len(xs)] AS BIGINT) AS last_cents,
+           CAST(list_reduce(xs, (l, x) -> (x + 3 * l) // 4) AS BIGINT)
+               AS ses_level_cents
+    FROM series
+    """,
+)
+def events_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing purchase-value forecast per user
+    (α = 1/4): the one-step-ahead level every anomaly detector and
+    budget forecaster keeps per entity. The recursion folds in exact
+    integer cents with floor division — `(x + 3·l) div 4` — so the
+    engine and the oracle replay the identical sequence (the
+    rolling-hash/decay-score discipline; α is a dyadic rational on
+    purpose).
+
+    Scale shape: ONE groupBy(user) with an ordered collect — per-user
+    event counts are human-bounded, so the fold array is small-K; the
+    fold itself is a codegen-free but per-user-array HOF, linear in
+    events. No window over the global stream, no driver loop."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    series = e.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(event_id, cents))),"
+            " s -> s.cents)"
+        ).alias("xs")
+    )
+    return series.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_obs"),
+        F.element_at("xs", -1).cast("long").alias("last_cents"),
+        F.expr(
+            "aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)),"
+            " xs[0], (l, x) -> (x + 3L * l) div 4L)"
+        ).cast("long").alias("ses_level_cents"),
+    )
