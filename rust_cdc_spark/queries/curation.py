@@ -2469,6 +2469,123 @@ def host_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ── k-core decomposition (bounded peel) ─────────────────────────────
+# Same synthetic host graph as PageRank/HITS, made undirected. K=3
+# peels 41 → 12 → 2 → 0 at sf0.01, so 4 rounds reach the (empty)
+# fixpoint; rounds_survived is the per-host "coreness depth" signal a
+# crawl-curation pipeline uses to separate well-embedded hosts from
+# leaf/spam periphery.
+_KCORE_K = 3
+_KCORE_ITERS = 4
+
+
+def _kcore_iter_sql(prev: str, it: int) -> str:
+    return f"""
+    a{it} AS (
+        SELECT n.u AS host FROM nb n
+        JOIN {prev} x ON n.u = x.host
+        JOIN {prev} y ON n.v = y.host
+        GROUP BY n.u HAVING count(*) >= {_KCORE_K}
+    )"""
+
+
+@register(
+    "host_graph_kcore",
+    oracle=f"""
+    WITH raw AS (
+        SELECT DISTINCT {_PR_SRC} AS src, {_PR_DST} AS dst
+        FROM documents
+    ),
+    edges AS (SELECT src, dst FROM raw WHERE src <> dst),
+    nb AS (
+        SELECT DISTINCT u, v FROM (
+            SELECT src AS u, dst AS v FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        )
+    ),
+    nodes AS (SELECT DISTINCT u AS host FROM nb),
+    a0 AS (SELECT host FROM nodes),
+    {",".join(_kcore_iter_sql(f"a{i}", i + 1) for i in range(_KCORE_ITERS))},
+    deg AS (SELECT u AS host, CAST(count(*) AS BIGINT) AS degree
+            FROM nb GROUP BY u)
+    SELECT n.host, d.degree,
+           (a{_KCORE_ITERS}.host IS NOT NULL) AS in_kcore,
+           CAST({" + ".join(
+               f"CASE WHEN a{i + 1}.host IS NOT NULL THEN 1 ELSE 0 END"
+               for i in range(_KCORE_ITERS))} AS INT) AS rounds_survived
+    FROM nodes n
+    JOIN deg d ON d.host = n.host
+    {" ".join(f"LEFT JOIN a{i + 1} ON a{i + 1}.host = n.host"
+              for i in range(_KCORE_ITERS))}
+    """,
+)
+def host_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peel (K={k}, {it} rounds) over the undirected
+    host graph — the graph-density curation signal: hosts that survive
+    repeated "drop every node with < K surviving neighbors" rounds sit
+    in densely-interlinked communities; early-peeled hosts are leaves
+    or isolated spam spokes. `rounds_survived` is the peel depth
+    (monotone in the true core number); at sf0.01 the peel reaches the
+    empty fixpoint inside the budget (41 → 12 → 2 → 0), so the bounded
+    answer IS the exact 3-core there.
+
+    Scale shape per round: the alive set is |hosts|-sized; one
+    host-keyed double semi-join of the (checkpointed) neighbor table
+    against it + one u-keyed count agg — no corpus rescan (the one doc
+    scan builds distinct edges), no all-pairs term anywhere. Set
+    membership is exact — no scores, so no numeric tolerance at all.
+    Real deployments size ITERS ~ log(peel diameter); a fixpoint loop
+    would compare alive-counts per round (one scalar action each) —
+    kept fixed here so the DuckDB oracle replays the peel as unrolled
+    CTEs (the PageRank/HITS discipline).""".replace(
+        "{k}", str(_KCORE_K)
+    ).replace("{it}", str(_KCORE_ITERS))
+    docs = load_table(spark, "documents", sf_dir)
+    raw = docs.select(
+        F.expr(_PR_SRC).alias("src"), F.expr(_PR_DST).alias("dst")
+    ).distinct()
+    edges = raw.filter(F.col("src") != F.col("dst"))
+    nb = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint()  # host²-bounded; frees the doc-scan lineage
+    )
+    nodes = nb.select(F.col("u").alias("host")).distinct()
+    deg = nb.groupBy(F.col("u").alias("host")).agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
+    alive = nodes
+    rounds: list[DataFrame] = []
+    for _ in range(_KCORE_ITERS):
+        alive = (
+            nb.join(alive.withColumnRenamed("host", "u"), "u")
+            .join(alive.withColumnRenamed("host", "v"), "v")
+            .groupBy(F.col("u").alias("host"))
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= _KCORE_K)
+            .select("host")
+        )
+        rounds.append(alive)
+    out = nodes.join(deg, "host")
+    flags = []
+    for i, r in enumerate(rounds):
+        flag = f"__r{i + 1}"
+        out = out.join(
+            r.withColumn(flag, F.lit(True)), "host", "left"
+        )
+        flags.append(flag)
+    survived = sum(
+        (F.when(F.col(f), 1).otherwise(0) for f in flags), F.lit(0)
+    )
+    return out.select(
+        "host",
+        "degree",
+        F.col(flags[-1]).isNotNull().alias("in_kcore"),
+        survived.cast("int").alias("rounds_survived"),
+    )
+
+
 @register(
     "text_readability_scores",
     # Flesch-Kincaid grade in integer micro-units: 0.39·wps + 11.8·spw

@@ -486,6 +486,103 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KN_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)
+        WHERE len(t) >= 2
+    ),
+    cbi AS (SELECT w1, w2, count(*) AS c_bi FROM bg GROUP BY w1, w2),
+    m AS (
+        SELECT w1, w2, c_bi,
+               sum(c_bi) OVER (PARTITION BY w1) AS c_w1,
+               count(*) OVER (PARTITION BY w1) AS n1_w1,
+               count(*) OVER (PARTITION BY w2) AS n1_w2
+        FROM cbi
+    ),
+    tot AS (SELECT count(*) AS ntot FROM cbi),
+    inst AS (
+        SELECT b.doc_id,
+               CAST(round(ln(
+                   CAST((4 * m.c_bi - 3) * t.ntot
+                        + 3 * m.n1_w1 * m.n1_w2 AS DOUBLE)
+                   / CAST(4 * m.c_w1 * t.ntot AS DOUBLE)) * 1e6)
+                   AS BIGINT) AS micro
+        FROM bg b JOIN m USING (w1, w2) CROSS JOIN tot t
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(micro) AS BIGINT) AS sum_kn_logp_micro
+    FROM inst GROUP BY doc_id
+    """
+
+
+@register("text_kneser_ney_bigram", oracle=_KN_ORACLE)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (D=0.75) scoring every
+    document — the smoothing KenLM actually uses, and therefore the
+    faithful stand-in for the CCNet perplexity filter (add-one, the
+    sibling `text_bigram_logprob`, systematically over-penalizes rare
+    continuations; KN backs off to CONTINUATION counts — "how many
+    contexts does w2 follow" — which is what separates fluent rare
+    text from gibberish). P(w2|w1) = (c-D)/c(w1·) + D·N1+(w1·)/c(w1·)
+    · N1+(·w2)/N1+(··) for observed bigrams (c ≥ 1, so the max(·,0)
+    clamp is vacuous on instances).
+
+    Scale shape: identical exchange budget to `text_bigram_logprob` —
+    one bigram explode, ONE model hash-agg (all three KN statistics
+    are vocab-scale windows OVER the bigram-count table: c(w1·) and
+    N1+(w1·) partition by w1, N1+(·w2) by w2 — never a second corpus
+    pass), one co-keyed instance⋈model join, one scalar type count.
+    With D=3/4 the probability is the exact integer rational
+    ((4c−3)·Ntot + 3·N1w1·N1w2) / (4·c_w1·Ntot); both engines perform
+    ONE double division and ONE ln on identical BIGINTs before the
+    micro round, so the only cross-engine surface is libm's ln at
+    1e-6 — same tolerance class the add-one LM has run green since
+    round 3. Int64 bound: (4c)·Ntot ≤ 4·|bigram instances|·|types|,
+    fine through ~sf100; shard the model stats beyond that."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("t"))
+    bg = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cbi = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
+    model = (
+        cbi.withColumn("c_w1", F.sum("c_bi").over(Window.partitionBy("w1")))
+        .withColumn("n1_w1", F.count("*").over(Window.partitionBy("w1")))
+        .withColumn("n1_w2", F.count("*").over(Window.partitionBy("w2")))
+    )
+    tot = cbi.agg(F.count("*").alias("ntot"))
+    model = model.crossJoin(F.broadcast(tot))
+    inst = bg.join(model, ["w1", "w2"]).select(
+        "doc_id",
+        F.round(
+            F.log(
+                (
+                    (4 * F.col("c_bi") - 3) * F.col("ntot")
+                    + 3 * F.col("n1_w1") * F.col("n1_w2")
+                ).cast("double")
+                / (4 * F.col("c_w1") * F.col("ntot")).cast("double")
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("micro"),
+    )
+    return inst.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("micro").cast("bigint").alias("sum_kn_logp_micro"),
+    )
+
+
 @register(
     "semantic_dedup_prune",
     oracle=f"""
