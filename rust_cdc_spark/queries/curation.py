@@ -2586,6 +2586,124 @@ def host_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ── RAKE keyword extraction ─────────────────────────────────────────
+_RAKE_STOP = ("a", "the")
+_RAKE_TOPK = 25
+_RAKE_STOP_SQL = ", ".join(f"'{s}'" for s in _RAKE_STOP)
+
+
+@register(
+    "keyword_rake_top",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, i AS pos, t[i] AS w
+        FROM (SELECT doc_id, {_WORDS_SQL} AS t FROM documents),
+             LATERAL unnest(range(1, len(t) + 1)) AS r(i)
+    ),
+    marked AS (
+        SELECT doc_id, pos, w,
+               CASE WHEN w IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END AS st,
+               sum(CASE WHEN w IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+        FROM tok
+    ),
+    cand AS (SELECT doc_id, pid, pos, w FROM marked WHERE st = 0),
+    plen AS (
+        SELECT doc_id, pid, count(*) AS plen
+        FROM cand GROUP BY doc_id, pid
+    ),
+    wscore AS (
+        SELECT w, (1000000 * sum(plen)) // count(*) AS wmicro
+        FROM cand c JOIN plen p USING (doc_id, pid)
+        GROUP BY w
+    ),
+    pinst AS (
+        SELECT c.doc_id, c.pid,
+               string_agg(c.w, ' ' ORDER BY c.pos) AS phrase,
+               sum(s.wmicro) AS smicro,
+               count(*) AS nw
+        FROM cand c JOIN wscore s USING (w)
+        GROUP BY c.doc_id, c.pid
+    ),
+    agg AS (
+        SELECT phrase,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(max(nw) AS BIGINT) AS n_words,
+               CAST(max(smicro) AS BIGINT) AS score_micro
+        FROM pinst GROUP BY phrase
+    )
+    SELECT phrase, n_occurrences, n_words, score_micro
+    FROM agg ORDER BY score_micro DESC, phrase LIMIT {_RAKE_TOPK}
+    """,
+)
+def keyword_rake_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    degree/frequency (degree = Σ length of phrases it appears in —
+    words that live in long multi-word phrases outrank equally-frequent
+    words that appear alone); a phrase scores the sum of its word
+    scores. The corpus-level top-{k} is the "what is this corpus
+    about" signal curation dashboards surface per source/snapshot.
+
+    Scale shape: one posexplode; phrase ids are a per-doc cumulative
+    stopword count (doc-partitioned window, never global); word scores
+    are ONE vocab-keyed agg over candidates ⋈ (doc,pid)-keyed phrase
+    lengths — both co-keyed shuffles; phrase assembly groups by
+    (doc, pid) with an in-group sort_array (bounded by phrase length);
+    the final distinct-phrase agg is |distinct phrases|-sized and the
+    top-k is a TakeOrdered heap, not a global sort. Word score
+    (1e6·deg) div freq is an exact integer — phrase scores and
+    ordering are engine-exact with no float anywhere.""".replace(
+        "{k}", str(_RAKE_TOPK)
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(_WORDS_SPARK)).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    st = F.when(F.col("w").isin(*_RAKE_STOP), 1).otherwise(0)
+    marked = tok.withColumn("st", st).withColumn(
+        "pid",
+        F.sum("st").over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    cand = marked.filter(F.col("st") == 0).select("doc_id", "pid", "pos", "w")
+    plen = cand.groupBy("doc_id", "pid").agg(F.count("*").alias("plen"))
+    wscore = (
+        cand.join(plen, ["doc_id", "pid"])
+        .groupBy("w")
+        .agg(
+            F.expr("(1000000 * sum(plen)) div count(*)").alias("wmicro")
+        )
+    )
+    pinst = (
+        cand.join(wscore, "w")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("wmicro").alias("smicro"),
+            F.count("*").alias("nw"),
+        )
+    )
+    agg = pinst.groupBy("phrase").agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.max("nw").cast("bigint").alias("n_words"),
+        F.max("smicro").cast("bigint").alias("score_micro"),
+    )
+    return agg.orderBy(
+        F.col("score_micro").desc(), "phrase"
+    ).limit(_RAKE_TOPK)
+
+
 @register(
     "text_readability_scores",
     # Flesch-Kincaid grade in integer micro-units: 0.39·wps + 11.8·spw

@@ -753,6 +753,111 @@ def lang_id_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PV_WORDS = 10  # passage width (dedup_passage_exact convention)
+_TOKENS_SPARK = "split(trim(text), ' ')"
+_PV_SCORES = ", ".join(
+    f"CAST(len(list_filter(pt, t -> list_contains({lst}, lower(t))))"
+    f" AS DOUBLE) / len(pt) AS s_{lang}"
+    for lang, lst in _LANG_SCORE_SQL.items()
+)
+
+
+@register(
+    "lang_id_passage_vote",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, {_TOKENS_SQL} AS words FROM documents),
+    p AS (
+        SELECT doc_id, lang,
+               words[(i*{_PV_WORDS}+1):((i+1)*{_PV_WORDS})] AS pt
+        FROM w, LATERAL (
+            SELECT unnest(range(0,
+                CAST(ceil(len(words) / {_PV_WORDS}.0) AS BIGINT))) AS i)
+    ),
+    s AS (SELECT doc_id, lang, {_PV_SCORES} FROM p),
+    m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM s),
+    pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN mx < 0.04 THEN 'other'
+                    WHEN s_de = mx THEN 'de'
+                    WHEN s_en = mx THEN 'en'
+                    WHEN s_es = mx THEN 'es'
+                    WHEN s_fr = mx THEN 'fr'
+                    ELSE 'zh' END AS lp
+        FROM m
+    ),
+    cnt AS (
+        SELECT doc_id, lang, lp, count(*) AS c
+        FROM pred GROUP BY doc_id, lang, lp
+    ),
+    rk AS (
+        SELECT doc_id, lang, lp, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, lp) AS rn,
+               sum(c) OVER (PARTITION BY doc_id) AS np
+        FROM cnt
+    )
+    SELECT doc_id, lang, lp AS lang_vote,
+           CAST(np AS BIGINT) AS n_passages,
+           CAST(c AS BIGINT) AS n_votes
+    FROM rk WHERE rn = 1
+    """,
+)
+def lang_id_passage_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-passage language ID with document majority vote:
+    chunk each document into {w}-word passages (real corpora split on
+    lines; the soup corpus chunks fixed-width), run the multiclass
+    stopword-coverage argmax on EACH passage, and label the document by
+    the modal passage prediction — the structure that keeps one English
+    boilerplate header from flipping a whole German page, and that
+    yields the passage-purity signal (n_votes/n_passages) mixed-language
+    filters threshold on.
+
+    Scale shape: one explode (~L/{w} rows per doc), pure-map per-passage
+    scoring (the let-bound argmax from `lang_id_multiclass` — each
+    language's coverage filter evaluates once per passage), then ONE
+    doc-keyed agg and a doc-partitioned rank window over ≤|langs|+1 rows
+    per doc. No joins, no global windows; the vote tie-breaks (count
+    desc, then language code) so it is engine-exact.""".replace(
+        "{w}", str(_PV_WORDS)
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    w = docs.select("doc_id", "lang", F.expr(_TOKENS_SPARK).alias("words"))
+    passages = w.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(words) / "
+                f"{_PV_WORDS}.0) as int) - 1),"
+                f" i -> concat_ws(' ', slice(words, i*{_PV_WORDS}+1,"
+                f" {_PV_WORDS})))"
+            )
+        ).alias("passage"),
+    )
+    pred = passages.select(
+        "doc_id", "lang", TX.lang_id_multi("passage").alias("lp")
+    )
+    cnt = pred.groupBy("doc_id", "lang", "lp").agg(F.count("*").alias("c"))
+    dw = Window.partitionBy("doc_id")
+    rk = cnt.select(
+        "doc_id",
+        "lang",
+        "lp",
+        "c",
+        F.row_number()
+        .over(dw.orderBy(F.col("c").desc(), "lp"))
+        .alias("rn"),
+        F.sum("c").over(dw).alias("np"),
+    )
+    return rk.filter(F.col("rn") == 1).select(
+        "doc_id",
+        "lang",
+        F.col("lp").alias("lang_vote"),
+        F.col("np").cast("bigint").alias("n_passages"),
+        F.col("c").cast("bigint").alias("n_votes"),
+    )
+
+
 @register(
     "embedding_near_dup_exact",
     oracle="""

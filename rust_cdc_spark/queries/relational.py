@@ -1715,3 +1715,170 @@ def agg_approx_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_b(1, 2, 3).alias("p90_in_bounds"),
         in_b(2, 4, 5).alias("p99_in_bounds"),
     )
+
+
+@register(
+    "table_skew_metrics",
+    oracle="""
+    WITH kc AS (
+        SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(max(c) AS BIGINT) AS max_rows,
+               CAST(sum(c * c) AS BIGINT) AS ss
+        FROM kc
+    ),
+    top10 AS (
+        SELECT CAST(sum(c) AS BIGINT) AS t10
+        FROM (SELECT c FROM kc ORDER BY c DESC, k LIMIT 10)
+    ),
+    hist AS (SELECT c AS v, count(*) AS nk FROM kc GROUP BY c),
+    med AS (
+        SELECT CAST(min(v) AS BIGINT) AS med_c
+        FROM (SELECT v, sum(nk) OVER (ORDER BY v) AS cum FROM hist),
+             (SELECT count(*) AS nkeys FROM kc)
+        WHERE cum * 2 >= nkeys
+    )
+    SELECT t.n_keys, t.n_rows,
+           t.max_rows AS max_key_rows,
+           m.med_c AS median_key_rows,
+           CAST((1000000 * t.ss) // (t.n_rows * t.n_rows) AS BIGINT)
+               AS hhi_micro,
+           CAST((1000000 * p.t10) // t.n_rows AS BIGINT)
+               AS top10_share_micro
+    FROM tot t, top10 p, med m
+    """,
+)
+def table_skew_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics for lineitem's supplier key — the
+    pre-flight check that decides between a plain hash join and the
+    salted/AQE-skew path: Herfindahl concentration (Σ(c/N)² ≈ 1/k for
+    balanced keys, → 1 for one hot key), the top-10-key row share, and
+    max/median key sizes. The engine runs this on any (table, key) pair
+    before wiring a large join; the same numbers size salting factors.
+
+    Scale shape: one key-keyed count agg (map-side combined), then
+    everything downstream is KEY-space sized: a scalar agg, a top-10
+    TakeOrdered heap, and a cumulative-sum window over the distinct
+    key-SIZE value histogram (bounded by max key multiplicity, not by
+    rows — the length_quantile_filter pattern; the median is the
+    smallest size v with 2·cum ≥ n_keys, integer-exact). HHI and share
+    are floor-divided integer micro-units — no float quotient. Int64
+    bound: 1e6·Σc² needs Σc² < 9.2e12, i.e. max key count ~3e6 — shard
+    the square sum by key ranges past that."""
+    li = load_table(spark, "lineitem", sf_dir)
+    kc = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = kc.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_rows"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    top10 = (
+        kc.orderBy(F.col("c").desc(), "k")
+        .limit(10)
+        .agg(F.sum("c").cast("bigint").alias("t10"))
+    )
+    hist = kc.groupBy(F.col("c").alias("v")).agg(F.count("*").alias("nk"))
+    cum = hist.select(
+        "v",
+        F.sum("nk")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+    )
+    med = (
+        cum.crossJoin(F.broadcast(tot.select("n_keys")))
+        .filter(F.col("cum") * 2 >= F.col("n_keys"))
+        .agg(F.min("v").cast("bigint").alias("med_c"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(top10))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_keys",
+            "n_rows",
+            F.col("max_rows").alias("max_key_rows"),
+            F.col("med_c").alias("median_key_rows"),
+            F.expr("(1000000 * ss) div (n_rows * n_rows)")
+            .cast("bigint")
+            .alias("hhi_micro"),
+            F.expr("(1000000 * t10) div n_rows")
+            .cast("bigint")
+            .alias("top10_share_micro"),
+        )
+    )
+
+
+@register(
+    "part_entity_resolution",
+    oracle="""
+    WITH nc AS (
+        SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY p_name
+    ),
+    b AS (SELECT p_name, n_parts,
+                 string_split(p_name, ' ')[-1] AS blk
+          FROM nc)
+    SELECT a.blk AS block,
+           a.p_name AS name_a, bb.p_name AS name_b,
+           CAST(levenshtein(a.p_name, bb.p_name) AS INT) AS edit_dist,
+           a.n_parts AS n_parts_a, bb.n_parts AS n_parts_b
+    FROM b a JOIN b bb
+      ON a.blk = bb.blk AND a.p_name < bb.p_name
+    WHERE levenshtein(a.p_name, bb.p_name) <= 3
+    """,
+)
+def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution over part names — the classic
+    record-linkage shape: roll the row stream up to DISTINCT entities
+    first (name + support count), block on a cheap key (last name
+    token), and verify only within-block candidate pairs with an edit
+    distance — never an all-pairs scan over rows.
+
+    Scale shape: one name-keyed count agg collapses 20k rows/SF to the
+    distinct-name table (entity-cardinality, orders of magnitude below
+    row count in real catalogs); the self-join is equi-keyed on the
+    block and quadratic only within a block (worst block here: one
+    noun's adjective set). Levenshtein runs on candidate pairs only —
+    the standard blocking/verify split every dedup-by-name pipeline
+    (suppliers, merchants, author tables) uses. Both engines implement
+    classic Levenshtein (unit costs), so edit_dist is engine-exact."""
+    parts = load_table(spark, "part", sf_dir)
+    nc = parts.groupBy("p_name").agg(
+        F.count("*").cast("bigint").alias("n_parts")
+    )
+    b = nc.withColumn(
+        "blk", F.element_at(F.split("p_name", " "), -1)
+    )
+    left = b.select(
+        F.col("blk").alias("block"),
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+    )
+    right = b.select(
+        F.col("blk").alias("block"),
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+    )
+    return (
+        left.join(right, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "edit_dist",
+            F.levenshtein("name_a", "name_b").cast("int"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+        .select(
+            "block", "name_a", "name_b", "edit_dist",
+            "n_parts_a", "n_parts_b",
+        )
+    )

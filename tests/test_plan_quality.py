@@ -504,6 +504,11 @@ GLOBAL_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
         3,
         "per-ranker rank windows over <=k-row top-k lists",
     ),
+    "table_skew_metrics": (
+        1,
+        "cumulative sum over the distinct key-SIZE value histogram —"
+        " bounded by max key multiplicity, not key or row count",
+    ),
     "vocab_coverage_curve": (
         1,
         "running count over the distinct token-FREQUENCY value histogram"
