@@ -739,3 +739,206 @@ def cdc_scd2_type6(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("current_value"),
     )
     return hist.join(curr, "key", "left")
+
+
+@register(
+    "cdc_ivm_join_view",
+    # Oracle = the full recompute of the two-table join view over the
+    # whole log. The Spark side maintains it INCREMENTALLY (bootstrap
+    # from the first half, delta-advance with the second half touching
+    # only changed keys) — values must match bit-for-bit (integer
+    # cents, exact strings).
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               {_OP_SQL} AS op,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id % 2 = 0
+    ),
+    rcur AS (SELECT user_id, cents FROM r WHERE rn = 1 AND op <> 'D'),
+    s AS (
+        SELECT user_id, event_type,
+               {_OP_SQL} AS op,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id % 2 = 1
+    ),
+    scur AS (SELECT user_id, event_type FROM s WHERE rn = 1 AND op <> 'D')
+    SELECT r.user_id,
+           r.cents AS r_cents,
+           s.event_type AS s_event_type
+    FROM rcur r JOIN scur s USING (user_id)
+    """,
+)
+def cdc_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view across two CDC-fed
+    tables — the delta-join analog of cdc_incremental_agg. The log
+    splits by event_id parity into two virtual tables R ("users",
+    payload = value cents) and S ("profiles", payload = event_type),
+    each LWW-collapsed by key; the view is V = R ⋈ S on key. The
+    maintenance step NEVER rescans V's base tables: keys touched by
+    either side's second-half delta are carved out of the bootstrapped
+    view with a key-equi anti-join and recomputed from (old state of
+    touched keys) ⊕ (delta rows), the standard merge-scoped delta-join
+    every streaming MERGE pipeline uses for denormalized sinks.
+
+    Scale shape: the bootstrap is two LWW windows + one key-equi join
+    on the same key partitioning; the advance touches |Δkeys| rows on
+    each side (semi-join pushdown into the state tables), so step cost
+    scales with the CHANGE volume, not the table size — the property
+    that makes the view maintainable at 100 TB where a V rebuild is a
+    full-table join."""
+    cdc = events_as_cdc(spark, sf_dir)
+    img = lambda f: F.coalesce(F.col(f"after.{f}"), F.col(f"before.{f}"))  # noqa: E731
+    flat = cdc.select(
+        "key",
+        "log_pos",
+        "op",
+        img("event_type").alias("event_type"),
+        F.round(img("value") * 100).cast("bigint").alias("cents"),
+    )
+    r_log = flat.filter(F.col("log_pos") % 2 == 0).select(
+        "key", "log_pos", "op", "cents"
+    )
+    s_log = flat.filter(F.col("log_pos") % 2 == 1).select(
+        "key", "log_pos", "op", "event_type"
+    )
+    bounds = cdc.agg((F.max("log_pos") / 2).cast("long").alias("__mid"))
+
+    def halves(log: DataFrame) -> tuple[DataFrame, DataFrame]:
+        t = log.crossJoin(F.broadcast(bounds))
+        return (
+            t.filter(F.col("log_pos") <= F.col("__mid")).drop("__mid"),
+            t.filter(F.col("log_pos") > F.col("__mid")).drop("__mid"),
+        )
+
+    def lww(log: DataFrame) -> DataFrame:
+        w = Window.partitionBy("key").orderBy(F.col("log_pos").desc())
+        return (
+            log.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    r1_log, r_delta = halves(r_log)
+    s1_log, s_delta = halves(s_log)
+    # Bootstrapped states KEEP log_pos so delta rows order against them.
+    r1 = lww(r1_log)
+    s1 = lww(s1_log)
+    v1 = (
+        r1.filter(F.col("op") != "D")
+        .select("key", "cents")
+        .join(
+            s1.filter(F.col("op") != "D").select("key", "event_type"),
+            "key",
+        )
+    )
+    touched = (
+        r_delta.select("key").union(s_delta.select("key")).distinct()
+    )
+    r2 = lww(r1.join(touched, "key", "semi").unionByName(r_delta))
+    s2 = lww(s1.join(touched, "key", "semi").unionByName(s_delta))
+    v2 = (
+        r2.filter(F.col("op") != "D")
+        .select("key", "cents")
+        .join(
+            s2.filter(F.col("op") != "D").select("key", "event_type"),
+            "key",
+        )
+        # the recomputed slice covers exactly the touched keys; rows
+        # for untouched keys flow from v1 below
+        .join(touched, "key", "semi")
+    )
+    return (
+        v1.join(touched, "key", "anti")
+        .unionByName(v2)
+        .select(
+            F.col("key").alias("user_id"),
+            F.col("cents").alias("r_cents"),
+            F.col("event_type").alias("s_event_type"),
+        )
+    )
+
+
+@register(
+    "cdc_delete_compliance",
+    oracle=f"""
+    WITH log AS (
+        SELECT user_id AS key,
+               'users_' || CAST(user_id % 4 AS VARCHAR) AS tbl,
+               event_id AS log_pos,
+               {_OP_SQL} AS op
+        FROM events
+    ),
+    per_key AS (
+        SELECT tbl, key,
+               CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_del,
+               max(CASE WHEN op = 'D' THEN log_pos END) AS last_del,
+               max(log_pos) AS last_pos
+        FROM log GROUP BY tbl, key
+    )
+    SELECT tbl AS "table",
+           CAST(sum(n_del) AS BIGINT) AS n_deletes,
+           CAST(sum(CASE WHEN n_del > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deleted_keys,
+           CAST(sum(CASE WHEN n_del > 0 AND last_pos > last_del
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+           CAST(sum(CASE WHEN n_del > 0 AND last_pos = last_del
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned_now
+    FROM per_key GROUP BY tbl
+    """,
+)
+def cdc_delete_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-propagation audit (GDPR/right-to-erasure compliance
+    surface): per routed shard table, how many DELETEs the log carries,
+    how many distinct keys they touch, how many of those keys were
+    legitimately re-created by a LATER insert/update (resurrected), and
+    how many must currently be absent from the sink (tombstoned-now =
+    the last operation on the key is the delete). A sink row for a
+    tombstoned-now key is a compliance violation; the idempotent-MERGE
+    tests pin that the pipeline produces none.
+
+    Scale shape: ONE scan, one (table, key)-keyed agg (map-side
+    combined conditional counts/maxes), then a |tables|-group rollup —
+    no joins, no windows; the per-key frame is exactly the MERGE's own
+    key partitioning, so at 100 TB this audit rides the same shuffle
+    the sink write already pays."""
+    cdc = events_as_cdc(spark, sf_dir).withColumn(
+        "tbl", F.concat(F.lit("users_"), (F.col("key") % 4).cast("string"))
+    )
+    per_key = cdc.groupBy("tbl", "key").agg(
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_del"),
+        F.max(F.when(F.col("op") == "D", F.col("log_pos"))).alias(
+            "last_del"
+        ),
+        F.max("log_pos").alias("last_pos"),
+    )
+    return per_key.groupBy(F.col("tbl").alias("table")).agg(
+        F.sum("n_del").cast("bigint").alias("n_deletes"),
+        F.sum(F.when(F.col("n_del") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deleted_keys"),
+        F.sum(
+            F.when(
+                (F.col("n_del") > 0)
+                & (F.col("last_pos") > F.col("last_del")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+        F.sum(
+            F.when(
+                (F.col("n_del") > 0)
+                & (F.col("last_pos") == F.col("last_del")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_tombstoned_now"),
+    )

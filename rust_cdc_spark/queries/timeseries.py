@@ -1223,3 +1223,139 @@ def events_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
             " xs[0], (l, x) -> (x + 3L * l) div 4L)"
         ).cast("long").alias("ses_level_cents"),
     )
+
+
+@register(
+    "events_funnel_time_to_convert",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id),
+    d AS (
+        SELECT 'view_to_click' AS stage,
+               epoch_us(c.t2) - epoch_us(v.t1) AS us
+        FROM c JOIN v USING (user_id)
+        UNION ALL
+        SELECT 'click_to_purchase',
+               epoch_us(p.t3) - epoch_us(c.t2)
+        FROM p JOIN c USING (user_id)
+    ),
+    agg AS (
+        SELECT stage, count(*) AS n, min(us) AS mn, max(us) AS mx,
+               sum(us) AS sm
+        FROM d GROUP BY stage
+    ),
+    hist AS (SELECT stage, us // 1000000 AS v, count(*) AS nk
+             FROM d GROUP BY stage, us // 1000000),
+    cum AS (SELECT stage, v,
+                   sum(nk) OVER (PARTITION BY stage ORDER BY v) AS cum
+            FROM hist),
+    med AS (
+        SELECT c.stage, CAST(min(c.v) AS BIGINT) AS median_s
+        FROM cum c JOIN agg a USING (stage)
+        WHERE c.cum * 2 >= a.n GROUP BY c.stage
+    )
+    SELECT a.stage,
+           CAST(a.n AS BIGINT) AS n_conversions,
+           CAST(a.mn AS BIGINT) AS min_us,
+           CAST(a.mx AS BIGINT) AS max_us,
+           CAST(a.sm AS BIGINT) AS sum_us,
+           m.median_s
+    FROM agg a JOIN med m USING (stage)
+    """,
+)
+def events_funnel_time_to_convert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Step-to-step conversion latency for the view → click → purchase
+    funnel: per converting user, the exact time between the first view
+    and the first strictly-later click (and click → purchase), rolled
+    up to the per-stage latency profile (count / min / max / sum /
+    median) — the "how long does the funnel take" companion to
+    events_funnel_conversion's "how deep does it go".
+
+    Scale shape: the stage timestamps are the funnel query's chained
+    whole-partition window minimums (ONE scan, ONE user_id shuffle);
+    delays are exact epoch-microsecond integers; min/max/sum roll up in
+    one 2-group agg. The median uses the value-histogram running-sum
+    trick over SECOND-quantized delays — the cumulative window
+    partitions by stage and its frame is the distinct-delay-seconds
+    histogram (bounded by the corpus time span, not by users), the same
+    scale-safe exact-quantile pattern as length_quantile_filter."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.select("user_id", "event_type", "ts")
+        .withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
+    )
+    d12 = per_user.filter(F.col("t2").isNotNull()).select(
+        F.lit("view_to_click").alias("stage"),
+        (F.unix_micros("t2") - F.unix_micros("t1")).alias("us"),
+    )
+    d23 = per_user.filter(F.col("t3").isNotNull()).select(
+        F.lit("click_to_purchase").alias("stage"),
+        (F.unix_micros("t3") - F.unix_micros("t2")).alias("us"),
+    )
+    d = d12.unionAll(d23)
+    agg = d.groupBy("stage").agg(
+        F.count("*").cast("bigint").alias("n_conversions"),
+        F.min("us").cast("bigint").alias("min_us"),
+        F.max("us").cast("bigint").alias("max_us"),
+        F.sum("us").cast("bigint").alias("sum_us"),
+    )
+    hist = d.groupBy(
+        "stage", F.expr("us div 1000000").alias("v")
+    ).agg(F.count("*").alias("nk"))
+    cum = hist.select(
+        "stage",
+        "v",
+        F.sum("nk")
+        .over(
+            Window.partitionBy("stage")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum"),
+    )
+    med = (
+        cum.join(agg.select("stage", "n_conversions"), "stage")
+        .filter(F.col("cum") * 2 >= F.col("n_conversions"))
+        .groupBy("stage")
+        .agg(F.min("v").cast("bigint").alias("median_s"))
+    )
+    return agg.join(med, "stage")
