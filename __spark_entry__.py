@@ -37,6 +37,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry order; everything is green under tools/check_correctness.py
 # at sf0.01 (standard + vanilla-TZ sweeps, this session).
 _R05_PRIORITY = [
+    # new in round 5 (second session)
+    "host_graph_kcore", "text_kneser_ney_bigram", "keyword_rake_top",
+    "lang_id_passage_vote", "table_skew_metrics",
+    "part_entity_resolution", "events_funnel_time_to_convert",
+    "cdc_ivm_join_view", "cdc_delete_compliance",
     # new in round 5
     "preference_bradley_terry", "curriculum_difficulty_phases",
     "corpus_bleu_source_overlap", "events_abandoned_views",

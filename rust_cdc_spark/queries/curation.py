@@ -2752,3 +2752,114 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - 15590000"
         ).cast("long").alias("fk_grade_micro"),
     )
+
+
+# ── Kolmogorov-Smirnov drift between source cohorts ─────────────────
+# Same reference/candidate split as corpus_drift_kl (src0-src9 = the
+# trusted reference snapshot).
+_KS_REF_SQL = ", ".join(f"'src{i}'" for i in range(10))
+
+
+@register(
+    "quality_ks_drift",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT n_chars AS v,
+               CASE WHEN source IN ({_KS_REF_SQL}) THEN 1 ELSE 0 END AS a
+        FROM documents
+    ),
+    h AS (
+        SELECT v,
+               CAST(sum(a) AS BIGINT) AS ca,
+               CAST(sum(1 - a) AS BIGINT) AS cb
+        FROM tagged GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               sum(ca) OVER (ORDER BY v) AS cum_a,
+               sum(cb) OVER (ORDER BY v) AS cum_b
+        FROM h
+    ),
+    tot AS (
+        SELECT CAST(sum(a) AS BIGINT) AS n_a,
+               CAST(count(*) - sum(a) AS BIGINT) AS n_b
+        FROM tagged
+    ),
+    scored AS (
+        SELECT c.v, t.n_a, t.n_b,
+               abs(c.cum_a * t.n_b - c.cum_b * t.n_a) AS diff
+        FROM cum c CROSS JOIN tot t
+    )
+    SELECT n_a, n_b,
+           CAST(diff AS BIGINT) AS ks_num,
+           CAST((1000000 * diff) // (n_a * n_b) AS BIGINT) AS ks_micro,
+           CAST(v AS BIGINT) AS at_value
+    FROM scored ORDER BY diff DESC, v LIMIT 1
+    """,
+)
+def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the trusted
+    reference sources (src0-src9, the corpus_drift_kl cohort) and the
+    incoming candidate cohort, over the document-length distribution —
+    the distribution-free "did the new crawl change shape" gate that
+    complements KL (which needs binning and sees only token mix). KS
+    D = max_v |F_ref(v) − F_cand(v)|; the statistic is computed as the
+    exact INTEGER max |cumA·nB − cumB·nA| so both engines agree
+    bit-for-bit (ks_micro = 1e6·D floor-divided; at_value = the
+    smallest length achieving the max).
+
+    Scale shape: one map-side-combined (value, cohort) histogram agg;
+    the cumulative CDFs are ONE window over the distinct-VALUE
+    histogram (bounded by the length range, not the corpus — the
+    length_quantile_filter pattern, allow-listed); the argmax is a
+    TakeOrdered(1) heap over that same bounded frame — one pass, no
+    scalar-agg + equality re-join. Int64 bound:
+    cum·n < 9.2e18 holds to ~3e9 docs per cohort; past that, quantize
+    the CDF to per-mille first."""
+    docs = load_table(spark, "documents", sf_dir)
+    tagged = docs.select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("source").isin(*[f"src{i}" for i in range(10)]), 1)
+        .otherwise(0)
+        .alias("a"),
+    )
+    h = tagged.groupBy("v").agg(
+        F.sum("a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("a")).cast("bigint").alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = h.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = tagged.agg(
+        F.sum("a").cast("bigint").alias("n_a"),
+        (F.count("*") - F.sum("a")).cast("bigint").alias("n_b"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("diff"),
+    )
+    # argmax as a TakeOrdered(1) heap over the bounded histogram frame
+    # — one pass over `scored`, no scalar-agg + equality re-join (that
+    # shape executed the window subtree twice).
+    return (
+        scored.orderBy(F.col("diff").desc(), "v")
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            F.col("diff").cast("bigint").alias("ks_num"),
+            F.expr("(1000000 * diff) div (n_a * n_b)")
+            .cast("bigint")
+            .alias("ks_micro"),
+            F.col("v").cast("bigint").alias("at_value"),
+        )
+    )

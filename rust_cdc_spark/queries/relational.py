@@ -1882,3 +1882,91 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_parts_a", "n_parts_b",
         )
     )
+
+
+@register(
+    "orders_basket_affinity",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders
+           FROM ob),
+    bc AS (SELECT brand, CAST(count(*) AS BIGINT) AS c FROM ob
+           GROUP BY brand),
+    co AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM ob a JOIN ob b
+          ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    )
+    SELECT c.brand_a, c.brand_b, c.n_both,
+           ca.c AS n_a, cb.c AS n_b,
+           CAST((1000000 * c.n_both * t.n_orders) // (ca.c * cb.c)
+                AS BIGINT) AS lift_micro
+    FROM co c
+    JOIN bc ca ON ca.brand = c.brand_a
+    JOIN bc cb ON cb.brand = c.brand_b
+    CROSS JOIN nb t
+    WHERE c.n_both >= 5
+    """,
+)
+def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between part brands: for every brand
+    pair co-purchased in ≥5 orders, the lift
+    P(a,b)/(P(a)·P(b)) = n_both·n_orders/(n_a·n_b) — the co-occurrence
+    signal product-recommendation and assortment pipelines mine from
+    order lines. Lift > 1e6 micro means the brands attract each other.
+
+    Scale shape: lineitem ⋈ part is a key-equi join that AQE
+    broadcasts (part is the dim side); the (order, brand) rollup is
+    one distinct agg; the pair term self-joins ON THE ORDER KEY, so
+    fan-out is bounded by (basket brand-width choose 2) per order —
+    ~7 lines/order in TPC-H, never |brands|² against the fact table —
+    and the co-counts reduce to a |brands|²-bounded frame joined
+    against the brand-support table at model scale. Lift is an exact
+    integer floor-div micro (n_both·n_orders ≤ orders², safe to ~3e9
+    orders in int64)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"),
+                F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    nb = ob.agg(
+        F.countDistinct("okey").cast("bigint").alias("n_orders")
+    )
+    bc = ob.groupBy("brand").agg(F.count("*").cast("bigint").alias("c"))
+    right = ob.select(
+        F.col("okey").alias("okey_r"), F.col("brand").alias("brand_b")
+    )
+    co = (
+        ob.join(right, (F.col("okey") == F.col("okey_r"))
+                & (F.col("brand") < F.col("brand_b")))
+        .groupBy(F.col("brand").alias("brand_a"), "brand_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    return (
+        co.join(
+            F.broadcast(bc.select(F.col("brand").alias("brand_a"),
+                                  F.col("c").alias("n_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(bc.select(F.col("brand").alias("brand_b"),
+                                  F.col("c").alias("n_b"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "brand_a", "brand_b", "n_both", "n_a", "n_b",
+            F.expr("(1000000 * n_both * n_orders) div (n_a * n_b)")
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+    )

@@ -1359,3 +1359,77 @@ def events_funnel_time_to_convert(
         .agg(F.min("v").cast("bigint").alias("median_s"))
     )
     return agg.join(med, "stage")
+
+
+@register(
+    "events_dedup_consecutive",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type, value, ts,
+               lag(event_type) OVER w AS p_type,
+               lag(value) OVER w AS p_value,
+               lag(ts) OVER w AS p_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+        SELECT user_id,
+               CASE WHEN p_type = event_type AND p_value = value
+                         AND epoch_us(ts) - epoch_us(p_ts) <= 60000000
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM o
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) - sum(is_dup) AS BIGINT) AS n_kept,
+           CAST(sum(is_dup) AS BIGINT) AS n_dropped
+    FROM flagged GROUP BY user_id
+    """,
+)
+def events_dedup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate suppression — the batch shape of the
+    classic sensor/click debounce: an event identical to its immediate
+    predecessor (same type, same value) within 60 s is a transport
+    retry or double-fire, not a signal. This is the ORDER-AWARE dedup
+    the exact-dedup family can't express (an identical event 2 hours
+    later is legitimate and kept), and the batch twin of the streaming
+    dropDuplicatesWithinWatermark path in streaming/pipeline.py.
+
+    Scale shape: ONE user-partitioned lag window (the sessionize
+    shuffle) feeding a same-partitioning per-user rollup — no joins,
+    no global state; the 60 s horizon is why bounded state suffices in
+    the streaming twin. Timestamps compare in exact epoch-microseconds;
+    value equality is bit-exact double equality on identical stored
+    values, deterministic in both engines. Ties order by (ts,
+    event_id) so the lag chain is engine-identical."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        F.lag("event_type").over(w).alias("p_type"),
+        F.lag("value").over(w).alias("p_value"),
+        F.lag("ts").over(w).alias("p_ts"),
+    )
+    flagged = o.select(
+        "user_id",
+        F.when(
+            (F.col("p_type") == F.col("event_type"))
+            & (F.col("p_value") == F.col("value"))
+            & (
+                F.unix_micros("ts") - F.unix_micros("p_ts")
+                <= 60_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_dup"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.count("*") - F.sum("is_dup")).cast("bigint").alias("n_kept"),
+        F.sum("is_dup").cast("bigint").alias("n_dropped"),
+    )

@@ -509,6 +509,11 @@ GLOBAL_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
         "cumulative sum over the distinct key-SIZE value histogram —"
         " bounded by max key multiplicity, not key or row count",
     ),
+    "quality_ks_drift": (
+        1,
+        "cumulative two-cohort CDF over the distinct LENGTH value"
+        " histogram — bounded by the length range, not corpus size",
+    ),
     "vocab_coverage_curve": (
         1,
         "running count over the distinct token-FREQUENCY value histogram"

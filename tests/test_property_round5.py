@@ -119,18 +119,29 @@ def test_blocked_exact_pairs_equals_naive(spark, vecs, threshold, n_blocks):
         i: np.array(v, dtype=np.float32).astype(np.float64)
         for i, v in vecs
     }
-    want = {}
+    all_cos = {}
     for i in q:
         for j in q:
             if i >= j:
                 continue
-            cos = float(
+            all_cos[(i, j)] = float(
                 q[i] @ q[j] / (np.linalg.norm(q[i]) * np.linalg.norm(q[j]))
             )
-            if cos >= threshold:
-                want[(i, j)] = cos
-    # exact pair SET parity (no drops, no dupes, right orientation);
-    # values agree to rounding/summation-order tolerance
-    assert set(got) == set(want)
-    for k, v in want.items():
+    # Pair-set parity away from the threshold BOUNDARY (no drops, no
+    # dupes, right orientation). A pair whose true cosine sits within
+    # ~1 ulp of the threshold can legitimately land on either side:
+    # the blocked path normalizes then GEMMs while this oracle divides
+    # the raw dot by the norm product, and the two roundings differ in
+    # the last place (hypothesis found cos = -1e-38 vs threshold 0.0).
+    # EPS bounds that reordering error; it is a float-arithmetic fact,
+    # not implementation slack.
+    eps = 1e-9
+    must = {k for k, v in all_cos.items() if v >= threshold + eps}
+    forbidden = {k for k, v in all_cos.items() if v < threshold - eps}
+    assert must <= set(got), must - set(got)
+    assert not (forbidden & set(got)), forbidden & set(got)
+    for k in got:
+        assert k in all_cos  # genuine unordered pair, a < b
+        v = all_cos[k]
+        assert v >= threshold - eps, (k, v)
         assert math.isclose(got[k], round(v, 4), abs_tol=2e-4), (k, got[k], v)
