@@ -38,6 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # at sf0.01 (standard + vanilla-TZ sweeps, this session).
 _R05_PRIORITY = [
     # new in round 5 (second session)
+    "quality_ks_drift", "events_dedup_consecutive",
+    "orders_basket_affinity", "retrieval_prf_expansion",
+    "ccnet_perplexity_tails",
     "host_graph_kcore", "text_kneser_ney_bigram", "keyword_rake_top",
     "lang_id_passage_vote", "table_skew_metrics",
     "part_entity_resolution", "events_funnel_time_to_convert",

@@ -995,3 +995,316 @@ def retrieval_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _MAXSIM_K)
         .select("query_id", "doc_id", "maxsim", "rank")
     )
+
+
+_PRF_FB = 10  # feedback depth (round-1 docs)
+_PRF_EXP = 3  # expansion terms adopted
+_PRF_TERMS_SQL = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+
+
+def _prf_bm25_sql(tf: str, out: str) -> str:
+    """CTE pair scoring a dynamic (doc, term, tf) relation with BM25."""
+    return f"""
+    {out}_df AS (
+        SELECT term, count(*) AS df FROM {tf} GROUP BY term
+    ),
+    {out} AS (
+        SELECT t.doc_id,
+               sum(CAST(round(
+                   ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * t.tf * ({_K1} + 1)
+                   / (t.tf + {_K1} * (1 - {_B} + {_B} * t.dl / s.avgdl))
+                   * 1e6) AS BIGINT)) AS micro
+        FROM {tf} t JOIN {out}_df d USING (term) CROSS JOIN pscal s
+        GROUP BY t.doc_id
+    )"""
+
+
+@register(
+    "retrieval_prf_expansion",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    pscal AS (
+        SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM base
+    ),
+    t0 AS (SELECT unnest([{_PRF_TERMS_SQL}]) AS term),
+    tf1 AS (
+        SELECT b.doc_id, len(b.toks) AS dl, q.term,
+               len(list_filter(b.toks, x -> x = q.term)) AS tf
+        FROM base b CROSS JOIN t0 q
+        WHERE len(list_filter(b.toks, x -> x = q.term)) > 0
+    ),
+    {_prf_bm25_sql("tf1", "bm1")},
+    fb AS (SELECT doc_id, micro FROM bm1
+           ORDER BY micro DESC, doc_id LIMIT {_PRF_FB}),
+    rank1 AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY micro DESC, doc_id)
+                   AS base_rank
+        FROM fb
+    ),
+    cand AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS tfall
+        FROM (SELECT unnest(b.toks) AS w
+              FROM base b JOIN fb USING (doc_id))
+        WHERE w NOT IN ({_PRF_TERMS_SQL})
+        GROUP BY w
+    ),
+    dfall AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, unnest(toks) AS w FROM base)
+        GROUP BY w
+    ),
+    escore AS (
+        SELECT c.w,
+               c.tfall * CAST(round(
+                   ln((s.n_docs + 1.0) / (d.df + 1.0)) * 1e6) AS BIGINT)
+                   AS sm
+        FROM cand c JOIN dfall d USING (w) CROSS JOIN pscal s
+    ),
+    expn AS (SELECT w FROM escore ORDER BY sm DESC, w LIMIT {_PRF_EXP}),
+    t2 AS (SELECT term FROM t0 UNION ALL SELECT w FROM expn),
+    tf2 AS (
+        SELECT b.doc_id, len(b.toks) AS dl, q.term,
+               len(list_filter(b.toks, x -> x = q.term)) AS tf
+        FROM base b CROSS JOIN t2 q
+        WHERE len(list_filter(b.toks, x -> x = q.term)) > 0
+    ),
+    {_prf_bm25_sql("tf2", "bm2")},
+    top2 AS (SELECT doc_id, micro FROM bm2
+             ORDER BY micro DESC, doc_id LIMIT {_PRF_FB})
+    SELECT t.doc_id,
+           CAST(row_number() OVER (ORDER BY t.micro DESC, t.doc_id)
+                AS BIGINT) AS rank,
+           CAST(t.micro AS BIGINT) AS bm25_micro,
+           CAST(r.base_rank AS BIGINT) AS base_rank
+    FROM top2 t LEFT JOIN rank1 r USING (doc_id)
+    """,
+)
+def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio shape): run
+    the fixed probe query through BM25, take the top-{fb} feedback
+    docs, mine their {ex} highest-scoring non-query terms (feedback
+    term frequency × corpus idf — both exact integers), append them to
+    the query, and re-rank. `base_rank` shows each round-2 doc's
+    round-1 position (NULL = surfaced only by expansion) — the
+    recall-lift signal PRF is deployed for.
+
+    Scale shape: BM25 rounds share one tokenized projection; per-term
+    tf is a codegen array filter against a BROADCAST term relation (3
+    then 6 rows — never an explode of the corpus for scoring); df and
+    the (n_docs, avgdl) scalars are model-scale broadcasts. The
+    expansion-term mine is the only corpus-wide explode: one
+    vocab-keyed distinct + agg (the TF-IDF family's plan), with the
+    feedback side semi-join-pruned to {fb} docs first. All rank
+    windows run over ≤{fb}-row TakeOrdered heaps; term scores and
+    tie-breaks are engine-exact integers.""".replace(
+        "{fb}", str(_PRF_FB)
+    ).replace("{ex}", str(_PRF_EXP))
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+
+    def bm25_dyn(terms_df: DataFrame) -> DataFrame:
+        tf = (
+            toks.crossJoin(F.broadcast(terms_df))
+            .select(
+                "doc_id",
+                F.size("toks").alias("dl"),
+                "term",
+                F.expr("size(filter(toks, x -> x = term))").alias("tf"),
+            )
+            .filter(F.col("tf") > 0)
+        )
+        dfx = tf.groupBy("term").agg(F.count("*").alias("df"))
+        idf = F.log(
+            F.lit(1)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        denom = F.col("tf") + _K1 * (
+            1 - _B + _B * F.col("dl") / F.col("avgdl")
+        )
+        return (
+            tf.join(F.broadcast(dfx), "term")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id",
+                F.round(idf * F.col("tf") * (_K1 + 1) / denom * 1e6)
+                .cast("bigint")
+                .alias("micro"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("micro").alias("micro"))
+        )
+
+    t0 = spark.createDataFrame(
+        [(t,) for t in _QUERY_TERMS], ["term"]
+    )
+    bm1 = bm25_dyn(t0)
+    fb = bm1.orderBy(F.col("micro").desc(), "doc_id").limit(_PRF_FB)
+    rank1 = fb.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("micro").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("base_rank"),
+    )
+    fb_tokens = toks.join(fb.select("doc_id"), "doc_id", "semi").select(
+        F.explode("toks").alias("w")
+    )
+    cand = (
+        fb_tokens.filter(~F.col("w").isin(*_QUERY_TERMS))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("tfall"))
+    )
+    dfall = (
+        toks.select("doc_id", F.explode("toks").alias("w"))
+        .distinct()
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    escore = (
+        cand.join(dfall, "w")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w",
+            (
+                F.col("tfall")
+                * F.round(
+                    F.log(
+                        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+                    )
+                    * 1e6
+                ).cast("bigint")
+            ).alias("sm"),
+        )
+    )
+    expn = (
+        escore.orderBy(F.col("sm").desc(), "w")
+        .limit(_PRF_EXP)
+        .select(F.col("w").alias("term"))
+    )
+    bm2 = bm25_dyn(t0.unionByName(expn))
+    top2 = bm2.orderBy(F.col("micro").desc(), "doc_id").limit(_PRF_FB)
+    return (
+        top2.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("micro").desc(), "doc_id"))
+            .cast("bigint")
+            .alias("rank"),
+            F.col("micro").cast("bigint").alias("bm25_micro"),
+        )
+        .join(rank1, "doc_id", "left")
+    )
+
+
+@register(
+    "ccnet_perplexity_tails",
+    oracle=f"""
+    WITH base AS ({_BIGRAM_ORACLE}),
+    j AS (
+        SELECT b.doc_id, d.lang,
+               b.sum_logp_micro // b.n_bigrams AS v
+        FROM base b JOIN documents d USING (doc_id)
+    ),
+    hist AS (SELECT lang, v, count(*) AS c FROM j GROUP BY lang, v),
+    cum AS (
+        SELECT lang, v,
+               sum(c) OVER (PARTITION BY lang ORDER BY v DESC) AS cum
+        FROM hist
+    ),
+    tot AS (SELECT lang, count(*) AS n FROM j GROUP BY lang),
+    hcut AS (
+        SELECT c.lang, max(c.v) AS h
+        FROM cum c JOIN tot t USING (lang)
+        WHERE c.cum * 3 >= t.n GROUP BY c.lang
+    ),
+    mcut AS (
+        SELECT c.lang, max(c.v) AS m
+        FROM cum c JOIN tot t USING (lang)
+        WHERE c.cum * 3 >= 2 * t.n GROUP BY c.lang
+    ),
+    lab AS (
+        SELECT j.lang, j.v,
+               CASE WHEN j.v >= h.h THEN 'head'
+                    WHEN j.v >= m.m THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM j JOIN hcut h USING (lang) JOIN mcut m USING (lang)
+    )
+    SELECT lang, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(v) AS BIGINT) AS lo_mean_micro,
+           CAST(max(v) AS BIGINT) AS hi_mean_micro
+    FROM lab GROUP BY lang, bucket
+    """,
+)
+def ccnet_perplexity_tails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split, done PER LANGUAGE the way the
+    real pipeline does it (each language gets its own perplexity
+    cutoffs — an absolute threshold would discard whole low-resource
+    languages): documents rank by mean bigram-LM log-prob within their
+    language and split at the ⅓ / ⅔ marks; pretraining keeps head(+
+    middle) per language. Buckets here summarize to (lang, bucket)
+    cohort stats; the doc-level label is the CASE in `lab`.
+
+    Scale shape: cutoffs come from per-language VALUE histograms (mean
+    micro-logp floor-divided per doc — integer, so the histogram key
+    is exact), a lang-partitioned cumulative window over distinct
+    values (bounded by score range, not doc count), and two
+    language-keyed cutoff tables broadcast back — never an ntile over
+    the doc frame, no single-partition plan at any corpus size.
+    Value-tied documents land in the same bucket on both engines by
+    construction (cutoffs are values, not row positions)."""
+    docs = load_table(spark, "documents", sf_dir)
+    base = text_bigram_logprob(spark, sf_dir)
+    j = base.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.expr("sum_logp_micro div n_bigrams").alias("v"),
+    )
+    hist = j.groupBy("lang", "v").agg(F.count("*").alias("c"))
+    cum = hist.select(
+        "lang",
+        "v",
+        F.sum("c")
+        .over(
+            Window.partitionBy("lang")
+            .orderBy(F.col("v").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum"),
+    )
+    tot = j.groupBy("lang").agg(F.count("*").alias("n"))
+    ct = cum.join(F.broadcast(tot), "lang")
+    hcut = (
+        ct.filter(F.col("cum") * 3 >= F.col("n"))
+        .groupBy("lang")
+        .agg(F.max("v").alias("h"))
+    )
+    mcut = (
+        ct.filter(F.col("cum") * 3 >= 2 * F.col("n"))
+        .groupBy("lang")
+        .agg(F.max("v").alias("m"))
+    )
+    lab = (
+        j.join(F.broadcast(hcut), "lang")
+        .join(F.broadcast(mcut), "lang")
+        .select(
+            "lang",
+            "v",
+            F.when(F.col("v") >= F.col("h"), "head")
+            .when(F.col("v") >= F.col("m"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+    return lab.groupBy("lang", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("v").cast("bigint").alias("lo_mean_micro"),
+        F.max("v").cast("bigint").alias("hi_mean_micro"),
+    )

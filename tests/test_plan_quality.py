@@ -500,6 +500,11 @@ GLOBAL_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
         "rank over per-query top-k candidates (<=k rows per query, "
         "3 probe queries)",
     ),
+    "retrieval_prf_expansion": (
+        2,
+        "round-1 and round-2 rank windows over <=10-row TakeOrdered"
+        " feedback/result heaps",
+    ),
     "retrieval_rrf_fusion": (
         3,
         "per-ranker rank windows over <=k-row top-k lists",
