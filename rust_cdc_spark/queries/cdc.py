@@ -814,19 +814,11 @@ def cdc_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             t.filter(F.col("log_pos") > F.col("__mid")).drop("__mid"),
         )
 
-    def lww(log: DataFrame) -> DataFrame:
-        w = Window.partitionBy("key").orderBy(F.col("log_pos").desc())
-        return (
-            log.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-
     r1_log, r_delta = halves(r_log)
     s1_log, s_delta = halves(s_log)
     # Bootstrapped states KEEP log_pos so delta rows order against them.
-    r1 = lww(r1_log)
-    s1 = lww(s1_log)
+    r1 = IV.last_writer_wins(r1_log, ["key"])
+    s1 = IV.last_writer_wins(s1_log, ["key"])
     v1 = (
         r1.filter(F.col("op") != "D")
         .select("key", "cents")
@@ -835,30 +827,13 @@ def cdc_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key",
         )
     )
-    touched = (
-        r_delta.select("key").union(s_delta.select("key")).distinct()
+    view2, _, _ = IV.join_view_advance(
+        v1, r1, s1, r_delta, s_delta, ["key"]
     )
-    r2 = lww(r1.join(touched, "key", "semi").unionByName(r_delta))
-    s2 = lww(s1.join(touched, "key", "semi").unionByName(s_delta))
-    v2 = (
-        r2.filter(F.col("op") != "D")
-        .select("key", "cents")
-        .join(
-            s2.filter(F.col("op") != "D").select("key", "event_type"),
-            "key",
-        )
-        # the recomputed slice covers exactly the touched keys; rows
-        # for untouched keys flow from v1 below
-        .join(touched, "key", "semi")
-    )
-    return (
-        v1.join(touched, "key", "anti")
-        .unionByName(v2)
-        .select(
-            F.col("key").alias("user_id"),
-            F.col("cents").alias("r_cents"),
-            F.col("event_type").alias("s_event_type"),
-        )
+    return view2.select(
+        F.col("key").alias("user_id"),
+        F.col("cents").alias("r_cents"),
+        F.col("event_type").alias("s_event_type"),
     )
 
 
