@@ -1970,3 +1970,65 @@ def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_micro"),
         )
     )
+
+
+@register(
+    "customer_cohort_ltv",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    f AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY o_custkey)
+    SELECT printf('%04d-%02d', f.cm // 12, f.cm % 12 + 1)
+               AS cohort_month,
+           CAST(o.m - f.cm AS INT) AS month_offset,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+    FROM o JOIN f USING (o_custkey)
+    GROUP BY f.cm, o.m - f.cm
+    """,
+)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by
+    first-purchase month, revenue and activity tracked at each month
+    offset — the revenue twin of events_retention_cohorts and the
+    table LTV/payback dashboards integrate along offsets. Month keys
+    are exact integers (y·12+mo−1), so offsets and cohort labels are
+    engine-identical with no date-diff semantics in play; revenue is
+    integer cents.
+
+    Scale shape: one customer-keyed first-month agg (dimension-sized
+    output) joined back on the same customer partitioning — AQE
+    broadcasts it when small; then ONE (cohort, offset)-keyed agg with
+    map-side partials. The distinct-customer count rides the same
+    shuffle (count-distinct expands once over a bounded group count:
+    cohorts × offsets, not orders)."""
+    orders = load_table(spark, "orders", sf_dir)
+    o = orders.select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    f = o.groupBy("o_custkey").agg(F.min("m").alias("cm"))
+    return (
+        o.join(f, "o_custkey")
+        .groupBy(
+            F.format_string(
+                "%04d-%02d",
+                F.expr("cm div 12").cast("int"),
+                (F.col("cm") % 12 + 1).cast("int"),
+            ).alias("cohort_month"),
+            (F.col("m") - F.col("cm")).cast("int").alias("month_offset"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )

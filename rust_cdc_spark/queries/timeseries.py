@@ -1433,3 +1433,133 @@ def events_dedup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.sum("is_dup")).cast("bigint").alias("n_kept"),
         F.sum("is_dup").cast("bigint").alias("n_dropped"),
     )
+
+
+_MK_ITERS = 4
+
+
+def _mk_iter_sql(prev: str, it: int) -> str:
+    return f"""
+    pi{it} AS (
+        SELECT ty.t, CAST(coalesce(c.s, 0) AS BIGINT) AS v
+        FROM types ty LEFT JOIN (
+            SELECT p.to_type AS t,
+                   sum((x.v * p.pm) // 1000000) AS s
+            FROM p JOIN {prev} x ON x.t = p.from_type
+            GROUP BY p.to_type
+        ) c ON c.t = ty.t
+    )"""
+
+
+@register(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    rs AS (SELECT from_type, sum(n) AS tot FROM trans GROUP BY from_type),
+    p AS (
+        SELECT t.from_type, t.to_type,
+               (1000000 * t.n) // r.tot AS pm
+        FROM trans t JOIN rs r USING (from_type)
+    ),
+    types AS (
+        SELECT DISTINCT from_type AS t FROM trans
+        UNION SELECT DISTINCT to_type FROM trans
+    ),
+    ntypes AS (SELECT count(*) AS k FROM types),
+    pi0 AS (SELECT t, CAST(1000000 // k AS BIGINT) AS v
+            FROM types CROSS JOIN ntypes),
+    {",".join(_mk_iter_sql(f"pi{i}", i + 1) for i in range(_MK_ITERS))}
+    SELECT ty.t AS event_type,
+           CAST(pi{_MK_ITERS}.v AS BIGINT) AS pi_micro,
+           CAST(coalesce(r.tot, 0) AS BIGINT) AS n_outgoing
+    FROM types ty
+    JOIN pi{_MK_ITERS} ON pi{_MK_ITERS}.t = ty.t
+    LEFT JOIN rs r ON r.from_type = ty.t
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate stationary distribution of the user-behavior Markov
+    chain: π·P^{it} from uniform over the transition matrix the
+    events_transition_matrix query estimates — "where does a user's
+    session settle" (the long-run attention share per event type, the
+    baseline that makes transition anomalies interpretable). Fixed
+    {it} integer power-iteration rounds: probabilities are exact floor
+    (1e6·n) div rowsum micro-units, each π update floors per TERM
+    before summing, so the oracle replays every round as unrolled CTEs
+    bit-for-bit (the PageRank/HITS discipline; the ~1e-6-scale mass
+    lost to floors is deterministic and identical in both engines).
+
+    Scale shape: ONE corpus pass (the user-sequence lag window shared
+    with sessionization) builds the |types|² count matrix; every
+    iteration is a join+agg over that constant-size model frame —
+    corpus size buys estimate quality, not iteration cost.""".replace(
+        "{it}", str(_MK_ITERS)
+    )
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # |types|²-sized; frees the corpus lineage
+    )
+    rs = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    p = trans.join(rs, "from_type").select(
+        "from_type",
+        "to_type",
+        F.expr("(1000000 * n) div tot").alias("pm"),
+    )
+    types = (
+        trans.select(F.col("from_type").alias("t"))
+        .union(trans.select(F.col("to_type").alias("t")))
+        .distinct()
+    )
+    k = types.agg(F.count("*").alias("k"))
+    pi = types.crossJoin(F.broadcast(k)).select(
+        "t", F.expr("1000000 div k").cast("long").alias("v")
+    )
+    for _ in range(_MK_ITERS):
+        contrib = (
+            p.join(pi.withColumnRenamed("t", "from_type"), "from_type")
+            .select(
+                F.col("to_type").alias("t"),
+                F.expr("(v * pm) div 1000000").alias("term"),
+            )
+            .groupBy("t")
+            .agg(F.sum("term").alias("s"))
+        )
+        pi = types.join(contrib, "t", "left").select(
+            "t", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("v")
+        )
+    return (
+        types.join(pi.withColumnRenamed("v", "pi_micro"), "t")
+        .join(rs.withColumnRenamed("from_type", "t"), "t", "left")
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("pi_micro").cast("bigint").alias("pi_micro"),
+            F.coalesce(F.col("tot"), F.lit(0))
+            .cast("bigint")
+            .alias("n_outgoing"),
+        )
+    )
