@@ -39,7 +39,8 @@ _LOG = [
 def _frames(spark, rows, side):
     sub = [(k, p, o, v) for (k, p, o, s, v) in rows if s == side]
     return spark.createDataFrame(
-        sub, ["key", "log_pos", "op", f"{side}_val"]
+        sub,
+        f"key long, log_pos long, op string, {side}_val long",
     )
 
 
@@ -109,3 +110,52 @@ def test_untouched_keys_never_recomputed(spark):
     assert _rows(view2) == _rows(view)
     assert _rows(r2) == _rows(r_state)
     assert _rows(s2) == _rows(s_state)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def random_log(draw):
+    n = draw(st.integers(min_value=4, max_value=40))
+    rows = []
+    for pos in range(1, n + 1):
+        key = draw(st.integers(min_value=1, max_value=5))
+        op = draw(st.sampled_from(["I", "U", "D"]))
+        side = draw(st.sampled_from(["r", "s"]))
+        rows.append((key, pos, op, side, draw(st.integers(0, 99))))
+    cut = draw(st.integers(min_value=1, max_value=n - 1))
+    return rows, cut
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=random_log())
+def test_fold_equals_recompute_on_random_logs(spark, data):
+    """Any interleaving of I/U/D across both sides, any split point:
+    bootstrap(prefix) ⊕ advance(suffix) == full recompute."""
+    rows, cut = data
+    boot = [e for e in rows if e[1] <= cut]
+    delta = [e for e in rows if e[1] > cut]
+    r_state = IV.last_writer_wins(_frames(spark, boot, "r"), ["key"])
+    s_state = IV.last_writer_wins(_frames(spark, boot, "s"), ["key"])
+    view = _recompute(spark, boot)
+    view2, r2, s2 = IV.join_view_advance(
+        view,
+        r_state,
+        s_state,
+        _frames(spark, delta, "r"),
+        _frames(spark, delta, "s"),
+        ["key"],
+    )
+    assert _rows(view2.select("key", "r_val", "s_val")) == _rows(
+        _recompute(spark, rows).select("key", "r_val", "s_val")
+    )
+    for side, state in (("r", r2), ("s", s2)):
+        assert _rows(state) == _rows(
+            IV.last_writer_wins(_frames(spark, rows, side), ["key"])
+        )
