@@ -1161,8 +1161,14 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("tfall"))
     )
+    # df is only needed for candidate terms (words of the feedback
+    # docs): broadcast-semi-prune the corpus explode BEFORE the
+    # distinct so the (doc, w) dedup shuffle carries candidate rows
+    # only — identical values, and at web scale the explode reduces by
+    # the vocabulary ratio instead of deduping every token instance.
     dfall = (
         toks.select("doc_id", F.explode("toks").alias("w"))
+        .join(F.broadcast(cand.select("w")), "w", "semi")
         .distinct()
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("df"))
