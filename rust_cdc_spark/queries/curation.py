@@ -2863,3 +2863,187 @@ def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("bigint").alias("at_value"),
         )
     )
+
+
+# ── Bloom-filter decontamination probe ──────────────────────────────
+# A scale variant of contamination_ngram_overlap: when the benchmark
+# shingle set is too big to broadcast as exact keys, a Bloom bitset of
+# fixed size M does the first pass and the exact join runs only on the
+# flagged residue. This query builds the filter, probes the corpus,
+# and audits the false-positive rate against exact membership — the
+# accuracy-vs-size evidence for choosing M (same approx-operator-QA
+# pattern as the LSH/minhash/count-min audits).
+_BLOOM_M = 16384  # bits
+# (a, b) affine derivations of the K=3 positions from ONE base hash —
+# the MinHash "one hash + affine permutations" discipline. h < 2^31 and
+# a < 2^32, so h·a < 2^63 (no int64 wrap).
+_BLOOM_HASHES = (
+    (2654435761, 97),
+    (2246822519, 1013904223),
+    (3266489917, 374761393),
+)
+_RH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(string_split({s}, ''),"
+    " c -> CAST(ascii(c) AS BIGINT))),"
+    " (a, b) -> (a * 31 + b) % 2147483647)"
+)
+_RH_SPARK = (
+    "aggregate(filter(split({s}, ''), c -> c != ''),"
+    " CAST(0 AS BIGINT), (a, c) -> (a * 31 + ascii(c)) % 2147483647)"
+)
+_POS_SQL = ", ".join(
+    f"(h * {a} + {b}) % {_BLOOM_M} AS p{j}"
+    for j, (a, b) in enumerate(_BLOOM_HASHES)
+)
+
+
+@register(
+    "contamination_bloom_probe",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+               WHERE len({_WORDS_SQL}) >= {_CONTAM_K}),
+    sh AS (
+        SELECT doc_id,
+               array_to_string(words[(i+1):(i+{_CONTAM_K})], ' ') AS s
+        FROM w, LATERAL (
+            SELECT unnest(range(0, len(words) - {_CONTAM_K} + 1)) AS i)
+    ),
+    benchh AS (
+        SELECT DISTINCT {_RH_SQL.format(s="s")} AS h
+        FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    bits AS (
+        SELECT DISTINCT p FROM (
+            SELECT unnest([{", ".join(f"(h * {a} + {b}) % {_BLOOM_M}"
+                                      for a, b in _BLOOM_HASHES)}]) AS p
+            FROM benchh)
+    ),
+    probe AS (
+        SELECT DISTINCT {_RH_SQL.format(s="s")} AS h
+        FROM sh WHERE doc_id % {_BENCH_MOD} <> 0
+    ),
+    pp AS (SELECT h, {_POS_SQL} FROM probe),
+    flagged AS (
+        SELECT pp.h,
+               ({" AND ".join(
+                   f"EXISTS (SELECT 1 FROM bits WHERE bits.p = pp.p{j})"
+                   for j in range(len(_BLOOM_HASHES)))}) AS maybe,
+               EXISTS (SELECT 1 FROM benchh b WHERE b.h = pp.h) AS truth
+        FROM pp
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true,
+           CAST(sum(CASE WHEN maybe AND NOT truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST((1000000 * sum(CASE WHEN maybe AND NOT truth
+                                    THEN 1 ELSE 0 END))
+                // (count(*) - sum(CASE WHEN truth THEN 1 ELSE 0 END))
+                AS BIGINT) AS fp_micro
+    FROM flagged
+    """,
+)
+def contamination_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-pass with a measured
+    false-positive audit: the benchmark's shingle hashes set K={k}
+    bits each in an M={m}-bit filter; corpus shingles are flagged when
+    all K positions are set; exact membership grades the filter. At
+    100 TB the exact benchmark key set may be too large to broadcast —
+    the M-bit filter is CONSTANT-size, and only flagged shingles
+    (true hits + the fp_micro-rate residue this query measures) reach
+    the exact verification join.
+
+    Scale shape: shingles dedupe FIRST (hash agg), so the char-fold
+    base hash (the text_rolling_hash fold — portable exact integer
+    arithmetic) runs once per distinct shingle; the filter contents
+    are ≤ 3·|bench shingles| distinct positions capped at M rows —
+    broadcast; the probe is K broadcast semi-marks plus one broadcast
+    truth mark, all in one pass, then a scalar agg. Positions are
+    affine maps of one base hash (h·a+b mod M) — no per-hash text
+    rescan. fp_micro is an exact integer ratio.""".replace(
+        "{k}", str(len(_BLOOM_HASHES))
+    ).replace("{m}", str(_BLOOM_M))
+    docs = load_table(spark, "documents", sf_dir)
+    w = docs.select("doc_id", F.expr(_WORDS_SPARK).alias("words")).filter(
+        F.size("words") >= _CONTAM_K
+    )
+    sh = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(words) - {_CONTAM_K}),"
+                f" i -> concat_ws(' ', slice(words, i+1, {_CONTAM_K})))"
+            )
+        ).alias("s"),
+    )
+    rh = F.expr(_RH_SPARK.format(s="s")).alias("h")
+    benchh = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(rh)
+        .distinct()
+    )
+    bits = (
+        benchh.select(
+            F.explode(
+                F.array(
+                    *[
+                        (F.col("h") * a + b) % _BLOOM_M
+                        for a, b in _BLOOM_HASHES
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .withColumn("set_", F.lit(True))
+    )
+    probe = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .select(rh)
+        .distinct()
+    )
+    pp = probe.select(
+        "h",
+        *[
+            ((F.col("h") * a + b) % _BLOOM_M).alias(f"p{j}")
+            for j, (a, b) in enumerate(_BLOOM_HASHES)
+        ],
+    )
+    for j in range(len(_BLOOM_HASHES)):
+        pp = pp.join(
+            F.broadcast(
+                bits.select(
+                    F.col("p").alias(f"p{j}"), F.col("set_").alias(f"m{j}")
+                )
+            ),
+            f"p{j}",
+            "left",
+        )
+    truth = benchh.withColumn("truth_", F.lit(True))
+    flagged = pp.join(F.broadcast(truth), "h", "left").select(
+        F.expr(
+            " AND ".join(
+                f"m{j} IS NOT NULL" for j in range(len(_BLOOM_HASHES))
+            )
+        ).alias("maybe"),
+        F.col("truth_").isNotNull().alias("truth"),
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return flagged.agg(
+        F.count("*").cast("bigint").alias("n_probe"),
+        one(F.col("maybe")).cast("bigint").alias("n_flagged"),
+        one(F.col("truth")).cast("bigint").alias("n_true"),
+        one(F.col("maybe") & ~F.col("truth"))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    ).select(
+        "n_probe",
+        "n_flagged",
+        "n_true",
+        "n_false_pos",
+        F.expr("(1000000 * n_false_pos) div (n_probe - n_true)")
+        .cast("bigint")
+        .alias("fp_micro"),
+    )
