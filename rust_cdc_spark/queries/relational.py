@@ -2032,3 +2032,103 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "integrity_referential_audit",
+    oracle="""
+    WITH checks AS (
+        SELECT 'lineitem_orphan_order' AS chk,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                   AS n_violations,
+               (SELECT count(*) FROM lineitem) AS n_rows
+        UNION ALL
+        SELECT 'order_without_lineitems',
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                  WHERE l.l_orderkey = o.o_orderkey)),
+               (SELECT count(*) FROM orders)
+        UNION ALL
+        SELECT 'order_orphan_customer',
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey)),
+               (SELECT count(*) FROM orders)
+        UNION ALL
+        SELECT 'lineitem_orphan_part',
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey)),
+               (SELECT count(*) FROM lineitem)
+        UNION ALL
+        SELECT 'customer_without_orders',
+               (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_custkey = c.c_custkey)),
+               (SELECT count(*) FROM customer)
+    )
+    SELECT chk AS check_name,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST((1000000 * n_violations) // n_rows AS BIGINT)
+               AS viol_micro
+    FROM checks
+    """,
+)
+def integrity_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse's foreign keys
+    — the data-quality scorecard a 100 TB lake runs after every load
+    (orphaned facts, childless parents, dangling dimension refs), the
+    relational sibling of table_column_stats and table_skew_metrics.
+    Five checks in one frame; violation rates as exact integer micro.
+    (This synthetic warehouse ships one real violation class: orders
+    with no lineitems — the audit is not vacuously green.)
+
+    Scale shape: every check is ONE key-equi anti join (Spark plans
+    broadcast or shuffled-hash per AQE size estimates; never a
+    cross product) followed by a scalar count; the five 1-row results
+    union into the report frame. At 100 TB each anti join rides the
+    same key partitioning the fact tables' MERGE already uses."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+
+    def check(name: str, child: DataFrame, child_key, parent: DataFrame,
+              parent_key, denom: DataFrame) -> DataFrame:
+        viol = child.join(
+            parent.select(F.col(parent_key).alias(child_key)),
+            child_key,
+            "anti",
+        ).agg(F.count("*").cast("bigint").alias("n_violations"))
+        total = denom.agg(F.count("*").cast("bigint").alias("n_rows"))
+        return (
+            viol.crossJoin(F.broadcast(total))
+            .select(
+                F.lit(name).alias("check_name"),
+                "n_violations",
+                "n_rows",
+                F.expr("(1000000 * n_violations) div n_rows")
+                .cast("bigint")
+                .alias("viol_micro"),
+            )
+        )
+
+    reports = [
+        check("lineitem_orphan_order", li, "l_orderkey",
+              orders, "o_orderkey", li),
+        check("order_without_lineitems", orders, "o_orderkey",
+              li, "l_orderkey", orders),
+        check("order_orphan_customer", orders, "o_custkey",
+              cust, "c_custkey", orders),
+        check("lineitem_orphan_part", li, "l_partkey",
+              part, "p_partkey", li),
+        check("customer_without_orders", cust, "c_custkey",
+              orders, "o_custkey", cust),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
