@@ -424,7 +424,12 @@ def test_streaming_scd2_maintenance(spark, binlog_dir, tmp_path):
     stream = (
         spark.readStream.format("mysql-cdc-replay")
         .option("path", binlog_dir)
-        .option("max_events_per_trigger", "2")  # force several batches
+        # NOTE: the source's option key has no underscores (the
+        # underscored spelling is silently ignored); under availableNow
+        # a Python stream reader still plans one batch — the multi-batch
+        # fold equivalence is pinned by test_streaming_join_view.py's
+        # processingTime run.
+        .option("maxeventspertrigger", "2")
         .load()
     )
     q = (
