@@ -1161,14 +1161,14 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("tfall"))
     )
-    # df is only needed for candidate terms (words of the feedback
-    # docs): broadcast-semi-prune the corpus explode BEFORE the
-    # distinct so the (doc, w) dedup shuffle carries candidate rows
-    # only — identical values, and at web scale the explode reduces by
-    # the vocabulary ratio instead of deduping every token instance.
+    # NOT semi-pruned by cand: a broadcast of the candidate set forces
+    # the whole feedback chain to materialize before the explode can
+    # start (measured +32% at sf0.1 for a prune that removes almost
+    # nothing at this vocab size). At web scale — where the feedback
+    # vocabulary IS tiny relative to the corpus vocabulary — reinstate
+    # the semi-join; the values are identical either way.
     dfall = (
         toks.select("doc_id", F.explode("toks").alias("w"))
-        .join(F.broadcast(cand.select("w")), "w", "semi")
         .distinct()
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("df"))
