@@ -2132,3 +2132,87 @@ def integrity_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS grp_size,
+               CAST(count(DISTINCT CAST(floor(c_acctbal / 1000)
+                                        AS BIGINT)) AS BIGINT)
+                   AS l_distinct
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    tot AS (SELECT CAST(sum(grp_size) AS BIGINT) AS n_rows,
+                   CAST(min(grp_size) AS BIGINT) AS k_anonymity,
+                   CAST(min(l_distinct) AS BIGINT) AS l_diversity
+            FROM g)
+    SELECT t.n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           t.k_anonymity,
+           t.l_diversity,
+           CAST(sum(CASE WHEN g.grp_size < 10 THEN g.grp_size
+                         ELSE 0 END) AS BIGINT) AS rows_below_k10,
+           CAST((1000000 * sum(CASE WHEN g.grp_size < 10 THEN g.grp_size
+                                    ELSE 0 END)) // t.n_rows AS BIGINT)
+               AS below_k10_micro
+    FROM g CROSS JOIN tot t
+    GROUP BY t.n_rows, t.k_anonymity, t.l_diversity
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the customer table's
+    quasi-identifiers (nation, market segment) with account-balance
+    band as the sensitive attribute — the privacy gate a dataset
+    passes before release: k-anonymity = the SMALLEST
+    quasi-identifier group (any group below k re-identifies its
+    members), l-diversity = the least-diverse group's count of
+    distinct sensitive values (a group can be large yet leak if every
+    member shares one sensitive value). Also reports the row mass in
+    groups below the k=10 release threshold, as an exact integer micro
+    fraction.
+
+    Scale shape: ONE quasi-identifier hash agg (map-side combined;
+    the distinct-count expands per group, bounded by the band
+    cardinality), then scalar mins over the |groups|-sized frame —
+    the audit costs one shuffle of group keys regardless of table
+    size. Balance bands use floor division on an exactly-representable
+    quotient (c_acctbal/1000), identical in both engines."""
+    cust = load_table(spark, "customer", sf_dir)
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("grp_size"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("l_distinct"),
+    )
+    tot = g.agg(
+        F.sum("grp_size").cast("bigint").alias("n_rows"),
+        F.min("grp_size").cast("bigint").alias("k_anonymity"),
+        F.min("l_distinct").cast("bigint").alias("l_diversity"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("n_rows", "k_anonymity", "l_diversity")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(
+                F.when(F.col("grp_size") < 10, F.col("grp_size")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rows_below_k10"),
+        )
+        .select(
+            "n_rows",
+            "n_groups",
+            "k_anonymity",
+            "l_diversity",
+            "rows_below_k10",
+            F.expr("(1000000 * rows_below_k10) div n_rows")
+            .cast("bigint")
+            .alias("below_k10_micro"),
+        )
+    )
