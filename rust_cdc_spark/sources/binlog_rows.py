@@ -62,11 +62,32 @@ class TableRegistry:
     """table_id → TableMapEntry, fed by TABLE_MAP events (reference
     ``TableMap::handle``, connection/mod.rs:51-85). Persisted in the
     stream checkpoint so restarts can decode rows without re-seeing
-    TABLE_MAP (reference snapshot ``LogEntry.tables``)."""
+    TABLE_MAP (reference snapshot ``LogEntry.tables``).
+
+    ``name_resolver(schema, table) -> list[str] | None`` closes the
+    SURVEY §7 column-name gap: masters logging
+    ``binlog_row_metadata=MINIMAL`` put no COLUMN_NAME TLV on the wire
+    (the reference silently decodes to positional values); when set,
+    the resolver is consulted once per (schema, table) — the live
+    source backs it with an ``information_schema.columns`` COM_QUERY,
+    the reference-style out-of-band lookup. A resolver that fails or
+    returns the wrong arity leaves the positional ``col_i`` fallback."""
 
     inner: dict[int, TableMapEntry] = field(default_factory=dict)
+    name_resolver: object | None = None
+    _name_cache: dict[tuple, list | None] = field(default_factory=dict)
 
     def handle(self, entry: TableMapEntry) -> None:
+        if not entry.column_names and self.name_resolver is not None:
+            key = (entry.schema_name, entry.table_name)
+            if key not in self._name_cache:
+                try:
+                    self._name_cache[key] = self.name_resolver(*key)
+                except Exception:
+                    self._name_cache[key] = None  # keep col_i fallback
+            names = self._name_cache[key]
+            if names and len(names) == len(entry.column_types):
+                entry.column_names = list(names)
         self.inner[entry.table_id] = entry
 
     def get(self, table_id: int) -> TableMapEntry | None:

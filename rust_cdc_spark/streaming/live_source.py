@@ -165,10 +165,27 @@ class MySQLBinlogStreamReader(DataSourceStreamReader):
         from rust_cdc_spark.sources.binlog_file import envelopes_from_events
         from rust_cdc_spark.streaming.gtid import GtidSet
 
+        from rust_cdc_spark.sources import binlog_rows as BR
+
         o, start, end = partition.options, partition.start, partition.end
         if _off_key(start) >= _off_key(end):
             return
         executed = GtidSet(o.get("gtidexecuted", ""))
+
+        def resolve_names(schema: str, table: str) -> list[str] | None:
+            """SURVEY §7 column-name gap: when the master logs
+            binlog_row_metadata=MINIMAL, TABLE_MAP has no names — fetch
+            them out of band (one short-lived COM_QUERY connection per
+            partition; the registry caches per (schema, table))."""
+            _, rows = _AdminConn(o).query(
+                "SELECT COLUMN_NAME FROM information_schema.columns"
+                f" WHERE table_schema = '{schema}'"
+                f" AND table_name = '{table}'"
+                " ORDER BY ORDINAL_POSITION"
+            )
+            return [r[0] for r in rows] or None
+
+        registry = BR.TableRegistry(name_resolver=resolve_names)
         sock = _socket.create_connection(
             (o["host"], int(o.get("port", "3306"))), timeout=30
         )
@@ -193,7 +210,8 @@ class MySQLBinlogStreamReader(DataSourceStreamReader):
             )))
             raw = W.binlog_events_from_stream(stream)
             for env in envelopes_from_events(
-                self._until(raw, start["file"], end), start["file"]
+                self._until(raw, start["file"], end), start["file"],
+                registry=registry,
             ):
                 if executed and executed.contains(env.get("gtid")):
                     continue

@@ -107,12 +107,16 @@ class FakeMySQLServer:
 
     def __init__(self, fixture_path: str, file_name: str,
                  user: str = "repl", password: str = "replpass",
-                 ssl_context=None):
+                 ssl_context=None, column_names=None):
         self.frames = split_frames(fixture_path)
         self.bounds = _frame_bounds(self.frames)
         self.file_name = file_name
         self.user, self.password = user, password
         self.ssl_context = ssl_context  # server-side TLS when set
+        # {(schema, table): [names]} answered to the live source's
+        # information_schema.columns lookup (binlog_row_metadata=MINIMAL
+        # masters put no COLUMN_NAME TLV on the wire)
+        self.column_names = column_names or {}
         self.tail = self.bounds[-1][1]  # visible end of the log
         self.dump_requests: list[tuple[str, int]] = []
         self.queries: list[str] = []
@@ -188,6 +192,16 @@ class FakeMySQLServer:
                         sock, [b"Log_name", b"File_size"],
                         [[outer.file_name.encode(),
                           str(outer.tail).encode()]],
+                    )
+                elif "INFORMATION_SCHEMA.COLUMNS" in up:
+                    names = []
+                    for (schema, table), cols in outer.column_names.items():
+                        if f"'{schema}'" in sql and f"'{table}'" in sql:
+                            names = cols
+                            break
+                    self._resultset(
+                        sock, [b"COLUMN_NAME"],
+                        [[n.encode()] for n in names],
                     )
                 else:  # SET …, anything session-shaped
                     sock.sendall(W.write_packet(1, OK))

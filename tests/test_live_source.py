@@ -249,3 +249,49 @@ class TestLiveTLS:
         )
         want = [_canon(e) for e in parse_binlog_file(FIX_INSERTS)]
         assert got.count() == len(want)
+
+
+class TestColumnNameResolution:
+    def test_information_schema_fallback_names_images(
+        self, spark, tmp_path
+    ):
+        """SURVEY §7 column-name gap: the fixture's TABLE_MAP carries no
+        COLUMN_NAME TLV (binlog_row_metadata=MINIMAL), so the live
+        source must fetch names from information_schema.columns — the
+        out-of-band lookup the reference skips — and images must carry
+        real column names instead of the positional col_i fallback."""
+        with FakeMySQLServer(
+            FIX_INSERTS,
+            "mysql-bin.000002",
+            column_names={("rustcdc", "rustcdc"): ["id", "payload"]},
+        ) as srv:
+            got = _run_stream(
+                spark, srv, tmp_path, checkpoint="cp_names",
+                queryname="live_names",
+            )
+            rows = [r for r in got.collect() if r.op == "I"]
+            assert rows, "fixture yields inserts"
+            for r in rows:
+                assert set(dict(r.after).keys()) == {"id", "payload"}
+            assert any(
+                "INFORMATION_SCHEMA.COLUMNS" in q.upper()
+                for q in srv.queries
+            )
+
+    def test_resolver_arity_mismatch_keeps_positional(self, spark, tmp_path):
+        """A wrong-arity answer (schema drifted between the binlog event
+        and the lookup) must NOT rename columns — decode keeps the
+        positional fallback rather than guessing an alignment."""
+        with FakeMySQLServer(
+            FIX_INSERTS,
+            "mysql-bin.000002",
+            column_names={("rustcdc", "rustcdc"): ["only_one_name"]},
+        ) as srv:
+            got = _run_stream(
+                spark, srv, tmp_path, checkpoint="cp_arity",
+                queryname="live_arity",
+            )
+            rows = [r for r in got.collect() if r.op == "I"]
+            assert rows
+            for r in rows:
+                assert set(dict(r.after).keys()) == {"col_0", "col_1"}
