@@ -38,7 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # at sf0.01 (standard + vanilla-TZ sweeps, this session).
 _R05_PRIORITY = [
     # new in round 5 (second session)
-    "privacy_k_anonymity",
+    "privacy_k_anonymity", "events_timeseries_pearson_topk",
     "contamination_bloom_probe", "integrity_referential_audit",
     "events_markov_stationary", "customer_cohort_ltv",
     "quality_ks_drift", "events_dedup_consecutive",

@@ -1563,3 +1563,158 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outgoing"),
         )
     )
+
+
+_TSP_H = 24  # hour-of-day series length
+_TSP_TOP = 10
+_TSP_SX = " + ".join(f"h{h}" for h in range(_TSP_H))
+_TSP_SXX = " + ".join(f"h{h} * h{h}" for h in range(_TSP_H))
+
+
+def _tsp_series_sql(engine: str) -> str:
+    """24 conditional hour-bucket sums in one agg (codegen-friendly —
+    no pivot, no explode); integer cents so the series is exact."""
+    if engine == "duckdb":
+        cells = ", ".join(
+            f"CAST(coalesce(sum(CASE WHEN hour(ts) = {h} THEN"
+            f" CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)"
+            f" AS h{h}"
+            for h in range(_TSP_H)
+        )
+        return f"SELECT user_id, {cells} FROM events GROUP BY user_id"
+    raise ValueError(engine)
+
+
+@register(
+    "events_timeseries_pearson_topk",
+    oracle=f"""
+    WITH series AS ({_tsp_series_sql("duckdb")}),
+    stats AS (
+        SELECT user_id,
+               CAST({_TSP_SX} AS BIGINT) AS sx,
+               CAST({_TSP_SXX} AS BIGINT) AS sxx
+        FROM series
+    ),
+    probe AS (
+        SELECT s.*, t.sx AS psx, t.sxx AS psxx
+        FROM series s JOIN stats t USING (user_id)
+        WHERE user_id = (SELECT min(user_id) FROM events)
+    ),
+    scored AS (
+        SELECT s.user_id,
+               CAST(round(1e6 *
+                   ({_TSP_H} * ({" + ".join(
+                       f"s.h{h} * p.h{h}" for h in range(_TSP_H))})
+                    - t.sx * p.psx)
+                   / (sqrt(CAST({_TSP_H} * t.sxx - t.sx * t.sx AS DOUBLE))
+                      * sqrt(CAST({_TSP_H} * p.psxx - p.psx * p.psx
+                             AS DOUBLE)))) AS BIGINT) AS r_micro
+        FROM series s
+        JOIN stats t USING (user_id)
+        CROSS JOIN probe p
+        WHERE s.user_id <> p.user_id
+          AND {_TSP_H} * t.sxx - t.sx * t.sx > 0
+          AND {_TSP_H} * p.psxx - p.psx * p.psx > 0
+    )
+    SELECT user_id, r_micro FROM scored
+    ORDER BY r_micro DESC, user_id LIMIT {_TSP_TOP}
+    """,
+)
+def events_timeseries_pearson_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-series similarity search (the EDBT'19 streaming-similarity
+    shape in PAPERS.md): each user's spend profile is a fixed 24-point
+    hour-of-day value series; find the top-{k} users whose series
+    CORRELATES with the probe user's (Pearson r — z-normalized match,
+    so two users with identical rhythm but different magnitudes score
+    1.0; complements events_user_profile_similarity's count-cosine,
+    which is magnitude-sensitive). Probe = smallest user id
+    (deterministic); zero-variance series are excluded (r undefined).
+
+    Scale shape: ONE user-keyed agg builds every series as 24
+    codegen conditional sums (no pivot, no explode — integer cents);
+    the probe is a broadcast 1-row frame; scoring is a pure map over
+    the user-series table (all Σx/Σx²/Σxy on exact ints; one double
+    division + two sqrts per user, rounded once to micro) and the
+    top-k is a TakeOrdered heap. Series length is a constant, so the
+    plan is corpus-linear with a single shuffle at any scale.""".replace(
+        "{k}", str(_TSP_TOP)
+    )
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    # Series as an ARRAY column + aggregate-HOF folds: explicit
+    # h0+h1+…+h23 alias chains OOM'd the driver — Catalyst re-inlines
+    # each 24-term sum through every downstream filter/select reference
+    # and the canonicalization pass blows up (the SCALE.md
+    # "array-literal folds" finding, hit again here).
+    series = ev.groupBy("user_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.hour("ts") == h, cents)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"h{h}")
+            for h in range(_TSP_H)
+        ]
+    )
+    fold = lambda arr, term: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), term
+    )
+    stats = series.select(
+        "user_id",
+        F.array(*[f"h{h}" for h in range(_TSP_H)]).alias("hs"),
+    ).select(
+        "user_id",
+        "hs",
+        fold(F.col("hs"), lambda a, x: a + x).alias("sx"),
+        fold(F.col("hs"), lambda a, x: a + x * x).alias("sxx"),
+    )
+    pmin = ev.agg(F.min("user_id").alias("pid"))
+    probe = (
+        stats.crossJoin(F.broadcast(pmin))
+        .filter(F.col("user_id") == F.col("pid"))
+        .select(
+            F.col("user_id").alias("probe_id"),
+            F.col("hs").alias("phs"),
+            F.col("sx").alias("psx"),
+            F.col("sxx").alias("psxx"),
+        )
+    )
+    n = _TSP_H
+    scored = (
+        stats.crossJoin(F.broadcast(probe))
+        .filter(F.col("user_id") != F.col("probe_id"))
+        .filter(n * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        .filter(n * F.col("psxx") - F.col("psx") * F.col("psx") > 0)
+        .withColumn(
+            "sxy",
+            fold(
+                F.zip_with(F.col("hs"), F.col("phs"), lambda a, b: a * b),
+                lambda a, x: a + x,
+            ),
+        )
+        .select(
+            "user_id",
+            F.round(
+                F.lit(1e6)
+                * (n * F.col("sxy") - F.col("sx") * F.col("psx"))
+                / (
+                    F.sqrt(
+                        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                        .cast("double")
+                    )
+                    * F.sqrt(
+                        (n * F.col("psxx") - F.col("psx") * F.col("psx"))
+                        .cast("double")
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("r_micro"),
+        )
+    )
+    return scored.orderBy(F.col("r_micro").desc(), "user_id").limit(
+        _TSP_TOP
+    )
