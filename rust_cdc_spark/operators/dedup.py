@@ -870,3 +870,84 @@ def _jaccard_prefix_direct(
             F.col("n_common"), F.col("size_a"), F.col("size_b")
         ).alias("jaccard"),
     )
+
+
+def minhash_probe_pairs(
+    docs: DataFrame,
+    is_new_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental-ingest LSH probe: candidate pairs between a NEW
+    batch and the EXISTING corpus only — never old×old (already
+    deduped in earlier runs) and never new×new (the in-batch pass is a
+    separate, batch-sized job). ``docs`` carries a boolean
+    ``is_new_col``; returns (new_doc, old_doc, sim_est).
+
+    This is the maintenance mode of :func:`minhash_lsh_pairs`: at
+    100 TB the old side's (band_id, band_hash) rows come from the
+    STORED signature index (computed once at ingest, bucketed on the
+    band key), so a probe shuffles only the new batch's n_new·bands
+    rows against the index partitioning — step cost scales with the
+    BATCH, exactly like the exact-fingerprint path
+    (``incremental_new_docs``). Here both sides are derived in-query
+    so the DuckDB oracle can replay the whole thing bit-for-bit."""
+    r = num_hashes // bands
+    sig = minhash_signatures(docs.select(id_col, text_col, is_new_col),
+                             text_col, id_col, k, num_hashes)
+    flags = docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(is_new_col).alias("__new"))
+    banded = (
+        sig.join(flags, "doc_id")
+        .select(
+            "doc_id",
+            "sig",
+            "__new",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(F.concat_ws(
+                            "|",
+                            *[F.col("sig")[b * r + j] for j in range(r)],
+                        )).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("band"),
+        )
+        .select("doc_id", "sig", "__new", "band.band_id", "band.band_hash")
+    )
+    new_side = banded.filter(F.col("__new")).select(
+        F.col("doc_id").alias("new_doc"),
+        F.col("sig").alias("sig_a"),
+        "band_id",
+        "band_hash",
+    )
+    old_side = banded.filter(~F.col("__new")).select(
+        F.col("doc_id").alias("old_doc"),
+        F.col("sig").alias("sig_b"),
+        "band_id",
+        "band_hash",
+    )
+    pairs = (
+        new_side.join(old_side, ["band_id", "band_hash"])
+        .select("new_doc", "old_doc", "sig_a", "sig_b")
+        .dropDuplicates(["new_doc", "old_doc"])
+    )
+    match_frac = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                           lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return pairs.select(
+        "new_doc", "old_doc", F.round(match_frac, 4).alias("sim_est")
+    )

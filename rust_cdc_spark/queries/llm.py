@@ -2257,3 +2257,67 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("recall_ppm"),
         )
     )
+
+
+_PROBE_MOD = 7  # doc_id % 7 == 0 → the "new batch" side
+
+
+@register(
+    "dedup_incremental_minhash_probe",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+                  FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ')
+                              for i in range(1, greatest(len(t) - 2, 1) + 1)])
+                   AS ss
+        FROM toks
+    ),
+    hsx AS (SELECT doc_id, list_transform(ss, s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 2147483647) AS hs FROM sh),
+    sig AS (SELECT doc_id, [list_min(list_transform(hs, h -> (506952114 * h + 1119006270) % 2147483647)), list_min(list_transform(hs, h -> (1520856342 * h + 1218345142) % 2147483647)), list_min(list_transform(hs, h -> (387276923 * h + 1317684014) % 2147483647)), list_min(list_transform(hs, h -> (1401181151 * h + 1417022886) % 2147483647)), list_min(list_transform(hs, h -> (267601732 * h + 1516361758) % 2147483647)), list_min(list_transform(hs, h -> (1281505960 * h + 1615700630) % 2147483647)), list_min(list_transform(hs, h -> (147926541 * h + 1715039502) % 2147483647)), list_min(list_transform(hs, h -> (1161830769 * h + 1814378374) % 2147483647)), list_min(list_transform(hs, h -> (28251350 * h + 1913717246) % 2147483647)), list_min(list_transform(hs, h -> (1042155578 * h + 2013056118) % 2147483647)), list_min(list_transform(hs, h -> (2056059806 * h + 2112394990) % 2147483647)), list_min(list_transform(hs, h -> (922480387 * h + 64250215) % 2147483647)), list_min(list_transform(hs, h -> (1936384615 * h + 163589087) % 2147483647)), list_min(list_transform(hs, h -> (802805196 * h + 262927959) % 2147483647)), list_min(list_transform(hs, h -> (1816709424 * h + 362266831) % 2147483647)), list_min(list_transform(hs, h -> (683130005 * h + 461605703) % 2147483647))] AS sg FROM hsx),
+    banded AS (
+        SELECT doc_id, sg, (doc_id % {_PROBE_MOD} = 0) AS is_new,
+               r.b AS band_id,
+               md5(sg[4*r.b+1] || '|' || sg[4*r.b+2] || '|' ||
+                   sg[4*r.b+3] || '|' || sg[4*r.b+4]) AS band_hash
+        FROM sig, range(0, 4) r(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc,
+               a.sg AS sa, b.sg AS sb
+        FROM banded a
+        JOIN banded b ON a.band_id = b.band_id
+                      AND a.band_hash = b.band_hash
+        WHERE a.is_new AND NOT b.is_new
+    )
+    SELECT new_doc, old_doc,
+           round(CAST(len(list_filter(range(1, 17), i -> sa[i] = sb[i]))
+                      AS DOUBLE) / 16, 4) AS sim_est
+    FROM pairs
+    """,
+)
+def dedup_incremental_minhash_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental-ingest near-dup PROBE: the day's new batch (stood in
+    by doc_id % {m} == 0) is MinHash-banded and joined against the
+    existing corpus's LSH index — new×old candidates only, never
+    old×old (deduped in prior runs) and never new×new (a separate
+    batch-sized job). This is how MinHash dedup actually operates in a
+    continuously-fed 100 TB pipeline: signatures of the old side live
+    in a stored band-bucketed index, so a probe's shuffle is sized by
+    the BATCH (n_new·bands rows), the same maintenance contract as the
+    exact-fingerprint `dedup_incremental_new_docs`.
+
+    Scale shape: one signature pass (shared md5 base hash + affine
+    permutations — exact BIGINT, replayed verbatim by the oracle), a
+    band explode, and a role-split band-keyed equi join; sim_est is
+    the signature match fraction (unbiased Jaccard estimate),
+    identical arithmetic to `dedup_minhash_lsh_pairs`.""".replace(
+        "{m}", str(_PROBE_MOD)
+    )
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "is_new", F.col("doc_id") % _PROBE_MOD == 0
+    )
+    return DD.minhash_probe_pairs(docs, "is_new")
