@@ -40,6 +40,7 @@ _R05_PRIORITY = [
     # new in round 5 (second session)
     "privacy_k_anonymity", "events_timeseries_pearson_topk",
     "dedup_incremental_minhash_probe",
+    "embedding_dedup_threshold_sweep", "dedup_cluster_purity",
     "contamination_bloom_probe", "integrity_referential_audit",
     "events_markov_stationary", "customer_cohort_ltv",
     "quality_ks_drift", "events_dedup_consecutive",

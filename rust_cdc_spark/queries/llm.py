@@ -2321,3 +2321,180 @@ def dedup_incremental_minhash_probe(
         "is_new", F.col("doc_id") % _PROBE_MOD == 0
     )
     return DD.minhash_probe_pairs(docs, "is_new")
+
+
+_SWEEP_THRS = (30, 35, 40)  # centi-cosine cutoffs
+_SWEEP_BASE = 0.30  # capture threshold (= lowest swept cutoff)
+_COS_D = (
+    "list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),"
+    " list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
+    " / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),"
+    " list_transform(a.embedding, x -> CAST(x AS DOUBLE))))"
+    " * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),"
+    " list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))"
+)
+
+
+@register(
+    "embedding_dedup_threshold_sweep",
+    oracle=f"""
+    WITH cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(round(round({_COS_D}, 4) * 10000) AS BIGINT) AS bps
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS_D} >= {_SWEEP_BASE}
+    ),
+    t AS (SELECT unnest([{", ".join(str(t) for t in _SWEEP_THRS)}])
+              AS thr_centi),
+    per AS (
+        SELECT t.thr_centi, c.vec_a, c.vec_b FROM cand c
+        JOIN t ON c.bps >= t.thr_centi * 100
+    ),
+    np AS (SELECT thr_centi, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM per GROUP BY thr_centi),
+    nd AS (
+        SELECT thr_centi, CAST(count(DISTINCT v) AS BIGINT) AS n_docs
+        FROM (SELECT thr_centi, unnest([vec_a, vec_b]) AS v FROM per)
+        GROUP BY thr_centi
+    )
+    SELECT t.thr_centi, coalesce(np.n_pairs, 0) AS n_pairs,
+           coalesce(nd.n_docs, 0) AS n_docs
+    FROM t LEFT JOIN np USING (thr_centi) LEFT JOIN nd USING (thr_centi)
+    """,
+)
+def embedding_dedup_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup threshold tuning curve: pair and affected-document
+    counts at cosine cutoffs {thrs} from ONE exact pair scan captured
+    at the lowest cutoff — the evidence a curation team reads before
+    committing to a dedup threshold (how many docs does each extra
+     0.05 of looseness pull into the dedup graph). The per-threshold
+    membership compares integer basis points of the rounded cosine, so
+    bucket assignment is engine-exact.
+
+    Scale shape: the expensive term (exact pairs) runs ONCE via the
+    blocked-GEMM baseline and every threshold is a conditional
+    replication of the captured pair set (|pairs@base|·|thresholds|
+    rows — bounded by the loosest cutoff, not re-scanned per cutoff).
+    At 100 TB the same sweep runs over the LSH candidate pairs
+    instead; this exact form is the calibration baseline, O(n²) by
+    construction like `embedding_near_dup_exact`.""".replace(
+        "{thrs}", ", ".join(f"0.{t}" for t in _SWEEP_THRS)
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = SIM.exact_near_dup_pairs_blocked(
+        emb, threshold=_SWEEP_BASE, n_blocks=8
+    ).select(
+        "vec_a",
+        "vec_b",
+        F.round(F.col("cos_sim") * 10000).cast("bigint").alias("bps"),
+    )
+    thrs = F.array(*[F.lit(t) for t in _SWEEP_THRS])
+    per = pairs.select(
+        "vec_a", "vec_b", F.explode(thrs).alias("thr_centi"), "bps"
+    ).filter(F.col("bps") >= F.col("thr_centi") * 100)
+    np_ = per.groupBy("thr_centi").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    nd = (
+        per.select(
+            "thr_centi",
+            F.explode(F.array("vec_a", "vec_b")).alias("v"),
+        )
+        .groupBy("thr_centi")
+        .agg(F.countDistinct("v").cast("bigint").alias("n_docs"))
+    )
+    base = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRS], "thr_centi int"
+    )
+    return (
+        base.join(np_, "thr_centi", "left")
+        .join(nd, "thr_centi", "left")
+        .select(
+            "thr_centi",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "dedup_cluster_purity",
+    oracle=f"""
+    WITH RECURSIVE
+    {_CC_CTES},
+    lab AS (
+        SELECT d.doc_id, d.source,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    sz AS (
+        SELECT cluster_id,
+               CAST(count(*) AS BIGINT) AS cluster_size,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM lab GROUP BY cluster_id
+    ),
+    sc AS (
+        SELECT cluster_id, source, count(*) AS c,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY count(*) DESC, source) AS rn
+        FROM lab GROUP BY cluster_id, source
+    )
+    SELECT z.cluster_id, z.cluster_size, z.n_sources,
+           s.source AS majority_source,
+           CAST((1000000 * s.c) // z.cluster_size AS BIGINT)
+               AS purity_micro
+    FROM sz z JOIN sc s ON s.cluster_id = z.cluster_id AND s.rn = 1
+    WHERE z.cluster_size > 1
+    """,
+)
+def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster QA: for every non-trivial near-dup cluster, its
+    size, how many SOURCES it spans, and the majority-source share —
+    the audit that distinguishes benign within-source duplication
+    (mirrors, repostings: purity 1e6) from cross-source syndication
+    (low purity means the same content is flowing through many feeds,
+    and per-source dedup would systematically miss it). Consumes the
+    same connected components as `dedup_clusters`.
+
+    Scale shape: two (cluster, source)-keyed hash aggs over the
+    cluster assignment and one cluster-partitioned rank window over
+    ≤|sources|-row groups; purity is an exact integer micro ratio.
+    The CC build dominates and is shared/cached with the clustering
+    query itself."""
+    lab = _cluster_index(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source"
+    )
+    j = lab.join(docs, "doc_id")
+    sz = j.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    sc = (
+        j.groupBy("cluster_id", "source")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.col("c").desc(), "source"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        sz.filter(F.col("cluster_size") > 1)
+        .join(sc, "cluster_id")
+        .select(
+            "cluster_id",
+            "cluster_size",
+            "n_sources",
+            F.col("source").alias("majority_source"),
+            F.expr("(1000000 * c) div cluster_size")
+            .cast("bigint")
+            .alias("purity_micro"),
+        )
+    )
