@@ -41,6 +41,7 @@ _R05_PRIORITY = [
     "privacy_k_anonymity", "events_timeseries_pearson_topk",
     "dedup_incremental_minhash_probe",
     "embedding_dedup_threshold_sweep", "dedup_cluster_purity",
+    "events_ab_test_lift",
     "contamination_bloom_probe", "integrity_referential_audit",
     "events_markov_stationary", "customer_cohort_ltv",
     "quality_ks_drift", "events_dedup_consecutive",

@@ -1718,3 +1718,106 @@ def events_timeseries_pearson_topk(
     return scored.orderBy(F.col("r_micro").desc(), "user_id").limit(
         _TSP_TOP
     )
+
+
+@register(
+    "events_ab_test_lift",
+    oracle="""
+    WITH assign AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) >= 17
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    arm AS (
+        SELECT variant,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted
+        FROM assign GROUP BY variant
+    ),
+    w AS (
+        SELECT
+            (SELECT n_users FROM arm WHERE variant = 0) AS n0,
+            (SELECT n_converted FROM arm WHERE variant = 0) AS c0,
+            (SELECT n_users FROM arm WHERE variant = 1) AS n1,
+            (SELECT n_converted FROM arm WHERE variant = 1) AS c1
+    )
+    SELECT n0 AS control_users, c0 AS control_conversions,
+           n1 AS treatment_users, c1 AS treatment_conversions,
+           CAST((1000000 * c1 * n0) // (CAST(c0 AS BIGINT) * n1)
+                AS BIGINT) AS lift_micro,
+           CAST(round(
+               (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+               / sqrt(
+                   (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                   * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                   * (1.0 / n0 + 1.0 / n1)
+               ) * 1e6) AS BIGINT) AS z_micro
+    FROM w
+    """,
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split by a deterministic hash arm
+    (user_id parity standing in for the bucketing hash), per-arm
+    conversion counts, relative lift, and the pooled two-proportion
+    z-statistic — the decision surface every experimentation platform
+    computes. Lift is an exact integer micro ratio
+    (c1·n0)/(c0·n1); the z-score is one double chain over four exact
+    integers (identical expression text in both engines), rounded
+    once to micro.
+
+    Scale shape: one user-keyed conversion agg (the sessionize
+    partitioning, map-side combined), a 2-row arm rollup, and scalar
+    assembly — at 100 TB the cost is the per-user reduce the funnel
+    queries already pay; nothing downstream scales with data. The
+    deterministic arm assignment also makes the readout REPRODUCIBLE
+    under replay, the property experiment pipelines audit for."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    assign = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 17,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    arm = assign.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    c = arm.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n0"), F.col("n_converted").alias("c0")
+    )
+    t = arm.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n1"), F.col("n_converted").alias("c1")
+    )
+    w = c.crossJoin(F.broadcast(t))
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (
+        (
+            F.col("c1").cast("double") / F.col("n1")
+            - F.col("c0").cast("double") / F.col("n0")
+        )
+        / F.sqrt(
+            pooled
+            * (1 - pooled)
+            * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+        )
+    )
+    return w.select(
+        F.col("n0").alias("control_users"),
+        F.col("c0").alias("control_conversions"),
+        F.col("n1").alias("treatment_users"),
+        F.col("c1").alias("treatment_conversions"),
+        F.expr("(1000000 * c1 * n0) div (c0 * n1)")
+        .cast("bigint")
+        .alias("lift_micro"),
+        F.round(z * 1e6).cast("bigint").alias("z_micro"),
+    )
