@@ -469,6 +469,12 @@ def _minhash_lsh_direct(
     bands: int,
     parallelism: int | None = None,
 ) -> DataFrame:
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}): trailing signature components would silently "
+            "drop out of the banding while still counting in sim_est"
+        )
     r = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, k, num_hashes, parallelism)
     banded = sig.select(
@@ -895,6 +901,12 @@ def minhash_probe_pairs(
     BATCH, exactly like the exact-fingerprint path
     (``incremental_new_docs``). Here both sides are derived in-query
     so the DuckDB oracle can replay the whole thing bit-for-bit."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}): trailing signature components would silently "
+            "drop out of the banding while still counting in sim_est"
+        )
     r = num_hashes // bands
     sig = minhash_signatures(docs.select(id_col, text_col, is_new_col),
                              text_col, id_col, k, num_hashes)

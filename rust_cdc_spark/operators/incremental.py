@@ -166,7 +166,20 @@ def join_view_advance(
     that keeps a denormalized sink maintainable when the base tables
     are 100 TB and a batch touches thousandths of a percent of keys.
     With integer/exact attribute columns the result is bit-identical
-    to a full recompute (asserted by the oracle and tests)."""
+    to a full recompute (asserted by the oracle and tests).
+
+    NULL join keys: a NULL-keyed row can never appear in the equi-join
+    view, but plain semi/anti joins also never MATCH NULL keys — so a
+    NULL-keyed delta row would union into the state without retracting
+    its predecessor, leaving duplicate per-key state rows. Such rows
+    are dropped up front (from deltas AND states), which preserves V
+    exactly and keeps the state one-row-per-key."""
+    non_null = None
+    for k in key_cols:
+        cond = F.col(k).isNotNull()
+        non_null = cond if non_null is None else (non_null & cond)
+    r_state, s_state = r_state.filter(non_null), s_state.filter(non_null)
+    r_delta, s_delta = r_delta.filter(non_null), s_delta.filter(non_null)
     touched = (
         r_delta.select(*key_cols)
         .union(s_delta.select(*key_cols))

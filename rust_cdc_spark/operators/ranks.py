@@ -48,6 +48,8 @@ on one box); this is the Spark-first scale path for the same result.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -86,7 +88,7 @@ def with_global_rank(
     order_by: list[Column],
     rank_col: str = "__rank",
     total_col: str | None = None,
-    reliable: bool = False,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Append an exact 1-based global rank under ``order_by`` (which
     must be a total order — include a unique tie-break) without a
@@ -96,7 +98,15 @@ def with_global_rank(
     ``reliable=True`` pins through ``checkpoint()`` (requires
     ``sc.setCheckpointDir``; survives executor loss) instead of
     ``localCheckpoint()`` (executor-memory pin, faster, but an
-    executor failure fails the query — see module docstring)."""
+    executor failure fails the query — see module docstring).
+    ``reliable=None`` (default) resolves from
+    ``$SPARK_GRAFT_RELIABLE_RANKS`` — ``session.get_spark`` always
+    sets a checkpoint dir, so a cluster deploy flips ONE env var
+    (plus pointing ``SPARK_GRAFT_CHECKPOINT_DIR`` at durable storage)
+    to make every exact-rank path executor-loss-safe; local runs keep
+    the fast memory pin."""
+    if reliable is None:
+        reliable = os.environ.get("SPARK_GRAFT_RELIABLE_RANKS", "") == "1"
     ranged = df.repartitionByRange(*order_by).withColumn(
         _PID, F.spark_partition_id()
     )

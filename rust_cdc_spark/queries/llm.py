@@ -2498,3 +2498,217 @@ def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("purity_micro"),
         )
     )
+
+
+# ── Round 6: Zipf law fit + winnowing fingerprints ─────────────────────
+
+_ZIPF_TOP = 100  # rank window for the log-log fit
+# ln() quantized to MILLI units (not the usual micro) so every OLS
+# moment — n·Σxy, Σx·Σy, and the ×10⁶ numerator scaling for the micro
+# slope — stays far inside BIGINT: x,y ≤ ~14·10³, Σxy over 100 terms
+# ≤ ~2·10¹⁰, ×10⁶ ≤ ~2·10¹⁶. Micro-quantized lns would overflow the
+# scaled numerator (≈10²³).
+_ZIPF_Q = 1000
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lower(unnest({_TOKENS_SQL})) AS term FROM documents
+    ),
+    cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok
+            WHERE term <> '' GROUP BY term),
+    top AS (
+        SELECT term, n,
+               row_number() OVER (ORDER BY n DESC, term) AS r
+        FROM cnt ORDER BY n DESC, term LIMIT {_ZIPF_TOP}
+    ),
+    pts AS (
+        SELECT CAST(round(ln(r) * {_ZIPF_Q}) AS BIGINT) AS x,
+               CAST(round(ln(n) * {_ZIPF_Q}) AS BIGINT) AS y,
+               term, n, r
+        FROM top
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx,
+               min(CASE WHEN r = 1 THEN term END) AS top_term,
+               CAST(min(CASE WHEN r = 1 THEN n END) AS BIGINT) AS top_count
+        FROM pts
+    )
+    SELECT m AS n_terms, top_term, top_count,
+           CAST((1000000 * (m * sxy - sx * sy))
+                // (m * sxx - sx * sx) AS BIGINT) AS slope_micro
+    FROM mom
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) on ln(rank) for the top-100 terms — the standard
+    "is this corpus natural language or template spam" diagnostic
+    (natural text sits near −1; machine-generated or boilerplate-heavy
+    corpora flatten). Complements corpus_vocab_growth_heaps, which
+    fits the OTHER classical law (vocabulary growth); together they
+    bracket the corpus's lexical statistics.
+
+    Float discipline: ln values are quantized to integer milli-units
+    per point BEFORE any cross-row sum, then the OLS slope is one
+    exact-integer formula — (m·Σxy − ΣxΣy)·10⁶ div (m·Σxx − Σx²) —
+    so aggregation order cannot perturb the result (micro-quantized
+    lns would overflow the scaled numerator; see _ZIPF_Q).
+
+    Scale shape: one token explode into a corpus-keyed hash agg
+    (map-side combined: shuffle carries one row per distinct term),
+    a top-100 TakeOrderedAndProject, and a 100-row moment agg.
+    Nothing after the term count scales with data."""
+    docs = load_table(spark, "documents", sf_dir)
+    cnt = (
+        docs.select(
+            F.explode(F.expr("transform(split(trim(text), ' '), t -> lower(t))"))
+            .alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    top = (
+        cnt.orderBy(F.col("n").desc(), "term")
+        .limit(_ZIPF_TOP)
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.col("n").desc(), "term")),
+        )
+    )
+    pts = top.select(
+        "term", "n", "r",
+        F.round(F.log(F.col("r").cast("double")) * _ZIPF_Q)
+        .cast("bigint").alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * _ZIPF_Q)
+        .cast("bigint").alias("y"),
+    )
+    mom = pts.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.min(F.when(F.col("r") == 1, F.col("term"))).alias("top_term"),
+        F.min(F.when(F.col("r") == 1, F.col("n")))
+        .cast("bigint").alias("top_count"),
+    )
+    return mom.select(
+        F.col("m").alias("n_terms"),
+        "top_term",
+        "top_count",
+        F.expr("(1000000 * (m * sxy - sx * sy)) div (m * sxx - sx * sx)")
+        .cast("bigint")
+        .alias("slope_micro"),
+    )
+
+
+# Winnowing (Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms
+# for Document Fingerprinting", SIGMOD 2003 — the MOSS fingerprint):
+# hash every k-gram, slide a window of w consecutive hashes, keep each
+# window's MINIMUM. Guarantees: any shared run of ≥ w+k−1 tokens
+# between two documents shares ≥1 selected fingerprint, while only
+# ~2/(w+1) of hashes are kept. This variant keeps the distinct selected
+# VALUES per document (position-free set — the form dedup indexes
+# store).
+_WIN_K = 4  # tokens per k-gram
+_WIN_W = 5  # winnowing window (hashes)
+_WIN_MOD = 2_147_483_647
+
+
+@register(
+    "docs_winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform({_TOKENS_SQL}, t -> lower(t)) AS tk
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, tk, len(tk) AS nt,
+               CASE WHEN len(tk) >= {_WIN_K}
+                    THEN list_transform(
+                        generate_series(1, len(tk) - {_WIN_K} + 1),
+                        i -> CAST(('0x' || substr(md5(
+                                 array_to_string(tk[i:i+{_WIN_K}-1], ' ')
+                             ), 1, 8)) AS BIGINT) % {_WIN_MOD})
+                    ELSE [] END AS hs
+        FROM toks
+    ),
+    sel AS (
+        SELECT doc_id, nt, len(hs) AS n_kgrams,
+               CASE WHEN len(hs) = 0 THEN []
+                    WHEN len(hs) <= {_WIN_W} THEN [list_min(hs)]
+                    ELSE list_distinct(list_transform(
+                        generate_series(1, len(hs) - {_WIN_W} + 1),
+                        i -> list_min(hs[i:i+{_WIN_W}-1])))
+                    END AS fps
+        FROM grams
+    )
+    SELECT doc_id, CAST(n_kgrams AS BIGINT) AS n_kgrams,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           CAST(coalesce(list_min(fps), 0) AS BIGINT) AS fp_min,
+           CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+                                     (a, b) -> a + b), 0) AS BIGINT)
+               AS fp_sum
+    FROM sel
+    """,
+)
+def docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (SIGMOD'03 / MOSS): md5 k-gram
+    hashes, keep each w-window's minimum, emit the per-doc selected
+    set's size/min/sum — the guarantee-carrying alternative to
+    text_rolling_hash (one hash per doc, order-sensitive but
+    no substring guarantee) and the MinHash sketch (similarity
+    estimation, no locality guarantee): any shared token run of
+    ≥ w+k−1 = 8 survives into both docs' fingerprint sets.
+
+    All selection is exact BIGINT (md5 first-8-hex mod 2³¹−1, the
+    MinHash base-hash convention), so the oracle replays it
+    bit-for-bit. Window minima are per-doc HOFs over the k-gram hash
+    array — arrays are doc-length-bounded, the one corpus-scale
+    operation is the initial scan; no explode, no shuffle at all
+    (the result is a pure map stage)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.expr("transform(split(trim(text), ' '), t -> lower(t))").alias("tk"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(tk) >= {_WIN_K} THEN"
+            f" transform(sequence(1, size(tk) - {_WIN_K} + 1),"
+            f"   i -> cast(conv(substring(md5("
+            f"        array_join(slice(tk, i, {_WIN_K}), ' ')"
+            f"        ), 1, 8), 16, 10) as bigint) % {_WIN_MOD})"
+            f" ELSE array() END"
+        ).alias("hs"),
+    )
+    sel = grams.select(
+        "doc_id",
+        F.size("hs").cast("bigint").alias("n_kgrams"),
+        F.expr(
+            f"CASE WHEN size(hs) = 0 THEN array()"
+            f" WHEN size(hs) <= {_WIN_W} THEN array(array_min(hs))"
+            f" ELSE array_distinct(transform("
+            f"   sequence(1, size(hs) - {_WIN_W} + 1),"
+            f"   i -> array_min(slice(hs, i, {_WIN_W}))))"
+            f" END"
+        ).alias("fps"),
+    )
+    return sel.select(
+        "doc_id",
+        "n_kgrams",
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.coalesce(F.array_min("fps"), F.lit(0))
+        .cast("bigint").alias("fp_min"),
+        F.coalesce(
+            F.expr("aggregate(fps, 0L, (a, b) -> a + b)"), F.lit(0)
+        ).cast("bigint").alias("fp_sum"),
+    )

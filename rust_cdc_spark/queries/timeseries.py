@@ -1225,6 +1225,215 @@ def events_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Holt fold state packing: (level, trend) in ONE BIGINT —
+# (l + 2³⁰)·2³¹ + (b + 2³⁰), both offsets keeping the packed value
+# non-negative so `//`/`%` decode identically in both engines. A
+# (l, b) STRUCT accumulator would be the natural shape, but DuckDB
+# 1.0.0's list_reduce miscomputes struct lambdas whose fields read
+# each other's PREVIOUS value (a true swap dependency: verified —
+# (a,e)->{'l': a.b + e.l, 'b': a.l} over [1,2,3,4] returns (8,8)
+# instead of (6,4)), so the portable fold uses scalar packing. Bounds:
+# |l|, |b| < 2³⁰ micro-cents ≈ $10 M per purchase — asserted nowhere
+# because floor(value·100) of the events table is < 10⁶.
+_HOLT_C1 = 2_147_483_648  # 2^31
+_HOLT_C2 = 1_073_741_824  # 2^30
+
+
+def _holt_lambda(x: str, acc: str) -> str:
+    """One Holt step over the packed state, identical text for Spark
+    (`div`) and DuckDB (`//`) after operator substitution:
+    l' = (x + 3(l+b)) div 4;  b' = ((l'−l) + 3b) div 4."""
+    l = f"({acc} DIV {_HOLT_C1} - {_HOLT_C2})"
+    b = f"({acc} % {_HOLT_C1} - {_HOLT_C2})"
+    l2 = f"(({x} + 3 * ({l} + {b})) DIV 4)"
+    b2 = f"((({l2} - {l}) + 3 * {b}) DIV 4)"
+    return f"(({l2} + {_HOLT_C2}) * {_HOLT_C1} + {b2} + {_HOLT_C2})"
+
+
+_HOLT_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    series AS (
+        SELECT user_id, list(cents ORDER BY event_id) AS xs
+        FROM e GROUP BY user_id
+    ),
+    fit AS (
+        SELECT user_id, len(xs) AS n_obs,
+               list_reduce(
+                   list_prepend(
+                       (xs[1] + {_HOLT_C2}) * {_HOLT_C1} + {_HOLT_C2},
+                       xs[2:]),
+                   (a, x) -> {_holt_lambda('x', 'a').replace(' DIV ', ' // ')}
+               ) AS st
+        FROM series
+    )
+    SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(st // {_HOLT_C1} - {_HOLT_C2} AS BIGINT) AS level_cents,
+           CAST(st % {_HOLT_C1} - {_HOLT_C2} AS BIGINT) AS trend_cents,
+           CAST((st // {_HOLT_C1} - {_HOLT_C2})
+                + 3 * (st % {_HOLT_C1} - {_HOLT_C2}) AS BIGINT)
+               AS forecast3_cents
+    FROM fit
+"""
+
+
+@register("events_forecast_holt", oracle=_HOLT_ORACLE)
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast of purchase value per user — the
+    trend-aware upgrade of ``events_forecast_ses`` (a level-only
+    smoother lags every growing account; budget/capacity forecasts
+    keep (level, trend) per entity). α = β = 1/4 are dyadic on
+    purpose: the recursion is an exact BIGINT fold both engines replay
+    bit-for-bit — state packed into one BIGINT (see _holt_lambda) —
+    including the truncating division on NEGATIVE trend steps (the
+    sign case the SES query never exercises). Emits the fitted state
+    and the 3-step-ahead forecast l + 3·b.
+
+    Scale shape: identical to the SES query — ONE user-keyed agg with
+    an ordered small-K collect (per-user purchase counts are
+    human-bounded), then a codegen HOF fold, linear in events, zero
+    windows, no driver loop."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    series = e.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(event_id, cents))),"
+            " s -> s.cents)"
+        ).alias("xs")
+    )
+    step = _holt_lambda("x", "a").replace(" DIV ", " div ")
+    fit = series.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_obs"),
+        F.expr(
+            f"aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)),"
+            f" (xs[0] + {_HOLT_C2}L) * {_HOLT_C1}L + {_HOLT_C2}L,"
+            f" (a, x) -> {step})"
+        ).alias("st"),
+    )
+    lvl = F.expr(f"st div {_HOLT_C1} - {_HOLT_C2}")
+    trd = F.col("st") % _HOLT_C1 - _HOLT_C2
+    return fit.select(
+        "user_id", "n_obs",
+        lvl.cast("long").alias("level_cents"),
+        trd.cast("long").alias("trend_cents"),
+        (lvl + 3 * trd).cast("long").alias("forecast3_cents"),
+    )
+
+
+@register(
+    "events_cusum_drift",
+    # One-sided CUSUM over the per-type daily count series:
+    #   s_t = max(0, s_{t-1} + (x_t − k)),  alarm when s_t > h
+    # with k = mean daily count (integer div) and h = 2k — sequential
+    # change detection, the complement of the distributional KS gate
+    # (quality_ks_drift): KS answers "do two windows differ", CUSUM
+    # answers "WHEN did the level shift", which is what an ingest
+    # monitor pages on. Instead of a sequential fold, both engines use
+    # the CLOSED FORM s_t = P_t − min(0, min_{j≤t} P_j) over the
+    # prefix sums P_t of (x_t − k) — running sum + running min are
+    # per-type window functions, so the recursion parallelizes and
+    # the whole thing is exact BIGINT arithmetic.
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    scal AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(n) // count(*) AS BIGINT) AS k
+        FROM daily GROUP BY event_type
+    ),
+    pre AS (
+        SELECT d.event_type, s.n_days, s.k, d.d,
+               row_number() OVER w AS t,
+               sum(d.n - s.k) OVER w AS p
+        FROM daily d JOIN scal s USING (event_type)
+        WINDOW w AS (PARTITION BY d.event_type ORDER BY d.d
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    cusum AS (
+        SELECT event_type, n_days, k, t,
+               p - least(CAST(0 AS BIGINT),
+                         min(p) OVER (PARTITION BY event_type ORDER BY d
+                                      ROWS UNBOUNDED PRECEDING)) AS s
+        FROM pre
+    )
+    SELECT event_type,
+           CAST(max(n_days) AS BIGINT) AS n_days,
+           CAST(max(k) AS BIGINT) AS target_daily,
+           CAST(max(s) AS BIGINT) AS max_cusum,
+           CAST(sum(CASE WHEN s > 2 * k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarm_days,
+           CAST(coalesce(min(CASE WHEN s > 2 * k THEN t END), 0)
+                AS BIGINT) AS first_alarm_day
+    FROM cusum GROUP BY event_type
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM change detection on the daily volume
+    series: cumulative positive excursion above the series' own mean
+    daily rate, alarm days where the excursion tops 2× the rate, and
+    the 1-based index of the FIRST alarm day (0 = never) — the "when
+    did ingest volume shift" monitor next to quality_ks_drift's "do
+    these windows differ".
+
+    The textbook recursion s_t = max(0, s_{t-1} + x_t − k) has the
+    closed form s_t = P_t − min(0, min_{j≤t} P_j) (P = prefix sums of
+    the excess), so the implementation is two running windows — sum,
+    then min of that sum — not a sequential fold. Exact BIGINT
+    throughout; the mean rate uses truncating division on both sides.
+
+    Scale shape: the daily rollup is the only data-scale agg (map-side
+    combined, (type, day) keyed); the windows then run over per-type
+    daily rows bounded by the calendar, partitioned by event_type —
+    no global window, no fold, no driver loop."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").cast("long").alias("n"))
+    scal = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr("sum(n) div count(*)").cast("long").alias("k"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = (
+        daily.join(scal, "event_type")
+        .withColumn("t", F.row_number().over(
+            Window.partitionBy("event_type").orderBy("d")))
+        .withColumn("p", F.sum(F.col("n") - F.col("k")).over(w))
+        .withColumn("runmin", F.min("p").over(w))
+    )
+    cusum = pre.withColumn(
+        "s", F.col("p") - F.least(F.lit(0).cast("long"), F.col("runmin"))
+    )
+    alarm = F.col("s") > 2 * F.col("k")
+    return cusum.groupBy("event_type").agg(
+        F.max("n_days").cast("long").alias("n_days"),
+        F.max("k").cast("long").alias("target_daily"),
+        F.max("s").cast("long").alias("max_cusum"),
+        F.sum(F.when(alarm, 1).otherwise(0)).cast("long")
+        .alias("n_alarm_days"),
+        F.coalesce(
+            F.min(F.when(alarm, F.col("t"))), F.lit(0)
+        ).cast("long").alias("first_alarm_day"),
+    )
+
+
 @register(
     "events_funnel_time_to_convert",
     oracle="""
@@ -1745,15 +1954,18 @@ def events_timeseries_pearson_topk(
     )
     SELECT n0 AS control_users, c0 AS control_conversions,
            n1 AS treatment_users, c1 AS treatment_conversions,
-           CAST((1000000 * c1 * n0) // (CAST(c0 AS BIGINT) * n1)
+           CAST((1000000 * c1 * n0)
+                // NULLIF(CAST(c0 AS BIGINT) * n1, 0)
                 AS BIGINT) AS lift_micro,
-           CAST(round(
-               (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
-               / sqrt(
-                   (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-                   * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-                   * (1.0 / n0 + 1.0 / n1)
-               ) * 1e6) AS BIGINT) AS z_micro
+           CASE WHEN (c0 + c1) > 0 AND (c0 + c1) < (n0 + n1)
+                THEN CAST(round(
+                    (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                    / sqrt(
+                        (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)
+                    ) * 1e6) AS BIGINT)
+                ELSE NULL END AS z_micro
     FROM w
     """,
 )
@@ -1811,13 +2023,22 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
         )
     )
+    # Degenerate-input guards (ANSI mode): zero control-arm conversions
+    # make the lift denominator 0 (NULLIF → NULL lift), and a pooled
+    # rate of exactly 0 or 1 zeroes the z denominator (NULL z). Both
+    # conditions occur on legal data — sf0.001 has a zero-conversion
+    # control arm — and the DuckDB oracle mirrors identical semantics.
+    conv_total = F.col("c0") + F.col("c1")
+    z_defined = (conv_total > 0) & (conv_total < F.col("n0") + F.col("n1"))
     return w.select(
         F.col("n0").alias("control_users"),
         F.col("c0").alias("control_conversions"),
         F.col("n1").alias("treatment_users"),
         F.col("c1").alias("treatment_conversions"),
-        F.expr("(1000000 * c1 * n0) div (c0 * n1)")
+        F.expr("(1000000 * c1 * n0) div nullif(c0 * n1, 0)")
         .cast("bigint")
         .alias("lift_micro"),
-        F.round(z * 1e6).cast("bigint").alias("z_micro"),
+        F.when(z_defined, F.round(z * 1e6).cast("bigint"))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("z_micro"),
     )

@@ -44,4 +44,16 @@ def get_spark(app_name: str = "rust_cdc_spark", cpus: int | None = None) -> Spar
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Reliable-checkpoint dir: lets operators that pin lineage
+    # (operators/ranks.py exact global rank) opt into checkpoint()
+    # — which survives executor loss on a real cluster — instead of
+    # localCheckpoint(), without every caller knowing a path. On a
+    # cluster point SPARK_GRAFT_CHECKPOINT_DIR at durable storage
+    # (HDFS/S3) and set SPARK_GRAFT_RELIABLE_RANKS=1.
+    if spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(
+            os.environ.get(
+                "SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/rust_cdc_spark_ckpt"
+            )
+        )
     return spark

@@ -107,6 +107,28 @@ class _AdminConn:
                     raise
         raise AssertionError("unreachable")
 
+    def close(self) -> None:
+        """Deterministically release the socket (executors resolving
+        many tables must not leak one fd per lookup)."""
+        stream, self._stream, self._send = self._stream, None, None
+        if stream is None:
+            return
+        # sock.makefile() keeps the (possibly TLS-wrapped) socket on the
+        # SocketIO layer; close both so the fd drops now, not at GC.
+        sock = getattr(getattr(stream, "raw", None), "_sock", None)
+        for closer in (stream, sock):
+            if closer is not None:
+                try:
+                    closer.close()
+                except OSError:
+                    pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     def master_status(self) -> dict:
         cols, rows = self.query("SHOW MASTER STATUS")
         if not rows:
@@ -172,12 +194,26 @@ class MySQLBinlogStreamReader(DataSourceStreamReader):
             return
         executed = GtidSet(o.get("gtidexecuted", ""))
 
+        admin_holder: list[_AdminConn] = []
+
         def resolve_names(schema: str, table: str) -> list[str] | None:
             """SURVEY §7 column-name gap: when the master logs
             binlog_row_metadata=MINIMAL, TABLE_MAP has no names — fetch
-            them out of band (one short-lived COM_QUERY connection per
-            partition; the registry caches per (schema, table))."""
-            _, rows = _AdminConn(o).query(
+            them out of band (ONE lazily-opened COM_QUERY connection
+            shared by all lookups in this partition read, closed with
+            the dump socket; the registry caches per (schema, table)).
+
+            Identifiers come from untrusted TABLE_MAP bytes: a crafted
+            table name on a multi-tenant master must not inject into
+            the COM_QUERY run under the replication account, so names
+            containing quote/backslash/NUL characters are rejected
+            outright (MySQL permits them in identifiers, but a master
+            using them gets unresolved names, never string splicing)."""
+            if any(c in f"{schema}{table}" for c in ("'", '"', "`", "\\", "\0")):
+                return None
+            if not admin_holder:
+                admin_holder.append(_AdminConn(o))
+            _, rows = admin_holder[0].query(
                 "SELECT COLUMN_NAME FROM information_schema.columns"
                 f" WHERE table_schema = '{schema}'"
                 f" AND table_name = '{table}'"
@@ -230,6 +266,8 @@ class MySQLBinlogStreamReader(DataSourceStreamReader):
                     env.get("query"),
                 )
         finally:
+            if admin_holder:
+                admin_holder[0].close()
             sock.close()
 
     @staticmethod

@@ -325,7 +325,15 @@ class ParquetUpsertTable:
         k" with ``dataChange: true`` — the same action stream Delta's
         own ``overwrite`` mode emits. Commits are renumbered 0..k over
         the retained window (Delta requires a contiguous log; retention
-        here plays the role of a checkpoint cutoff)."""
+        here plays the role of a checkpoint cutoff).
+
+        Env gate, attempted 2026-08-15 (round 6): ``import deltalake``
+        fails and ``pip download deltalake`` cannot resolve (no network
+        in the sandbox — DNS fails on the index), so a read-back test
+        with a real Delta implementation still cannot run here. If a
+        ``deltalake`` wheel (delta-rs) ever lands in the image, add:
+        ``DeltaTable(path).to_pyarrow_table()`` and assert row/schema/
+        partition parity with ``self.read()``."""
         import uuid
 
         hist = self.history()

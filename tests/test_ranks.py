@@ -84,3 +84,36 @@ class TestExactNtile:
         df = _mk(spark, 20)
         out = exact_global_ntile(df, [F.col("i")], 4, "bkt")
         assert set(out.columns) == {"i", "k", "bkt"}
+
+
+class TestReliableCheckpoint:
+    def test_session_sets_checkpoint_dir(self, spark):
+        """session.get_spark always configures a checkpoint dir, so
+        reliable=True needs no per-caller setup (round-6 VERDICT #7)."""
+        assert spark.sparkContext.getCheckpointDir() is not None
+
+    def test_reliable_rank_matches_local(self, spark):
+        df = _mk(spark, 97)
+        order = [F.col("k").desc(), F.col("i")]
+        fast = {
+            r["i"]: r["r"]
+            for r in with_global_rank(df, order, rank_col="r").collect()
+        }
+        durable = {
+            r["i"]: r["r"]
+            for r in with_global_rank(
+                df, order, rank_col="r", reliable=True
+            ).collect()
+        }
+        assert fast == durable
+
+    def test_env_flag_resolves_default(self, spark, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_RELIABLE_RANKS", "1")
+        df = _mk(spark, 23)
+        got = {
+            r["i"]: r["r"]
+            for r in with_global_rank(
+                df, [F.col("i")], rank_col="r"
+            ).collect()
+        }
+        assert got == {i: i + 1 for i in range(23)}
