@@ -27,15 +27,63 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["cdc_merge_upsert"].spark_fn(spark, "/root/testdata/sf0.001")
 
 
-# Round-5 priority order (the driver checks 50 names per round, in this
-# order). Rounds 1-4 drove the whole 192-name registry to green driver
-# rows, so round 5 leads with (a) the queries ADDED this round and (b)
-# every query whose implementation CHANGED this round (near-dup rewrite
-# onto blocked GEMM / ids-only LSH, the split approx-distinct agg, the
-# let-bound lang-id argmax) — the names whose last driver row predates
-# the current code. The round-4 closure list follows, then the rest in
-# registry order; everything is green under tools/check_correctness.py
-# at sf0.01 (standard + vanilla-TZ sweeps, this session).
+# Round-6 priority order (the driver checks 50 names per round, in this
+# order), built per VERDICT r5 #1/#3: (1) the round-5 red query whose
+# fix must land a green driver row, (2) the queries ADDED or CHANGED in
+# round 6, (3) the 41 names whose most recent driver row is from ROUND
+# 1 — rotating the 50-slot window onto the stalest checks so driver
+# staleness stays bounded (~2 rounds) for unchanged code. Everything
+# below is green under tools/check_correctness.py at sf0.01 AND the new
+# sf0.001 degenerate sweep (standard + vanilla-TZ sessions).
+_R06_PRIORITY = [
+    # 1 — the round-5 bug fix (DIVIDE_BY_ZERO on zero-conversion arms)
+    "events_ab_test_lift",
+    # 2 — new in round 6
+    "events_forecast_holt", "events_cusum_drift", "text_zipf_slope",
+    "docs_winnowing_fingerprints", "retrieval_query_likelihood",
+    "host_graph_label_propagation", "join_size_estimate",
+    "embedding_centroid_classifier_eval",
+    # 3 — stalest: last driver row is CORRECTNESS_r01
+    "agg_cube_priority_status", "agg_distinct_lineitem", "agg_percentiles_by_status",
+    "agg_rollup_returns", "asof_join_purchase_last_click", "cdc_collapse_last",
+    "cdc_current_state", "cdc_ddl_comment_strip", "cdc_merge_upsert",
+    "cdc_normalize", "cdc_op_stats", "cdc_route_regex",
+    "cdc_txn_boundaries", "corpus_profile", "dedup_clusters",
+    "dedup_exact_documents", "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_fingerprints", "join_anti_customers_without_orders", "join_semi_parts_ordered",
+    "lang_id_heuristic", "multimodal_frame_sample", "multimodal_payload_stats",
+    "order_by_limit_top_orders", "pivot_status_by_priority", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume", "sample_bernoulli_documents",
+    "sample_stratified_documents", "scalar_functions_orders", "set_except_nations",
+    "set_intersect_nations", "similarity_knn_batch", "similarity_topk_cosine",
+    "text_quality_score", "text_rolling_hash", "text_stats",
+    "text_token_bpe_count", "window_topk_orders_per_customer",
+]
+
+# Next-stalest tier: names whose most recent driver row is
+# CORRECTNESS_r02 — they follow the r6 block so the round-7 window
+# (and any spill past 50 this round) lands on them next.
+_R02_STALE = [
+    "asof_join_next_click_1h", "bpe_encode_corpus", "cdc_incremental_agg",
+    "cdc_pointintime_join", "cdc_scd2_history", "cdc_snapshot_bootstrap",
+    "dedup_keep_best", "dense_rank_supplier_balance", "events_funnel_conversion",
+    "events_json_props", "events_retention_cohorts", "events_sessionize",
+    "events_tumbling_window", "grouping_sets_lineitem", "join_left_outer_customer_orders",
+    "lag_lead_order_gaps", "layout_zorder_key", "multimodal_dedup_exact",
+    "multimodal_phash_buckets", "q10_returned_items", "q11_important_parts",
+    "q12_shipmode_priority", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_part_supplier_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_predicates", "q20_excess_suppliers",
+    "q21_waiting_orders", "q22_global_sales_opportunity", "q2_min_cost_supplier",
+    "q4_order_priority_check", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_product_type_profit", "quality_classifier_train",
+    "range_join_click_attribution", "retrieval_bm25_topk", "retrieval_rrf_fusion",
+    "sample_weighted_documents", "scalar_string_funcs_part", "semantic_dedup_prune",
+    "set_union_nation_presence", "subquery_above_avg_orders", "table_column_stats",
+]
+
+# Round-5 priority order (kept below the staleness tiers; adds no new
+# names once the tiers above are consumed).
 _R05_PRIORITY = [
     # new in round 5 (second session)
     "privacy_k_anonymity", "events_timeseries_pearson_topk",
@@ -100,7 +148,7 @@ _R04_PRIORITY = [
 
 def _ordered():
     reg = load_all()
-    prio = [*_R05_PRIORITY, *_R04_PRIORITY]
+    prio = [*_R06_PRIORITY, *_R02_STALE, *_R05_PRIORITY, *_R04_PRIORITY]
     seen: set[str] = set()
     first = [
         n for n in prio

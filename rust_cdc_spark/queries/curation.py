@@ -3047,3 +3047,111 @@ def contamination_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fp_micro"),
     )
+
+
+# ── Round 6: label-propagation communities ─────────────────────────────
+
+_LPA_ITERS = 3
+
+
+def _lpa_iter_sql(prev: str, cur: int) -> str:
+    """One synchronous LPA round as a CTE pair: neighbor label counts,
+    then per-host argmax with (count DESC, label ASC) tie-break."""
+    return f"""
+    cnt{cur} AS (
+        SELECT s.host, l.lab, count(*) AS c
+        FROM sym s JOIN {prev} l ON l.host = s.nb
+        GROUP BY s.host, l.lab
+    ),
+    l{cur} AS (
+        SELECT host, lab FROM (
+            SELECT host, lab,
+                   row_number() OVER (PARTITION BY host
+                                      ORDER BY c DESC, lab) AS rn
+            FROM cnt{cur}
+        ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "host_graph_label_propagation",
+    oracle=f"""
+    WITH raw AS (
+        SELECT DISTINCT {_PR_SRC} AS src, {_PR_DST} AS dst
+        FROM documents
+    ),
+    edges AS (SELECT src, dst FROM raw WHERE src <> dst),
+    sym AS (
+        SELECT src AS host, dst AS nb FROM edges
+        UNION
+        SELECT dst AS host, src AS nb FROM edges
+    ),
+    l0 AS (SELECT DISTINCT host, host AS lab FROM sym),
+    {",".join(_lpa_iter_sql(f"l{i}", i + 1) for i in range(_LPA_ITERS))},
+    sizes AS (
+        SELECT lab, CAST(count(*) AS BIGINT) AS community_size
+        FROM l{_LPA_ITERS} GROUP BY lab
+    )
+    SELECT l.host, CAST(l.lab AS BIGINT) AS community,
+           s.community_size
+    FROM l{_LPA_ITERS} l JOIN sizes s USING (lab)
+    """,
+)
+def host_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the undirected
+    host link graph — the cheap community detector curation pipelines
+    run next to PageRank/HITS (authority) and k-core (density): link
+    farms and mirror clusters collapse into one community label in a
+    handful of rounds. FIXED {it} synchronous rounds, labels
+    initialized to the host id, each round reassigning every host the
+    most frequent neighbor label with a deterministic
+    (count DESC, label ASC) tie-break — fully replayed by the oracle
+    as unrolled CTEs, no randomness, no convergence test.
+
+    Scale shape per round: one nb-keyed join of the |hosts|-sized
+    label table to the symmetrized edge list and one (host, label)
+    hash agg, then a bounded per-host argmax window partitioned BY
+    HOST — web-scale host graphs are millions of rows, comfortably
+    distributed; the doc scan happens once to build distinct edges
+    (checkpointed, the PageRank discipline).""".replace(
+        "{it}", str(_LPA_ITERS)
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    raw = docs.select(
+        F.expr(_PR_SRC).alias("src"), F.expr(_PR_DST).alias("dst")
+    ).distinct()
+    edges = raw.filter(F.col("src") != F.col("dst")).localCheckpoint()
+    sym = (
+        edges.select(F.col("src").alias("host"), F.col("dst").alias("nb"))
+        .union(edges.select(F.col("dst").alias("host"),
+                            F.col("src").alias("nb")))
+        .distinct()
+    )
+    lab = sym.select("host").distinct().select(
+        "host", F.col("host").alias("lab")
+    )
+    for _ in range(_LPA_ITERS):
+        cnt = (
+            sym.join(lab.withColumnRenamed("host", "nb"), "nb")
+            .groupBy("host", "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        lab = (
+            cnt.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("host")
+                    .orderBy(F.col("c").desc(), "lab")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("host", "lab")
+        )
+    sizes = lab.groupBy("lab").agg(
+        F.count("*").cast("bigint").alias("community_size")
+    )
+    return lab.join(sizes, "lab").select(
+        "host",
+        F.col("lab").cast("bigint").alias("community"),
+        "community_size",
+    )

@@ -2216,3 +2216,96 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("below_k10_micro"),
         )
     )
+
+
+# ── Round 6: join-size estimation (planner primitive) ──────────────────
+
+
+@register(
+    "join_size_estimate",
+    oracle="""
+    WITH lo AS (
+        SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS co
+        FROM orders GROUP BY 1
+    ),
+    ll AS (
+        SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cl
+        FROM lineitem GROUP BY 1
+    ),
+    prod AS (
+        SELECT lo.k, lo.co, ll.cl, lo.co * ll.cl AS p
+        FROM lo JOIN ll USING (k)
+    ),
+    skew AS (
+        SELECT k AS top_skew_key, p AS top_skew_rows,
+               row_number() OVER (ORDER BY p DESC, k) AS rn
+        FROM prod
+    )
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_left,
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_right,
+        (SELECT CAST(count(*) AS BIGINT) FROM prod) AS n_join_keys,
+        (SELECT CAST(sum(p) AS BIGINT) FROM prod) AS predicted_join_rows,
+        (SELECT CAST(max(co) AS BIGINT) FROM prod) AS max_left_mult,
+        (SELECT CAST(max(cl) AS BIGINT) FROM prod) AS max_right_mult,
+        (SELECT CAST(top_skew_key AS BIGINT) FROM skew WHERE rn = 1)
+            AS top_skew_key,
+        (SELECT CAST(top_skew_rows AS BIGINT) FROM skew WHERE rn = 1)
+            AS top_skew_rows
+    """,
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation without executing the join — the
+    query-planner primitive behind broadcast/shuffle/salt decisions:
+    |R ⋈ S| on a key equals Σ_k cnt_R(k)·cnt_S(k), computable from two
+    per-key count aggregates whose shuffle carries ONE ROW PER KEY
+    instead of every payload row. Also surfaces the per-side maximum
+    key multiplicity and the single worst skew key — exactly the
+    numbers that decide whether the real join needs AQE skew handling
+    or salting (join_salted_orders_lineitem is the mitigation this
+    query justifies).
+
+    At 100 TB this runs as two map-side-combined count aggs + a
+    key-keyed merge join of the (much smaller) count tables — the
+    cheap dry-run you do BEFORE committing to a multi-hour join.
+
+    Spark-side scalars assemble via broadcast 1-row crossJoins (no
+    collect); the skew argmax is a min(struct) agg, not a global
+    window."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    lo = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").cast("bigint").alias("co")
+    )
+    ll = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").cast("bigint").alias("cl")
+    )
+    prod = lo.join(ll, "k").select(
+        "k", "co", "cl", (F.col("co") * F.col("cl")).alias("p")
+    )
+    stats = prod.agg(
+        F.count("*").cast("bigint").alias("n_join_keys"),
+        F.sum("p").cast("bigint").alias("predicted_join_rows"),
+        F.max("co").cast("bigint").alias("max_left_mult"),
+        F.max("cl").cast("bigint").alias("max_right_mult"),
+    )
+    # argmax(p) with min-key tie-break as a single min(struct) agg on
+    # (-p, k) — avoids a partition-less rank window
+    skew = prod.agg(
+        F.min(F.struct((-F.col("p")).alias("negp"), F.col("k"))).alias("b")
+    ).select(
+        F.col("b.k").cast("bigint").alias("top_skew_key"),
+        (-F.col("b.negp")).cast("bigint").alias("top_skew_rows"),
+    )
+    counts = orders.agg(
+        F.count("*").cast("bigint").alias("n_left")
+    ).crossJoin(li.agg(F.count("*").cast("bigint").alias("n_right")))
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(skew))
+        .select(
+            "n_left", "n_right", "n_join_keys", "predicted_join_rows",
+            "max_left_mult", "max_right_mult", "top_skew_key",
+            "top_skew_rows",
+        )
+    )

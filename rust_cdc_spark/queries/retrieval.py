@@ -1314,3 +1314,121 @@ def ccnet_perplexity_tails(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").cast("bigint").alias("lo_mean_micro"),
         F.max("v").cast("bigint").alias("hi_mean_micro"),
     )
+
+
+# ── Round 6: query-likelihood language-model ranking ───────────────────
+
+_QL_MU = 300  # Dirichlet smoothing pseudo-length (Zhai & Lafferty 2001)
+
+
+@register(
+    "retrieval_query_likelihood",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    tf AS (
+        SELECT b.doc_id, len(b.toks) AS dl, q.term,
+               len(list_filter(b.toks, x -> x = q.term)) AS tf
+        FROM base b CROSS JOIN (
+            SELECT unnest([{", ".join(f"'{t}'" for t in _QUERY_TERMS)}])
+                AS term) q
+    ),
+    cf AS (
+        SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+        FROM tf GROUP BY term
+    ),
+    scal AS (
+        SELECT CAST(sum(dl) AS BIGINT) AS c_len
+        FROM (SELECT DISTINCT doc_id, dl FROM tf)
+    ),
+    contrib AS (
+        SELECT t.doc_id,
+               CAST(round(
+                   ln((t.tf + {_QL_MU} * (CAST(c.cf AS DOUBLE) / s.c_len))
+                      / (t.dl + {_QL_MU}))
+                   * 1e6) AS BIGINT) AS micro
+        FROM tf t JOIN cf c USING (term) CROSS JOIN scal s
+    ),
+    ql AS (
+        SELECT doc_id, sum(micro) AS micro FROM contrib GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, micro,
+               row_number() OVER (ORDER BY micro DESC, doc_id) AS rank
+        FROM ql
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+           round(micro / 1e6, 6) AS ql_logprob
+    FROM ranked WHERE rank <= {_TOP}
+    """,
+)
+def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents under the Dirichlet-smoothed query-likelihood
+    language model (Zhai & Lafferty 2001): score(q,d) = Σ_t ln((tf_td +
+    μ·cf_t/|C|)/(dl_d + μ)) — the probabilistic sibling of BM25 and the
+    second classic lexical ranker every retrieval stack offers. Unlike
+    BM25 it scores EVERY document (smoothing gives unseen terms mass),
+    so it exercises the all-docs ranking path.
+
+    Same float discipline as BM25: one ln per (doc, term), quantized to
+    integer micro before the per-doc sum; ranks order by the micro
+    integer with a doc_id tie-break.
+
+    Scale shape: identical to BM25 — per-term tf via codegen array
+    filters in the same map stage as doc length (no explode, no join
+    for a bounded query-term set); cf per term (|terms| rows) and the
+    corpus-length scalar broadcast back; one doc-keyed integer sum;
+    top-k via TakeOrderedAndProject."""
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id",
+        F.expr(_TOKS_SPARK).alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("term"),
+                        F.size(
+                            F.filter(F.col("toks"), lambda x: x == F.lit(t))
+                        ).alias("tf"),
+                    )
+                    for t in _QUERY_TERMS
+                ]
+            )
+        ),
+    )
+    cf = base.groupBy("term").agg(F.sum("tf").cast("bigint").alias("cf"))
+    scal = base.filter(F.col("term") == _QUERY_TERMS[0]).agg(
+        F.sum("dl").cast("bigint").alias("c_len")
+    )
+    contrib = (
+        base.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("tf")
+                     + _QL_MU * (F.col("cf").cast("double") / F.col("c_len")))
+                    / (F.col("dl") + _QL_MU)
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("micro"),
+        )
+    )
+    ql = contrib.groupBy("doc_id").agg(F.sum("micro").alias("micro"))
+    top = ql.orderBy(F.col("micro").desc(), "doc_id").limit(_TOP)
+    return top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("micro").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("rank"),
+        F.round(F.col("micro") / 1e6, 6).alias("ql_logprob"),
+    )

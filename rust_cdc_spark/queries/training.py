@@ -2467,3 +2467,119 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("covered * 1000000 div total_occ").alias("coverage_ppm"),
         )
     )
+
+
+# ── Round 6: nearest-centroid classifier eval ──────────────────────────
+
+
+@register(
+    "embedding_centroid_classifier_eval",
+    # Label centroids in exact integer micros (floor(x·10⁶) per
+    # component, integer mean with truncating div), L2² in BIGINT —
+    # zero float sums anywhere, so the confusion matrix is bit-stable
+    # under any aggregation order (the PCA/k-means exact-integer
+    # discipline applied to supervised eval).
+    oracle="""
+    WITH qm AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                             AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    idx AS (
+        SELECT unnest(range(1,
+            (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i
+    ),
+    comp AS (
+        SELECT q.label, x.i, q.v[x.i] AS c
+        FROM qm q CROSS JOIN idx x
+    ),
+    cent AS (
+        SELECT label, i, sum(c) // count(*) AS c
+        FROM comp GROUP BY label, i
+    ),
+    cvec AS (
+        SELECT label AS plab, list(c ORDER BY i) AS cv
+        FROM cent GROUP BY label
+    ),
+    scored AS (
+        SELECT q.vec_id, q.label, c.plab,
+               list_sum(list_transform(range(1, len(q.v) + 1),
+                   i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])))
+                   AS dist
+        FROM qm q CROSS JOIN cvec c
+    ),
+    assigned AS (
+        SELECT vec_id, label, plab,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, plab) AS rn
+        FROM scored
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(plab AS BIGINT) AS predicted,
+           CAST(count(*) AS BIGINT) AS n
+    FROM assigned WHERE rn = 1
+    GROUP BY label, plab
+    """,
+)
+def embedding_centroid_classifier_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classifier confusion matrix over the
+    labeled embedding table: per-label mean vector, every vector
+    assigned to its nearest centroid by exact-integer L2², confusion
+    counts (label, predicted, n) — the "are these labels separable in
+    embedding space" sanity eval run before training a probe, and the
+    supervised complement of embedding_kmeans_assign (which uses
+    unsupervised seed centroids).
+
+    Exactness: components are quantized to integer micros BEFORE the
+    mean (truncating integer division), distances are BIGINT sums of
+    squared integer differences, argmin tie-breaks on label — no
+    float aggregation order anywhere in the plan.
+
+    Scale shape: centroids via a (label, dim)-keyed integer agg over
+    the posexploded components (map-side combined, |labels|·dims
+    result rows — model-scale), broadcast back; assignment is one
+    codegen zip_with per (vector, label) against the ≤|labels|-row
+    broadcast; confusion is a (label, predicted) hash agg. No
+    all-pairs anything; the only data-scale pass is the scan."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qm = emb.select(
+        "vec_id", "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(floor(cast(x as double) * 1000000) as bigint))"
+        ).alias("v"),
+    )
+    comp = qm.select(
+        "label", F.posexplode("v").alias("i", "c")
+    )
+    cent = comp.groupBy("label", "i").agg(
+        F.expr("sum(c) div count(*)").alias("c")
+    )
+    cvec = cent.groupBy(F.col("label").alias("plab")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, c))), s -> s.c)"
+        ).alias("cv")
+    )
+    scored = qm.crossJoin(F.broadcast(cvec)).select(
+        "vec_id", "label", "plab",
+        F.expr(
+            "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("dist"),
+    )
+    assigned = (
+        scored.groupBy("vec_id", "label")
+        .agg(F.min(F.struct("dist", "plab")).alias("b"))
+        .select("label", F.col("b.plab").alias("predicted"))
+    )
+    return assigned.groupBy("label", "predicted").agg(
+        F.count("*").cast("bigint").alias("n")
+    ).select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("predicted").cast("bigint").alias("predicted"),
+        "n",
+    )

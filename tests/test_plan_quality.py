@@ -524,6 +524,16 @@ GLOBAL_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
         "running count over the distinct token-FREQUENCY value histogram"
         " — O(sqrt(corpus tokens)) rows by Heaps/Zipf, not corpus size",
     ),
+    "retrieval_query_likelihood": (
+        1,
+        "rank over the <=k-row TakeOrdered result heap (the BM25"
+        " pattern)",
+    ),
+    "text_zipf_slope": (
+        1,
+        "rank over the <=100-row top-term set (TakeOrdered prunes"
+        " upstream; the fit itself is a scalar agg)",
+    ),
 }
 
 
