@@ -172,3 +172,128 @@ def file_pruning_fraction(path: str, col: str, lo, hi) -> float:
         if mins is not None and (max(maxs) < lo or min(mins) > hi):
             skipped += 1
     return skipped / total if total else 0.0
+
+
+# ── Hilbert curve key (round 6) ────────────────────────────────────────
+#
+# Z-order's weakness is the "seam jump": consecutive Morton codes can
+# be far apart in space (the key wraps across quadrant boundaries), so
+# a file holding a key range can still span a wide hyper-rectangle.
+# The Hilbert curve is the locality-optimal space-filling curve —
+# consecutive keys are ALWAYS adjacent cells — which tightens per-file
+# bounding boxes and improves min/max pruning on range predicates
+# (Iceberg and Databricks "liquid clustering" both offer Hilbert for
+# exactly this reason).
+#
+# The xy2d walk (Wikipedia formulation) is a 12-step fold over the
+# halving quadrant size s, with state (d, x, y). The state is packed
+# into ONE BIGINT — d·2²⁶ + x·2¹³ + y (12-bit grid → d < 2²⁴,
+# x,y < 2¹²) — because the portable fold needs accumulator type ==
+# element type in DuckDB's list_reduce, and DuckDB 1.0.0 miscomputes
+# struct lambdas with swap dependencies (see queries/timeseries.py
+# _holt_lambda). The XOR in d += s²·((3rx) ^ ry) is replaced by the
+# arithmetic identity 3rx + ry − 2·rx·ry (equal on {0,1}²), keeping
+# the expression pure +−·/ for both engines. rx/ry/the rotation are
+# let-bound via single-element transform() so each decode happens
+# once per step.
+
+HILBERT_BITS = 12
+_H_N = 1 << HILBERT_BITS          # grid side
+_H_CD = 1 << 26                   # d field shift in the packed state
+_H_CX = 1 << 13                   # x field shift
+_H_M = 1 << 13                    # field modulus
+
+
+def _hilbert_lambda(flavor: str) -> str:
+    """One xy2d step over the packed state. ``flavor`` is 'spark' or
+    'duckdb' — identical arithmetic, dialect-specific spellings
+    (div vs //, named_struct vs {}, transform vs list_transform,
+    0- vs 1-based single-element indexing)."""
+    if flavor == "spark":
+        div, tr, idx = "div", "transform", "[0]"
+        st1 = ("named_struct('d', a {div} {CD}, 'x', (a {div} {CX}) % {M},"
+               " 'y', a % {M}, 's', s)")
+        st2 = ("named_struct('d', v.d, 'x', v.x, 'y', v.y, 's', v.s,"
+               " 'rx', CASE WHEN (v.x & v.s) > 0 THEN 1L ELSE 0L END,"
+               " 'ry', CASE WHEN (v.y & v.s) > 0 THEN 1L ELSE 0L END)")
+        arr = "array({x})"
+    else:
+        div, tr, idx = "//", "list_transform", "[1]"
+        st1 = ("{{'d': a {div} {CD}, 'x': (a {div} {CX}) % {M},"
+               " 'y': a % {M}, 's': s}}")
+        st2 = ("{'d': v.d, 'x': v.x, 'y': v.y, 's': v.s,"
+               " 'rx': CASE WHEN (v.x & v.s) > 0 THEN 1 ELSE 0 END,"
+               " 'ry': CASE WHEN (v.y & v.s) > 0 THEN 1 ELSE 0 END}")
+        arr = "[{x}]"
+    st1 = st1.format(div=div, CD=_H_CD, CX=_H_CX, M=_H_M)
+    body = (
+        f"(w.d + w.s * w.s * (3 * w.rx + w.ry - 2 * w.rx * w.ry)) * {_H_CD}"
+        f" + (CASE WHEN w.ry = 0 THEN (CASE WHEN w.rx = 1"
+        f" THEN {_H_N - 1} - w.y ELSE w.y END) ELSE w.x END) * {_H_CX}"
+        f" + (CASE WHEN w.ry = 0 THEN (CASE WHEN w.rx = 1"
+        f" THEN {_H_N - 1} - w.x ELSE w.x END) ELSE w.y END)"
+    )
+    return (
+        f"(a, s) -> {tr}({arr.format(x=st1)},"
+        f" v -> {tr}({arr.format(x=st2)}, w -> {body}){idx}){idx}"
+    )
+
+
+def _hilbert_svals(flavor: str) -> str:
+    s = ", ".join(
+        (f"{1 << i}L" if flavor == "spark" else f"CAST({1 << i} AS BIGINT)")
+        for i in range(HILBERT_BITS - 1, -1, -1)
+    )
+    return f"array({s})" if flavor == "spark" else f"[{s}]"
+
+
+def hilbert_key_sql(x: str, y: str, flavor: str) -> str:
+    """Full xy2d expression over two {HILBERT_BITS}-bit grid coordinate
+    expressions, in either dialect."""
+    fold = "aggregate" if flavor == "spark" else "list_reduce"
+    init = f"(CAST({x} AS BIGINT) * {_H_CX} + CAST({y} AS BIGINT))"
+    if flavor == "spark":
+        return (
+            f"aggregate({_hilbert_svals(flavor)}, {init},"
+            f" {_hilbert_lambda(flavor)}) div {_H_CD}"
+        )
+    return (
+        f"list_reduce(list_prepend({init}, {_hilbert_svals(flavor)}),"
+        f" {_hilbert_lambda(flavor)}) // {_H_CD}"
+    )
+
+
+def with_hilbert_key(
+    df: DataFrame, cols: list[str], key_col: str = "hkey"
+) -> DataFrame:
+    """Append a Hilbert clustering key over exactly two columns scaled
+    by their own min/max onto the {HILBERT_BITS}-bit grid — the
+    locality-optimal alternative to :func:`with_zorder_key` (same
+    bounds discipline: one scalar agg broadcast back, no collect)."""
+    assert len(cols) == 2, "Hilbert key is 2-D (use zorder for n-D)"
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).cast("long").alias(f"__lo_{c}"),
+            F.max(c).cast("long").alias(f"__hi_{c}"),
+        ]
+    joined = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    gx, gy = [
+        scale_to_grid(
+            F.col(c).cast("long"),
+            F.col(f"__lo_{c}"),
+            F.col(f"__hi_{c}"),
+            HILBERT_BITS,
+        )
+        for c in cols
+    ]
+    return (
+        joined.withColumn("__gx", gx)
+        .withColumn("__gy", gy)
+        .withColumn(
+            key_col,
+            F.expr(hilbert_key_sql("__gx", "__gy", "spark")).cast("long"),
+        )
+        .drop("__gx", "__gy",
+              *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])
+    )

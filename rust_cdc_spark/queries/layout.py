@@ -59,3 +59,54 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     keyed = L.with_zorder_key(ev, ["user_id", "event_id"], bits=16)
     return keyed.select("event_id", F.col("zkey").cast("long").alias("zkey"))
+
+
+def _grid12(col: str, lo: str, hi: str) -> str:
+    """SQL mirror of operators/layout.scale_to_grid (bits=12, the
+    Hilbert grid)."""
+    frac = (
+        f"CASE WHEN ({hi} - {lo}) > 0 THEN "
+        f"CAST({col} - {lo} AS DOUBLE) / CAST({hi} - {lo} AS DOUBLE) "
+        f"ELSE 0.0 END"
+    )
+    return (
+        f"LEAST(GREATEST(CAST(floor(({frac}) * 4096) AS BIGINT), 0), 4095)"
+    )
+
+
+@register(
+    "layout_hilbert_key",
+    oracle=f"""
+    WITH b AS (
+        SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
+               min(event_id) AS lo_e, max(event_id) AS hi_e
+        FROM events
+    ),
+    g AS (
+        SELECT event_id,
+               {_grid12('user_id', 'lo_u', 'hi_u')} AS gu,
+               {_grid12('event_id', 'lo_e', 'hi_e')} AS ge
+        FROM events, b
+    )
+    SELECT event_id,
+           CAST({L.hilbert_key_sql('gu', 'ge', 'duckdb')} AS BIGINT) AS hkey
+    FROM g
+    """,
+)
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering key over (user_id, event_id) on a 12-bit
+    grid — the locality-optimal alternative to `layout_zorder_key`:
+    consecutive keys are always ADJACENT cells (no Morton seam jumps),
+    so range-partitioned files get tighter per-file bounding boxes and
+    better min/max pruning on both dimensions (the Iceberg/liquid-
+    clustering layout option). The xy2d walk runs as a 12-step packed
+    BIGINT fold in pure codegen arithmetic — XOR replaced by an
+    arithmetic identity so DuckDB replays the exact key
+    (operators/layout.py:_hilbert_lambda).
+
+    Scale shape: one tiny min/max agg broadcast back, then a pure map
+    stage — same cost model as the z-order key; the clustered write
+    itself is repartitionByRange on the key."""
+    ev = load_table(spark, "events", sf_dir)
+    keyed = L.with_hilbert_key(ev, ["user_id", "event_id"])
+    return keyed.select("event_id", F.col("hkey").cast("long").alias("hkey"))

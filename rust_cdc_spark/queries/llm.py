@@ -2712,3 +2712,90 @@ def docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("aggregate(fps, 0L, (a, b) -> a + b)"), F.lit(0)
         ).cast("bigint").alias("fp_sum"),
     )
+
+
+@register(
+    "dedup_lsh_cost_estimate",
+    # The join_size_estimate idea applied to the LSH self-join: the
+    # banded index's per-band bucket histogram predicts the candidate
+    # volume Σ c·(c−1)/2 BEFORE running the pair join — the dry-run
+    # that tells you whether a df-cap / bucket-cap is needed at this
+    # corpus's duplication profile. Signature arithmetic is the exact
+    # BIGINT minhash convention, so DuckDB replays the whole index.
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+                  FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ')
+                              for i in range(1, greatest(len(t) - 2, 1) + 1)])
+                   AS ss
+        FROM toks
+    ),
+    hsx AS (SELECT doc_id, {DD.MINHASH_HS_SQL} AS hs FROM sh),
+    sig AS (SELECT doc_id, {DD.minhash_sig_sql(16)} AS sg FROM hsx),
+    banded AS (
+        SELECT doc_id, r.b AS band_id,
+               md5(sg[4*r.b+1] || '|' || sg[4*r.b+2] || '|'
+                   || sg[4*r.b+3] || '|' || sg[4*r.b+4]) AS band_hash
+        FROM sig, range(0, 4) r(b)
+    ),
+    buckets AS (
+        SELECT band_id, band_hash, CAST(count(*) AS BIGINT) AS c
+        FROM banded GROUP BY band_id, band_hash
+    )
+    SELECT CAST(band_id AS BIGINT) AS band_id,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_colliding_buckets,
+           CAST(max(c) AS BIGINT) AS max_bucket,
+           CAST(sum(c * (c - 1) / 2) AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY band_id
+    """,
+)
+def dedup_lsh_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-volume prediction for the MinHash-LSH self-join —
+    join_size_estimate's sibling for the dedup path: per band, the
+    bucket histogram of the (band_id, band_hash) index and the implied
+    candidate-pair count Σ c·(c−1)/2. On a crawl with heavy
+    duplication this number explodes quadratically (the SCALE.md
+    "duplication explosion" finding) — this dry-run costs one
+    signature pass + a bucket-keyed count agg, and is what decides
+    bucket caps before committing to the pair join.
+
+    Scale shape: the signature pass is the same linear map stage the
+    real index pays; the histogram shuffles one row per DISTINCT
+    bucket (map-side combined); the per-band rollup is |bands| rows.
+    Nothing pairwise runs."""
+    docs = load_table(spark, "documents", sf_dir)
+    sig = DD.minhash_signatures(docs, "text", "doc_id", 3, 16)
+    r, bands = 4, 4
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.md5(F.concat_ws(
+                        "|", *[F.col("sig")[b * r + j] for j in range(r)]
+                    )).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    buckets = banded.groupBy("band_id", "band_hash").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    return buckets.groupBy("band_id").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("bigint")
+        .alias("n_colliding_buckets"),
+        F.max("c").cast("bigint").alias("max_bucket"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint")
+        .alias("candidate_pairs"),
+    ).select(
+        F.col("band_id").cast("bigint").alias("band_id"),
+        "n_buckets", "n_colliding_buckets", "max_bucket",
+        "candidate_pairs",
+    )

@@ -2309,3 +2309,109 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_skew_rows",
         )
     )
+
+
+@register(
+    "part_demand_croston",
+    # Croston's method for INTERMITTENT demand: separate SES smoothers
+    # over (a) non-zero demand sizes and (b) inter-demand intervals,
+    # forecast rate = size_level / interval_level. α = 1/4 dyadic, so
+    # both recursions are exact BIGINT scalar folds (the SES
+    # convention); rate in integer micros with NULL when a part has a
+    # single demand day (interval undefined — the NULLIF discipline).
+    oracle="""
+    WITH daily AS (
+        SELECT l_partkey AS part,
+               CAST(date_trunc('day', l_shipdate) AS DATE)
+                   - DATE '1970-01-01' AS d,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT part,
+               list(q ORDER BY d) AS zs,
+               list(d ORDER BY d) AS ds
+        FROM daily GROUP BY part
+    ),
+    gaps AS (
+        SELECT part, zs, len(zs) AS n_demand_days,
+               CASE WHEN len(ds) >= 2
+                    THEN list_transform(range(2, len(ds) + 1),
+                                        i -> ds[i] - ds[i-1])
+                    ELSE [] END AS ps
+        FROM series
+    ),
+    fit AS (
+        SELECT part, n_demand_days,
+               list_reduce(zs, (l, x) -> (x + 3 * l) // 4) AS z_level,
+               CASE WHEN len(ps) >= 1
+                    THEN list_reduce(CAST(ps AS BIGINT[]),
+                                     (l, x) -> (x + 3 * l) // 4)
+                    ELSE NULL END AS p_level
+        FROM gaps
+    )
+    SELECT part, CAST(n_demand_days AS BIGINT) AS n_demand_days,
+           CAST(z_level AS BIGINT) AS size_level_qty,
+           CAST(p_level AS BIGINT) AS interval_level_days,
+           CAST((1000000 * z_level) // NULLIF(p_level, 0) AS BIGINT)
+               AS rate_micro_per_day
+    FROM fit
+    """,
+)
+def part_demand_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast per part — the method
+    supply chains use when most days have ZERO demand (plain SES
+    decays toward zero between orders and over-forecasts right after
+    one): smooth the non-zero demand sizes and the gaps between them
+    separately, forecast rate = size/interval. Parts with one demand
+    day get NULL interval/rate rather than a fabricated number.
+
+    Scale shape: one (part, day) rollup (map-side combined), one
+    part-keyed ordered small-K collect (demand days per part are
+    calendar-bounded), two scalar BIGINT folds per part. The
+    sessionize/SES cost model — linear in lineitem, parallel in
+    parts, zero windows."""
+    li = load_table(spark, "lineitem", sf_dir)
+    daily = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.expr("datediff(to_date(l_shipdate), DATE'1970-01-01')").alias("d"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    series = daily.groupBy("part").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, q))), s -> s.q)"
+        ).alias("zs"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, q))),"
+            " s -> cast(s.d as bigint))"
+        ).alias("ds"),
+    )
+    gaps = series.select(
+        "part", "zs",
+        F.size("zs").cast("bigint").alias("n_demand_days"),
+        F.expr(
+            "CASE WHEN size(ds) >= 2 THEN"
+            " transform(sequence(2, size(ds)),"
+            "           i -> element_at(ds, i) - element_at(ds, i - 1))"
+            " ELSE array() END"
+        ).alias("ps"),
+    )
+    fit = gaps.select(
+        "part", "n_demand_days",
+        F.expr(
+            "aggregate(slice(zs, 2, greatest(size(zs) - 1, 0)), zs[0],"
+            " (l, x) -> (x + 3L * l) div 4L)"
+        ).cast("bigint").alias("z_level"),
+        F.expr(
+            "CASE WHEN size(ps) >= 1 THEN"
+            " aggregate(slice(ps, 2, greatest(size(ps) - 1, 0)), ps[0],"
+            " (l, x) -> (x + 3L * l) div 4L)"
+            " ELSE NULL END"
+        ).cast("bigint").alias("p_level"),
+    )
+    return fit.select(
+        "part", "n_demand_days",
+        F.col("z_level").alias("size_level_qty"),
+        F.col("p_level").alias("interval_level_days"),
+        F.expr("(1000000 * z_level) div nullif(p_level, 0)")
+        .cast("bigint").alias("rate_micro_per_day"),
+    )

@@ -2042,3 +2042,81 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("bigint"))
         .alias("z_micro"),
     )
+
+
+@register(
+    "events_audience_overlap",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM ut GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ta.n AS n_a, tb.n AS n_b,
+           CAST((1000000 * p.n_both)
+                // (ta.n + tb.n - p.n_both) AS BIGINT) AS jaccard_micro
+    FROM pairs p
+    JOIN tot ta ON ta.event_type = p.type_a
+    JOIN tot tb ON tb.event_type = p.type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, how many
+    users do BOTH (intersection size + Jaccard in integer micros) —
+    the segment-overlap table behind funnel design and campaign
+    targeting ("are clickers and purchasers the same people?").
+
+    Scale shape: ONE user-keyed distinct-type agg (the sessionize
+    partitioning), then the pair expansion happens map-side per user
+    over the ≤|types| sorted set (≤ |types|²/2 rows per user, |types|
+    is single digits) into a (type_a, type_b) hash agg — the
+    per-user-set explode beats a user-keyed self-join because the
+    shuffle carries type-pair COUNTS, not user rows, after the
+    map-side combine. Totals broadcast back; denominator arithmetic is
+    exact BIGINT (the inclusion-exclusion union)."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    ts = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ts")
+    )
+    pairs = (
+        ts.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (x, i) ->"
+                    " transform(slice(ts, i + 2, size(ts)),"
+                    "           y -> struct(x AS type_a, y AS type_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    tot = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(tot.withColumnRenamed("event_type", "type_a")
+                        .withColumnRenamed("n", "n_a")), "type_a")
+        .join(
+            F.broadcast(tot.withColumnRenamed("event_type", "type_b")
+                        .withColumnRenamed("n", "n_b")), "type_b")
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            F.expr("(1000000 * n_both) div (n_a + n_b - n_both)")
+            .cast("bigint").alias("jaccard_micro"),
+        )
+    )
