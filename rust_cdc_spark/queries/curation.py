@@ -3155,3 +3155,137 @@ def host_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lab").cast("bigint").alias("community"),
         "community_size",
     )
+
+
+@register(
+    "host_graph_modularity",
+    # Newman modularity of the LPA community assignment:
+    #   Q = Σ_c (e_c/m − (d_c/2m)²)
+    # over the symmetrized simple graph (m = |undirected edges|, e_c =
+    # intra-community edges, d_c = total degree in c). Exact rational
+    # arithmetic: Q·10⁶ = Σ_c (e_c·4m − d_c²)·10⁶ / (4m²) with every
+    # numerator term BIGINT, one integer division at the end — no
+    # doubles anywhere.
+    oracle=f"""
+    WITH raw AS (
+        SELECT DISTINCT {_PR_SRC} AS src, {_PR_DST} AS dst
+        FROM documents
+    ),
+    edges AS (SELECT src, dst FROM raw WHERE src <> dst),
+    sym AS (
+        SELECT src AS host, dst AS nb FROM edges
+        UNION
+        SELECT dst AS host, src AS nb FROM edges
+    ),
+    l0 AS (SELECT DISTINCT host, host AS lab FROM sym),
+    {",".join(_lpa_iter_sql(f"l{i}", i + 1) for i in range(_LPA_ITERS))},
+    und AS (
+        SELECT host AS a, nb AS b FROM sym WHERE host < nb
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+    intra AS (
+        SELECT la.lab, CAST(count(*) AS BIGINT) AS e_c
+        FROM und u
+        JOIN l{_LPA_ITERS} la ON la.host = u.a
+        JOIN l{_LPA_ITERS} lb ON lb.host = u.b
+        WHERE la.lab = lb.lab
+        GROUP BY la.lab
+    ),
+    deg AS (
+        SELECT l.lab, CAST(count(*) AS BIGINT) AS d_c
+        FROM sym s JOIN l{_LPA_ITERS} l ON l.host = s.host
+        GROUP BY l.lab
+    ),
+    terms AS (
+        SELECT d.lab,
+               coalesce(i.e_c, 0) AS e_c,
+               d.d_c
+        FROM deg d LEFT JOIN intra i ON i.lab = d.lab
+    )
+    SELECT CAST((SELECT count(*) FROM terms) AS BIGINT) AS n_communities,
+           (SELECT m FROM m) AS n_edges,
+           CAST((SELECT sum(e_c) FROM terms) AS BIGINT) AS intra_edges,
+           CAST((SELECT sum(e_c * 4 * m.m - d_c * d_c) * 1000000
+                 FROM terms, m) // (SELECT 4 * m * m FROM m)
+                AS BIGINT) AS modularity_micro
+    """,
+)
+def host_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities — the
+    standard "is this partition better than random" score that makes
+    `host_graph_label_propagation` *evaluable* (the approx-operator-QA
+    pattern: every clustering the pipeline ships gets a quality
+    number). Q = Σ_c (e_c/m − (d_c/2m)²) computed entirely in exact
+    BIGINT rational arithmetic — numerators scaled by 4m·10⁶, ONE
+    integer division at the end, so both engines agree bit-for-bit.
+
+    Scale shape: re-runs the 3 LPA rounds (host-scale joins), then an
+    edge→community join and two |communities|-sized aggs; the scalar
+    assembly is broadcast 1-row frames. Nothing beyond the LPA cost
+    itself."""
+    docs = load_table(spark, "documents", sf_dir)
+    raw = docs.select(
+        F.expr(_PR_SRC).alias("src"), F.expr(_PR_DST).alias("dst")
+    ).distinct()
+    edges = raw.filter(F.col("src") != F.col("dst")).localCheckpoint()
+    sym = (
+        edges.select(F.col("src").alias("host"), F.col("dst").alias("nb"))
+        .union(edges.select(F.col("dst").alias("host"),
+                            F.col("src").alias("nb")))
+        .distinct()
+    )
+    lab = sym.select("host").distinct().select(
+        "host", F.col("host").alias("lab")
+    )
+    for _ in range(_LPA_ITERS):
+        cnt = (
+            sym.join(lab.withColumnRenamed("host", "nb"), "nb")
+            .groupBy("host", "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        lab = (
+            cnt.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("host")
+                    .orderBy(F.col("c").desc(), "lab")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("host", "lab")
+        )
+    und = sym.filter(F.col("host") < F.col("nb")).select(
+        F.col("host").alias("a"), F.col("nb").alias("b")
+    )
+    m = und.agg(F.count("*").cast("bigint").alias("m"))
+    la = lab.select(F.col("host").alias("a"), F.col("lab").alias("lab_a"))
+    lb = lab.select(F.col("host").alias("b"), F.col("lab").alias("lab_b"))
+    intra = (
+        und.join(la, "a").join(lb, "b")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("lab"))
+        .agg(F.count("*").cast("bigint").alias("e_c"))
+    )
+    deg = (
+        sym.join(lab, "host")
+        .groupBy("lab")
+        .agg(F.count("*").cast("bigint").alias("d_c"))
+    )
+    terms = deg.join(intra, "lab", "left").select(
+        "lab",
+        F.coalesce(F.col("e_c"), F.lit(0)).cast("bigint").alias("e_c"),
+        "d_c",
+    )
+    summed = terms.crossJoin(F.broadcast(m)).agg(
+        F.count("*").cast("bigint").alias("n_communities"),
+        F.max("m").cast("bigint").alias("n_edges"),
+        F.sum("e_c").cast("bigint").alias("intra_edges"),
+        F.sum(
+            (F.col("e_c") * 4 * F.col("m") - F.col("d_c") * F.col("d_c"))
+        ).cast("bigint").alias("num"),
+    )
+    return summed.select(
+        "n_communities", "n_edges", "intra_edges",
+        F.expr("(num * 1000000) div (4 * n_edges * n_edges)")
+        .cast("bigint").alias("modularity_micro"),
+    )

@@ -2120,3 +2120,70 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("jaccard_micro"),
         )
     )
+
+
+_PATH_LEN = 4  # leading events per user in the path signature
+_PATH_TOP = 10
+
+
+@register(
+    "events_path_topk",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id,
+               list(event_type ORDER BY ts, event_id) AS evs
+        FROM events GROUP BY user_id
+    ),
+    paths AS (
+        SELECT user_id,
+               array_to_string(evs[1:{_PATH_LEN}], '>') AS path
+        FROM ordered
+    ),
+    counted AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        FROM paths GROUP BY path
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM paths)
+    SELECT path, n_users,
+           CAST((1000000 * n_users) // t AS BIGINT) AS share_micro
+    FROM counted, tot
+    ORDER BY n_users DESC, path LIMIT {_PATH_TOP}
+    """,
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the first {n} events of every user collapsed
+    to a path signature ("view>view>click>purchase"), ranked by user
+    count with share-of-users in integer micros — the path-analysis
+    view (Sankey input) that complements the FIRST-ORDER
+    events_transition_matrix: transitions say which step follows
+    which, paths say which WHOLE journeys dominate.
+
+    Scale shape: one user-keyed ordered small-K collect (the
+    SES/sessionize convention — per-user event counts are
+    human-bounded, and only the first {n} survive the slice), a
+    path-keyed hash agg whose shuffle carries one row per DISTINCT
+    path, and a top-k TakeOrderedAndProject. No windows at
+    all.""".replace("{n}", str(_PATH_LEN))
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    paths = ev.groupBy("user_id").agg(
+        F.expr(
+            "array_join(slice(transform(array_sort(collect_list("
+            "  struct(ts, event_id, event_type))), s -> s.event_type),"
+            f" 1, {_PATH_LEN}), '>')"
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    tot = paths.agg(F.count("*").cast("bigint").alias("t"))
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .select(
+            "path", "n_users",
+            F.expr("(1000000 * n_users) div t").cast("bigint")
+            .alias("share_micro"),
+        )
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(_PATH_TOP)
+    )

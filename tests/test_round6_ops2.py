@@ -189,3 +189,32 @@ class TestAudienceOverlap:
             ).collect()
         }
         assert ours == direct
+
+
+class TestModularity:
+    def test_bounds_and_consistency(self, spark):
+        r = load_all()["host_graph_modularity"].spark_fn(
+            spark, SF
+        ).collect()[0]
+        # Q ∈ [-0.5, 1] scaled to micro
+        assert -500_000 <= r.modularity_micro <= 1_000_000
+        assert 0 <= r.intra_edges <= r.n_edges
+        assert r.n_communities >= 1
+
+    def test_matches_lpa_community_count(self, spark):
+        reg = load_all()
+        lpa = reg["host_graph_label_propagation"].spark_fn(spark, SF)
+        n_comms = lpa.select("community").distinct().count()
+        r = reg["host_graph_modularity"].spark_fn(spark, SF).collect()[0]
+        assert r.n_communities == n_comms
+
+
+class TestPathTopk:
+    def test_shares_and_order(self, spark):
+        rows = load_all()["events_path_topk"].spark_fn(spark, SF).collect()
+        assert 0 < len(rows) <= 10
+        ns = [r.n_users for r in rows]
+        assert ns == sorted(ns, reverse=True)
+        for r in rows:
+            assert 0 < r.share_micro <= 1_000_000
+            assert 1 <= len(r.path.split(">")) <= 4
