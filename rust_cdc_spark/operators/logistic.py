@@ -41,7 +41,9 @@ def train_linear_model(
     """Batch-GD weights for a linear model p = w·[1, x...] under squared
     loss. Returns [(iteration, weights_after)] — weights include the
     leading bias term. Bit-deterministic (see module docstring)."""
-    n = df.count()
+    # empty training frame: zero gradients either way — n=1 keeps the
+    # update arithmetic defined and weights stay 0 (empty-tables sweep)
+    n = df.count() or 1
     feats = [F.lit(1.0), *[F.col(c).cast("double") for c in feature_cols]]
     w = [0.0] * len(feats)
     history: list[tuple[int, list[float]]] = []

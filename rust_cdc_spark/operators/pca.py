@@ -80,6 +80,11 @@ def moment_stats(
         .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
         .collect()
     )
+    if not srows:
+        # empty corpus: zero moments — train_components degrades to a
+        # zero-mean identity-free rotation and the (empty) projection
+        # emits zero rows (empty-tables sweep, round 6)
+        return 0, [0] * dim, [[0] * dim for _ in range(dim)]
     n = int(srows[0]["n"])
     S = [0] * dim
     for r in srows:
@@ -123,6 +128,7 @@ def train_components(
     which 24 power iterations can amplify into a flipped rounded
     output), left-fold chains,
     `sqrt` IEEE, zero-norm guarded, deflation as C - (λ·v_i)·v_j."""
+    n = n or 1  # zero moments on an empty corpus → zero mean/cov
     mean = [(float(S[i]) / n) / 1e6 for i in range(dim)]
     C = [
         [

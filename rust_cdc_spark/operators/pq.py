@@ -186,6 +186,11 @@ def train_pq(
         [[float(x) for x in r["v"]] for r in init if r["j"] == j]
         for j in range(m)
     ]
+    if not init:
+        # empty training corpus: one zero code per subspace keeps the
+        # encode/scoring expressions well-typed; scanning the (empty)
+        # corpus then yields zero rows (empty-tables sweep, round 6)
+        return [[[0.0] * d] for _ in range(m)]
     for _ in range(iters):
         if scorer == "codegen":
             # assignment first (the encode-shaped projection — one

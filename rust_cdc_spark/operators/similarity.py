@@ -199,6 +199,12 @@ def kmeans_centroids(
         .collect()
     )
     centroids = [[float(x) for x in r["v"]] for r in init_rows]
+    if not centroids:
+        # empty training corpus: a single zero centroid keeps every
+        # downstream scoring expression well-typed; the (empty) corpus
+        # scan then yields zero result rows with the normal schema
+        # (empty-tables sweep, round 6)
+        return [[0.0] * dim]
     for _ in range(iters):
         if scorer == "codegen":
             assigned = corpus.select(

@@ -576,7 +576,10 @@ def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic MERGE touching matched files only."""
     cdc = events_as_cdc(spark, sf_dir)
     max_pos = cdc.agg(F.max("log_pos")).first()[0]
-    thr = max_pos * 3 // 5
+    # max() over an empty log is NULL → None: split at 0 so both the
+    # prefix build and the batch apply see empty frames instead of a
+    # driver-side TypeError (empty-tables sweep, round 6)
+    thr = (max_pos or 0) * 3 // 5
     initial = cdc.filter(F.col("log_pos") <= thr)
     batch = cdc.filter(F.col("log_pos") > thr)
     hist = SCD.scd2_apply_batch(

@@ -1235,7 +1235,10 @@ def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # be a dangling reference).
     cb, codes = _pq_index(spark, sf_dir)
     probe_row = emb.filter(F.col("vec_id") == 0).first()
-    probe = [float(x) for x in probe_row.embedding]
+    # empty table → no probe vector: a zero probe keeps the scoring
+    # expressions typed and the empty scan yields zero rows
+    probe = ([float(x) for x in probe_row.embedding]
+             if probe_row else [0.0] * 64)
     pool = PQ.pq_topk(codes, cb, probe, k=max(64, n // 5))
     probe_lit = V.lit_doubles(probe)
     reranked = (
@@ -1282,7 +1285,10 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb, codes = _pq_index(spark, sf_dir)
     index = assigned.select("vec_id", "cid").join(codes, "vec_id")
     probe_row = emb.filter(F.col("vec_id") == 0).first()
-    probe = [float(x) for x in probe_row.embedding]
+    # empty table → no probe vector: a zero probe keeps the scoring
+    # expressions typed and the empty scan yields zero rows
+    probe = ([float(x) for x in probe_row.embedding]
+             if probe_row else [0.0] * 64)
     pool = PQ.ivf_pq_topk(index, cents, cb, probe, n_probe=4, k=64)
     probe_lit = V.lit_doubles(probe)
     reranked = (

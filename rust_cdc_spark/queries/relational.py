@@ -2072,7 +2072,7 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT chk AS check_name,
            CAST(n_violations AS BIGINT) AS n_violations,
            CAST(n_rows AS BIGINT) AS n_rows,
-           CAST((1000000 * n_violations) // n_rows AS BIGINT)
+           CAST((1000000 * n_violations) // NULLIF(n_rows, 0) AS BIGINT)
                AS viol_micro
     FROM checks
     """,
@@ -2110,7 +2110,7 @@ def integrity_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(name).alias("check_name"),
                 "n_violations",
                 "n_rows",
-                F.expr("(1000000 * n_violations) div n_rows")
+                F.expr("(1000000 * n_violations) div nullif(n_rows, 0)")
                 .cast("bigint")
                 .alias("viol_micro"),
             )

@@ -135,3 +135,32 @@ class TestRatioFamilyDegenerateSweep:
     def test_runs_at_sf0001(self, spark, name):
         df = load_all()[name].spark_fn(spark, "/root/testdata/sf0.001")
         df.collect()  # must not raise on degenerate distributions
+
+
+class TestEmptyTables:
+    """Spot-pin the empty-tables fixes (the full 243-query sweep lives
+    in tools/check_empty.py — too slow for the suite); these are the
+    seven operators that crashed on 0-row tables in round 6."""
+
+    @pytest.fixture(scope="class")
+    def empty_dir(self, spark, tmp_path_factory):
+        from tools.check_empty import build_empty_fixture
+
+        dst = str(tmp_path_factory.mktemp("empty_sf"))
+        build_empty_fixture(spark, "/root/testdata/sf0.001", dst)
+        return dst
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "cdc_scd2_incremental",
+            "similarity_ivf_topk",
+            "similarity_pq_rerank_topk",
+            "similarity_ivfpq_topk",
+            "integrity_referential_audit",
+            "quality_classifier_train",
+            "embedding_pca_abtt",
+        ],
+    )
+    def test_runs_on_empty_tables(self, spark, empty_dir, name):
+        load_all()[name].spark_fn(spark, empty_dir).collect()
