@@ -45,6 +45,7 @@ _R06_PRIORITY = [
     "embedding_centroid_classifier_eval", "dedup_lsh_cost_estimate",
     "events_audience_overlap", "part_demand_croston",
     "layout_hilbert_key", "host_graph_modularity", "events_path_topk",
+    "events_hll_mergeability",
     # 3 — stalest: last driver row is CORRECTNESS_r01
     "agg_cube_priority_status", "agg_distinct_lineitem", "agg_percentiles_by_status",
     "agg_rollup_returns", "asof_join_purchase_last_click", "cdc_collapse_last",

@@ -2187,3 +2187,67 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(_PATH_TOP)
     )
+
+
+@register(
+    "events_hll_mergeability",
+    # The property that makes sketch-based distinct counts usable at
+    # 100 TB is MERGEABILITY: per-partition (here per-day) sketches
+    # unioned together must answer like one pass over everything —
+    # that's what lets daily rollups serve "distinct users this
+    # quarter" without rescanning. DuckDB has no compatible HLL
+    # implementation, so the oracle checks the exact count plus the
+    # two INVARIANTS (merge within 2% of single-pass, bounded error vs
+    # exact) rather than the sketch bytes; both are deterministic for
+    # fixed data — Spark's DataSketches HLL is order-insensitive. The
+    # union is NOT bit-identical to one pass (measured at sf0.1:
+    # merged 1488 vs whole 1499 vs exact 1500 — union promotes sketch
+    # mode), hence a tolerance, not equality.
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merge_within_2pct,
+           TRUE AS error_within_5pct
+    FROM events
+    """,
+)
+def events_hll_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-mergeability audit for distinct-user counting: per-day
+    HLL sketches union-merged must estimate within 2% of the one
+    whole-table sketch, and both within 5% of the exact count (default
+    lgConfigK=12 → ~1.6% standard error). This is the
+    approx-operator-QA pattern applied to the one aggregate everyone
+    ships to dashboards.
+
+    Scale shape: the daily sketch agg is map-side combined (sketch
+    bytes per (day) flow through the shuffle, not user ids); the merge
+    is a |days|-row agg. The exact count is the calibration baseline —
+    at 100 TB you'd sample-audit it instead of running count(DISTINCT)
+    corpus-wide."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    whole = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("whole_est"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    return (
+        whole.crossJoin(F.broadcast(merged))
+        .select(
+            "exact_users",
+            (
+                F.abs(F.col("merged_est") - F.col("whole_est")) * 50
+                <= F.col("whole_est")
+            ).alias("merge_within_2pct"),
+            (
+                F.greatest(
+                    F.abs(F.col("merged_est") - F.col("exact_users")),
+                    F.abs(F.col("whole_est") - F.col("exact_users")),
+                ) * 20 <= F.col("exact_users")
+            ).alias("error_within_5pct"),
+        )
+    )
