@@ -3289,3 +3289,193 @@ def host_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(num * 1000000) div (4 * n_edges * n_edges)")
         .cast("bigint").alias("modularity_micro"),
     )
+
+
+@register(
+    "host_graph_adamic_adar",
+    # Adamic–Adar link prediction over the host graph: for every
+    # non-adjacent pair (u, v) with ≥1 common neighbor, the common-
+    # neighbor count and the AA score Σ_z 1/ln(deg z). Each z's weight
+    # is rounded ONCE to integer micro-units (one double op per node),
+    # so the per-pair sums are exact BIGINT — summation order can't
+    # split the engines.
+    oracle=f"""
+    WITH raw AS (
+        SELECT DISTINCT {_PR_SRC} AS src, {_PR_DST} AS dst
+        FROM documents
+    ),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst
+    ),
+    adj AS (
+        SELECT a AS z, b AS n FROM und
+        UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (
+        SELECT z, CAST(count(*) AS BIGINT) AS d,
+               CAST(round(1000000.0 / ln(count(*))) AS BIGINT)
+                   AS w_micro
+        FROM adj GROUP BY z
+    ),
+    wedge AS (
+        SELECT a1.n AS u, a2.n AS v, a1.z
+        FROM adj a1 JOIN adj a2
+          ON a1.z = a2.z AND a1.n < a2.n
+    )
+    SELECT w.u, w.v,
+           CAST(count(*) AS BIGINT) AS common_neighbors,
+           CAST(sum(d.w_micro) AS BIGINT) AS aa_micro
+    FROM wedge w
+    JOIN deg d ON d.z = w.z
+    LEFT JOIN und e ON e.a = w.u AND e.b = w.v
+    WHERE e.a IS NULL
+    GROUP BY w.u, w.v
+    """,
+)
+def host_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on the host link graph: every
+    non-adjacent host pair sharing ≥1 neighbor, scored by common-
+    neighbor count and Σ 1/ln(deg) over the shared neighbors — the
+    classic "which links are missing" primitive behind crawl-frontier
+    prioritization and link-spam neighborhood analysis (AA discounts
+    promiscuous hubs that common-neighbor count overcounts). A common
+    neighbor has degree ≥ 2, so ln(deg) > 0 by construction; each
+    node's 1/ln weight is rounded once to micro-units making the pair
+    sums exact integers.
+
+    Scale shape: wedges enumerate at the shared neighbor z (same
+    fan-out bound as host_graph_triangles — df-cap z at web scale);
+    the existing-edge exclusion is a broadcast-able anti join on the
+    model-scale edge table; one (u,v)-keyed agg."""
+    docs = load_table(spark, "documents", sf_dir)
+    raw = docs.select(
+        F.expr(_PR_SRC).alias("src"), F.expr(_PR_DST).alias("dst")
+    ).distinct()
+    und = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()  # one doc scan; adj + exclusion reuse it
+    )
+    adj = und.select(F.col("a").alias("z"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    # deg-1 nodes have ln(deg)=0; they can never be a wedge centre
+    # (two distinct neighbours needed) but ANSI mode evaluates the
+    # division before the join filters them — NULL them out instead.
+    deg = adj.groupBy("z").agg(
+        F.round(
+            1_000_000.0 / F.nullif(F.log(F.count("*")), F.lit(0.0))
+        ).cast("long").alias("w_micro")
+    )
+    a2 = adj.select(F.col("z").alias("z2"), F.col("n").alias("v"))
+    wedge = adj.join(
+        a2, (F.col("z") == F.col("z2")) & (F.col("n") < F.col("v"))
+    ).select(F.col("n").alias("u"), "v", "z")
+    scored = (
+        wedge.join(F.broadcast(deg), "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum("w_micro").cast("long").alias("aa_micro"),
+        )
+    )
+    return scored.join(
+        und,
+        (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")),
+        "left_anti",
+    )
+
+
+_BFS_MAX_HOP = 8
+
+
+@register(
+    "host_graph_bfs_hops",
+    # Multi-hop reachability profile: BFS from the smallest host id,
+    # min-hop distance per reached host, reported as a (hop → count)
+    # histogram. The oracle is a recursive CTE (UNION-dedup on
+    # (host, hop), depth-capped) folded to min hop; Spark runs the
+    # same frontier expansion as a bounded iterative join loop.
+    oracle=f"""
+    WITH RECURSIVE raw AS (
+        SELECT DISTINCT {_PR_SRC} AS src, {_PR_DST} AS dst
+        FROM documents
+    ),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst
+    ),
+    adj AS (
+        SELECT a AS s, b AS t FROM und UNION ALL SELECT b, a FROM und
+    ),
+    bfs(host, hop) AS (
+        SELECT min(a), 0 FROM und
+        UNION
+        SELECT adj.t, bfs.hop + 1
+        FROM bfs JOIN adj ON adj.s = bfs.host
+        WHERE bfs.hop < {_BFS_MAX_HOP}
+    ),
+    dist AS (
+        SELECT host, CAST(min(hop) AS BIGINT) AS hop
+        FROM bfs WHERE host IS NOT NULL GROUP BY host
+    )
+    SELECT hop, CAST(count(*) AS BIGINT) AS n_hosts
+    FROM dist GROUP BY hop
+    """,
+)
+def host_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability from the lowest-numbered host: how
+    many hosts sit at each hop distance (min-hop, depth ≤ 8) — the
+    connectivity profile behind crawl-depth budgeting and "is the
+    link graph one ball or many islands" diagnostics, and the repo's
+    recursive-query surface (the oracle IS a recursive CTE; Spark
+    executes the same semantics as a bounded frontier-expansion
+    loop, the iterative pattern shared with PageRank/k-core/CC).
+
+    Scale shape: the doc scan collapses to the model-scale edge table
+    (checkpointed once); each of ≤ 8 iterations is a frontier ⋈ adj
+    equi-join + anti-join against visited — frontier and visited are
+    host-scale, so every join is broadcast-able; the result is a ≤
+    9-row histogram. Early exit when a frontier empties."""
+    docs = load_table(spark, "documents", sf_dir)
+    raw = docs.select(
+        F.expr(_PR_SRC).alias("src"), F.expr(_PR_DST).alias("dst")
+    ).distinct()
+    und = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()  # adj + source derivation reuse it
+    )
+    adj = und.select(F.col("a").alias("s"), F.col("b").alias("t")).unionAll(
+        und.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    ).localCheckpoint()
+    src = und.agg(F.min("a").alias("host")).filter(
+        F.col("host").isNotNull()
+    )
+    visited = src.select("host", F.lit(0).cast("long").alias("hop"))
+    frontier = visited
+    for i in range(1, _BFS_MAX_HOP + 1):
+        nxt = (
+            frontier.join(adj, frontier["host"] == adj["s"])
+            .select(F.col("t").alias("host"))
+            .distinct()
+            .join(visited.select("host"), "host", "left_anti")
+            .select("host", F.lit(i).cast("long").alias("hop"))
+            .localCheckpoint()  # cut the lineage per wave
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.groupBy("hop").agg(
+        F.count("*").cast("long").alias("n_hosts")
+    )

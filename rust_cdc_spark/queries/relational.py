@@ -2415,3 +2415,179 @@ def part_demand_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * z_level) div nullif(p_level, 0)")
         .cast("bigint").alias("rate_micro_per_day"),
     )
+
+
+@register(
+    "orders_benford_audit",
+    # Benford's-law audit of monetary magnitudes: first significant
+    # digit of the exact integer cents (string head of the BIGINT —
+    # no float log10 at the boundary), observed share vs the Benford
+    # expectation log10(1+1/d). The expectation is one double expr per
+    # digit row (deterministic); all shares are floored ppm of exact
+    # counts, so both engines hash identically.
+    oracle="""
+    WITH vals AS (
+        SELECT 'orders.o_totalprice' AS col,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice > 0
+        UNION ALL
+        SELECT 'lineitem.l_extendedprice',
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+        FROM lineitem WHERE l_extendedprice > 0
+    ),
+    digits AS (
+        SELECT col, CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+                   AS digit
+        FROM vals
+    ),
+    obs AS (
+        SELECT col, digit, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(count(*)) OVER (PARTITION BY col) AS BIGINT)
+                   AS total
+        FROM digits GROUP BY col, digit
+    )
+    SELECT col, digit, n,
+           CAST(n * 1000000 // total AS BIGINT) AS share_micro,
+           CAST(round(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)
+               AS benford_micro,
+           CAST(n * 1000000 // total
+                - CAST(round(log10(1.0 + 1.0 / digit) * 1000000)
+                       AS BIGINT) AS BIGINT) AS excess_micro
+    FROM obs
+    """,
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance audit over the two monetary columns:
+    the observed first-significant-digit distribution vs the Benford
+    expectation P(d) = log10(1+1/d) — the classic fraud/synthesis
+    tripwire (hand-typed, capped, or naively generated amounts pile up
+    on high digits; organic multiplicative amounts follow Benford).
+    The digit comes from the decimal head of the exact integer cents
+    (no float log at a power-of-ten boundary); shares are floored ppm;
+    the expectation is a per-digit constant rounded once.
+
+    Scale shape: map-side digit extraction → ONE hash aggregate into
+    ≤ 2·9 keys (partials collapse everything before the shuffle); the
+    per-column total is a 9-row window over the aggregate, not the
+    data."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    vals = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.lit("orders.o_totalprice").alias("col"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .unionAll(
+            li.filter(F.col("l_extendedprice") > 0).select(
+                F.lit("lineitem.l_extendedprice").alias("col"),
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+    )
+    digits = vals.select(
+        "col",
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit"),
+    )
+    obs = digits.groupBy("col", "digit").agg(
+        F.count("*").cast("long").alias("n")
+    ).withColumn(
+        "total", F.sum("n").over(Window.partitionBy("col")).cast("long")
+    )
+    benford = F.round(
+        F.log10(1.0 + 1.0 / F.col("digit")) * 1_000_000
+    ).cast("long")
+    return obs.select(
+        "col",
+        "digit",
+        "n",
+        F.expr("n * 1000000 div total").alias("share_micro"),
+        benford.alias("benford_micro"),
+        (F.expr("n * 1000000 div total") - benford).alias("excess_micro"),
+    )
+
+
+# Candidate functional dependencies to profile: (table, lhs, rhs).
+_FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_custkey"),      # key → attr: holds
+    ("orders", "o_custkey", "o_orderpriority"),  # does a customer stick to one priority?
+    ("lineitem", "l_orderkey", "l_returnflag"),  # order-level flag purity
+    ("lineitem", "l_partkey", "l_suppkey"),      # single-sourcing rate
+    ("events", "user_id", "event_type"),         # single-action users
+    ("documents", "source", "lang"),             # monolingual sources
+]
+
+
+def _fd_sql(table: str, lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{table}.{lhs} -> {rhs}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_lhs_values,
+           CAST(sum(total) AS BIGINT) AS n_rows,
+           CAST(sum(total) - sum(keep) AS BIGINT) AS n_violations,
+           CAST((sum(total) - sum(keep)) * 1000000 // sum(total)
+                AS BIGINT) AS g3_error_micro,
+           CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_lhs
+    FROM (
+        SELECT {lhs}, count(DISTINCT {rhs}) AS n_rhs,
+               CAST(sum(cnt) AS BIGINT) AS total,
+               max(cnt) AS keep
+        FROM (
+            SELECT {lhs}, {rhs}, count(*) AS cnt
+            FROM {table} GROUP BY 1, 2
+        ) GROUP BY {lhs}
+    )
+    """
+
+
+@register(
+    "table_fd_discovery",
+    # Approximate functional-dependency profiling (Kivinen–Mannila g3:
+    # the fraction of rows that must be removed for X → Y to hold =
+    # 1 − Σ_x max_y |x,y| / N). Six business-meaningful candidates
+    # across four tables; everything is exact counts + floored ppm.
+    oracle="\nUNION ALL\n".join(
+        _fd_sql(t, lhs, rhs) for t, lhs, rhs in _FD_CANDIDATES
+    ),
+)
+def table_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency discovery over candidate
+    column pairs: for each X → Y, the number of X values that map to
+    multiple Y values and the g3 error (the minimum fraction of rows
+    to delete for the FD to hold exactly — Kivinen–Mannila) — the
+    schema-inference / DQ primitive behind "is l_partkey single-
+    sourced", "are sources monolingual", and key-candidate detection.
+    All exact BIGINT counts; the error is floored ppm.
+
+    Scale shape: per candidate, ONE (X, Y)-keyed aggregate (map-side
+    partials) then an X-keyed rollup — the second agg's input is
+    already |X×Y| keys, far below data scale; candidates union into a
+    6-row result. No windows, no joins."""
+    out = None
+    for table, lhs, rhs in _FD_CANDIDATES:
+        t = load_table(spark, table, sf_dir)
+        xy = t.groupBy(lhs, rhs).agg(F.count("*").alias("cnt"))
+        x = xy.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("n_rhs"),
+            F.sum("cnt").cast("long").alias("total"),
+            F.max("cnt").alias("keep"),
+        )
+        row = x.agg(
+            F.lit(f"{table}.{lhs} -> {rhs}").alias("fd"),
+            F.count("*").cast("long").alias("n_lhs_values"),
+            F.sum("total").cast("long").alias("n_rows"),
+            (F.sum("total") - F.sum("keep")).cast("long")
+            .alias("n_violations"),
+            F.expr(
+                "(sum(total) - sum(keep)) * 1000000 div sum(total)"
+            ).cast("long").alias("g3_error_micro"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_lhs"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -2251,3 +2251,403 @@ def events_hll_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("error_within_5pct"),
         )
     )
+
+
+_ACF_MAX_LAG = 12  # hourly series → half a day of lags
+
+
+@register(
+    "events_acf_lags",
+    # Sample autocorrelation of the per-type HOURLY count series at
+    # lags 1..12. Deviations are kept exact by scaling by n (the
+    # series length): dev_t = n·x_t − S is BIGINT, so the numerator
+    # Σ dev_t·dev_{t+k} and denominator Σ dev_t² are exact integers
+    # on both engines (DECIMAL(38)/HUGEINT against overflow); the
+    # single double division at the end is IEEE-identical.
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    scal AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s
+        FROM hourly GROUP BY event_type
+    ),
+    dev AS (
+        SELECT h.event_type, h.h,
+               CAST(sc.n * h.x - sc.s AS HUGEINT) AS dev
+        FROM hourly h JOIN scal sc USING (event_type)
+    ),
+    den AS (
+        SELECT event_type, sum(dev * dev) AS d
+        FROM dev GROUP BY event_type
+    ),
+    num AS (
+        SELECT a.event_type, l.lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               sum(a.dev * b.dev) AS nu
+        FROM dev a
+        JOIN generate_series(1, {_ACF_MAX_LAG}) AS l(lag) ON true
+        JOIN dev b ON b.event_type = a.event_type
+                  AND b.h = a.h + l.lag
+        GROUP BY 1, 2
+    )
+    SELECT n.event_type, CAST(n.lag AS INT) AS lag, n.n_pairs,
+           round(CAST(n.nu AS DOUBLE) / CAST(nullif(d.d, 0) AS DOUBLE), 6)
+               AS acf
+    FROM num n JOIN den d USING (event_type)
+    """,
+)
+def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of each event type's hourly volume
+    series at lags 1..12 h — the periodicity detector behind
+    seasonality-aware anomaly alerts and forecast-model selection
+    (a diurnal series shows the lag-12/24 signature; a level-shifted
+    one decays slowly; white noise dies at lag 1). Deviations are
+    exact integers via the scale-by-n trick (dev = n·x − Σx), so the
+    numerator/denominator sums are exact on both engines and the one
+    double division is bitwise-identical; zero-variance series emit
+    NULL acf (NULLIF) rather than crashing under ANSI mode.
+
+    Scale shape: the hourly rollup is the only corpus-scale agg
+    (map-side partials into |types|·|hours| keys); the lag pairing is
+    a self-equi-join of the calendar-bounded series on (type, h+k)
+    with a 12-row broadcast lag relation — no per-event window, no
+    global sort. Deviation products go through DECIMAL(38,0) (HUGEINT
+    in the oracle), so a 1000× longer or denser series stays exact."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("floor(unix_timestamp(ts)) div 3600").alias("h"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    scal = hourly.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = hourly.join(F.broadcast(scal), "event_type").select(
+        "event_type",
+        "h",
+        (F.col("n") * F.col("x") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("dev"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("d")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    b = dev.select(
+        F.col("event_type").alias("bt"),
+        F.col("h").alias("bh"),
+        F.col("dev").alias("bdev"),
+    )
+    num = (
+        dev.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("bt") == F.col("event_type"))
+            & (F.col("bh") == F.col("h") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("dev") * F.col("bdev")).alias("nu"),
+        )
+    )
+    return num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.round(
+            F.col("nu").cast("double")
+            / F.nullif(F.col("d"), F.lit(0)).cast("double"),
+            6,
+        ).alias("acf"),
+    )
+
+
+@register(
+    "events_seasonal_decompose",
+    # Classical additive decomposition of the per-type hourly series:
+    # trend = centered 25-hour moving average (full windows only, via
+    # an integer RANGE window over epoch-hours so calendar gaps count
+    # as missing, not as neighbors); seasonal index per hour-of-day =
+    # mean of the detrended residuals. Residuals are kept exact by
+    # scaling by the window width: det = 25·x − Σ_window x is BIGINT.
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT event_type, h, x,
+               sum(x) OVER w AS s25,
+               count(*) OVER w AS c25
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    det AS (
+        SELECT event_type, h % 24 AS hour_of_day,
+               25 * x - s25 AS det25
+        FROM win WHERE c25 = 25
+    )
+    SELECT event_type, CAST(hour_of_day AS INT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           round(CAST(sum(det25) AS DOUBLE) / (25.0 * count(*)), 6)
+               AS seasonal
+    FROM det GROUP BY 1, 2
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of each event type's hourly
+    volume: centered 25-hour moving-average trend, then the mean
+    detrended residual per hour-of-day — the seasonal index that says
+    "3 am is 40 events below trend, 8 pm is 60 above", the input both
+    to seasonality-corrected alerting and to hour-aware capacity
+    plans. Full trend windows only (25 present hours via an integer
+    RANGE window over epoch-hours, so a calendar gap shrinks the
+    window and disqualifies it instead of smearing neighbors in);
+    residuals are exact BIGINT via the scale-by-width trick
+    (25·x − Σ), one double division at the end.
+
+    Scale shape: corpus-scale work is the single hourly rollup
+    (map-side partials); the trend window runs per-type over the
+    calendar-bounded series (RANGE frame, no global window), and the
+    seasonal rollup is a 24·|types|-key agg."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("floor(unix_timestamp(ts)) div 3600").alias("h"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rangeBetween(-12, 12)
+    )
+    win = hourly.select(
+        "event_type",
+        "h",
+        "x",
+        F.sum("x").over(w).alias("s25"),
+        F.count("*").over(w).alias("c25"),
+    )
+    det = win.filter(F.col("c25") == 25).select(
+        "event_type",
+        (F.col("h") % 24).cast("int").alias("hour_of_day"),
+        (25 * F.col("x") - F.col("s25")).alias("det25"),
+    )
+    return det.groupBy("event_type", "hour_of_day").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.round(
+            F.sum("det25").cast("double") / (25.0 * F.count("*")), 6
+        ).alias("seasonal"),
+    )
+
+
+@register(
+    "events_theil_sen",
+    # Theil–Sen robust trend of the per-type DAILY value series: the
+    # median of all pairwise slopes (c_j − c_i)/(d_j − d_i). Cents and
+    # epoch-days are exact integers, each slope is one double division
+    # of exact ints (bitwise-identical cross-engine), and the median
+    # of an even/odd set is the average of the two middle elements
+    # under a total (slope, i, j) order — no interpolation ambiguity.
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS c
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST(b.c - a.c AS DOUBLE) / (b.d - a.d) AS slope,
+               a.d AS di, b.d AS dj
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.d > a.d
+    ),
+    ranked AS (
+        SELECT event_type, slope,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope, di, dj) AS r,
+               count(*) OVER (PARTITION BY event_type) AS m
+        FROM pairs
+    )
+    SELECT event_type, CAST(max(m) AS BIGINT) AS n_pairs,
+           round(avg(slope), 6) AS sen_slope_cents_per_day
+    FROM ranked
+    WHERE r = (m + 1) // 2 OR r = (m + 2) // 2
+    GROUP BY event_type
+    """,
+)
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator of each event type's daily-value trend: the
+    median of all pairwise day-over-day slopes — the robust answer to
+    "is spend going up" that a single whale day can't bend (OLS moves
+    with every outlier; the pairwise median has a 29% breakdown
+    point). Slopes are double quotients of exact integer cents/days;
+    the median is the average of the two middle elements under a
+    total (slope, day_i, day_j) order, so both engines pick the same
+    rows.
+
+    Scale shape: the daily rollup is the only corpus-scale agg; the
+    pairwise join is over the CALENDAR-bounded per-type series (k
+    days → k(k−1)/2 slope rows, ~400 for a month — never corpus-
+    scale), and the rank window is partitioned by type over those
+    same bounded rows. For multi-year series, swap the exact median
+    for the repo's exact_global_ntile path."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("floor(unix_timestamp(ts)) div 86400").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+    )
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("d").alias("dj"),
+        F.col("c").alias("cj"),
+    )
+    pairs = daily.join(
+        b, (F.col("bt") == F.col("event_type")) & (F.col("dj") > F.col("d"))
+    ).select(
+        "event_type",
+        ((F.col("cj") - F.col("c")).cast("double")
+         / (F.col("dj") - F.col("d"))).alias("slope"),
+        F.col("d").alias("di"),
+        "dj",
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wt.orderBy("slope", "di", "dj")).alias("r"),
+        F.count("*").over(wt).alias("m"),
+    )
+    return (
+        ranked.filter(
+            (F.col("r") == F.expr("(m + 1) div 2"))
+            | (F.col("r") == F.expr("(m + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("m").cast("long").alias("n_pairs"),
+            F.round(F.avg("slope"), 6).alias("sen_slope_cents_per_day"),
+        )
+    )
+
+
+@register(
+    "events_changepoint_binseg",
+    # Single change-point per event type by binary segmentation on the
+    # daily count series: the split k maximizing the variance-
+    # reduction gain S_L²/n_L + S_R²/n_R − S²/n (constant terms drop
+    # out of the L2 cost). Prefix sums are exact BIGINT; the gain is
+    # three divisions of exact ints (identical doubles cross-engine);
+    # argmax tie-breaks on the earliest split.
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+        SELECT event_type, d, x,
+               row_number() OVER w AS t,
+               sum(x) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS sk,
+               sum(x) OVER (PARTITION BY event_type) AS s,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    gains AS (
+        SELECT event_type, d, t, n, sk, s,
+               CAST(sk AS DOUBLE) * sk / t
+                 + CAST(s - sk AS DOUBLE) * (s - sk) / (n - t)
+                 - CAST(s AS DOUBLE) * s / n AS gain
+        FROM pre WHERE t < n
+    ),
+    best AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY gain DESC, t) AS rk
+        FROM gains
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(t AS BIGINT) AS split_index,
+           CAST(d AS BIGINT) AS split_epoch_day,
+           CAST(sk * 1000 // t AS BIGINT) AS mean_left_milli,
+           CAST((s - sk) * 1000 // (n - t) AS BIGINT)
+               AS mean_right_milli,
+           round(gain, 6) AS gain
+    FROM best WHERE rk = 1
+    """,
+)
+def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation change-point detection on each event type's
+    daily volume: the single split that most reduces the series' L2
+    cost (equivalently maximizes S_L²/n_L + S_R²/n_R), with the
+    before/after mean rates — CUSUM's "when did the level shift"
+    question answered by global optimization instead of sequential
+    alarm (CUSUM fires on the way up; binseg names the exact day).
+    Prefix sums are exact BIGINT windows; the gain is computed from
+    exact integers with the same three divisions on both engines, and
+    the argmax tie-breaks on the earliest split, so the winner is
+    deterministic.
+
+    Scale shape: one corpus-scale daily rollup, then per-type windows
+    over the calendar-bounded series (running sum + rank — no global
+    window, no fold, no driver loop). At 100 TB the series is still
+    |days| rows per type; recursing to multiple change points repeats
+    the same bounded computation per segment."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("floor(unix_timestamp(ts)) div 86400").alias("d"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("d")
+    pre = daily.select(
+        "event_type",
+        "d",
+        F.row_number().over(wo).alias("t"),
+        F.sum("x").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("sk"),
+        F.sum("x").over(wp).alias("s"),
+        F.count("*").over(wp).alias("n"),
+    )
+    gains = pre.filter(F.col("t") < F.col("n")).withColumn(
+        "gain",
+        F.col("sk").cast("double") * F.col("sk") / F.col("t")
+        + (F.col("s") - F.col("sk")).cast("double")
+        * (F.col("s") - F.col("sk"))
+        / (F.col("n") - F.col("t"))
+        - F.col("s").cast("double") * F.col("s") / F.col("n"),
+    )
+    best = gains.withColumn(
+        "rk", F.row_number().over(wp.orderBy(F.col("gain").desc(), "t"))
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("t").cast("long").alias("split_index"),
+        F.col("d").cast("long").alias("split_epoch_day"),
+        F.expr("sk * 1000 div t").alias("mean_left_milli"),
+        F.expr("(s - sk) * 1000 div (n - t)").alias("mean_right_milli"),
+        F.round("gain", 6).alias("gain"),
+    )
