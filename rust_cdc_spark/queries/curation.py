@@ -3479,3 +3479,232 @@ def host_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited.groupBy("hop").agg(
         F.count("*").cast("long").alias("n_hosts")
     )
+
+
+_TR_ITERS = 3
+_TR_INIT = 1_000_000
+_TR_TOPK = 20
+
+
+def _tr_iter_sql(it: int) -> str:
+    prev = f"tr{it - 1}" if it > 1 else "tr0"
+    return f"""
+    tr{it} AS (
+        SELECT n.word,
+               150000 + (850 * COALESCE(c.contrib, 0)) // 1000
+                   AS rank_micro
+        FROM wnodes n LEFT JOIN (
+            SELECT a.u AS word,
+                   CAST(sum(a.w * r.rank_micro // wd.wsum) AS BIGINT)
+                       AS contrib
+            FROM warcs a
+            JOIN {prev} r ON r.word = a.v
+            JOIN wdeg wd ON wd.word = a.v
+            GROUP BY a.u
+        ) c ON c.word = n.word
+    )"""
+
+
+@register(
+    "keyword_textrank_top",
+    # TextRank (Mihalcea & Tarau 2004) over the word co-occurrence
+    # graph: adjacent-word edges weighted by corpus co-occurrence
+    # count, damped weighted PageRank for a FIXED 3 iterations in
+    # BIGINT micro-units (`div` floors — bit-identical cross-engine),
+    # top-20 keywords. The oracle replays every iteration as an
+    # unrolled CTE, same discipline as host_authority_pagerank.
+    oracle=f"""
+    WITH toks AS (
+        SELECT string_split(trim(text), ' ') AS t FROM documents
+    ),
+    pairs AS (
+        SELECT t[i] AS x, t[i + 1] AS y
+        FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)
+    ),
+    wedges AS (
+        SELECT least(x, y) AS a, greatest(x, y) AS b,
+               CAST(count(*) AS BIGINT) AS w
+        FROM pairs WHERE x <> y
+        GROUP BY 1, 2
+    ),
+    warcs AS (
+        SELECT a AS u, b AS v, w FROM wedges
+        UNION ALL SELECT b, a, w FROM wedges
+    ),
+    wnodes AS (SELECT DISTINCT u AS word FROM warcs),
+    wdeg AS (
+        SELECT u AS word, CAST(sum(w) AS BIGINT) AS wsum
+        FROM warcs GROUP BY u
+    ),
+    tr0 AS (SELECT word, CAST({_TR_INIT} AS BIGINT) AS rank_micro
+            FROM wnodes),
+    {",".join(_tr_iter_sql(i + 1) for i in range(_TR_ITERS))}
+    SELECT word, CAST(rank_micro AS BIGINT) AS rank_micro
+    FROM tr{_TR_ITERS}
+    ORDER BY rank_micro DESC, word
+    LIMIT {_TR_TOPK}
+    """,
+)
+def keyword_textrank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction over the corpus: build the
+    adjacent-word co-occurrence graph (edge weight = corpus-wide
+    co-occurrence count), run damped weighted PageRank for a fixed 3
+    rounds, and emit the top-20 words — the graph-centrality
+    complement to RAKE's degree/frequency scores (keyword_rake_top):
+    RAKE rewards words that anchor long phrases, TextRank rewards
+    words recommended by other well-recommended words. All rank
+    arithmetic is BIGINT micro-units with `div` floors, so the oracle
+    replays the full training as unrolled CTEs and the result is
+    value-checked, not eyeballed.
+
+    Scale shape: ONE doc scan explodes adjacent pairs straight into a
+    (word, word)-keyed count agg (vocabulary²-bounded, map-side
+    partials); each iteration is a vocab-scale join + agg exactly
+    like the host PageRank; top-k is a TakeOrdered over the vocab
+    table, never the corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    ws = "split(trim(text), ' ')"
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({ws}) < 2 THEN "
+                "array()::array<struct<x:string,y:string>> "
+                f"ELSE transform(sequence(1, size({ws}) - 1), "
+                f"i -> struct(element_at({ws}, i) AS x, "
+                f"element_at({ws}, i + 1) AS y)) END"
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    wedges = (
+        pairs.filter(F.col("x") != F.col("y"))
+        .groupBy(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint()  # one corpus scan; every iteration reuses it
+    )
+    arcs = wedges.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), "w"
+    ).unionAll(wedges.select(F.col("b").alias("u"), F.col("a").alias("v"), "w"))
+    nodes = arcs.select(F.col("u").alias("word")).distinct()
+    wdeg = arcs.groupBy(F.col("u").alias("word")).agg(
+        F.sum("w").cast("long").alias("wsum")
+    )
+    rank = nodes.select(
+        "word", F.lit(_TR_INIT).cast("long").alias("rank_micro")
+    )
+    for _ in range(_TR_ITERS):
+        contrib = (
+            arcs.join(rank.withColumnRenamed("word", "v"), "v")
+            .join(wdeg.withColumnRenamed("word", "v"), "v")
+            .select(
+                F.col("u").alias("word"),
+                F.expr("w * rank_micro div wsum").alias("share"),
+            )
+            .groupBy("word")
+            .agg(F.sum("share").cast("long").alias("contrib"))
+        )
+        rank = nodes.join(contrib, "word", "left").select(
+            "word",
+            (
+                F.lit(150000)
+                + F.expr("850 * coalesce(contrib, 0L) div 1000")
+            ).cast("long").alias("rank_micro"),
+        )
+    return rank.orderBy(F.col("rank_micro").desc(), "word").limit(_TR_TOPK)
+
+
+# Deterministic mojibake injection: the synthetic corpus is clean
+# ASCII, so docs with doc_id % 7 == 0 get a suffix carrying the three
+# classic encoding-damage signatures (U+FFFD replacement char, a
+# UTF-8-as-Latin-1 'Ã©', and an 'â€"' smart-dash corpse). Spark and
+# the oracle build the identical augmented text — counting plumbing is
+# what's under test, the corpus just lacks real damage.
+_MOJI_SUFFIX = " cafÃ© r�sumé â€“ end"
+_MOJI_SPARK = (
+    f"CASE WHEN doc_id % 7 = 0 THEN concat(text, '{_MOJI_SUFFIX}') "
+    "ELSE text END"
+)
+_MOJI_SQL = (
+    f"CASE WHEN doc_id % 7 = 0 THEN text || '{_MOJI_SUFFIX}' "
+    "ELSE text END"
+)
+
+
+@register(
+    "text_mojibake_score",
+    # Encoding-damage audit: per source, documents carrying U+FFFD
+    # replacement chars, UTF-8-read-as-Latin-1 'Ã'-pairs, or 'â€'
+    # smart-punctuation corpses. Counts come from length deltas after
+    # literal replace() (no regex dialect in play); the per-doc score
+    # is floored ppm of exact character counts.
+    oracle=f"""
+    WITH aug AS (
+        SELECT source, ({_MOJI_SQL}) AS t FROM documents
+    ),
+    scored AS (
+        SELECT source,
+               length(t) - length(replace(t, chr(65533), ''))
+                   AS n_repl,
+               length(t) - length(replace(t, chr(195), ''))
+                   AS n_latin1,
+               (length(t) - length(replace(t, chr(226) || chr(8364), '')))
+                   // 2 AS n_smart,
+               length(t) AS n_chars
+        FROM aug
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_repl + n_latin1 + n_smart > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(n_repl) AS BIGINT) AS n_replacement_chars,
+           CAST(sum(n_latin1) AS BIGINT) AS n_latin1_artifacts,
+           CAST(sum(n_smart) AS BIGINT) AS n_smart_punct_corpses,
+           CAST(sum((n_repl + n_latin1 + n_smart) * 1000000 // n_chars)
+                AS BIGINT) AS sum_doc_ppm
+    FROM scored GROUP BY source
+    """,
+)
+def text_mojibake_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake / encoding-damage scorecard per source: how many
+    documents carry U+FFFD replacement characters (lossy decode
+    already happened), 'Ã'-headed byte pairs (UTF-8 read as
+    Latin-1 — 'café' → 'cafÃ©'), or the 'â€¦'-family smart-
+    punctuation corpses — the triage signal that decides whether a
+    crawl source needs re-decoding before it poisons the token
+    distribution. Counts are length deltas under literal replace()
+    (code-point semantics on both engines, no regex dialect risk);
+    per-doc severity is floored ppm of exact char counts.
+
+    Scale shape: pure map-side expressions per document → ONE hash
+    aggregate into |sources| keys. Nothing shuffles but the final
+    per-source partials."""
+    docs = load_table(spark, "documents", sf_dir)
+    aug = docs.select(
+        "source", F.expr(_MOJI_SPARK).alias("t")
+    )
+    scored = aug.select(
+        "source",
+        (F.length("t") - F.length(F.expr("replace(t, '�', '')")))
+        .alias("n_repl"),
+        (F.length("t") - F.length(F.expr("replace(t, 'Ã', '')")))
+        .alias("n_latin1"),
+        (
+            (F.length("t")
+             - F.length(F.expr("replace(t, 'â€', '')")))
+            / F.lit(2)
+        ).cast("long").alias("n_smart"),
+        F.length("t").alias("n_chars"),
+    )
+    bad = F.col("n_repl") + F.col("n_latin1") + F.col("n_smart")
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(bad > 0, 1).otherwise(0)).cast("long")
+        .alias("n_flagged"),
+        F.sum("n_repl").cast("long").alias("n_replacement_chars"),
+        F.sum("n_latin1").cast("long").alias("n_latin1_artifacts"),
+        F.sum("n_smart").cast("long").alias("n_smart_punct_corpses"),
+        F.sum(F.expr(
+            "(n_repl + n_latin1 + n_smart) * 1000000 div n_chars"
+        )).cast("long").alias("sum_doc_ppm"),
+    )

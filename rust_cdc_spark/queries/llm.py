@@ -2805,3 +2805,93 @@ def dedup_lsh_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_buckets", "n_colliding_buckets", "max_bucket",
         "candidate_pairs",
     )
+
+
+_HUB_TAU = 0.35  # same ε as embedding_near_dup_exact — shared graph
+
+
+@register(
+    "embedding_hubness_degree",
+    # Hubness audit of the ε-neighborhood graph (cos ≥ 0.35): the
+    # degree histogram over ALL vectors (0-degree isolates included)
+    # plus the exact HHI concentration of degree mass. High-degree
+    # hubs are the known failure mode of high-dim retrieval — a few
+    # points appear in everyone's neighborhood and drag down recall.
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                               list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+              / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+                 * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                                         list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
+              >= {_HUB_TAU}
+    ),
+    arcs AS (SELECT va AS v FROM pairs UNION ALL SELECT vb FROM pairs),
+    degs AS (
+        SELECT e.vec_id,
+               CAST(coalesce(d.deg, 0) AS BIGINT) AS degree
+        FROM embeddings e
+        LEFT JOIN (SELECT v, count(*) AS deg FROM arcs GROUP BY v) d
+          ON d.v = e.vec_id
+    ),
+    tot AS (
+        SELECT CAST(sum(degree) AS BIGINT) AS td,
+               CAST(sum(degree * degree) AS BIGINT) AS td2
+        FROM degs
+    )
+    SELECT g.degree,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(t.td2 * 1000000 // nullif(t.td * t.td, 0) AS BIGINT)
+               AS degree_hhi_micro
+    FROM degs g CROSS JOIN tot t
+    GROUP BY g.degree, t.td2, t.td
+    """,
+)
+def embedding_hubness_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the embedding space: the degree histogram of
+    the ε-neighborhood graph (cosine ≥ 0.35 — the exact graph the
+    near-dup family prunes) with the Herfindahl concentration of
+    degree mass replicated on every row — the high-dimensional
+    pathology check (Radovanović et al., JMLR'10): a right-skewed
+    degree tail means a few hub vectors sit in everyone's
+    neighborhood, silently dominating ANN results and dedup clusters.
+    Degrees and the HHI are exact integers; isolates count at degree
+    0 via the left join back to the corpus.
+
+    Scale shape: the pair scan is the blocked-GEMM operator shared
+    with embedding_near_dup_exact (B²/2 Arrow-batched BLAS blocks —
+    calibration-scale; at 100 TB the LSH bucket graph substitutes);
+    everything after is a vec-keyed count, a corpus-side left join,
+    and a histogram agg into ≤ max-degree keys."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = SIM.exact_near_dup_pairs_blocked(
+        emb, threshold=_HUB_TAU, n_blocks=8
+    )
+    arcs = pairs.select(F.col("vec_a").alias("v")).unionAll(
+        pairs.select(F.col("vec_b").alias("v"))
+    )
+    deg = arcs.groupBy("v").agg(F.count("*").alias("deg"))
+    degs = emb.select("vec_id").join(
+        deg, emb["vec_id"] == deg["v"], "left"
+    ).select(
+        F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("degree")
+    )
+    tot = degs.agg(
+        F.sum("degree").cast("long").alias("td"),
+        F.sum(F.col("degree") * F.col("degree")).cast("long").alias("td2"),
+    )
+    return (
+        degs.groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "degree",
+            "n_vecs",
+            F.expr("td2 * 1000000 div nullif(td * td, 0)")
+            .cast("long")
+            .alias("degree_hhi_micro"),
+        )
+    )

@@ -2583,3 +2583,118 @@ def embedding_centroid_classifier_eval(
         F.col("predicted").cast("bigint").alias("predicted"),
         "n",
     )
+
+
+_KC_K = 8  # coreset size
+_KC_DIST = (
+    "list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy k-center replay: d{s} carries each point's
+    min squared distance to the first s centers; c{s+1} is the argmax
+    (farthest point, vec_id tie-break). All distances are exact BIGINT
+    over milli-quantized coordinates."""
+    parts = [
+        """
+    q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ),
+    c1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+    d1 AS (
+        SELECT q.vec_id, q.qv,
+               """
+        + _KC_DIST.format(a="q.qv", b="c1.qv")
+        + """ AS mind
+        FROM q CROSS JOIN c1
+    )"""
+    ]
+    for s in range(2, _KC_K + 1):
+        parts.append(f"""
+    c{s} AS (SELECT vec_id, qv, mind FROM d{s - 1}
+             ORDER BY mind DESC, vec_id LIMIT 1),
+    d{s} AS (
+        SELECT d.vec_id, d.qv,
+               least(d.mind, {_KC_DIST.format(a="d.qv", b="c.qv")})
+                   AS mind
+        FROM d{s - 1} d CROSS JOIN c{s} c
+    )""")
+    selects = ["SELECT 1 AS center_rank, vec_id, CAST(0 AS BIGINT) AS sep_dist FROM c1"]
+    selects += [
+        f"SELECT {s}, vec_id, CAST(mind AS BIGINT) FROM c{s}"
+        for s in range(2, _KC_K + 1)
+    ]
+    return (
+        "WITH " + ",".join(parts) + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@register("embedding_coreset_kcenter", oracle=_kcenter_oracle())
+def embedding_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset over the embedding
+    corpus: start from the lowest vec_id, then repeatedly pick the
+    point farthest from every chosen center — the classic 2-approx
+    diversity selector (Gonzalez '85) behind "give me 8 maximally
+    spread exemplars" for labeling budgets, eval-probe selection, and
+    diversity-aware subsampling. Coordinates are milli-quantized once
+    so every distance is exact BIGINT; ties break on vec_id; each
+    emitted row carries the separation distance at selection time
+    (the coverage radius shrinks monotonically down this column).
+
+    Scale shape: k−1 passes, each a corpus scan computing ONE codegen
+    distance against the single newly-collected center (64 ints to
+    the driver per round — model-scale, the k-means/PQ precedent) and
+    folding it into the running min via least(); the running state is
+    localCheckpointed so pass s doesn't replay passes 1..s−1. The
+    argmax is a 1-row TakeOrdered, never a global window. At 100 TB:
+    k linear passes, zero shuffles beyond the top-1 reduction."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("qv"),
+    )
+    first = q.orderBy("vec_id").limit(1).collect()
+    if not first:
+        return q.select(
+            F.lit(1).alias("center_rank"),
+            "vec_id",
+            F.lit(0).cast("long").alias("sep_dist"),
+        ).limit(0)
+    centers = [(1, first[0].vec_id, 0)]
+
+    def dist_to(center_vec: list[int]):
+        lit = F.array(*[F.lit(int(v)).cast("long") for v in center_vec])
+        return F.aggregate(
+            F.zip_with(F.col("qv"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        )
+
+    state = q.select(
+        "vec_id", "qv", dist_to(list(first[0].qv)).alias("mind")
+    ).localCheckpoint()
+    for s in range(2, _KC_K + 1):
+        far = (
+            state.orderBy(F.col("mind").desc(), "vec_id").limit(1).collect()
+        )
+        if not far or far[0].mind == 0:
+            break
+        centers.append((s, far[0].vec_id, far[0].mind))
+        state = state.select(
+            "vec_id",
+            "qv",
+            F.least("mind", dist_to(list(far[0].qv))).alias("mind"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        centers, "center_rank int, vec_id bigint, sep_dist bigint"
+    )
