@@ -46,6 +46,12 @@ _R06_PRIORITY = [
     "events_audience_overlap", "part_demand_croston",
     "layout_hilbert_key", "host_graph_modularity", "events_path_topk",
     "events_hll_mergeability",
+    # 2b — new in round 6, second session
+    "events_acf_lags", "events_seasonal_decompose", "events_theil_sen",
+    "events_changepoint_binseg", "host_graph_adamic_adar",
+    "host_graph_bfs_hops", "orders_benford_audit", "table_fd_discovery",
+    "keyword_textrank_top", "text_mojibake_score",
+    "embedding_coreset_kcenter", "embedding_hubness_degree",
     # 3 — stalest: last driver row is CORRECTNESS_r01
     "agg_cube_priority_status", "agg_distinct_lineitem", "agg_percentiles_by_status",
     "agg_rollup_returns", "asof_join_purchase_last_click", "cdc_collapse_last",

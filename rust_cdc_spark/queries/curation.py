@@ -3563,15 +3563,19 @@ def keyword_textrank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the host PageRank; top-k is a TakeOrdered over the vocab
     table, never the corpus."""
     docs = load_table(spark, "documents", sf_dir)
-    ws = "split(trim(text), ' ')"
+    # "let"-bind the token array once per doc (single-element transform
+    # lambda): Catalyst has no CSE across HOF lambdas, so inlining the
+    # split would re-tokenize per element access — O(len²)/doc
+    # (measured 4.05 s → 1.42 s at sf0.1).
     pairs = docs.select(
         F.explode(
             F.expr(
-                f"CASE WHEN size({ws}) < 2 THEN "
+                "flatten(transform(array(split(trim(text), ' ')), "
+                "ws -> CASE WHEN size(ws) < 2 THEN "
                 "array()::array<struct<x:string,y:string>> "
-                f"ELSE transform(sequence(1, size({ws}) - 1), "
-                f"i -> struct(element_at({ws}, i) AS x, "
-                f"element_at({ws}, i + 1) AS y)) END"
+                "ELSE transform(sequence(1, size(ws) - 1), "
+                "i -> struct(element_at(ws, i) AS x, "
+                "element_at(ws, i + 1) AS y)) END))"
             )
         ).alias("p")
     ).select("p.x", "p.y")
