@@ -920,3 +920,105 @@ def cdc_delete_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tombstoned_now"),
     )
+
+
+_CONFLICT_WINDOW_S = 60  # two writers inside this gap = racing
+
+
+@register(
+    "cdc_update_conflicts",
+    # Write-write conflict audit over the change stream: consecutive
+    # UPDATE images on the same key, closer together than 60 s, that
+    # carry DIFFERENT values — the race a last-write-wins MERGE sink
+    # silently resolves, and exactly what an ingest owner needs
+    # surfaced before trusting LWW at 100 TB. Values compare as exact
+    # cents; gaps as exact epoch seconds.
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id AS key, event_id AS log_pos,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE ({_OP_SQL}) = 'U'
+    ),
+    lagged AS (
+        SELECT key, log_pos, es, cents,
+               lag(es)    OVER w AS prev_es,
+               lag(cents) OVER w AS prev_cents
+        FROM u
+        WINDOW w AS (PARTITION BY key ORDER BY log_pos)
+    ),
+    conf AS (
+        SELECT key, log_pos,
+               CASE WHEN prev_es IS NOT NULL
+                         AND es - prev_es <= {_CONFLICT_WINDOW_S}
+                         AND cents <> prev_cents
+                    THEN 1 ELSE 0 END AS is_conflict
+        FROM lagged
+    )
+    SELECT key,
+           CAST(count(*) AS BIGINT) AS n_updates,
+           CAST(sum(is_conflict) AS BIGINT) AS n_conflicts,
+           CAST(min(CASE WHEN is_conflict = 1 THEN log_pos END)
+                AS BIGINT) AS first_conflict_pos
+    FROM conf
+    GROUP BY key
+    HAVING sum(is_conflict) > 0
+    """,
+)
+def cdc_update_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-write conflict audit over the CDC stream: keys whose
+    consecutive UPDATE images arrive within 60 s of each other with
+    different values — the racing-writers signature that a
+    last-write-wins collapse (operators/collapse.py) resolves
+    silently. The reference's sink has the same blind spot (LWW by
+    log_pos); this query is the audit an operator runs before
+    trusting it: how many keys race, how often, and where the first
+    race sits in the log. Gaps are exact epoch-second integers,
+    values exact cents; conflicts are flagged per consecutive pair so
+    a key updated n times counts at most n−1 conflicts.
+
+    Scale shape: one filter-projected scan of the change stream into
+    a key-partitioned lag window (the same single shuffle the
+    collapse itself pays — at 100 TB this audit piggybacks the
+    pipeline's existing partitioning), then a key-keyed agg; only
+    conflicted keys are emitted."""
+    cdc = events_as_cdc(spark, sf_dir)
+    u = cdc.filter(F.col("op") == "U").select(
+        "key",
+        "log_pos",
+        F.expr("floor(unix_timestamp(ts))").cast("long").alias("es"),
+        F.round(F.col("after.value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("key").orderBy("log_pos")
+    lagged = u.select(
+        "key",
+        "log_pos",
+        "es",
+        "cents",
+        F.lag("es").over(w).alias("prev_es"),
+        F.lag("cents").over(w).alias("prev_cents"),
+    )
+    conf = lagged.select(
+        "key",
+        "log_pos",
+        F.when(
+            F.col("prev_es").isNotNull()
+            & (F.col("es") - F.col("prev_es") <= _CONFLICT_WINDOW_S)
+            & (F.col("cents") != F.col("prev_cents")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_conflict"),
+    )
+    return (
+        conf.groupBy("key")
+        .agg(
+            F.count("*").cast("long").alias("n_updates"),
+            F.sum("is_conflict").cast("long").alias("n_conflicts"),
+            F.min(
+                F.when(F.col("is_conflict") == 1, F.col("log_pos"))
+            ).cast("long").alias("first_conflict_pos"),
+        )
+        .filter(F.col("n_conflicts") > 0)
+    )

@@ -1432,3 +1432,140 @@ def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
         F.round(F.col("micro") / 1e6, 6).alias("ql_logprob"),
     )
+
+
+_MAP_K = 20  # ranking depth for the AP cutoff
+_MAP_P = 10  # precision/recall report depth
+# LCM(1..20): every 1/k at or below the cutoff becomes an exact integer
+# multiple of 1/_MAP_LCM, so average precision is computed in integers.
+_MAP_LCM = 232792560
+
+
+@register(
+    "retrieval_eval_map",
+    # Ranking-quality eval of the BM25 list against deterministic
+    # relevance labels (relevant = contains ALL probe terms — the
+    # strict-AND matches BM25 should put first). AP is made EXACT by
+    # scaling each 1/k term by LCM(1..K): ap = Σ_rel cumhits_k·(L/k)
+    # over L·min(|R|,K) — integer arithmetic end-to-end.
+    oracle=f"""
+    WITH {_bm25_micro_sql()},
+    rel AS (
+        SELECT doc_id,
+               CASE WHEN {" AND ".join(
+                   f"len(list_filter({_TOKS_SQL}, x -> x = '{t}')) > 0"
+                   for t in _QUERY_TERMS)}
+                    THEN 1 ELSE 0 END AS is_rel
+        FROM documents
+    ),
+    nrel AS (SELECT CAST(sum(is_rel) AS BIGINT) AS n_relevant FROM rel),
+    ranked AS (
+        SELECT b.doc_id, r.is_rel,
+               row_number() OVER (ORDER BY b.micro DESC, b.doc_id) AS k
+        FROM bm25 b JOIN rel r USING (doc_id)
+        ORDER BY b.micro DESC, b.doc_id LIMIT {_MAP_K}
+    ),
+    cum AS (
+        SELECT k, is_rel,
+               sum(is_rel) OVER (ORDER BY k) AS hits
+        FROM ranked
+    ),
+    ap AS (
+        SELECT CAST(sum(CASE WHEN is_rel = 1
+                             THEN hits * ({_MAP_LCM} // k)
+                             ELSE 0 END) AS BIGINT) AS ap_scaled,
+               CAST(sum(CASE WHEN k <= {_MAP_P} THEN is_rel ELSE 0 END)
+                    AS BIGINT) AS hits_at_p
+        FROM cum
+    )
+    SELECT n.n_relevant,
+           a.hits_at_p AS hits_at_{_MAP_P},
+           CAST(a.hits_at_p * 1000000 // {_MAP_P} AS BIGINT)
+               AS p_at_{_MAP_P}_micro,
+           CAST(a.hits_at_p * 1000000 // nullif(n.n_relevant, 0)
+                AS BIGINT) AS r_at_{_MAP_P}_micro,
+           CAST(a.ap_scaled * 1000000
+                // nullif({_MAP_LCM} * least(n.n_relevant, {_MAP_K}), 0)
+                AS BIGINT) AS ap_micro
+    FROM ap a CROSS JOIN nrel n
+    """,
+)
+def retrieval_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval of the BM25 ranking: precision/recall at
+    10 and average precision at 20 against a deterministic relevance
+    set (documents containing ALL probe terms — the strict-AND matches
+    a lexical ranker must surface first). This is the approx-operator-
+    QA pattern applied to ranking itself: BM25 is a heuristic, the
+    label set is exact, and the metric says how far the heuristic
+    strays. AP's 1/k terms are scaled by LCM(1..20) so the whole
+    metric is exact integer arithmetic — no float summation order, no
+    interpolation ambiguity; empty label sets yield NULL (NULLIF)
+    rather than crashing under ANSI mode.
+
+    Scale shape: scoring reuses _bm25_micro (codegen tf, no explode);
+    the relevance flag is one more map-side array conjunction on the
+    SAME scan; top-20 is a TakeOrdered heap; the cumulative window
+    runs over ≤ 20 rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.expr(_TOKS_SPARK)
+    def has_term(t: str):
+        # closure (not a default arg): a 2-param lambda would be read
+        # by F.filter as its (element, index) form.
+        return F.size(F.filter(toks, lambda x: x == F.lit(t))) > 0
+
+    rel = docs.select(
+        "doc_id",
+        F.when(reduce_and(*[has_term(t) for t in _QUERY_TERMS]), 1)
+        .otherwise(0)
+        .alias("is_rel"),
+    )
+    nrel = rel.agg(F.sum("is_rel").cast("long").alias("n_relevant"))
+    scores = _bm25_micro(docs)
+    ranked = (
+        scores.join(rel, "doc_id")
+        .orderBy(F.col("micro").desc(), "doc_id")
+        .limit(_MAP_K)
+        .select(
+            "is_rel",
+            F.row_number()
+            .over(Window.orderBy(F.col("micro").desc(), "doc_id"))
+            .alias("k"),
+        )
+    )
+    cum = ranked.select(
+        "k",
+        "is_rel",
+        F.sum("is_rel")
+        .over(Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("hits"),
+    )
+    ap = cum.agg(
+        F.sum(
+            F.when(
+                F.col("is_rel") == 1,
+                F.col("hits") * (_MAP_LCM / F.col("k")).cast("long"),
+            ).otherwise(0)
+        ).cast("long").alias("ap_scaled"),
+        F.sum(F.when(F.col("k") <= _MAP_P, F.col("is_rel")).otherwise(0))
+        .cast("long")
+        .alias("hits_at_p"),
+    )
+    return ap.crossJoin(F.broadcast(nrel)).select(
+        "n_relevant",
+        F.col("hits_at_p").alias(f"hits_at_{_MAP_P}"),
+        F.expr(f"hits_at_p * 1000000 div {_MAP_P}")
+        .alias(f"p_at_{_MAP_P}_micro"),
+        F.expr("hits_at_p * 1000000 div nullif(n_relevant, 0)")
+        .alias(f"r_at_{_MAP_P}_micro"),
+        F.expr(
+            f"ap_scaled * 1000000 div "
+            f"nullif({_MAP_LCM} * least(n_relevant, {_MAP_K}), 0)"
+        ).alias("ap_micro"),
+    )
+
+
+def reduce_and(*conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out

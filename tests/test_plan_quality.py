@@ -534,6 +534,11 @@ GLOBAL_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
         "rank over the <=100-row top-term set (TakeOrdered prunes"
         " upstream; the fit itself is a scalar agg)",
     ),
+    "retrieval_eval_map": (
+        2,
+        "rank + cumulative-hits windows over the <=20-row TakeOrdered"
+        " result heap (the BM25 pattern)",
+    ),
 }
 
 
