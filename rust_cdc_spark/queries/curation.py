@@ -1322,84 +1322,12 @@ def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "quality_rule_attribution",
-    oracle=f"""
-    WITH w AS (
-        SELECT doc_id, source, {_WORDS_SQL} AS words,
-               string_split(text, '') AS chars
-        FROM documents
-    ),
-    sig AS (
-        SELECT doc_id, source,
-               -- gopher: word count / mean word len / alpha words /
-               -- stopword hits (integer cross-multiplications)
-               (len(words) BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
-                AND 3 * len(words)
-                    <= list_sum(list_transform(words, x -> length(x)))
-                AND list_sum(list_transform(words, x -> length(x)))
-                    <= 10 * len(words)
-                AND 5 * len(list_filter(words,
-                        x -> regexp_matches(x, '[A-Za-z]')))
-                    >= 4 * len(words)
-                AND len(list_filter(words,
-                        x -> list_contains({_GOPHER_STOPS.replace("(", "[").replace(")", "]")},
-                                           lower(x)))) >= 2) AS keep_gopher,
-               -- c4: >=3 surviving synthetic lines
-               (len(list_filter({_C4_LINES_SQL}, {_C4_KEEP_SQL})) >= 3)
-                   AS keep_c4,
-               -- entropy: micro-nat char entropy in band
-               (CAST(COALESCE(list_sum(list_transform(
-                    list_sort(list_distinct(chars)),
-                    ch -> CAST(round(-1e6
-                        * (CAST(len(list_filter(chars, x -> x = ch))
-                                AS DOUBLE) / len(chars))
-                        * ln(CAST(len(list_filter(chars, x -> x = ch))
-                                AS DOUBLE) / len(chars))) AS BIGINT))), 0)
-                    AS BIGINT)
-                BETWEEN {_ENTROPY_LO} AND {_ENTROPY_HI}) AS keep_entropy,
-               -- repetition: distinct-trigram fraction >= 0.7
-               (len(words) < 3 OR
-                10 * len(list_distinct(list_transform(
-                        range(1, len(words) - 1),
-                        i -> words[i] || ' ' || words[i+1] || ' '
-                             || words[i+2])))
-                >= 7 * (len(words) - 2)) AS keep_repetition
-        FROM w
-    )
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(*) FILTER (WHERE NOT keep_gopher) AS BIGINT)
-               AS n_fail_gopher,
-           CAST(count(*) FILTER (WHERE NOT keep_c4) AS BIGINT) AS n_fail_c4,
-           CAST(count(*) FILTER (WHERE NOT keep_entropy) AS BIGINT)
-               AS n_fail_entropy,
-           CAST(count(*) FILTER (WHERE NOT keep_repetition) AS BIGINT)
-               AS n_fail_repetition,
-           CAST(count(*) FILTER (WHERE keep_gopher AND keep_c4
-                AND keep_entropy AND keep_repetition) AS BIGINT)
-               AS n_pass_all,
-           CAST(COALESCE(sum(doc_id) FILTER (WHERE keep_gopher AND keep_c4
-                AND keep_entropy AND keep_repetition), 0) AS BIGINT)
-               AS pass_id_checksum
-    FROM sig
-    GROUP BY source
-    """,
-)
-def quality_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filter-ablation scorecard — the dataset-card table that says
-    which rule family (Gopher thresholds, C4 line cleaning, character
-    entropy, trigram repetition) is responsible for each rejection,
-    per source, plus the pass-all survivor count and an id checksum
-    over the survivors (value-level evidence the SET matches).
-
-    The Spark-first point: all four verdicts are per-row expressions,
-    so the whole scorecard is ONE fused codegen pass over the scan —
-    no joins between 'filter stages', no intermediate materialization
-    — followed by a single source-keyed agg with map-side partials.
-    Running the four registered filter queries separately would scan
-    the corpus four times; composed, the 100 TB cost is one scan."""
-    docs = load_table(spark, "documents", sf_dir)
+def _quality_rule_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc verdicts of the four quality-rule families
+    (doc_id, source, keep_gopher, keep_c4, keep_entropy,
+    keep_repetition) — ONE fused codegen pass over the scan.
+    Oracle twin: _RULE_SIG_SQL. Shared by quality_rule_attribution,
+    quality_rule_kappa, and quality_label_model_vote."""
     stops = _GOPHER_STOPS.replace("(", "array(").replace(")", ")")
     w = docs.select(
         "doc_id", "source",
@@ -1462,6 +1390,93 @@ def quality_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep_entropy"),
         )
     )
+    return sig
+
+
+_RULE_SIG_SQL = f"""
+    w AS (
+        SELECT doc_id, source, {_WORDS_SQL} AS words,
+               string_split(text, '') AS chars
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, source,
+               -- gopher: word count / mean word len / alpha words /
+               -- stopword hits (integer cross-multiplications)
+               (len(words) BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                AND 3 * len(words)
+                    <= list_sum(list_transform(words, x -> length(x)))
+                AND list_sum(list_transform(words, x -> length(x)))
+                    <= 10 * len(words)
+                AND 5 * len(list_filter(words,
+                        x -> regexp_matches(x, '[A-Za-z]')))
+                    >= 4 * len(words)
+                AND len(list_filter(words,
+                        x -> list_contains({_GOPHER_STOPS.replace("(", "[").replace(")", "]")},
+                                           lower(x)))) >= 2) AS keep_gopher,
+               -- c4: >=3 surviving synthetic lines
+               (len(list_filter({_C4_LINES_SQL}, {_C4_KEEP_SQL})) >= 3)
+                   AS keep_c4,
+               -- entropy: micro-nat char entropy in band
+               (CAST(COALESCE(list_sum(list_transform(
+                    list_sort(list_distinct(chars)),
+                    ch -> CAST(round(-1e6
+                        * (CAST(len(list_filter(chars, x -> x = ch))
+                                AS DOUBLE) / len(chars))
+                        * ln(CAST(len(list_filter(chars, x -> x = ch))
+                                AS DOUBLE) / len(chars))) AS BIGINT))), 0)
+                    AS BIGINT)
+                BETWEEN {_ENTROPY_LO} AND {_ENTROPY_HI}) AS keep_entropy,
+               -- repetition: distinct-trigram fraction >= 0.7
+               (len(words) < 3 OR
+                10 * len(list_distinct(list_transform(
+                        range(1, len(words) - 1),
+                        i -> words[i] || ' ' || words[i+1] || ' '
+                             || words[i+2])))
+                >= 7 * (len(words) - 2)) AS keep_repetition
+        FROM w
+    )
+"""
+
+
+@register(
+    "quality_rule_attribution",
+    oracle=f"""
+    WITH {_RULE_SIG_SQL}
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE NOT keep_gopher) AS BIGINT)
+               AS n_fail_gopher,
+           CAST(count(*) FILTER (WHERE NOT keep_c4) AS BIGINT) AS n_fail_c4,
+           CAST(count(*) FILTER (WHERE NOT keep_entropy) AS BIGINT)
+               AS n_fail_entropy,
+           CAST(count(*) FILTER (WHERE NOT keep_repetition) AS BIGINT)
+               AS n_fail_repetition,
+           CAST(count(*) FILTER (WHERE keep_gopher AND keep_c4
+                AND keep_entropy AND keep_repetition) AS BIGINT)
+               AS n_pass_all,
+           CAST(COALESCE(sum(doc_id) FILTER (WHERE keep_gopher AND keep_c4
+                AND keep_entropy AND keep_repetition), 0) AS BIGINT)
+               AS pass_id_checksum
+    FROM sig
+    GROUP BY source
+    """,
+)
+def quality_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ablation scorecard — the dataset-card table that says
+    which rule family (Gopher thresholds, C4 line cleaning, character
+    entropy, trigram repetition) is responsible for each rejection,
+    per source, plus the pass-all survivor count and an id checksum
+    over the survivors (value-level evidence the SET matches).
+
+    The Spark-first point: all four verdicts are per-row expressions,
+    so the whole scorecard is ONE fused codegen pass over the scan —
+    no joins between 'filter stages', no intermediate materialization
+    — followed by a single source-keyed agg with map-side partials.
+    Running the four registered filter queries separately would scan
+    the corpus four times; composed, the 100 TB cost is one scan."""
+    docs = load_table(spark, "documents", sf_dir)
+    sig = _quality_rule_flags(docs)
     pass_all = (
         F.col("keep_gopher") & F.col("keep_c4")
         & F.col("keep_entropy") & F.col("keep_repetition")
@@ -3711,4 +3726,217 @@ def text_mojibake_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(
             "(n_repl + n_latin1 + n_smart) * 1000000 div n_chars"
         )).cast("long").alias("sum_doc_ppm"),
+    )
+
+
+_RULES = ("gopher", "c4", "entropy", "repetition")
+_RULE_PAIRS = [
+    (a, b) for i, a in enumerate(_RULES) for b in _RULES[i + 1:]
+]
+
+
+@register(
+    "quality_rule_kappa",
+    # Inter-rule agreement: Cohen's kappa for each of the six pairs of
+    # quality-rule verdicts — chance-corrected, so two filters that
+    # both keep 95% of docs don't look "in agreement" for free. All
+    # counts exact BIGINT; kappa = (N·po − pe) / (N² − pe) with
+    # pe = a1·b1 + a0·b0 computed in integers, emitted as floored
+    # micro-units.
+    oracle=f"""
+    WITH {{_RULE_SIG_SQL}},
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               {", ".join(
+            f'''CAST(count(*) FILTER (WHERE keep_{a} AND keep_{b})
+                    AS BIGINT) AS n11_{a}_{b},
+               CAST(count(*) FILTER (WHERE keep_{a} AND NOT keep_{b})
+                    AS BIGINT) AS n10_{a}_{b},
+               CAST(count(*) FILTER (WHERE NOT keep_{a} AND keep_{b})
+                    AS BIGINT) AS n01_{a}_{b},
+               CAST(count(*) FILTER (WHERE NOT keep_{a} AND NOT keep_{b})
+                    AS BIGINT) AS n00_{a}_{b}'''
+            for a, b in _RULE_PAIRS)}
+        FROM sig
+    )
+    {" UNION ALL ".join(
+        f'''SELECT '{a}' AS rule_a, '{b}' AS rule_b,
+               n11_{a}_{b} AS n11, n10_{a}_{b} AS n10,
+               n01_{a}_{b} AS n01, n00_{a}_{b} AS n00,
+               CAST(((n11_{a}_{b} + n00_{a}_{b}) * n
+                     - ((n11_{a}_{b} + n10_{a}_{b})
+                        * (n11_{a}_{b} + n01_{a}_{b})
+                        + (n01_{a}_{b} + n00_{a}_{b})
+                        * (n10_{a}_{b} + n00_{a}_{b})))
+                    * 1000000
+                    // nullif(n * n
+                        - ((n11_{a}_{b} + n10_{a}_{b})
+                           * (n11_{a}_{b} + n01_{a}_{b})
+                           + (n01_{a}_{b} + n00_{a}_{b})
+                           * (n10_{a}_{b} + n00_{a}_{b})), 0)
+                    AS BIGINT) AS kappa_micro
+        FROM c''' for a, b in _RULE_PAIRS)}
+    """.replace("{_RULE_SIG_SQL}", _RULE_SIG_SQL),
+)
+def quality_rule_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement (Cohen's kappa) between every pair
+    of the four quality-rule families — the redundancy audit behind a
+    filter ensemble: kappa ≈ 1 means two rules are interchangeable
+    (drop one, save a pass), kappa ≈ 0 means they veto independently
+    (keep both), negative kappa flags rules fighting each other. Raw
+    agreement is useless here because most docs pass most filters;
+    kappa subtracts that chance floor. Contingency counts are exact;
+    kappa is computed entirely in integer cross-multiplications
+    (N·po − pe over N² − pe) and emitted as floored micro-units, NULL
+    for the degenerate all-one-verdict case (NULLIF).
+
+    Scale shape: the four verdicts come from the shared fused-scan
+    helper (_quality_rule_flags — ONE pass, no joins); all 6×4
+    contingency cells ride a single 1-row aggregate, and the pair
+    table is a 6-row map over that broadcast row."""
+    docs = load_table(spark, "documents", sf_dir)
+    sig = _quality_rule_flags(docs)
+    aggs = [F.count("*").cast("long").alias("n")]
+    for a, b in _RULE_PAIRS:
+        ka, kb = F.col(f"keep_{a}"), F.col(f"keep_{b}")
+        aggs += [
+            F.count(F.when(ka & kb, 1)).cast("long").alias(f"n11_{a}_{b}"),
+            F.count(F.when(ka & ~kb, 1)).cast("long").alias(f"n10_{a}_{b}"),
+            F.count(F.when(~ka & kb, 1)).cast("long").alias(f"n01_{a}_{b}"),
+            F.count(F.when(~ka & ~kb, 1)).cast("long").alias(f"n00_{a}_{b}"),
+        ]
+    c = sig.agg(*aggs)
+    # ONE stack over the single agg row — a 6-way unionAll would
+    # re-run the corpus aggregate per branch (measured 3.4 s → 2.3 s
+    # at sf0.1).
+    stack_args = []
+    for a, b in _RULE_PAIRS:
+        pe = (
+            f"(CAST(n11_{a}_{b} + n10_{a}_{b} AS BIGINT)"
+            f" * (n11_{a}_{b} + n01_{a}_{b})"
+            f" + CAST(n01_{a}_{b} + n00_{a}_{b} AS BIGINT)"
+            f" * (n10_{a}_{b} + n00_{a}_{b}))"
+        )
+        stack_args.append(
+            f"'{a}', '{b}', n11_{a}_{b}, n10_{a}_{b}, n01_{a}_{b},"
+            f" n00_{a}_{b},"
+            f" CAST(((n11_{a}_{b} + n00_{a}_{b}) * n - {pe}) * 1000000"
+            f" div nullif(n * n - {pe}, 0) AS BIGINT)"
+        )
+    return c.select(
+        F.expr(
+            f"stack({len(_RULE_PAIRS)}, "
+            + ", ".join(stack_args)
+            + ") AS (rule_a, rule_b, n11, n10, n01, n00, kappa_micro)"
+        )
+    )
+
+
+@register(
+    "quality_label_model_vote",
+    # Weak-supervision label model (the Snorkel majority-vote →
+    # accuracy-weighted revote shape) over the four quality rules:
+    # (1) majority vote per doc, (2) per-rule accuracy against the
+    # majority on non-tied docs, (3) revote with each rule weighted
+    # by its floored-micro accuracy. Everything is exact integer
+    # counting — the weights are the only learned quantity and they
+    # are integers by construction.
+    oracle=f"""
+    WITH {{_RULE_SIG_SQL}},
+    votes AS (
+        SELECT doc_id, source,
+               CAST(keep_gopher AS INT) + CAST(keep_c4 AS INT)
+               + CAST(keep_entropy AS INT) + CAST(keep_repetition AS INT)
+                   AS n_keep,
+               keep_gopher, keep_c4, keep_entropy, keep_repetition
+        FROM sig
+    ),
+    acc AS (
+        SELECT {", ".join(
+            f'''CAST(count(*) FILTER (WHERE (n_keep >= 3) = keep_{r}
+                                      AND n_keep <> 2) * 1000000
+                    // nullif(count(*) FILTER (WHERE n_keep <> 2), 0)
+                    AS BIGINT) AS w_{r}''' for r in _RULES)}
+        FROM votes
+    ),
+    revote AS (
+        SELECT v.doc_id, v.source, v.n_keep,
+               {" + ".join(
+            f"CASE WHEN v.keep_{r} THEN a.w_{r} ELSE -a.w_{r} END"
+            for r in _RULES)} AS score
+        FROM votes v CROSS JOIN acc a
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE n_keep = 2) AS BIGINT) AS n_tied,
+           CAST(count(*) FILTER (WHERE n_keep >= 3) AS BIGINT)
+               AS n_keep_majority,
+           CAST(count(*) FILTER (WHERE score > 0) AS BIGINT)
+               AS n_keep_weighted,
+           CAST(count(*) FILTER (WHERE (score > 0) <> (n_keep >= 3))
+                AS BIGINT) AS n_flipped
+    FROM revote GROUP BY source
+    """.replace("{_RULE_SIG_SQL}", _RULE_SIG_SQL),
+)
+def quality_label_model_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision label model over the quality-rule ensemble —
+    the Snorkel recipe in its deterministic closed form: treat the
+    four rule verdicts as labeling functions, take the majority vote,
+    estimate each rule's accuracy against that majority (tied 2-2
+    docs abstain from the estimate), then relabel every document with
+    the accuracy-weighted vote. The per-source flip count is the
+    payoff: where the weighted model disagrees with raw majority,
+    a low-accuracy rule was overruling better ones. Accuracies are
+    floored ppm (integers); the revote score is an exact integer sum,
+    so the final labels are engine-deterministic — NULL-safe when
+    every doc ties (NULLIF).
+
+    Scale shape: verdicts from the shared fused scan; the accuracy
+    estimate is ONE 1-row aggregate broadcast back (no shuffle of the
+    corpus); the revote is map-side arithmetic into a |sources|-keyed
+    agg. Two corpus scans total (estimate + revote) — the price of
+    any two-stage EM-style model; at 100 TB localCheckpoint the
+    verdict frame to pay the rule expressions once."""
+    docs = load_table(spark, "documents", sf_dir)
+    sig = _quality_rule_flags(docs)
+    votes = sig.select(
+        "doc_id",
+        "source",
+        (
+            F.col("keep_gopher").cast("int")
+            + F.col("keep_c4").cast("int")
+            + F.col("keep_entropy").cast("int")
+            + F.col("keep_repetition").cast("int")
+        ).alias("n_keep"),
+        *[F.col(f"keep_{r}") for r in _RULES],
+    ).localCheckpoint()  # pay the fused rule expressions once
+    maj = F.col("n_keep") >= 3
+    nontie = F.col("n_keep") != 2
+    acc = votes.agg(
+        *[
+            F.expr(
+                f"count(CASE WHEN ((n_keep >= 3) = keep_{r})"
+                f" AND n_keep <> 2 THEN 1 END) * 1000000"
+                f" div nullif(count(CASE WHEN n_keep <> 2 THEN 1 END), 0)"
+            ).cast("long").alias(f"w_{r}")
+            for r in _RULES
+        ]
+    )
+    score = None
+    for r in _RULES:
+        term = F.when(F.col(f"keep_{r}"), F.col(f"w_{r}")).otherwise(
+            -F.col(f"w_{r}")
+        )
+        score = term if score is None else score + term
+    revote = votes.crossJoin(F.broadcast(acc)).select(
+        "source", "n_keep", score.alias("score")
+    )
+    return revote.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count(F.when(~nontie, 1)).cast("long").alias("n_tied"),
+        F.count(F.when(maj, 1)).cast("long").alias("n_keep_majority"),
+        F.count(F.when(F.col("score") > 0, 1)).cast("long")
+        .alias("n_keep_weighted"),
+        F.count(F.when((F.col("score") > 0) != maj, 1)).cast("long")
+        .alias("n_flipped"),
     )
