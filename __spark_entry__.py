@@ -52,6 +52,9 @@ _R06_PRIORITY = [
     "host_graph_bfs_hops", "orders_benford_audit", "table_fd_discovery",
     "keyword_textrank_top", "text_mojibake_score",
     "embedding_coreset_kcenter", "embedding_hubness_degree",
+    "retrieval_eval_map", "layout_partition_advisor",
+    "cdc_update_conflicts", "quality_rule_kappa",
+    "quality_label_model_vote",
     # 3 — stalest: last driver row is CORRECTNESS_r01
     "agg_cube_priority_status", "agg_distinct_lineitem", "agg_percentiles_by_status",
     "agg_rollup_returns", "asof_join_purchase_last_click", "cdc_collapse_last",

@@ -3940,3 +3940,133 @@ def quality_label_model_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when((F.col("score") > 0) != maj, 1)).cast("long")
         .alias("n_flipped"),
     )
+
+
+@register(
+    "host_graph_assortativity",
+    # Degree assortativity (Newman 2002): the Pearson correlation of
+    # endpoint degrees across edges — positive means hubs link hubs
+    # (social/citation shape), negative means hubs link leaves
+    # (hub-and-spoke / spam-farm shape). Computed on the directed
+    # edge list seen as 2m ordered endpoint pairs; all moments are
+    # exact BIGINT sums of degree products, with the single double
+    # division at the end (2m·Σxy − ΣxΣy over the geometric mean of
+    # the variances).
+    oracle=f"""
+    WITH raw AS (
+        SELECT DISTINCT {_PR_SRC} AS src, {_PR_DST} AS dst
+        FROM documents
+    ),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst
+    ),
+    adj AS (
+        SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (
+        SELECT u AS host, CAST(count(*) AS BIGINT) AS d
+        FROM adj GROUP BY u
+    ),
+    ep AS (
+        SELECT da.d AS x, db.d AS y
+        FROM adj e
+        JOIN deg da ON da.host = e.u
+        JOIN deg db ON db.host = e.v
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM ep
+    )
+    SELECT n // 2 AS n_edges,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / nullif(sqrt((CAST(n AS DOUBLE) * sxx
+                                - CAST(sx AS DOUBLE) * sx)
+                               * (CAST(n AS DOUBLE) * syy
+                                  - CAST(sy AS DOUBLE) * sy)), 0), 6)
+               AS assortativity
+    FROM m
+    """,
+)
+def host_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the host link graph — Newman's r, the
+    one-number answer to "do well-connected hosts link to each other
+    (r > 0, organic community shape) or to leaves (r < 0, hub-and-
+    spoke / link-farm shape)" — the structural complement to the
+    clustering coefficient (host_graph_triangles) on the same edge
+    table. Every moment (Σx, Σxy, Σx², …) is an exact BIGINT sum of
+    integer degrees over the 2m ordered endpoint pairs, so both
+    engines feed the identical integers into the one final double
+    expression; a degree-regular graph (zero variance) yields NULL
+    instead of dividing by zero.
+
+    Scale shape: one doc scan → model-scale edge table; degrees are
+    an edge-keyed agg joined back twice (host-scale hash joins); the
+    moments are a 1-row aggregate. Nothing is corpus-scale after the
+    first distinct."""
+    docs = load_table(spark, "documents", sf_dir)
+    raw = docs.select(
+        F.expr(_PR_SRC).alias("src"), F.expr(_PR_DST).alias("dst")
+    ).distinct()
+    und = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("host")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    ep = (
+        adj.join(
+            F.broadcast(deg.withColumnsRenamed({"host": "u", "d": "x"})),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.withColumnsRenamed({"host": "v", "d": "y"})),
+            "v",
+        )
+        .select("x", "y")
+    )
+    m = ep.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return m.select(
+        F.expr("n div 2").alias("n_edges"),
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / F.nullif(
+                F.sqrt(
+                    (
+                        F.col("n").cast("double") * F.col("sxx")
+                        - F.col("sx").cast("double") * F.col("sx")
+                    )
+                    * (
+                        F.col("n").cast("double") * F.col("syy")
+                        - F.col("sy").cast("double") * F.col("sy")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("assortativity"),
+    )

@@ -2591,3 +2591,102 @@ def table_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+_ELAS_Q = 1000  # milli-quantized lns (the text_zipf_slope discipline)
+
+
+@register(
+    "part_price_elasticity",
+    # Log-log demand fit per part brand: OLS slope of ln(quantity) on
+    # ln(effective unit price) across that brand's line items — the
+    # price-elasticity estimate a pricing/assortment pipeline reads.
+    # Both lns are quantized to milli-units ONCE per line item, so all
+    # OLS moments are exact BIGINT and the slope is one floored
+    # integer division (micro-units); flat-price brands (zero x
+    # variance) emit NULL via NULLIF.
+    oracle=f"""
+    WITH li AS (
+        SELECT p.p_brand AS brand,
+               CAST(round(ln(l.l_quantity) * {_ELAS_Q}) AS BIGINT) AS y,
+               CAST(round(ln(l.l_extendedprice * (1 - l.l_discount)
+                             / l.l_quantity) * {_ELAS_Q}) AS BIGINT) AS x
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    ),
+    mom AS (
+        SELECT brand,
+               CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM li GROUP BY brand
+    )
+    SELECT brand, m AS n_lineitems,
+           -- HUGEINT: 10⁶ · (m·Σxy − ΣxΣy) tops 10²⁰ at sf0.1 and
+           -- grows with m² — BIGINT moments are safe, the scaled
+           -- numerator is not
+           CAST((1000000 * (CAST(m AS HUGEINT) * sxy
+                            - CAST(sx AS HUGEINT) * sy))
+                // nullif(CAST(m AS HUGEINT) * sxx
+                          - CAST(sx AS HUGEINT) * sx, 0) AS BIGINT)
+               AS elasticity_micro
+    FROM mom
+    """,
+)
+def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per part brand: the log-log OLS
+    slope of ordered quantity on effective unit price (extended price
+    net of discount, per unit) — the canonical retail estimate of how
+    demand answers price, the pricing-strategy complement to
+    orders_basket_affinity's what-sells-together. An elasticity near
+    0 is inelastic demand; strongly negative means discounts move
+    volume. Same integer-OLS discipline as text_zipf_slope: each ln
+    is quantized to milli-units once, every moment is an exact BIGINT
+    sum, and the slope is one floored micro division — NULL for
+    flat-price brands rather than a divide-by-zero.
+
+    Scale shape: the part join is a broadcast (dimension side);
+    moments are ONE brand-keyed aggregate with map-side partials over
+    the fact scan. Nothing else shuffles."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    pts = (
+        li.filter(
+            (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.round(F.log("l_quantity") * _ELAS_Q).cast("long").alias("y"),
+            F.round(
+                F.log(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    / F.col("l_quantity")
+                )
+                * _ELAS_Q
+            ).cast("long").alias("x"),
+        )
+    )
+    mom = pts.groupBy("brand").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    # DECIMAL(38): the 10⁶-scaled numerator grows with m² and tops
+    # BIGINT at sf0.1 (mirrors the oracle's HUGEINT cast).
+    return mom.select(
+        "brand",
+        F.col("m").alias("n_lineitems"),
+        F.expr(
+            "(1000000 * (CAST(m AS DECIMAL(38,0)) * sxy"
+            " - CAST(sx AS DECIMAL(38,0)) * sy))"
+            " div nullif(CAST(m AS DECIMAL(38,0)) * sxx"
+            " - CAST(sx AS DECIMAL(38,0)) * sx, 0)"
+        ).cast("long").alias("elasticity_micro"),
+    )

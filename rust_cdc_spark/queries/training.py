@@ -2698,3 +2698,123 @@ def embedding_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         centers, "center_rank int, vec_id bigint, sep_dist bigint"
     )
+
+
+_UNI_TOP = 20  # emitted most-essential tokens
+
+
+@register(
+    "tokenizer_unigram_prune",
+    # SentencePiece-style unigram-LM vocabulary pruning (Kudo 2018,
+    # the prune half of the EM loop) with the character fallback as
+    # the alternative path: a word's value is how much corpus
+    # log-likelihood is lost if it leaves the vocabulary and must be
+    # spelled from characters, loss(w) = c_w · (logp(w) − Σ_ch
+    # logp(ch)). Log-probs are rounded ONCE per vocab entry to
+    # micro-nats, so every loss is an exact BIGINT product and the
+    # ranking is engine-deterministic.
+    oracle=f"""
+    WITH wi AS (
+        SELECT unnest(string_split(trim(text), ' ')) AS w
+        FROM documents
+    ),
+    wc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM wi WHERE w <> '' GROUP BY w
+    ),
+    wt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM wc),
+    -- char model derived from the VOCAB table weighted by counts,
+    -- never by re-scanning the corpus
+    ch AS (
+        SELECT unnest(string_split(w, '')) AS ch, c
+        FROM wc
+    ),
+    cc AS (
+        SELECT ch, CAST(sum(c) AS BIGINT) AS n FROM ch GROUP BY ch
+    ),
+    ct AS (SELECT CAST(sum(n) AS BIGINT) AS ctot FROM cc),
+    clp AS (
+        SELECT cc.ch,
+               CAST(round(1e6 * ln(CAST(cc.n AS DOUBLE) / ct.ctot))
+                    AS BIGINT) AS lp
+        FROM cc CROSS JOIN ct
+    ),
+    wpath AS (
+        SELECT s.w, CAST(sum(clp.lp) AS BIGINT) AS char_path_micro
+        FROM (SELECT w, unnest(string_split(w, '')) AS ch FROM wc) s
+        JOIN clp ON clp.ch = s.ch
+        GROUP BY s.w
+    ),
+    scored AS (
+        SELECT wc.w AS token, wc.c AS freq,
+               CAST(round(1e6 * ln(CAST(wc.c AS DOUBLE) / wt.t))
+                    AS BIGINT) AS logp_micro,
+               p.char_path_micro,
+               wc.c * (CAST(round(1e6 * ln(CAST(wc.c AS DOUBLE) / wt.t))
+                            AS BIGINT) - p.char_path_micro)
+                   AS loss_micro
+        FROM wc CROSS JOIN wt JOIN wpath p ON p.w = wc.w
+    )
+    SELECT token, freq, logp_micro, char_path_micro, loss_micro
+    FROM scored
+    ORDER BY loss_micro DESC, token
+    LIMIT {_UNI_TOP}
+    """,
+)
+def tokenizer_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer pruning scores — the SentencePiece
+    counterpart to the repo's BPE trainer (operators/bpe.py): under a
+    unigram language model with character fallback, each vocabulary
+    word's worth is the corpus log-likelihood lost if it is pruned
+    and must be spelled character-by-character, loss(w) = freq ·
+    (logp(w) − Σ logp(char)). The top-20 by loss are the tokens the
+    vocabulary cannot afford to drop — the exact quantity
+    SentencePiece's prune step thresholds each EM round. Log-probs
+    are quantized once to micro-nats making every downstream product
+    and sum exact integer arithmetic.
+
+    Scale shape: ONE corpus scan feeds the word-count agg
+    (vocabulary-scale); the character model and the char-path sums
+    are derived from the VOCAB table weighted by counts — the corpus
+    is never re-scanned or char-exploded; final ranking is a
+    TakeOrdered heap over vocab rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    wi = docs.select(
+        F.explode(F.expr("split(trim(text), ' ')")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = wi.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    wc = wc.localCheckpoint()  # word model reused by 3 branches
+    wt = wc.agg(F.sum("c").cast("long").alias("t"))
+    chx = wc.select(F.explode(F.expr("split(w, '')")).alias("ch"), "c")
+    cc = chx.groupBy("ch").agg(F.sum("c").cast("long").alias("n"))
+    ct = cc.agg(F.sum("n").cast("long").alias("ctot"))
+    clp = cc.crossJoin(F.broadcast(ct)).select(
+        "ch",
+        F.round(1e6 * F.log(F.col("n").cast("double") / F.col("ctot")))
+        .cast("long")
+        .alias("lp"),
+    )
+    wpath = (
+        wc.select("w", F.explode(F.expr("split(w, '')")).alias("ch"))
+        .join(F.broadcast(clp), "ch")
+        .groupBy("w")
+        .agg(F.sum("lp").cast("long").alias("char_path_micro"))
+    )
+    logp = F.round(
+        1e6 * F.log(F.col("c").cast("double") / F.col("t"))
+    ).cast("long")
+    scored = (
+        wc.crossJoin(F.broadcast(wt))
+        .join(wpath, "w")
+        .select(
+            F.col("w").alias("token"),
+            F.col("c").alias("freq"),
+            logp.alias("logp_micro"),
+            "char_path_micro",
+            (F.col("c") * (logp - F.col("char_path_micro")))
+            .alias("loss_micro"),
+        )
+    )
+    return scored.orderBy(F.col("loss_micro").desc(), "token").limit(
+        _UNI_TOP
+    )
