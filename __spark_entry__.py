@@ -54,7 +54,9 @@ _R06_PRIORITY = [
     "embedding_coreset_kcenter", "embedding_hubness_degree",
     "retrieval_eval_map", "layout_partition_advisor",
     "cdc_update_conflicts", "quality_rule_kappa",
-    "quality_label_model_vote",
+    "quality_label_model_vote", "tokenizer_unigram_prune",
+    "host_graph_assortativity", "part_price_elasticity",
+    "events_markov_attribution", "orders_duplicate_invoice_detect",
     # 3 — stalest: last driver row is CORRECTNESS_r01
     "agg_cube_priority_status", "agg_distinct_lineitem", "agg_percentiles_by_status",
     "agg_rollup_returns", "asof_join_purchase_last_click", "cdc_collapse_last",

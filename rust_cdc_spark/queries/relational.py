@@ -2690,3 +2690,109 @@ def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(sx AS DECIMAL(38,0)) * sx, 0)"
         ).cast("long").alias("elasticity_micro"),
     )
+
+
+_DUPINV_WINDOW_DAYS = 7
+# Deterministic duplicate injection: the synthetic totals are continuous
+# doubles, so exact-cents collisions never occur organically. Orders
+# with o_orderkey % 97 == 0 get a "resubmitted invoice" twin (same
+# customer, same total, +2 days, orderkey offset by 10^9) in BOTH
+# engines — the detector's plumbing is what's under test.
+_DUPINV_MOD = 97
+_DUPINV_KEY_OFFSET = 1_000_000_000
+
+
+@register(
+    "orders_duplicate_invoice_detect",
+    # Double-billing audit: order pairs from the same customer with
+    # the IDENTICAL total, placed within 7 days — the classic
+    # accounts-payable duplicate-invoice signature. The join key is
+    # (customer, exact cents), so candidates equi-join instead of
+    # cross-comparing; the date band is a residual filter.
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders
+    ),
+    aug AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT o_orderkey + {_DUPINV_KEY_OFFSET}, o_custkey,
+               o_totalprice, o_orderdate + INTERVAL 2 DAY
+        FROM base WHERE o_orderkey % {_DUPINV_MOD} = 0
+    ),
+    o AS (
+        SELECT o_orderkey AS k, o_custkey AS cust,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d
+        FROM aug
+    )
+    SELECT a.cust AS custkey,
+           a.k AS orderkey_a, b.k AS orderkey_b,
+           a.cents,
+           b.d - a.d AS day_gap
+    FROM o a JOIN o b
+      ON b.cust = a.cust AND b.cents = a.cents AND b.k > a.k
+    WHERE abs(b.d - a.d) <= {_DUPINV_WINDOW_DAYS}
+    """,
+)
+def orders_duplicate_invoice_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-invoice detection: pairs of orders from the same
+    customer with the identical exact total within a 7-day window —
+    the accounts-payable double-billing audit (resubmitted invoices,
+    retried payments, double-clicked checkouts). Totals compare as
+    exact cents and dates as exact epoch days, so the pair set is
+    engine-deterministic; ordering the pair by orderkey keeps each
+    duplicate reported once. Duplicates are injected deterministically
+    (orderkey % 97 twins, +2 days) since the synthetic continuous
+    totals never collide on their own — the mojibake/PII-injection
+    precedent.
+
+    Scale shape: a SELF-EQUI-JOIN on (customer, cents) — the blocking
+    key carries all the selectivity, so matching is hash-join linear
+    in true collision count (the dedup-family discipline: never
+    all-pairs); the 7-day band is a residual predicate on the already
+    tiny candidate set."""
+    orders = load_table(spark, "orders", sf_dir)
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    aug = base.unionAll(
+        base.filter(F.col("o_orderkey") % _DUPINV_MOD == 0).select(
+            (F.col("o_orderkey") + _DUPINV_KEY_OFFSET).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+            (F.col("o_orderdate") + F.expr("INTERVAL 2 DAYS"))
+            .alias("o_orderdate"),
+        )
+    )
+    o = aug.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr("floor(unix_timestamp(o_orderdate)) div 86400").alias("d"),
+    )
+    b = o.select(
+        F.col("k").alias("kb"),
+        F.col("cust").alias("custb"),
+        F.col("cents").alias("centsb"),
+        F.col("d").alias("db"),
+    )
+    return (
+        o.join(
+            b,
+            (F.col("custb") == F.col("cust"))
+            & (F.col("centsb") == F.col("cents"))
+            & (F.col("kb") > F.col("k")),
+        )
+        .filter(
+            F.abs(F.col("db") - F.col("d")) <= _DUPINV_WINDOW_DAYS
+        )
+        .select(
+            F.col("cust").alias("custkey"),
+            F.col("k").alias("orderkey_a"),
+            F.col("kb").alias("orderkey_b"),
+            "cents",
+            (F.col("db") - F.col("d")).alias("day_gap"),
+        )
+    )

@@ -2651,3 +2651,203 @@ def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(s - sk) * 1000 div (n - t)").alias("mean_right_milli"),
         F.round("gain", 6).alias("gain"),
     )
+
+
+_ATTR_ITERS = 5
+_ATTR_CHANNELS = ("click", "view", "error")
+_ATTR_START, _ATTR_CONV = "signup", "purchase"
+
+
+def _attr_iter_sql(sc: str, it: int, cond: str) -> str:
+    prev = f"r{sc}{it - 1}"
+    return f"""
+    r{sc}{it} AS (
+        SELECT ty.t,
+               CASE WHEN ty.t = '{_ATTR_CONV}' THEN CAST(1000000 AS BIGINT)
+                    ELSE CAST(coalesce(c.s, 0) AS BIGINT) END AS v
+        FROM types ty LEFT JOIN (
+            SELECT p.from_type AS t,
+                   sum((x.v * p.pm) // 1000000) AS s
+            FROM p JOIN {prev} x ON x.t = p.to_type
+            WHERE {cond}
+            GROUP BY p.from_type
+        ) c ON c.t = ty.t
+    )"""
+
+
+def _attr_chain_sql(sc: str, cond: str) -> str:
+    r0 = f"""
+    r{sc}0 AS (
+        SELECT t, CASE WHEN t = '{_ATTR_CONV}'
+                       THEN CAST(1000000 AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS v
+        FROM types
+    )"""
+    iters = ",".join(
+        _attr_iter_sql(sc, i + 1, cond) for i in range(_ATTR_ITERS)
+    )
+    return r0 + "," + iters
+
+
+@register(
+    "events_markov_attribution",
+    # Markov removal-effect attribution (the data-driven alternative
+    # to last-click): conversion reachability within 5 steps from the
+    # signup state under the estimated transition matrix, re-computed
+    # with each intermediate channel removed (its in/out edges
+    # dropped, walks die). A channel's credit is the relative drop in
+    # conversion reachability when it disappears. All probability
+    # mass is integer micro-units with floored `div` per product —
+    # the events_markov_stationary discipline — so all four finite-
+    # horizon replays unroll as oracle CTE chains.
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    rs AS (SELECT from_type, sum(n) AS tot FROM trans GROUP BY from_type),
+    p AS (
+        SELECT t.from_type, t.to_type,
+               (1000000 * t.n) // r.tot AS pm
+        FROM trans t JOIN rs r USING (from_type)
+    ),
+    types AS (
+        SELECT DISTINCT from_type AS t FROM trans
+        UNION SELECT DISTINCT to_type FROM trans
+    ),
+    {_attr_chain_sql("b", "true")},
+    {",".join(
+        _attr_chain_sql(
+            f"c{i}",
+            f"p.to_type <> '{c}' AND p.from_type <> '{c}'",
+        )
+        for i, c in enumerate(_ATTR_CHANNELS)
+    )},
+    base AS (
+        SELECT v AS base_micro FROM rb{_ATTR_ITERS}
+        WHERE t = '{_ATTR_START}'
+    )
+    {" UNION ALL ".join(
+        f'''SELECT '{c}' AS channel,
+               b.base_micro,
+               x.v AS without_micro,
+               CAST((b.base_micro - x.v) * 1000000
+                    // nullif(b.base_micro, 0) AS BIGINT)
+                   AS removal_effect_micro
+        FROM base b LEFT JOIN rc{i}{_ATTR_ITERS} x
+          ON x.t = '{_ATTR_START}' '''
+        for i, c in enumerate(_ATTR_CHANNELS)
+    )}
+    """,
+)
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov (removal-effect) channel attribution — the data-driven
+    multi-touch model: estimate the user-journey transition matrix,
+    compute the probability of reaching the conversion state within 5
+    steps from signup, then knock each intermediate channel out of
+    the graph and measure how much reachability drops. A channel that
+    merely sits on already-converting paths gets little credit; one
+    that bridges otherwise-dead paths gets much — the correction
+    last-click attribution can't make. Same integer micro-unit
+    replay discipline as events_markov_stationary, so the oracle
+    re-runs all four finite-horizon absorptions as unrolled CTEs.
+
+    Scale shape: ONE user-partitioned lag window over the corpus
+    builds transitions (the shuffle sessionization already pays);
+    everything after runs on the |types|²-row matrix — 4 replays × 5
+    iterations of model-scale joins; the corpus is scanned once."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # |types|²; frees the corpus lineage
+    )
+    rs = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    p = trans.join(rs, "from_type").select(
+        "from_type",
+        "to_type",
+        F.expr("(1000000 * n) div tot").alias("pm"),
+    )
+    types = (
+        trans.select(F.col("from_type").alias("t"))
+        .union(trans.select(F.col("to_type").alias("t")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def absorb(p_sc: DataFrame) -> DataFrame:
+        """5-step conversion reachability (micro) per state."""
+        r = types.select(
+            "t",
+            F.when(F.col("t") == _ATTR_CONV, F.lit(1_000_000))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("v"),
+        )
+        for _ in range(_ATTR_ITERS):
+            contrib = (
+                p_sc.join(
+                    F.broadcast(r.withColumnRenamed("t", "to_type")),
+                    "to_type",
+                )
+                .select(
+                    F.col("from_type").alias("t"),
+                    F.expr("(v * pm) div 1000000").alias("term"),
+                )
+                .groupBy("t")
+                .agg(F.sum("term").alias("s"))
+            )
+            r = types.join(contrib, "t", "left").select(
+                "t",
+                F.when(
+                    F.col("t") == _ATTR_CONV, F.lit(1_000_000)
+                )
+                .otherwise(F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("v"),
+            )
+        return r
+
+    def start_val(r: DataFrame, alias: str) -> DataFrame:
+        return r.filter(F.col("t") == _ATTR_START).agg(
+            F.max("v").alias(alias)
+        )
+
+    base = start_val(absorb(p), "base_micro")
+    out = None
+    for c in _ATTR_CHANNELS:
+        p_c = p.filter(
+            (F.col("to_type") != c) & (F.col("from_type") != c)
+        )
+        row = (
+            base.crossJoin(start_val(absorb(p_c), "without_micro"))
+            .select(
+                F.lit(c).alias("channel"),
+                "base_micro",
+                "without_micro",
+                F.expr(
+                    "(base_micro - without_micro) * 1000000"
+                    " div nullif(base_micro, 0)"
+                ).cast("long").alias("removal_effect_micro"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
