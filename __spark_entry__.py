@@ -57,6 +57,7 @@ _R06_PRIORITY = [
     "quality_label_model_vote", "tokenizer_unigram_prune",
     "host_graph_assortativity", "part_price_elasticity",
     "events_markov_attribution", "orders_duplicate_invoice_detect",
+    "events_survival_km", "events_entropy_rate", "customer_revenue_gini",
     # 3 — stalest: last driver row is CORRECTNESS_r01
     "agg_cube_priority_status", "agg_distinct_lineitem", "agg_percentiles_by_status",
     "agg_rollup_returns", "asof_join_purchase_last_click", "cdc_collapse_last",

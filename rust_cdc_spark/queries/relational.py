@@ -2796,3 +2796,77 @@ def orders_duplicate_invoice_detect(spark: SparkSession, sf_dir: str) -> DataFra
             (F.col("db") - F.col("d")).alias("day_gap"),
         )
     )
+
+
+@register(
+    "customer_revenue_gini",
+    # Gini coefficient of customer revenue concentration via the
+    # rank formula G = (2·Σ r·x − (n+1)·Σx) / (n·Σx) under an exact
+    # global rank by (cents, custkey). Numerator and denominator grow
+    # with n·Σx ~ n²·spend, so the final arithmetic runs in
+    # HUGEINT/DECIMAL(38); the result is a floored micro-unit.
+    oracle="""
+    WITH u AS (
+        SELECT o_custkey AS cust,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, cust) AS rk
+        FROM u
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sx,
+               sum(CAST(rk AS HUGEINT) * cents) AS srx
+        FROM r
+    )
+    SELECT n AS n_customers, sx AS total_cents,
+           CAST((2 * srx - (CAST(n AS HUGEINT) + 1) * sx) * 1000000
+                // nullif(CAST(n AS HUGEINT) * sx, 0) AS BIGINT)
+               AS gini_micro
+    FROM m
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers —
+    the inequality summary behind the Lorenz deciles of
+    events_power_users_pareto: 0 = every customer spends alike, near
+    1 = a handful carry the book (concentration risk, and the
+    "should we even personalize" question). Uses the rank identity
+    G = (2Σr·x − (n+1)Σx)/(nΣx) over exact cents with a total
+    (cents, custkey) order; ranks come from the exact-global-rank
+    operator (range repartition + partition offsets — no
+    single-partition window), and the moments run in DECIMAL(38)/
+    HUGEINT since n·Σx grows quadratically.
+
+    Scale shape: one customer-keyed agg, one range-partitioned rank,
+    one 1-row moment agg. No global window, no collect."""
+    from rust_cdc_spark.operators.ranks import with_global_rank
+
+    orders = load_table(spark, "orders", sf_dir)
+    u = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    r = with_global_rank(
+        u, [F.col("cents"), F.col("cust")], rank_col="rk"
+    )
+    m = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(
+            F.col("rk").cast("decimal(38,0)") * F.col("cents")
+        ).alias("srx"),
+    )
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.col("sx").alias("total_cents"),
+        F.expr(
+            "(2 * srx - (CAST(n AS DECIMAL(38,0)) + 1) * sx) * 1000000"
+            " div nullif(CAST(n AS DECIMAL(38,0)) * sx, 0)"
+        ).cast("long").alias("gini_micro"),
+    )

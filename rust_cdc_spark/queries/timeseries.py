@@ -2851,3 +2851,276 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+_KM_DEAD = -(10**12)  # sentinel log-survival when the last cohort dies
+
+
+@register(
+    "events_survival_km",
+    # Kaplan–Meier time-to-first-failure curve: per user, days from
+    # first event to first 'error' (right-censored at the last
+    # observed day when no error occurs). Per failure day t: at-risk
+    # count (reverse-cumulative over the duration histogram), deaths,
+    # censored, and the cumulative LOG survival Σ ln(1 − d/n) — log
+    # space turns the sequential KM product into a window SUM of
+    # per-day factors each quantized ONCE to micro-nats; a day where
+    # everyone at risk fails emits the −10¹² sentinel, not ln(0).
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(min(floor(epoch(ts))) AS BIGINT) // 86400 AS first_d,
+               CAST(min(CASE WHEN event_type = 'error'
+                             THEN floor(epoch(ts)) END) AS BIGINT)
+                   // 86400 AS err_d,
+               CAST(max(floor(epoch(ts))) AS BIGINT) // 86400 AS last_d
+        FROM events GROUP BY user_id
+    ),
+    obs AS (
+        SELECT user_id,
+               CASE WHEN err_d IS NOT NULL THEN err_d - first_d
+                    ELSE last_d - first_d END AS t,
+               CASE WHEN err_d IS NOT NULL THEN 1 ELSE 0 END AS died
+        FROM u
+    ),
+    hist AS (
+        SELECT t, CAST(sum(died) AS BIGINT) AS d,
+               CAST(count(*) - sum(died) AS BIGINT) AS c
+        FROM obs GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d, c,
+               sum(d + c) OVER (ORDER BY t DESC
+                                ROWS UNBOUNDED PRECEDING) AS n_risk
+        FROM hist
+    ),
+    fac AS (
+        SELECT t, d, c, n_risk,
+               CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+                    WHEN d = n_risk THEN CAST({_KM_DEAD} AS BIGINT)
+                    ELSE CAST(round(1e6 * ln(1.0 - CAST(d AS DOUBLE)
+                                                   / n_risk)) AS BIGINT)
+               END AS lnf_micro
+        FROM risk
+    )
+    SELECT t AS days_to_failure, n_risk, d AS n_failures,
+           c AS n_censored,
+           CAST(sum(lnf_micro) OVER (ORDER BY t
+                                     ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS log_surv_micro
+    FROM fac
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival analysis of time-to-first-failure: days
+    from each user's first event to their first 'error', with users
+    who never error right-censored at their last observed day — the
+    churn/reliability curve that naive "average time to failure" gets
+    wrong by treating still-healthy users as failures-at-today.
+    Censoring is exactly what KM exists for. The KM product Π(1−d/n)
+    runs in log space: each factor is quantized once to micro-nats
+    (exact integers thereafter), the running product becomes a
+    running SUM window, and a total-extinction day emits a −10¹²
+    sentinel rather than ln(0).
+
+    Scale shape: ONE user-keyed agg collapses the corpus to
+    durations; everything after runs on the duration HISTOGRAM
+    (bounded by the observation span in days, not by users) — the
+    reverse-cumulative at-risk window and the forward log-survival
+    window both ride those bounded value rows (plan-gate allow-listed
+    like the other value-histogram queries)."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.expr("min(floor(unix_timestamp(ts))) div 86400")
+        .alias("first_d"),
+        F.expr(
+            "min(CASE WHEN event_type = 'error'"
+            " THEN floor(unix_timestamp(ts)) END) div 86400"
+        ).alias("err_d"),
+        F.expr("max(floor(unix_timestamp(ts))) div 86400").alias("last_d"),
+    )
+    died = F.col("err_d").isNotNull()
+    obs = u.select(
+        F.when(died, F.col("err_d") - F.col("first_d"))
+        .otherwise(F.col("last_d") - F.col("first_d"))
+        .alias("t"),
+        F.when(died, 1).otherwise(0).alias("died"),
+    )
+    hist = obs.groupBy("t").agg(
+        F.sum("died").cast("long").alias("d"),
+        (F.count("*") - F.sum("died")).cast("long").alias("c"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = hist.select(
+        "t", "d", "c",
+        F.sum(F.col("d") + F.col("c")).over(w_desc).alias("n_risk"),
+    )
+    fac = risk.select(
+        "t", "d", "c", "n_risk",
+        F.when(F.col("d") == 0, F.lit(0).cast("long"))
+        .when(F.col("d") == F.col("n_risk"), F.lit(_KM_DEAD).cast("long"))
+        .otherwise(
+            F.round(
+                1e6
+                * F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+            ).cast("long")
+        )
+        .alias("lnf_micro"),
+    )
+    w_asc = (
+        Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return fac.select(
+        F.col("t").alias("days_to_failure"),
+        "n_risk",
+        F.col("d").alias("n_failures"),
+        F.col("c").alias("n_censored"),
+        F.sum("lnf_micro").over(w_asc).cast("long")
+        .alias("log_surv_micro"),
+    )
+
+
+@register(
+    "events_entropy_rate",
+    # Entropy rate of the user-behavior Markov chain: H = −Σ_i π_i
+    # Σ_j p_ij ln p_ij with π from the same fixed-iteration power
+    # replay as events_markov_stationary. Every probability is an
+    # integer micro-unit, ln is quantized once per matrix cell, and
+    # the triple products sum in HUGEINT/DECIMAL(38) with ONE final
+    # floored division — fully exact cross-engine.
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    rs AS (SELECT from_type, sum(n) AS tot FROM trans GROUP BY from_type),
+    p AS (
+        SELECT t.from_type, t.to_type,
+               (1000000 * t.n) // r.tot AS pm
+        FROM trans t JOIN rs r USING (from_type)
+    ),
+    types AS (
+        SELECT DISTINCT from_type AS t FROM trans
+        UNION SELECT DISTINCT to_type FROM trans
+    ),
+    ntypes AS (SELECT count(*) AS k FROM types),
+    pi0 AS (SELECT t, CAST(1000000 // k AS BIGINT) AS v
+            FROM types CROSS JOIN ntypes),
+    {",".join(_mk_iter_sql(f"pi{i}", i + 1) for i in range(_MK_ITERS))},
+    cell AS (
+        SELECT p.from_type, p.to_type, p.pm, x.v,
+               CAST(round(1e6 * ln(CAST(p.pm AS DOUBLE) / 1000000))
+                    AS BIGINT) AS lnp_micro
+        FROM p JOIN pi{_MK_ITERS} x ON x.t = p.from_type
+        WHERE p.pm > 0
+    )
+    SELECT CAST((SELECT k FROM ntypes) AS BIGINT) AS n_states,
+           CAST(-(sum(CAST(v AS HUGEINT) * pm * lnp_micro)
+                  // 1000000000000) AS BIGINT) AS entropy_rate_micro,
+           CAST(round(1e6 * ln((SELECT k FROM ntypes))) AS BIGINT)
+               AS max_entropy_micro
+    FROM cell
+    """,
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-behavior Markov chain — the single
+    number that says how PREDICTABLE journeys are: H = −Σ π_i p_ij
+    ln p_ij, weighted by the replayed stationary distribution, with
+    ln(k) alongside as the no-structure ceiling (H near ln k = users
+    wander uniformly; near 0 = deterministic funnels — and the
+    difference is what a next-event model can hope to exploit). Both
+    distributions are integer micro-units from fixed-iteration
+    replays, ln is quantized once per matrix cell, and the π·p·ln p
+    triple products accumulate in DECIMAL(38)/HUGEINT with one final
+    floored division — the whole statistic is value-exact.
+
+    Scale shape: the one corpus-scale stage is the user-partitioned
+    lag window (shared with sessionization); everything downstream —
+    power iterations, matrix cells, the final 1-row reduction — runs
+    on the |types|²-row model."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    rs = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    p = trans.join(rs, "from_type").select(
+        "from_type",
+        "to_type",
+        F.expr("(1000000 * n) div tot").alias("pm"),
+    )
+    types = (
+        trans.select(F.col("from_type").alias("t"))
+        .union(trans.select(F.col("to_type").alias("t")))
+        .distinct()
+    )
+    k = types.agg(F.count("*").alias("k"))
+    pi = types.crossJoin(F.broadcast(k)).select(
+        "t", F.expr("1000000 div k").cast("long").alias("v")
+    )
+    for _ in range(_MK_ITERS):
+        contrib = (
+            p.join(F.broadcast(pi.withColumnRenamed("t", "from_type")),
+                   "from_type")
+            .select(
+                F.col("to_type").alias("t"),
+                F.expr("(v * pm) div 1000000").alias("term"),
+            )
+            .groupBy("t")
+            .agg(F.sum("term").alias("s"))
+        )
+        pi = types.join(contrib, "t", "left").select(
+            "t", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("v")
+        )
+    cell = (
+        p.filter(F.col("pm") > 0)
+        .join(F.broadcast(pi.withColumnRenamed("t", "from_type")),
+              "from_type")
+        .select(
+            "pm",
+            "v",
+            F.round(
+                1e6 * F.log(F.col("pm").cast("double") / 1_000_000)
+            ).cast("long").alias("lnp_micro"),
+        )
+    )
+    return (
+        cell.agg(
+            F.expr(
+                "-(sum(CAST(v AS DECIMAL(38,0)) * pm * lnp_micro)"
+                " div 1000000000000)"
+            ).cast("long").alias("entropy_rate_micro")
+        )
+        .crossJoin(F.broadcast(k))
+        .select(
+            F.col("k").cast("long").alias("n_states"),
+            "entropy_rate_micro",
+            F.round(1e6 * F.log(F.col("k").cast("double")))
+            .cast("long")
+            .alias("max_entropy_micro"),
+        )
+    )

@@ -539,6 +539,12 @@ GLOBAL_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
         "rank + cumulative-hits windows over the <=20-row TakeOrdered"
         " result heap (the BM25 pattern)",
     ),
+    "events_survival_km": (
+        2,
+        "reverse-cumulative at-risk + forward log-survival windows over"
+        " the lifetime-DURATION value histogram — bounded by the"
+        " observation span in days, not by users",
+    ),
 }
 
 
