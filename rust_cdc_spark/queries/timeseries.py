@@ -3124,3 +3124,357 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_entropy_micro"),
         )
     )
+
+
+@register(
+    "events_hourly_concurrency",
+    # Active-session concurrency per hour: sessions are 30-min-gap
+    # user activity spans (the events_sessionize rule); a session is
+    # live in hour h if its [start, end] span intersects the hour.
+    # The intersection runs as a band join against the CALENDAR-sized
+    # hour table (broadcast), never session×session.
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+    ),
+    sess AS (
+        SELECT user_id, sid,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+               CAST(floor(epoch(max(ts))) AS BIGINT) AS s_end
+        FROM s GROUP BY user_id, sid
+    ),
+    hours AS (
+        SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+        FROM events
+    )
+    SELECT h.h AS hour_bucket,
+           CAST(count(*) AS BIGINT) AS n_active_sessions,
+           CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_active_users
+    FROM hours h JOIN sess s
+      ON s.s_start < (h.h + 1) * 3600 AND s.s_end >= h.h * 3600
+    GROUP BY h.h
+    """,
+)
+def events_hourly_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session load profile: per hour, how many 30-min-gap
+    sessions (and distinct users) were live at any point in that hour
+    — the capacity-planning curve behind connection pools, executor
+    counts, and autoscaling floors, computed from span intersection
+    rather than event counts (a quiet-but-open session still holds a
+    connection). Sessions reuse the exact sessionization rule of
+    events_sessionize, so the two queries agree by construction.
+
+    Scale shape: the session rollup is the user-partitioned
+    window + agg sessionization already pays; the hour intersection
+    is a band join against the broadcast CALENDAR-bounded hour table
+    (each session matches its ~span/3600 hours — linear in true
+    occupancy), then one hour-keyed agg. No session×session work, no
+    global window."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    g = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+        .alias("new_session"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = g.select(
+        "user_id", "ts", F.sum("new_session").over(ws).alias("sid")
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.expr("floor(unix_timestamp(min(ts)))").cast("long")
+        .alias("s_start"),
+        F.expr("floor(unix_timestamp(max(ts)))").cast("long")
+        .alias("s_end"),
+    )
+    hours = ev.select(
+        F.expr("floor(unix_timestamp(ts)) div 3600").alias("h")
+    ).distinct()
+    return (
+        sess.join(
+            F.broadcast(hours),
+            (F.col("s_start") < (F.col("h") + 1) * 3600)
+            & (F.col("s_end") >= F.col("h") * 3600),
+        )
+        .groupBy(F.col("h").alias("hour_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_active_sessions"),
+            F.countDistinct("user_id").cast("long")
+            .alias("n_active_users"),
+        )
+    )
+
+
+_SRA_K = 4  # flag beyond 4·MAD of the seasonal residual
+
+
+@register(
+    "events_anomaly_seasonal_resid",
+    # Seasonality-corrected anomaly detection — the composition the
+    # decomposition exists for: residual = 25·x − Σ_window x − 25·
+    # seasonal (exact ×25-scaled integers via the seasonal-decompose
+    # pipeline), then a MAD gate on the residuals per type. Flags
+    # hours that are anomalous FOR THEIR HOUR-OF-DAY, which a plain
+    # mean±k·MAD on raw counts cannot do (3 am is always "low").
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT event_type, h, x,
+               sum(x) OVER w AS s25, count(*) OVER w AS c25
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    det AS (
+        SELECT event_type, h, h % 24 AS hod,
+               25 * x - s25 AS det25
+        FROM win WHERE c25 = 25
+    ),
+    seas AS (
+        SELECT event_type, hod,
+               CAST(sum(det25) // count(*) AS BIGINT) AS seas25
+        FROM det GROUP BY event_type, hod
+    ),
+    resid AS (
+        SELECT d.event_type, d.h, d.det25 - s.seas25 AS r
+        FROM det d JOIN seas s
+          ON s.event_type = d.event_type AND s.hod = d.hod
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(sum(abs(r)) // count(*) AS BIGINT) AS mad25
+        FROM resid GROUP BY event_type
+    )
+    SELECT r.event_type, r.h AS hour_bucket,
+           CAST(r.r AS BIGINT) AS resid25,
+           s.mad25
+    FROM resid r JOIN stats s USING (event_type)
+    WHERE abs(r.r) > {_SRA_K} * s.mad25
+    """,
+)
+def events_anomaly_seasonal_resid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly gate: hours whose volume deviates
+    more than 4 MADs from what trend + hour-of-day seasonality
+    predict — the alert events_seasonal_decompose exists to enable
+    (a raw mean±MAD gate pages on every 3 am trough; this one knows
+    3 am is supposed to be low and fires only when the DEVIATION
+    from the seasonal shape is extreme). The whole chain — centered
+    25-hour trend, seasonal index, residual, MAD — stays in ×25-
+    scaled exact integers (floored divisions only), so the flagged
+    set is engine-deterministic with no float epsilon at the
+    threshold.
+
+    Scale shape: the hourly rollup is the single corpus-scale agg;
+    the trend window, seasonal join, and MAD stats all run per-type
+    over the calendar-bounded series; stats broadcast back for a
+    map-side verdict; only anomalies are emitted."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("floor(unix_timestamp(ts)) div 3600").alias("h"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rangeBetween(-12, 12)
+    )
+    det = (
+        hourly.select(
+            "event_type", "h", "x",
+            F.sum("x").over(w).alias("s25"),
+            F.count("*").over(w).alias("c25"),
+        )
+        .filter(F.col("c25") == 25)
+        .select(
+            "event_type", "h",
+            (F.col("h") % 24).alias("hod"),
+            (25 * F.col("x") - F.col("s25")).alias("det25"),
+        )
+    )
+    seas = det.groupBy("event_type", "hod").agg(
+        F.expr("sum(det25) div count(*)").cast("long").alias("seas25")
+    )
+    resid = det.join(F.broadcast(seas), ["event_type", "hod"]).select(
+        "event_type", "h", (F.col("det25") - F.col("seas25")).alias("r")
+    )
+    stats = resid.groupBy("event_type").agg(
+        F.expr("sum(abs(r)) div count(*)").cast("long").alias("mad25")
+    )
+    return (
+        resid.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("r")) > _SRA_K * F.col("mad25"))
+        .select(
+            "event_type",
+            F.col("h").alias("hour_bucket"),
+            F.col("r").cast("long").alias("resid25"),
+            "mad25",
+        )
+    )
+
+
+_UPL_SEG = (20, 40)  # activity segment boundaries (events per user)
+
+
+@register(
+    "events_uplift_by_segment",
+    # Heterogeneous treatment effect: the A/B readout of
+    # events_ab_test_lift re-run inside deterministic user-activity
+    # segments — where an aggregate null hides offsetting segment
+    # effects, this table shows them. Same arms (user_id parity),
+    # same conversion rule, same NULL discipline on degenerate arms.
+    oracle=f"""
+    WITH assign AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+               CASE WHEN count(*) < {_UPL_SEG[0]} THEN 'low'
+                    WHEN count(*) < {_UPL_SEG[1]} THEN 'mid'
+                    ELSE 'high' END AS segment,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) >= 17
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    arm AS (
+        SELECT segment, variant,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_conv
+        FROM assign GROUP BY segment, variant
+    ),
+    wide AS (
+        SELECT segment,
+               CAST(coalesce(max(CASE WHEN variant = 0 THEN n_users END), 0) AS BIGINT) AS n0,
+               CAST(coalesce(max(CASE WHEN variant = 0 THEN n_conv END), 0) AS BIGINT) AS c0,
+               CAST(coalesce(max(CASE WHEN variant = 1 THEN n_users END), 0) AS BIGINT) AS n1,
+               CAST(coalesce(max(CASE WHEN variant = 1 THEN n_conv END), 0) AS BIGINT) AS c1
+        FROM arm GROUP BY segment
+    )
+    SELECT segment, n0 AS control_users, c0 AS control_conversions,
+           n1 AS treatment_users, c1 AS treatment_conversions,
+           CAST((1000000 * c1 * n0) // NULLIF(c0 * n1, 0) AS BIGINT)
+               AS lift_micro,
+           CASE WHEN n0 > 0 AND n1 > 0
+                     AND (c0 + c1) > 0 AND (c0 + c1) < (n0 + n1)
+                THEN CAST(round(
+                    (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                    / sqrt(
+                        (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)
+                    ) * 1e6) AS BIGINT)
+                ELSE NULL END AS z_micro
+    FROM wide
+    """,
+)
+def events_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous treatment effect readout: the A/B lift and
+    two-proportion z-statistic computed WITHIN user-activity segments
+    (low/mid/high by event count) — the table that catches what the
+    aggregate readout (events_ab_test_lift) averages away: a feature
+    that helps casual users and hurts power users can net to zero
+    overall while both segment effects are real. Identical arm
+    assignment, conversion rule, exact-integer lift, and degenerate-
+    arm NULL discipline as the aggregate query, so the two readouts
+    reconcile by construction.
+
+    Scale shape: ONE user-keyed agg assigns segment, arm, and
+    conversion in the same pass; the per-(segment, arm) rollup is a
+    6-key agg pivoted to one row per segment. Nothing but aggregates."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    assign = ev.groupBy("user_id").agg(
+        (F.count("*") < _UPL_SEG[0]).alias("is_low"),
+        (F.count("*") < _UPL_SEG[1]).alias("is_midlow"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 17
+        ).cast("int").alias("converted"),
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.when(F.col("is_low"), "low")
+        .when(F.col("is_midlow"), "mid")
+        .otherwise("high")
+        .alias("segment"),
+        "converted",
+    )
+    arm = assign.groupBy("segment", "variant").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    wide = arm.groupBy("segment").agg(
+        F.coalesce(
+            F.max(F.when(F.col("variant") == 0, F.col("n_users"))),
+            F.lit(0),
+        ).cast("long").alias("n0"),
+        F.coalesce(
+            F.max(F.when(F.col("variant") == 0, F.col("n_conv"))),
+            F.lit(0),
+        ).cast("long").alias("c0"),
+        F.coalesce(
+            F.max(F.when(F.col("variant") == 1, F.col("n_users"))),
+            F.lit(0),
+        ).cast("long").alias("n1"),
+        F.coalesce(
+            F.max(F.when(F.col("variant") == 1, F.col("n_conv"))),
+            F.lit(0),
+        ).cast("long").alias("c1"),
+    )
+    p_pool = F.col("c0").cast("double") + F.col("c1")
+    n_pool = F.col("n0").cast("double") + F.col("n1")
+    z_ok = (
+        (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+        & (F.col("c0") + F.col("c1") > 0)
+        & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1"))
+    )
+    return wide.select(
+        "segment",
+        F.col("n0").alias("control_users"),
+        F.col("c0").alias("control_conversions"),
+        F.col("n1").alias("treatment_users"),
+        F.col("c1").alias("treatment_conversions"),
+        F.expr("(1000000 * c1 * n0) div nullif(c0 * n1, 0)")
+        .cast("long").alias("lift_micro"),
+        F.when(
+            z_ok,
+            F.round(
+                (
+                    F.col("c1").cast("double") / F.col("n1")
+                    - F.col("c0").cast("double") / F.col("n0")
+                )
+                / F.sqrt(
+                    (p_pool / n_pool)
+                    * (1 - p_pool / n_pool)
+                    * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+                )
+                * 1e6
+            ).cast("long"),
+        ).alias("z_micro"),
+    )
