@@ -1022,3 +1022,73 @@ def cdc_update_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_conflicts") > 0)
     )
+
+
+_HOTKEY_TOP = 20
+
+
+@register(
+    "cdc_key_churn_hotspots",
+    # Hot-key detection for the MERGE sink: the keys carrying the
+    # most update churn, their share of total updates, and the
+    # update-mass HHI — THE skew diagnostic for a keyed CDC pipeline
+    # (one hot key serializes the collapse window and the upsert
+    # shuffle at 100 TB; this query says whether salting is needed
+    # BEFORE the job falls over). Shares are floored ppm of exact
+    # counts; HHI sums per-key squares in HUGEINT/DECIMAL(38).
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id AS key, count(*) AS n
+        FROM events
+        WHERE ({_OP_SQL}) = 'U'
+        GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS t,
+               CAST(sum(CAST(n AS HUGEINT) * n) * 1000000
+                    // nullif(CAST(sum(n) AS HUGEINT) * sum(n), 0)
+                    AS BIGINT) AS hhi_micro
+        FROM u
+    )
+    SELECT u.key, CAST(u.n AS BIGINT) AS n_updates,
+           CAST(u.n * 1000000 // t.t AS BIGINT) AS share_micro,
+           t.hhi_micro
+    FROM u CROSS JOIN tot t
+    ORDER BY u.n DESC, u.key
+    LIMIT {_HOTKEY_TOP}
+    """,
+)
+def cdc_key_churn_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key churn detection over the CDC update stream: the top-20
+    keys by update volume with each one's share of total update mass
+    and the overall Herfindahl concentration — the skew diagnostic an
+    operator reads before trusting the keyed collapse/MERGE shuffle
+    at scale (the repo's salted-join operators are the cure; this is
+    the trigger). A key carrying >1% of a 100 TB update stream means
+    the LWW window and the upsert join both bottleneck on one task.
+
+    Scale shape: ONE key-keyed count agg (map-side partials), a 1-row
+    broadcast total (HHI in wide decimal — key counts square), and a
+    TakeOrdered top-20 heap. No window, no global sort."""
+    cdc = events_as_cdc(spark, sf_dir)
+    u = cdc.filter(F.col("op") == "U").groupBy("key").agg(
+        F.count("*").alias("n")
+    )
+    tot = u.agg(
+        F.sum("n").cast("long").alias("t"),
+        F.expr(
+            "sum(CAST(n AS DECIMAL(38,0)) * n) * 1000000"
+            " div nullif(CAST(sum(n) AS DECIMAL(38,0)) * sum(n), 0)"
+        ).cast("long").alias("hhi_micro"),
+    )
+    return (
+        u.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("n").desc(), "key")
+        .limit(_HOTKEY_TOP)
+        .select(
+            "key",
+            F.col("n").cast("long").alias("n_updates"),
+            F.expr("n * 1000000 div t").cast("long").alias("share_micro"),
+            "hhi_micro",
+        )
+    )

@@ -2895,3 +2895,100 @@ def embedding_hubness_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("degree_hhi_micro"),
         )
     )
+
+
+@register(
+    "embedding_isotropy_score",
+    # Isotropy audit via the closed-form pairwise-cosine identity:
+    # over UNIT vectors, Σ_{i≠j} cos(v_i, v_j) = |Σ v|² − n, so the
+    # mean pairwise cosine needs ONE linear pass (sum vector + norms)
+    # — never the n² pair scan the naive formulation implies. Each
+    # normalized coordinate is quantized once to micro units; the
+    # per-dimension sums, |S|², and the final ratio are exact
+    # integers in DECIMAL(38)/HUGEINT.
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(round(1e6 * CAST(x AS DOUBLE)
+                        / sqrt(list_dot_product(
+                              list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                              list_transform(embedding, y -> CAST(y AS DOUBLE)))))
+                        AS BIGINT)) AS qv
+        FROM embeddings
+        WHERE list_dot_product(
+                  list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                  list_transform(embedding, y -> CAST(y AS DOUBLE))) > 0
+    ),
+    dims AS (
+        SELECT i.i AS dim, CAST(sum(q.qv[i.i]) AS HUGEINT) AS s,
+               CAST(sum(CAST(q.qv[i.i] AS HUGEINT) * q.qv[i.i])
+                    AS HUGEINT) AS ss
+        FROM q, LATERAL unnest(range(1, len(q.qv) + 1)) AS i(i)
+        GROUP BY i.i
+    ),
+    m AS (
+        SELECT CAST((SELECT count(*) FROM q) AS BIGINT) AS n,
+               sum(s * s) AS s2,
+               sum(ss) AS sumsq
+        FROM dims
+    )
+    SELECT n AS n_vectors,
+           CAST((s2 - sumsq) * 1000000
+                // nullif((n * CAST(n - 1 AS HUGEINT)) * 1000000000000, 0)
+                AS BIGINT) AS mean_pairwise_cos_micro
+    FROM m
+    """,
+)
+def embedding_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit of the embedding space: the mean pairwise
+    cosine across ALL vector pairs — near 0 means directions spread
+    uniformly (healthy for cosine retrieval), large positive means
+    the space has collapsed toward a common direction (the anisotropy
+    pathology PCA-ABTT post-processing exists to fix — this query is
+    its before/after meter). The n² pair sum is NEVER materialized:
+    over unit vectors Σ_{i≠j} cos = |Σv|² − Σ|v|², so one linear pass
+    over per-dimension sums suffices; each normalized coordinate is
+    quantized once to micro units and everything downstream is exact
+    wide-integer arithmetic.
+
+    Scale shape: one corpus scan (normalize + quantize per row), a
+    dimension-keyed agg (64 keys — constant), and a 1-row reduction.
+    At 100 TB this is a map + one tiny shuffle; the naive pairwise
+    formulation would be 10²⁴ pairs."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.select(
+        F.expr(
+            "transform(embedding, x -> CAST(round(1e6 * CAST(x AS DOUBLE)"
+            " / sqrt(aggregate(embedding, 0.0D,"
+            " (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))"
+            " AS BIGINT))"
+        ).alias("qv")
+    ).filter(
+        F.expr(
+            "aggregate(embedding, 0.0D,"
+            " (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) > 0"
+        )
+    )
+    dims = (
+        q.select(F.posexplode("qv").alias("dim", "qc"))
+        .groupBy("dim")
+        .agg(
+            F.sum("qc").cast("decimal(38,0)").alias("s"),
+            F.sum(F.col("qc").cast("decimal(38,0)") * F.col("qc"))
+            .alias("ss"),
+        )
+    )
+    n = q.agg(F.count("*").cast("long").alias("n"))
+    m = dims.agg(
+        F.sum(F.col("s") * F.col("s")).alias("s2"),
+        F.sum("ss").alias("sumsq"),
+    ).crossJoin(F.broadcast(n))
+    return m.select(
+        F.col("n").alias("n_vectors"),
+        F.expr(
+            "(s2 - sumsq) * 1000000"
+            " div nullif((n * CAST(n - 1 AS DECIMAL(38,0)))"
+            " * 1000000000000, 0)"
+        ).cast("long").alias("mean_pairwise_cos_micro"),
+    )
