@@ -60,7 +60,8 @@ _R06_PRIORITY = [
     "events_survival_km", "events_entropy_rate", "customer_revenue_gini",
     "events_hourly_concurrency", "events_anomaly_seasonal_resid",
     "events_uplift_by_segment", "cdc_key_churn_hotspots",
-    "embedding_isotropy_score",
+    "embedding_isotropy_score", "part_abc_xyz_classification",
+    "events_haar_energy", "nation_trade_matrix",
     # 3 — stalest: last driver row is CORRECTNESS_r01
     "agg_cube_priority_status", "agg_distinct_lineitem", "agg_percentiles_by_status",
     "agg_rollup_returns", "asof_join_purchase_last_click", "cdc_collapse_last",

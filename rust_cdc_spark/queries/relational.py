@@ -2870,3 +2870,261 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif(CAST(n AS DECIMAL(38,0)) * sx, 0)"
         ).cast("long").alias("gini_micro"),
     )
+
+
+_ABC_CUT1, _ABC_CUT2 = 800_000, 950_000  # cumulative-share ppm cuts
+_XYZ_CV1, _XYZ_CV2 = 250_000, 500_000    # CV ppm cuts
+
+
+@register(
+    "part_abc_xyz_classification",
+    # ABC×XYZ inventory classification: parts ranked by revenue into
+    # cumulative-share classes (A: first 80%, B: to 95%, C: rest) and
+    # crossed with demand-variability classes from the coefficient of
+    # variation of weekly quantities (X ≤ 0.25, Y ≤ 0.5, Z above).
+    # Ranks come from the exact-global-rank path; CV² is computed as
+    # an exact integer ratio (n·Σq² − S²)·10¹² / (S²·... ) — compared
+    # against squared thresholds so no sqrt enters the classification.
+    oracle=f"""
+    WITH pw AS (
+        SELECT l_partkey AS part,
+               CAST(floor(epoch(l_shipdate)) AS BIGINT) // 604800 AS wk,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS qty
+        FROM lineitem GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT part,
+               CAST(sum(cents) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS n_weeks,
+               CAST(sum(qty) AS BIGINT) AS sq,
+               CAST(sum(qty * qty) AS BIGINT) AS sqq
+        FROM pw GROUP BY part
+    ),
+    r AS (
+        SELECT *,
+               sum(cents) OVER (ORDER BY cents DESC, part
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cents) OVER () AS tot
+        FROM p
+    ),
+    cls AS (
+        SELECT part,
+               CASE WHEN cum * 1000000 <= {_ABC_CUT1} * tot THEN 'A'
+                    WHEN cum * 1000000 <= {_ABC_CUT2} * tot THEN 'B'
+                    ELSE 'C' END AS abc,
+               -- CV² = (n·Σq² − S²) / S² ; compare vs (cut/1e6)²
+               CASE WHEN n_weeks < 2 OR sq = 0 THEN 'Z'
+                    WHEN (n_weeks * CAST(sqq AS HUGEINT) - CAST(sq AS HUGEINT) * sq)
+                         * 1000000000000
+                         <= CAST(sq AS HUGEINT) * sq
+                            * ({_XYZ_CV1} * CAST({_XYZ_CV1} AS HUGEINT))
+                         THEN 'X'
+                    WHEN (n_weeks * CAST(sqq AS HUGEINT) - CAST(sq AS HUGEINT) * sq)
+                         * 1000000000000
+                         <= CAST(sq AS HUGEINT) * sq
+                            * ({_XYZ_CV2} * CAST({_XYZ_CV2} AS HUGEINT))
+                         THEN 'Y'
+                    ELSE 'Z' END AS xyz
+        FROM r
+    )
+    SELECT abc, xyz,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM cls GROUP BY abc, xyz
+    """,
+)
+def part_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC×XYZ inventory classification — the two-axis matrix every
+    supply-chain planner starts from: parts bucketed by cumulative
+    revenue share (A carries the first 80%, B to 95%, C the tail)
+    crossed with demand predictability from the coefficient of
+    variation of weekly order quantities (X steady, Y variable, Z
+    erratic) — AX parts get tight auto-replenishment, CZ parts get
+    made to order. Revenue ranks ride the exact-global-rank operator;
+    the CV gate compares the exact integer CV² = (nΣq² − S²)/S²
+    against squared ppm thresholds in HUGEINT/DECIMAL(38), so no
+    sqrt or float enters any class boundary.
+
+    Scale shape: one (part, week) rollup (map-side partials), a
+    part rollup, the range-partitioned rank for cumulative shares,
+    and a 9-key class agg."""
+    li = load_table(spark, "lineitem", sf_dir)
+    pw = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.expr("floor(unix_timestamp(l_shipdate)) div 604800").alias("wk"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .alias("cents"),
+        F.sum(F.round("l_quantity").cast("long")).alias("qty"),
+    )
+    p = pw.groupBy("part").agg(
+        F.sum("cents").cast("long").alias("cents"),
+        F.count("*").cast("long").alias("n_weeks"),
+        F.sum("qty").cast("long").alias("sq"),
+        F.sum(F.col("qty") * F.col("qty")).cast("long").alias("sqq"),
+    )
+    # Exact global PREFIX SUM of cents under (cents desc, part) without
+    # a single-partition window — the ranks.py partition-offset trick
+    # applied to a sum instead of a count: range-partition on the sort
+    # key, per-partition running sum, plus the broadcast total of all
+    # earlier partitions.
+    from pyspark.sql import Window as _W
+
+    ranged = p.repartitionByRange(
+        F.col("cents").desc(), F.col("part")
+    ).withColumn("__pid", F.spark_partition_id()).localCheckpoint()
+    pcents = ranged.groupBy("__pid").agg(F.sum("cents").alias("__pc"))
+    a = pcents.select(F.col("__pid").alias("__a"))
+    b = pcents.select(F.col("__pid").alias("__b"), "__pc")
+    offs = (
+        a.join(F.broadcast(b), F.col("__b") < F.col("__a"), "left")
+        .groupBy("__a")
+        .agg(F.coalesce(F.sum("__pc"), F.lit(0)).alias("__off"))
+        .select(F.col("__a").alias("__pid"), "__off")
+    )
+    cum = (
+        ranged.join(F.broadcast(offs), "__pid")
+        .withColumn(
+            "cum",
+            F.col("__off")
+            + F.sum("cents").over(
+                _W.partitionBy("__pid")
+                .orderBy(F.col("cents").desc(), F.col("part"))
+                .rowsBetween(_W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    tot = p.agg(F.sum("cents").alias("tot"))
+    cls = cum.crossJoin(F.broadcast(tot)).select(
+        F.when(
+            F.col("cum") * 1_000_000 <= _ABC_CUT1 * F.col("tot"), "A"
+        )
+        .when(F.col("cum") * 1_000_000 <= _ABC_CUT2 * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(
+            (F.col("n_weeks") < 2) | (F.col("sq") == 0), "Z"
+        )
+        .when(
+            F.expr(
+                f"(n_weeks * CAST(sqq AS DECIMAL(38,0))"
+                f" - CAST(sq AS DECIMAL(38,0)) * sq) * 1000000000000"
+                f" <= CAST(sq AS DECIMAL(38,0)) * sq"
+                f" * ({_XYZ_CV1} * CAST({_XYZ_CV1} AS DECIMAL(38,0)))"
+            ),
+            "X",
+        )
+        .when(
+            F.expr(
+                f"(n_weeks * CAST(sqq AS DECIMAL(38,0))"
+                f" - CAST(sq AS DECIMAL(38,0)) * sq) * 1000000000000"
+                f" <= CAST(sq AS DECIMAL(38,0)) * sq"
+                f" * ({_XYZ_CV2} * CAST({_XYZ_CV2} AS DECIMAL(38,0)))"
+            ),
+            "Y",
+        )
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return cls.groupBy("abc", "xyz").agg(
+        F.count("*").cast("long").alias("n_parts")
+    )
+
+
+@register(
+    "nation_trade_matrix",
+    # Supplier-nation × customer-nation revenue matrix — the full
+    # who-sells-to-whom cube behind TPC-H Q7's two-nation slice:
+    # exact discounted cents per nation pair plus each pair's share
+    # of the selling nation's exports (floored ppm).
+    oracle="""
+    WITH flows AS (
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(sum(CAST(round(l_extendedprice
+                                   * (1 - l_discount) * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT supp_nation, cust_nation, cents,
+           CAST(cents * 1000000
+                // sum(cents) OVER (PARTITION BY supp_nation)
+                AS BIGINT) AS export_share_micro
+    FROM flows
+    """,
+)
+def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade matrix: discounted revenue between every
+    (supplier nation, customer nation) pair with each flow's share of
+    the seller's total exports — the complete cube TPC-H Q7 slices
+    two cells out of, and the input to trade-concentration and
+    dependency analyses. Revenue is exact discounted cents (rounded
+    per line item, the repo-wide rule); shares are floored ppm over a
+    nation-partitioned window on the |nations|²-row aggregate.
+
+    Scale shape: lineitem ⋈ orders is the one fact-fact join (hash,
+    co-keyed on orderkey); customer/supplier/nation are broadcast
+    dimensions; then one (nation, nation)-keyed agg with map-side
+    partials and a 25-row-partition share window on the result."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    flows = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              li["l_suppkey"] == supp["s_suppkey"])
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("ns_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            supp["s_nationkey"] == F.col("ns_key"),
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("nc_key"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            cust["c_nationkey"] == F.col("nc_key"),
+        )
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("supp_nation")
+    return flows.select(
+        "supp_nation",
+        "cust_nation",
+        "cents",
+        F.expr("cents * 1000000").cast("long").alias("__num"),
+        F.sum("cents").over(w).alias("__den"),
+    ).select(
+        "supp_nation",
+        "cust_nation",
+        "cents",
+        F.expr("__num div __den").cast("long")
+        .alias("export_share_micro"),
+    )

@@ -3478,3 +3478,90 @@ def events_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("z_micro"),
     )
+
+
+_HAAR_LEVELS = 6  # dyadic scales: 2h, 4h, ..., 64h
+
+
+@register(
+    "events_haar_energy",
+    # Multi-resolution burst profile via the Haar wavelet transform
+    # of the hourly count series: at scale level L (bucket width
+    # 2^L hours), each detail coefficient is (left-half sum − right-
+    # half sum) of a dyadic bucket — pure integer conditional aggs on
+    # the bucket index, no windows, no recursion. Energy per level =
+    # Σ d², exact in HUGEINT/DECIMAL(38). Level energies localize
+    # WHERE variance lives: diurnal series spike at the 16-32h
+    # scales, flash incidents at 2-4h.
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    lv AS (
+        SELECT l.lvl, h.event_type,
+               h.h // (1 << l.lvl) AS bucket,
+               CAST(sum(CASE WHEN (h.h // (1 << (l.lvl - 1))) % 2 = 0
+                             THEN h.x ELSE -h.x END) AS BIGINT) AS d
+        FROM hourly h
+        JOIN generate_series(1, {_HAAR_LEVELS}) AS l(lvl) ON true
+        GROUP BY 1, 2, 3
+    )
+    SELECT event_type, CAST(lvl AS INT) AS level,
+           CAST(count(*) AS BIGINT) AS n_coeffs,
+           CAST(sum(CAST(d AS HUGEINT) * d) AS BIGINT) AS energy
+    FROM lv GROUP BY event_type, lvl
+    """,
+)
+def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy spectrum of each event type's hourly
+    volume: for dyadic scales 2h..64h, the sum of squared detail
+    coefficients (left-half minus right-half of each bucket) — the
+    multi-resolution answer to "at WHAT timescale does this stream's
+    variance live": a clean diurnal cycle concentrates energy at the
+    16-32h levels, a flash incident at 2-4h, a weekly cadence above.
+    Complements the ACF (which finds periods) by localizing burst
+    energy per scale. Every coefficient is an exact integer sum with
+    a sign decided by dyadic index arithmetic; energies square into
+    wide decimals.
+
+    Scale shape: the hourly rollup is the only corpus-scale agg; the
+    6-level explode is a broadcast cross join on the calendar-bounded
+    series, and each level is ONE hash aggregate keyed on (type,
+    level, bucket). No windows, no recursion, no per-level re-scan of
+    the corpus."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("floor(unix_timestamp(ts)) div 3600").alias("h"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    lvls = spark.range(1, _HAAR_LEVELS + 1).select(
+        F.col("id").cast("int").alias("lvl")
+    )
+    lv = (
+        hourly.crossJoin(F.broadcast(lvls))
+        .groupBy(
+            "lvl",
+            "event_type",
+            F.expr("h div (1 << lvl)").alias("bucket"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("(h div (1 << (lvl - 1))) % 2 = 0"),
+                    F.col("x"),
+                ).otherwise(-F.col("x"))
+            ).cast("long").alias("d")
+        )
+    )
+    return lv.groupBy(
+        "event_type", F.col("lvl").alias("level")
+    ).agg(
+        F.count("*").cast("long").alias("n_coeffs"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d"))
+        .cast("long")
+        .alias("energy"),
+    )
