@@ -4070,3 +4070,144 @@ def host_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+_BD_TOPK = 30  # most-frequent-word basis for the Delta
+
+
+@register(
+    "text_burrows_delta",
+    # Burrows' Delta stylometry (the authorship-attribution standard):
+    # z-score each source's relative frequency of the corpus's top-30
+    # words against the across-source distribution, then
+    # delta(a, b) = mean |z_a − z_b| per source pair. Frequencies are
+    # floored ppm integers; each word's σ is quantized ONCE (sqrt of
+    # an exact integer variance numerator), so every z and every
+    # delta is exact integer arithmetic with deterministic ties.
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, lower(unnest(string_split(trim(text), ' ')))
+                   AS w
+        FROM documents
+    ),
+    tk AS (SELECT source, w FROM tok WHERE w <> ''),
+    top AS (
+        SELECT w FROM (
+            SELECT w, count(*) AS n FROM tk GROUP BY w
+            ORDER BY n DESC, w LIMIT {_BD_TOPK}
+        )
+    ),
+    stot AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS tot
+        FROM tk GROUP BY source
+    ),
+    f AS (
+        SELECT s.source, t.w,
+               CAST(coalesce(c.n, 0) * 1000000 // s.tot AS BIGINT)
+                   AS fppm
+        FROM stot s CROSS JOIN top t
+        LEFT JOIN (
+            SELECT source, w, CAST(count(*) AS BIGINT) AS n
+            FROM tk JOIN top USING (w) GROUP BY source, w
+        ) c ON c.source = s.source AND c.w = t.w
+    ),
+    wstat AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS s,
+               CAST(sum(fppm) AS BIGINT) AS sf,
+               CAST(round(sqrt(CAST(count(*) * sum(fppm * fppm)
+                                    - sum(fppm) * sum(fppm)
+                                    AS DOUBLE))) AS BIGINT) AS sig_q
+        FROM f GROUP BY w
+    ),
+    z AS (
+        SELECT f.source, f.w,
+               CAST((f.fppm * ws.s - ws.sf) * 1000
+                    // nullif(ws.sig_q, 0) AS BIGINT) AS z_milli
+        FROM f JOIN wstat ws USING (w)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(sum(abs(a.z_milli - b.z_milli)) // {_BD_TOPK}
+                AS BIGINT) AS delta_milli
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between every source pair — the stylometry
+    measure behind authorship attribution and machine-text forensics:
+    function-word frequencies (the top-30 corpus words — exactly the
+    words topic can't explain) are z-scored across sources, and a
+    pair's Delta is the mean absolute z difference. Low Delta = the
+    two sources write alike (likely shared boilerplate, syndication,
+    or the same generator); high = distinct styles. Frequencies are
+    floored ppm, each word's σ is one quantized sqrt of an exact
+    integer variance numerator, and z/Delta stay in exact milli
+    integer units — NULL-guarded for zero-variance words.
+
+    Scale shape: ONE token explode into (source, word) counts capped
+    by the broadcast top-30 basis; the z table is |sources|×30 rows;
+    the pair join runs on that model-scale table (190 pairs at 20
+    sources). The corpus is scanned once."""
+    docs = load_table(spark, "documents", sf_dir)
+    tk = docs.select(
+        "source",
+        F.explode(F.expr("split(trim(text), ' ')")).alias("w0"),
+    ).select("source", F.lower("w0").alias("w")).filter(F.col("w") != "")
+    top = (
+        tk.groupBy("w").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(_BD_TOPK)
+        .select("w")
+    )
+    stot = tk.groupBy("source").agg(F.count("*").cast("long").alias("tot"))
+    cnt = (
+        tk.join(F.broadcast(top), "w")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    f = (
+        stot.crossJoin(F.broadcast(top))
+        .join(cnt, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr("coalesce(n, 0) * 1000000 div tot").cast("long")
+            .alias("fppm"),
+        )
+    )
+    wstat = f.groupBy("w").agg(
+        F.count("*").cast("long").alias("s"),
+        F.sum("fppm").cast("long").alias("sf"),
+        F.round(
+            F.sqrt(
+                (
+                    F.count("*") * F.sum(F.col("fppm") * F.col("fppm"))
+                    - F.sum("fppm") * F.sum("fppm")
+                ).cast("double")
+            )
+        ).cast("long").alias("sig_q"),
+    )
+    z = f.join(F.broadcast(wstat), "w").select(
+        "source",
+        "w",
+        F.expr("(fppm * s - sf) * 1000 div nullif(sig_q, 0)")
+        .cast("long").alias("z_milli"),
+    )
+    zb = z.select(
+        F.col("w").alias("wb"),
+        F.col("source").alias("source_b"),
+        F.col("z_milli").alias("zb_milli"),
+    )
+    return (
+        z.join(
+            zb,
+            (F.col("wb") == F.col("w"))
+            & (F.col("source") < F.col("source_b")),
+        )
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(
+            F.expr(
+                f"sum(abs(z_milli - zb_milli)) div {_BD_TOPK}"
+            ).cast("long").alias("delta_milli")
+        )
+    )

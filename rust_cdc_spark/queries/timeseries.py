@@ -3565,3 +3565,122 @@ def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("energy"),
     )
+
+
+_DID_SPLIT_DAY = 19738  # fixed intervention day (mid-window epoch day)
+
+
+@register(
+    "events_cohort_did",
+    # Difference-in-differences: the 2×2 (arm × pre/post) mean daily
+    # spend per user-day, and DiD = (T_post − T_pre) − (C_post −
+    # C_pre) — the quasi-experimental estimate that differences away
+    # both the level gap between arms and the shared time trend.
+    # Cell means are exact floored micro-cents per user-day; the DiD
+    # combines the four integers.
+    oracle=f"""
+    WITH ud AS (
+        SELECT CAST(user_id % 2 AS INT) AS variant,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                         < {_DID_SPLIT_DAY} THEN 0 ELSE 1 END AS period,
+               user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    cell AS (
+        SELECT variant, period,
+               CAST(count(DISTINCT (user_id, d)) AS BIGINT)
+                   AS n_user_days,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM ud GROUP BY variant, period
+    ),
+    m AS (
+        SELECT variant, period, n_user_days,
+               CAST(cents * 1000000 // n_user_days AS BIGINT)
+                   AS mean_micro
+        FROM cell
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN variant = 0 AND period = 0 THEN mean_micro END) AS c_pre,
+            max(CASE WHEN variant = 0 AND period = 1 THEN mean_micro END) AS c_post,
+            max(CASE WHEN variant = 1 AND period = 0 THEN mean_micro END) AS t_pre,
+            max(CASE WHEN variant = 1 AND period = 1 THEN mean_micro END) AS t_post
+        FROM m
+    )
+    SELECT CAST(c_pre AS BIGINT) AS control_pre_micro,
+           CAST(c_post AS BIGINT) AS control_post_micro,
+           CAST(t_pre AS BIGINT) AS treatment_pre_micro,
+           CAST(t_post AS BIGINT) AS treatment_post_micro,
+           CAST((t_post - t_pre) - (c_post - c_pre) AS BIGINT)
+               AS did_micro
+    FROM wide
+    """,
+)
+def events_cohort_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: mean spend per user-day in
+    the four (arm × pre/post-intervention) cells and the DiD estimate
+    (treatment change minus control change) — the quasi-experimental
+    workhorse for launches that can't be A/B randomized cleanly: the
+    control arm's post−pre difference absorbs the shared time trend
+    (seasonality, macro shifts) that a naive before/after comparison
+    attributes to the launch. Cell means are exact floored
+    micro-cents per user-day; the estimate is pure integer
+    arithmetic over the four cells; an empty cell yields NULL rather
+    than a fabricated zero.
+
+    Scale shape: one scan → (arm, period)-keyed agg with a distinct
+    (user, day) count (map-side partials), a 4-row pivot, and scalar
+    assembly. Nothing else."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    ud = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.when(
+            F.expr("floor(unix_timestamp(ts)) div 86400")
+            < _DID_SPLIT_DAY,
+            0,
+        ).otherwise(1).alias("period"),
+        "user_id",
+        F.expr("floor(unix_timestamp(ts)) div 86400").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cell = ud.groupBy("variant", "period").agg(
+        F.countDistinct("user_id", "d").cast("long").alias("n_user_days"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    m = cell.select(
+        "variant",
+        "period",
+        F.expr("cents * 1000000 div n_user_days").cast("long")
+        .alias("mean_micro"),
+    )
+    wide = m.agg(
+        F.max(
+            F.when((F.col("variant") == 0) & (F.col("period") == 0),
+                   F.col("mean_micro"))
+        ).alias("c_pre"),
+        F.max(
+            F.when((F.col("variant") == 0) & (F.col("period") == 1),
+                   F.col("mean_micro"))
+        ).alias("c_post"),
+        F.max(
+            F.when((F.col("variant") == 1) & (F.col("period") == 0),
+                   F.col("mean_micro"))
+        ).alias("t_pre"),
+        F.max(
+            F.when((F.col("variant") == 1) & (F.col("period") == 1),
+                   F.col("mean_micro"))
+        ).alias("t_post"),
+    )
+    return wide.select(
+        F.col("c_pre").cast("long").alias("control_pre_micro"),
+        F.col("c_post").cast("long").alias("control_post_micro"),
+        F.col("t_pre").cast("long").alias("treatment_pre_micro"),
+        F.col("t_post").cast("long").alias("treatment_post_micro"),
+        (
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre"))
+        ).cast("long").alias("did_micro"),
+    )
