@@ -63,6 +63,8 @@ _R06_PRIORITY = [
     "embedding_isotropy_score", "part_abc_xyz_classification",
     "events_haar_energy", "nation_trade_matrix",
     "events_cohort_did", "text_burrows_delta",
+    "events_poisson_dispersion", "part_supplier_concentration",
+    "events_gap_exponential_ks",
     # 3 — stalest: last driver row is CORRECTNESS_r01
     "agg_cube_priority_status", "agg_distinct_lineitem", "agg_percentiles_by_status",
     "agg_rollup_returns", "asof_join_purchase_last_click", "cdc_collapse_last",

@@ -3128,3 +3128,92 @@ def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("__num div __den").cast("long")
         .alias("export_share_micro"),
     )
+
+
+@register(
+    "part_supplier_concentration",
+    # Sourcing-risk audit: per part type (the 25-way p_type prefix
+    # families collapse to their first word), the supplier HHI of
+    # supplied quantity, the top supplier's share, and the effective
+    # supplier count 1/HHI — single-sourced families are supply-chain
+    # risk; all shares exact floored ppm, HHI in wide decimals.
+    oracle="""
+    WITH sq AS (
+        SELECT string_split(p.p_type, ' ')[1] AS family,
+               l.l_suppkey AS supp,
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+                   AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT family,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(qty) AS BIGINT) AS total_qty,
+               CAST(max(qty) AS BIGINT) AS top_qty,
+               sum(CAST(qty AS HUGEINT) * qty) AS sq2
+        FROM sq GROUP BY family
+    )
+    SELECT family, n_suppliers, total_qty,
+           CAST(top_qty * 1000000 // nullif(total_qty, 0) AS BIGINT)
+               AS top_share_micro,
+           CAST(sq2 * 1000000
+                // nullif(CAST(total_qty AS HUGEINT) * total_qty, 0)
+                AS BIGINT) AS hhi_micro,
+           CAST(CAST(total_qty AS HUGEINT) * total_qty * 1000000
+                // nullif(sq2 * 1000000, 0) AS BIGINT)
+               AS effective_suppliers
+    FROM m
+    """,
+)
+def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration audit per part family: the Herfindahl
+    index of supplied quantity, the top supplier's share, and the
+    effective supplier count (1/HHI) — the sourcing-risk scorecard
+    that flags families one supplier failure would stall. Quantity
+    shares are exact floored ppm; HHI squares per-supplier quantities
+    in HUGEINT/DECIMAL(38); the effective count is the floored
+    integer reciprocal, NULL-guarded for empty families.
+
+    Scale shape: the part join is broadcast (dimension side); ONE
+    (family, supplier)-keyed agg with map-side partials, then a
+    |families|-keyed moment agg. No windows."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    sq = (
+        li.join(
+            F.broadcast(
+                part.select(
+                    "p_partkey",
+                    F.expr("split(p_type, ' ')[0]").alias("family"),
+                )
+            ),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .groupBy("family", F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("qty")
+        )
+    )
+    m = sq.groupBy("family").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.max("qty").cast("long").alias("top_qty"),
+        F.sum(F.col("qty").cast("decimal(38,0)") * F.col("qty"))
+        .alias("sq2"),
+    )
+    return m.select(
+        "family",
+        "n_suppliers",
+        "total_qty",
+        F.expr("top_qty * 1000000 div nullif(total_qty, 0)")
+        .cast("long").alias("top_share_micro"),
+        F.expr(
+            "sq2 * 1000000"
+            " div nullif(CAST(total_qty AS DECIMAL(38,0)) * total_qty, 0)"
+        ).cast("long").alias("hhi_micro"),
+        F.expr(
+            "CAST(total_qty AS DECIMAL(38,0)) * total_qty * 1000000"
+            " div nullif(sq2 * 1000000, 0)"
+        ).cast("long").alias("effective_suppliers"),
+    )

@@ -3684,3 +3684,200 @@ def events_cohort_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("c_post") - F.col("c_pre"))
         ).cast("long").alias("did_micro"),
     )
+
+
+@register(
+    "events_poisson_dispersion",
+    # Overdispersion test of daily volumes: the index of dispersion
+    # D = var/mean and the chi-square dispersion statistic
+    # Σ(x − x̄)²/x̄ = (n·Σx² − S²)/(n·S) per event type — a Poisson
+    # arrival process has D ≈ 1; D ≫ 1 is burstiness (retry storms,
+    # bot bursts, thundering herds). Exact rational arithmetic: both
+    # ratios are integer expressions over BIGINT moments, floored to
+    # micro units, with wide-decimal numerators.
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS ss
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days, s AS n_events,
+           CAST((CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+                * 1000000
+                // nullif(CAST(n AS HUGEINT) * n * s, 0) AS BIGINT)
+               AS dispersion_micro,
+           CAST((CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+                * 1000000
+                // nullif(CAST(n AS HUGEINT) * s, 0) AS BIGINT)
+               AS chi2_micro
+    FROM m
+    """,
+)
+def events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion audit of each event type's daily
+    volume: the index of dispersion (variance over mean — exactly 1
+    for a Poisson process) and the chi-square dispersion statistic
+    Σ(x−x̄)²/x̄ — the one-line answer to "are these arrivals
+    independent or bursty", which decides whether rate alerts can use
+    Poisson tails or need the MAD/CUSUM machinery. Both statistics
+    reduce to integer expressions over the (n, Σx, Σx²) moments —
+    var/mean = (nΣx² − S²)/(n·S) with population variance — computed
+    in HUGEINT/DECIMAL(38) and floored once to micro units.
+
+    Scale shape: one daily rollup (map-side partials), one
+    |types|-keyed moment agg. Nothing else."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("floor(unix_timestamp(ts)) div 86400").alias("d"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    m = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    num = (
+        "(CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)"
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("s").alias("n_events"),
+        F.expr(
+            f"{num} * 1000000"
+            " div nullif(CAST(n AS DECIMAL(38,0)) * n * s, 0)"
+        ).cast("long").alias("dispersion_micro"),
+        F.expr(
+            f"{num} * 1000000"
+            " div nullif(CAST(n AS DECIMAL(38,0)) * s, 0)"
+        ).cast("long").alias("chi2_micro"),
+    )
+
+
+@register(
+    "events_gap_exponential_ks",
+    # Goodness-of-fit of the exponential inter-arrival model, per
+    # event type: KS distance between the empirical gap CDF and
+    # 1 − e^(−λg) at the fitted rate λ = n/Σg. The theoretical CDF
+    # is ONE double expression per DISTINCT gap value (quantized to
+    # micro once); the empirical CDF is exact floored ppm over the
+    # gap-value histogram; the KS sup runs both one-sided gaps
+    # (F_n(g) and F_n(g⁻)) like the quality_ks_drift two-sample gate.
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es,
+               lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS prev_es
+        FROM events
+    ),
+    gaps AS (
+        SELECT event_type, es - prev_es AS g
+        FROM seq WHERE prev_es IS NOT NULL
+    ),
+    scal AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(g) AS BIGINT) AS sg
+        FROM gaps GROUP BY event_type
+    ),
+    hist AS (
+        SELECT event_type, g, CAST(count(*) AS BIGINT) AS c
+        FROM gaps GROUP BY event_type, g
+    ),
+    cdf AS (
+        SELECT h.event_type, h.g, h.c, s.n, s.sg,
+               sum(h.c) OVER (PARTITION BY h.event_type ORDER BY h.g
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist h JOIN scal s USING (event_type)
+    ),
+    d AS (
+        SELECT event_type, n, sg,
+               greatest(
+                   abs(cum * 1000000 // n
+                       - CAST(round(1e6 * (1 - exp(-1.0 * n * g / sg)))
+                              AS BIGINT)),
+                   abs((cum - c) * 1000000 // n
+                       - CAST(round(1e6 * (1 - exp(-1.0 * n * g / sg)))
+                              AS BIGINT))
+               ) AS dev
+        FROM cdf WHERE sg > 0
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(max(sg) // max(n) AS BIGINT) AS mean_gap_s,
+           CAST(max(dev) AS BIGINT) AS ks_micro
+    FROM d GROUP BY event_type
+    """,
+)
+def events_gap_exponential_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-fit audit of inter-arrival gaps, per event type:
+    fit the memoryless rate λ = n/Σg and report the Kolmogorov–
+    Smirnov distance between the observed gap distribution and
+    1 − e^(−λg) — the formal version of the Poisson-dispersion
+    check: a small KS certifies memoryless arrivals (Poisson-tail
+    alerting is valid), a large one quantifies how far burstiness
+    bends the tail. The theoretical CDF is evaluated once per
+    DISTINCT gap value and quantized to micro units; the empirical
+    CDF is exact floored ppm; the sup runs over both one-sided CDF
+    gaps like the repo's two-sample KS gate.
+
+    Scale shape: one type-partitioned lag window (the sessionization
+    shuffle), a gap-VALUE histogram agg, and per-type cumulative
+    windows over those bounded value rows; the sup is a |types|-keyed
+    max."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    es = F.expr("floor(unix_timestamp(ts))").cast("long")
+    seq = ev.select(
+        "event_type", es.alias("es"), F.lag(es).over(w).alias("prev_es")
+    )
+    gaps = seq.filter(F.col("prev_es").isNotNull()).select(
+        "event_type", (F.col("es") - F.col("prev_es")).alias("g")
+    )
+    scal = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("g").cast("long").alias("sg"),
+    )
+    hist = gaps.groupBy("event_type", "g").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = hist.join(F.broadcast(scal), "event_type").select(
+        "event_type", "g", "c", "n", "sg",
+        F.sum("c").over(wc).alias("cum"),
+    )
+    tcdf = F.round(
+        1e6
+        * (
+            1
+            - F.exp(
+                -1.0 * F.col("n") * F.col("g") / F.col("sg")
+            )
+        )
+    ).cast("long")
+    d = cdf.filter(F.col("sg") > 0).select(
+        "event_type", "n", "sg",
+        F.greatest(
+            F.abs(F.expr("cum * 1000000 div n") - tcdf),
+            F.abs(F.expr("(cum - c) * 1000000 div n") - tcdf),
+        ).alias("dev"),
+    )
+    return d.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.expr("max(sg) div max(n)").cast("long").alias("mean_gap_s"),
+        F.max("dev").cast("long").alias("ks_micro"),
+    )
