@@ -4211,3 +4211,155 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("delta_milli")
         )
     )
+
+
+_SIGNALS = ("n_tokens", "ttr_ppm", "entropy_micro", "mwl_milli")
+_SIG_PAIRS = [
+    (a, b) for i, a in enumerate(_SIGNALS) for b in _SIGNALS[i + 1:]
+]
+# Per-doc signal definitions shared verbatim by both engines (exact
+# integers: token count, type-token ratio in ppm, character entropy in
+# micro-nats from the run-length form, mean word length in milli).
+_SIG_SQL = """
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(w)) * 1000000
+                    // nullif(len(w), 0) AS BIGINT) AS ttr_ppm,
+               CAST(COALESCE(list_sum(list_transform(
+                    list_sort(list_distinct(ch)),
+                    c -> CAST(round(-1e6
+                        * (CAST(len(list_filter(ch, x -> x = c))
+                                AS DOUBLE) / len(ch))
+                        * ln(CAST(len(list_filter(ch, x -> x = c))
+                                AS DOUBLE) / len(ch))) AS BIGINT))), 0)
+                    AS BIGINT) AS entropy_micro,
+               CAST(list_sum(list_transform(w, x -> length(x))) * 1000
+                    // nullif(len(w), 0) AS BIGINT) AS mwl_milli
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS w,
+                     string_split(text, '') AS ch
+              FROM documents)
+        WHERE len(w) > 0
+"""
+
+
+@register(
+    "quality_signal_matrix",
+    # Pairwise Pearson correlation across four doc-level quality
+    # signals — the NUMERIC counterpart to quality_rule_kappa's
+    # boolean-verdict audit: highly correlated signals are redundant
+    # features for the quality classifier; near-zero pairs carry
+    # independent information. All moments are exact integer sums in
+    # HUGEINT/DECIMAL(38); each r is numerator·10⁶ over the two
+    # quantized sqrt factors (one double op per pair).
+    oracle=f"""
+    WITH sig AS (
+        {_SIG_SQL}
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               {", ".join(
+            f"CAST(sum({s}) AS HUGEINT) AS s_{s},"
+            f" sum(CAST({s} AS HUGEINT) * {s}) AS ss_{s}"
+            for s in _SIGNALS)},
+               {", ".join(
+            f"sum(CAST({a} AS HUGEINT) * {b}) AS sp_{a}_{b}"
+            for a, b in _SIG_PAIRS)}
+        FROM sig
+    )
+    {" UNION ALL ".join(
+        f'''SELECT '{a}' AS signal_a, '{b}' AS signal_b,
+               CAST((n * sp_{a}_{b} - s_{a} * s_{b}) * 1000000
+                    // nullif(
+                        CAST(round(sqrt(CAST(n * ss_{a} - s_{a} * s_{a}
+                                             AS DOUBLE))) AS HUGEINT)
+                        * CAST(round(sqrt(CAST(n * ss_{b} - s_{b} * s_{b}
+                                               AS DOUBLE))) AS HUGEINT),
+                        0) AS BIGINT) AS pearson_micro
+        FROM m''' for a, b in _SIG_PAIRS)}
+    """,
+)
+def quality_signal_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation matrix of four doc-level quality signals (token
+    count, type-token ratio, character entropy, mean word length) —
+    the feature-redundancy audit a quality-classifier owner runs
+    before adding "one more signal": an |r| near 1 means the new
+    column is the old one in disguise (TTR famously anti-correlates
+    with length); near 0 means independent evidence. The numeric twin
+    of quality_rule_kappa's boolean-verdict agreement. All sums are
+    exact wide integers; each Pearson r spends exactly two quantized
+    sqrts (deterministic single double ops) and one floored division.
+
+    Scale shape: ONE fused codegen scan computes all four signals per
+    row; every moment (4 sums, 4 squares, 6 cross products) rides a
+    single 1-row aggregate; the pair table is a 6-row stack over that
+    broadcast row — the kappa pattern."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = docs.select(
+        "doc_id",
+        F.expr("split(trim(text), ' ')").alias("w"),
+        F.expr("split(text, '')").alias("ch"),
+    ).filter(F.size("w") > 0)
+    # entropy via the staged run-length form (char_entropy_filter's
+    # discipline — no CSE inside one HOF tree)
+    staged = w.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(size(array_distinct(w)) * 1000000"
+            " div nullif(size(w), 0) AS BIGINT)"
+        ).alias("ttr_ppm"),
+        F.expr(
+            "CAST(aggregate(w, 0L, (a, x) -> a + length(x)) * 1000"
+            " div nullif(size(w), 0) AS BIGINT)"
+        ).alias("mwl_milli"),
+        F.expr("array_sort(ch)").alias("s"),
+    ).select(
+        "doc_id", "n_tokens", "ttr_ppm", "mwl_milli",
+        F.size("s").cast("long").alias("n_chars"),
+        F.expr(
+            "filter(sequence(0, size(s) - 1),"
+            " i -> i = 0 OR s[i] != s[i - 1])"
+        ).alias("starts"),
+    ).select(
+        "doc_id", "n_tokens", "ttr_ppm", "mwl_milli",
+        F.expr(
+            "aggregate("
+            " zip_with(starts,"
+            "  concat(slice(starts, 2, size(starts) - 1), array(n_chars)),"
+            "  (a, b) -> b - a),"
+            " 0L, (acc, c) -> acc + cast(round(-1e6"
+            "  * (cast(c as double) / n_chars)"
+            "  * ln(cast(c as double) / n_chars)) as bigint))"
+        ).alias("entropy_micro"),
+    )
+    aggs = [F.count("*").cast("long").alias("n")]
+    for s in _SIGNALS:
+        aggs += [
+            F.sum(s).cast("decimal(38,0)").alias(f"s_{s}"),
+            F.sum(F.col(s).cast("decimal(38,0)") * F.col(s))
+            .alias(f"ss_{s}"),
+        ]
+    for a, b in _SIG_PAIRS:
+        aggs.append(
+            F.sum(F.col(a).cast("decimal(38,0)") * F.col(b))
+            .alias(f"sp_{a}_{b}")
+        )
+    m = staged.agg(*aggs)
+    stack_args = []
+    for a, b in _SIG_PAIRS:
+        stack_args.append(
+            f"'{a}', '{b}',"
+            f" CAST((n * sp_{a}_{b} - s_{a} * s_{b}) * 1000000"
+            f" div nullif("
+            f" CAST(round(sqrt(CAST(n * ss_{a} - s_{a} * s_{a}"
+            f" AS DOUBLE))) AS DECIMAL(38,0))"
+            f" * CAST(round(sqrt(CAST(n * ss_{b} - s_{b} * s_{b}"
+            f" AS DOUBLE))) AS DECIMAL(38,0)), 0) AS BIGINT)"
+        )
+    return m.select(
+        F.expr(
+            f"stack({len(_SIG_PAIRS)}, "
+            + ", ".join(stack_args)
+            + ") AS (signal_a, signal_b, pearson_micro)"
+        )
+    )
