@@ -1092,3 +1092,88 @@ def cdc_key_churn_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hhi_micro",
         )
     )
+
+
+@register(
+    "cdc_out_of_order_audit",
+    # Commit-order vs event-time audit: walking the binlog in log_pos
+    # order, count the adjacent steps where the event timestamp moves
+    # BACKWARD, the worst regression, and the affected fraction — the
+    # clock-skew / multi-writer diagnostic that decides whether
+    # event-time watermarks can trust the log order (a big backward
+    # step forces a larger watermark delay; none means log order is
+    # a usable event-time order). Exact epoch-second integers.
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id AS key,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es,
+               lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+               ) AS prev_es
+        FROM events
+    ),
+    steps AS (
+        SELECT key, es, prev_es,
+               CASE WHEN prev_es IS NOT NULL AND es < prev_es
+                    THEN 1 ELSE 0 END AS inv,
+               CASE WHEN prev_es IS NOT NULL AND es < prev_es
+                    THEN prev_es - es ELSE 0 END AS back_s
+        FROM seq
+    )
+    SELECT CAST(count(*) FILTER (WHERE prev_es IS NOT NULL) AS BIGINT)
+               AS n_steps,
+           CAST(sum(inv) AS BIGINT) AS n_inversions,
+           CAST(max(back_s) AS BIGINT) AS max_backstep_s,
+           CAST(sum(inv) * 1000000
+                // nullif(count(*) FILTER (WHERE prev_es IS NOT NULL), 0)
+                AS BIGINT) AS inversion_ppm,
+           CAST(count(DISTINCT CASE WHEN inv = 1 THEN key END) AS BIGINT)
+               AS n_affected_keys
+    FROM steps
+    """,
+)
+def cdc_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order audit of the change stream: per-key adjacent
+    steps in log-position order whose event time runs BACKWARD —
+    inversion count and rate, the worst backward step in seconds, and
+    how many keys are touched. This is the number that sizes the
+    event-time watermark for every downstream streaming aggregate
+    (withWatermark must exceed the max backstep or late rows drop),
+    and the tripwire for clock skew between a sharded master fleet's
+    writers. All exact integer epoch arithmetic.
+
+    Scale shape: one key-partitioned lag window (the shuffle the
+    collapse already pays) → a single scalar aggregate with a
+    conditional distinct count. Nothing else."""
+    cdc = events_as_cdc(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("log_pos")
+    es = F.expr("floor(unix_timestamp(ts))").cast("long")
+    seq = cdc.select(
+        "key", es.alias("es"), F.lag(es).over(w).alias("prev_es")
+    )
+    inv = (
+        F.col("prev_es").isNotNull() & (F.col("es") < F.col("prev_es"))
+    ).cast("int")
+    steps = seq.select(
+        "key",
+        "prev_es",
+        inv.alias("inv"),
+        F.when(
+            F.col("prev_es").isNotNull() & (F.col("es") < F.col("prev_es")),
+            F.col("prev_es") - F.col("es"),
+        ).otherwise(0).alias("back_s"),
+    )
+    return steps.agg(
+        F.count(F.when(F.col("prev_es").isNotNull(), 1)).cast("long")
+        .alias("n_steps"),
+        F.sum("inv").cast("long").alias("n_inversions"),
+        F.max("back_s").cast("long").alias("max_backstep_s"),
+        F.expr(
+            "sum(inv) * 1000000"
+            " div nullif(count(CASE WHEN prev_es IS NOT NULL"
+            " THEN 1 END), 0)"
+        ).cast("long").alias("inversion_ppm"),
+        F.countDistinct(
+            F.when(F.col("inv") == 1, F.col("key"))
+        ).cast("long").alias("n_affected_keys"),
+    )

@@ -3881,3 +3881,116 @@ def events_gap_exponential_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max(sg) div max(n)").cast("long").alias("mean_gap_s"),
         F.max("dev").cast("long").alias("ks_micro"),
     )
+
+
+@register(
+    "events_retention_halflife",
+    # Exponential decay fit to the weekly retention curve: pooled
+    # cohort retention r_k at week offset k ≥ 1, integer OLS of
+    # milli-quantized ln(r_k) on k (the text_zipf_slope discipline),
+    # and the implied half-life ln2 / |slope|. One ln per (bounded)
+    # curve point, all moments exact BIGINT, two floored divisions.
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(min(floor(epoch(ts))) AS BIGINT) // 604800 AS cw
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT e.user_id,
+               CAST(floor(epoch(e.ts)) AS BIGINT) // 604800 AS w
+        FROM events e
+    ),
+    ret AS (
+        SELECT a.w - u.cw AS k,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS active
+        FROM act a JOIN u ON u.user_id = a.user_id
+        GROUP BY a.w - u.cw
+    ),
+    base AS (SELECT CAST(count(*) AS BIGINT) AS cohort FROM u),
+    pts AS (
+        SELECT CAST(k AS BIGINT) AS x,
+               CAST(round(1000.0 * ln(CAST(active AS DOUBLE) / cohort))
+                    AS BIGINT) AS y
+        FROM ret CROSS JOIN base
+        WHERE k >= 1 AND active > 0
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT m AS n_weeks,
+           CAST((1000000 * (m * sxy - sx * sy))
+                // nullif(1000 * (m * sxx - sx * sx), 0) AS BIGINT)
+               AS decay_per_week_micro,
+           CAST(-693147 * (m * sxx - sx * sx)
+                // nullif(m * sxy - sx * sy, 0) // 1000 AS BIGINT)
+               AS halflife_milli_weeks
+    FROM mom
+    """,
+)
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: fit an exponential decay to the pooled
+    weekly retention curve (fraction of the user base active k weeks
+    after their first event) and report the weekly decay rate and the
+    implied half-life — the single number product teams quote from
+    the retention triangle that events_retention_cohorts tabulates.
+    Same integer-OLS discipline as text_zipf_slope: each curve point
+    spends one milli-quantized ln, every moment is exact BIGINT, and
+    both outputs are floored integer divisions (ln 2 enters as the
+    constant 693147 micro-nats) — NULL on a flat or single-point
+    curve.
+
+    Scale shape: one user-keyed first-week agg, one distinct
+    (user, week) activity agg, a week-offset-keyed rollup (calendar-
+    bounded), and a 1-row moment reduction."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.expr("min(floor(unix_timestamp(ts))) div 604800").alias("cw")
+    )
+    act = ev.select(
+        "user_id",
+        F.expr("floor(unix_timestamp(ts)) div 604800").alias("w"),
+    ).distinct()
+    ret = (
+        act.join(u, "user_id")
+        .groupBy((F.col("w") - F.col("cw")).alias("k"))
+        .agg(F.countDistinct("user_id").cast("long").alias("active"))
+    )
+    base = u.agg(F.count("*").cast("long").alias("cohort"))
+    pts = (
+        ret.crossJoin(F.broadcast(base))
+        .filter((F.col("k") >= 1) & (F.col("active") > 0))
+        .select(
+            F.col("k").cast("long").alias("x"),
+            F.round(
+                1000.0
+                * F.log(
+                    F.col("active").cast("double") / F.col("cohort")
+                )
+            ).cast("long").alias("y"),
+        )
+    )
+    mom = pts.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return mom.select(
+        F.col("m").alias("n_weeks"),
+        F.expr(
+            "(1000000 * (m * sxy - sx * sy))"
+            " div nullif(1000 * (m * sxx - sx * sx), 0)"
+        ).cast("long").alias("decay_per_week_micro"),
+        F.expr(
+            "-693147 * (m * sxx - sx * sx)"
+            " div nullif(m * sxy - sx * sy, 0) div 1000"
+        ).cast("long").alias("halflife_milli_weeks"),
+    )
