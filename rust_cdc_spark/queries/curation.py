@@ -4363,3 +4363,107 @@ def quality_signal_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ") AS (signal_a, signal_b, pearson_micro)"
         )
     )
+
+
+_RC_KS = (2, 4, 8, 16)  # degree thresholds for the rich-club curve
+
+
+@register(
+    "host_graph_rich_club",
+    # Rich-club coefficient φ(k) = 2·E_k / (N_k(N_k−1)): among hosts
+    # of degree > k, the realized fraction of possible edges — rising
+    # φ(k) means the high-degree core is a densely linked club
+    # (authority oligopoly / link cartel), flat means hubs ignore
+    # each other. Exact integer counts at four thresholds; the
+    # density is floored ppm.
+    oracle=f"""
+    WITH raw AS (
+        SELECT DISTINCT {_PR_SRC} AS src, {_PR_DST} AS dst
+        FROM documents
+    ),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst
+    ),
+    deg AS (
+        SELECT host, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS host FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY host
+    )
+    {" UNION ALL ".join(f'''
+    SELECT {k} AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d > {k})
+               AS n_rich,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM und u
+            JOIN deg da ON da.host = u.a AND da.d > {k}
+            JOIN deg db ON db.host = u.b AND db.d > {k})
+               AS e_rich,
+           CAST((SELECT count(*)
+                 FROM und u
+                 JOIN deg da ON da.host = u.a AND da.d > {k}
+                 JOIN deg db ON db.host = u.b AND db.d > {k})
+                * 2000000
+                // nullif((SELECT count(*) FROM deg WHERE d > {k})
+                          * ((SELECT count(*) FROM deg WHERE d > {k})
+                             - 1), 0) AS BIGINT) AS phi_micro
+    ''' for k in _RC_KS)}
+    """,
+)
+def host_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club profile of the host graph: at degree thresholds
+    k ∈ {2,4,8,16}, the number of hosts above k, the edges among
+    them, and the realized edge density φ(k) — a rising curve exposes
+    a densely interlinked authority core (the structure link cartels
+    and citation rings share), a flat one means hubs connect outward.
+    Completes the graph-audit suite next to clustering
+    (host_graph_triangles) and mixing (host_graph_assortativity).
+    All counts exact; densities floored ppm with the degenerate
+    (≤1-member club) case NULLed.
+
+    Scale shape: one doc scan → model-scale edges; degrees are one
+    agg; each threshold is two host-scale joins + scalar counts —
+    four thresholds on a broadcast-sized table."""
+    docs = load_table(spark, "documents", sf_dir)
+    raw = docs.select(
+        F.expr(_PR_SRC).alias("src"), F.expr(_PR_DST).alias("dst")
+    ).distinct()
+    und = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("host"))
+        .unionAll(und.select(F.col("b").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("d"))
+        .localCheckpoint()
+    )
+    out = None
+    for k in _RC_KS:
+        rich = deg.filter(F.col("d") > k).select("host")
+        n_rich = rich.agg(F.count("*").cast("long").alias("n_rich"))
+        e_rich = (
+            und.join(rich.withColumnRenamed("host", "a"), "a")
+            .join(rich.withColumnRenamed("host", "b"), "b")
+            .agg(F.count("*").cast("long").alias("e_rich"))
+        )
+        row = (
+            n_rich.crossJoin(e_rich)
+            .select(
+                F.lit(k).alias("k"),
+                "n_rich",
+                "e_rich",
+                F.expr(
+                    "e_rich * 2000000"
+                    " div nullif(n_rich * (n_rich - 1), 0)"
+                ).cast("long").alias("phi_micro"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

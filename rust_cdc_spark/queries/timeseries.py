@@ -3994,3 +3994,79 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif(m * sxy - sx * sy, 0) div 1000"
         ).cast("long").alias("halflife_milli_weeks"),
     )
+
+
+@register(
+    "events_new_vs_returning",
+    # Daily new-vs-returning decomposition: per day, events and
+    # distinct users split by whether the user's FIRST-ever event is
+    # that day — the growth-accounting view (is traffic growth new
+    # acquisition or deepening engagement?). First-day assignment is
+    # one user-keyed min; everything is exact integers with a
+    # floored-ppm new-user share.
+    oracle="""
+    WITH fd AS (
+        SELECT user_id,
+               CAST(min(floor(epoch(ts))) AS BIGINT) // 86400 AS first_d
+        FROM events GROUP BY user_id
+    ),
+    e AS (
+        SELECT e.user_id,
+               CAST(floor(epoch(e.ts)) AS BIGINT) // 86400 AS d,
+               CASE WHEN CAST(floor(epoch(e.ts)) AS BIGINT) // 86400
+                         = f.first_d THEN 1 ELSE 0 END AS is_new
+        FROM events e JOIN fd f ON f.user_id = e.user_id
+    )
+    SELECT d AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(is_new) AS BIGINT) AS n_new_user_events,
+           CAST(count(DISTINCT CASE WHEN is_new = 1 THEN user_id END)
+                AS BIGINT) AS n_new_users,
+           CAST(count(DISTINCT CASE WHEN is_new = 0 THEN user_id END)
+                AS BIGINT) AS n_returning_users,
+           CAST(count(DISTINCT CASE WHEN is_new = 1 THEN user_id END)
+                * 1000000
+                // nullif(count(DISTINCT user_id), 0) AS BIGINT)
+               AS new_share_micro
+    FROM e GROUP BY d
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: each day's events and distinct users split
+    into NEW (first-ever activity that day) versus RETURNING — the
+    decomposition that tells acquisition-driven growth from
+    engagement-driven growth, and the denominator sanity check for
+    every retention claim. First-seen days come from one user-keyed
+    min; shares are floored ppm of exact distinct counts.
+
+    Scale shape: a user-keyed min agg, a broadcast-able join back
+    (user-scale side), and ONE day-keyed agg with conditional
+    distinct counts. No windows."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    fd = ev.groupBy("user_id").agg(
+        F.expr("min(floor(unix_timestamp(ts))) div 86400")
+        .alias("first_d")
+    )
+    e = ev.join(fd, "user_id").select(
+        "user_id",
+        F.expr("floor(unix_timestamp(ts)) div 86400").alias("d"),
+        (
+            F.expr("floor(unix_timestamp(ts)) div 86400")
+            == F.col("first_d")
+        ).cast("int").alias("is_new"),
+    )
+    return e.groupBy(F.col("d").alias("day")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("is_new").cast("long").alias("n_new_user_events"),
+        F.countDistinct(
+            F.when(F.col("is_new") == 1, F.col("user_id"))
+        ).cast("long").alias("n_new_users"),
+        F.countDistinct(
+            F.when(F.col("is_new") == 0, F.col("user_id"))
+        ).cast("long").alias("n_returning_users"),
+        F.expr(
+            "count(DISTINCT CASE WHEN is_new = 1 THEN user_id END)"
+            " * 1000000 div nullif(count(DISTINCT user_id), 0)"
+        ).cast("long").alias("new_share_micro"),
+    )
