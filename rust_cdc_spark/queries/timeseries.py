@@ -4070,3 +4070,129 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div nullif(count(DISTINCT user_id), 0)"
         ).cast("long").alias("new_share_micro"),
     )
+
+
+@register(
+    "events_sequential_pattern_support",
+    # Gapped sequential-pattern support (the PrefixSpan length-2
+    # core): for every ordered event-type pair (a, b), how many users
+    # exhibit an a BEFORE a b (any gap), and the lift of that support
+    # over the independence expectation n_a·n_b/n. Existence of a
+    # gapped occurrence reduces to first(a) < last(b), so the whole
+    # mine is one (user, type) min/max agg and a model-scale pair
+    # join — no per-sequence scan, no pattern-growth recursion.
+    oracle="""
+    WITH ut AS (
+        SELECT user_id, event_type,
+               CAST(min(floor(epoch(ts)) * 1000000 + event_id % 1000000)
+                    AS BIGINT) AS first_k,
+               CAST(max(floor(epoch(ts)) * 1000000 + event_id % 1000000)
+                    AS BIGINT) AS last_k
+        FROM events GROUP BY user_id, event_type
+    ),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM ut),
+    tu AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS nt
+        FROM ut GROUP BY event_type
+    ),
+    sup AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS support_users
+        FROM ut a JOIN ut b
+          ON b.user_id = a.user_id
+         AND b.event_type <> a.event_type
+         AND a.first_k < b.last_k
+        GROUP BY 1, 2
+    )
+    SELECT s.type_a, s.type_b, s.support_users,
+           ta.nt AS n_users_a, tb.nt AS n_users_b,
+           CAST(s.support_users * n.n_users * 1000000
+                // nullif(ta.nt * tb.nt, 0) AS BIGINT) AS lift_micro
+    FROM sup s
+    JOIN tu ta ON ta.event_type = s.type_a
+    JOIN tu tb ON tb.event_type = s.type_b
+    CROSS JOIN n
+    """,
+)
+def events_sequential_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, length-2 gapped core: for each
+    ordered event-type pair, the number of users who perform an `a`
+    at some point BEFORE a `b` (any gap — the PrefixSpan pattern
+    definition, not adjacent bigrams), with lift against the
+    independence expectation — "view before purchase" at lift ≫ 1 is
+    a real behavioral sequence, lift ≈ 1 is co-presence. Existence of
+    a gapped occurrence is exactly first(a) < last(b), so support
+    needs only per-(user, type) first/last keys (epoch·10⁶ + event_id
+    for total order) — the insight that turns pattern mining into two
+    aggregates. The adjacent-step view is events_transition_matrix;
+    this is its any-gap complement.
+
+    Scale shape: ONE (user, type)-keyed min/max agg (map-side
+    partials), a per-user type-pair self-join bounded by |types|² per
+    user, a pair-keyed rollup, and broadcast singles. No sequence
+    replay, no windows."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    k = F.expr(
+        "CAST(floor(unix_timestamp(ts)) * 1000000"
+        " + event_id % 1000000 AS BIGINT)"
+    )
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.min(k).alias("first_k"), F.max(k).alias("last_k")
+    )
+    n = ut.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    tu = ut.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nt")
+    )
+    b = ut.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_type").alias("type_b"),
+        F.col("last_k").alias("last_kb"),
+    )
+    sup = (
+        ut.join(
+            b,
+            (F.col("ub") == F.col("user_id"))
+            & (F.col("type_b") != F.col("event_type"))
+            & (F.col("first_k") < F.col("last_kb")),
+        )
+        .groupBy(
+            F.col("event_type").alias("type_a"), "type_b"
+        )
+        .agg(F.count("*").cast("long").alias("support_users"))
+    )
+    return (
+        sup.join(
+            F.broadcast(
+                tu.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("nt").alias("n_users_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                tu.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("nt").alias("n_users_b"),
+                )
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "support_users",
+            "n_users_a",
+            "n_users_b",
+            F.expr(
+                "support_users * n_users * 1000000"
+                " div nullif(n_users_a * n_users_b, 0)"
+            ).cast("long").alias("lift_micro"),
+        )
+    )
