@@ -67,7 +67,8 @@ _R06_PRIORITY = [
     "events_gap_exponential_ks", "quality_signal_matrix",
     "cdc_out_of_order_audit", "events_retention_halflife",
     "host_graph_rich_club", "events_new_vs_returning",
-    "events_sequential_pattern_support",
+    "events_sequential_pattern_support", "events_crosscorr_lead_lag",
+    "events_conversion_window_sensitivity",
     # 3 — stalest: last driver row is CORRECTNESS_r01
     "agg_cube_priority_status", "agg_distinct_lineitem", "agg_percentiles_by_status",
     "agg_rollup_returns", "asof_join_purchase_last_click", "cdc_collapse_last",

@@ -4196,3 +4196,244 @@ def events_sequential_pattern_support(spark: SparkSession, sf_dir: str) -> DataF
             ).cast("long").alias("lift_micro"),
         )
     )
+
+
+_XC_MAX_LAG = 6  # daily cross-correlation lags −6..+6
+_XC_A, _XC_B = "click", "purchase"
+
+
+@register(
+    "events_crosscorr_lead_lag",
+    # Lead–lag cross-correlation between the click and purchase DAILY
+    # series at lags −6..+6: positive-lag peaks mean clicks LEAD
+    # purchases by that many days (the planning horizon for campaign
+    # → revenue attribution). Same exactness recipe as the ACF:
+    # scale-by-n integer deviations per series, DECIMAL(38)/HUGEINT
+    # product sums, one IEEE-identical double division per lag.
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events
+        WHERE event_type IN ('{_XC_A}', '{_XC_B}')
+        GROUP BY 1, 2
+    ),
+    scal AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s
+        FROM daily GROUP BY event_type
+    ),
+    dev AS (
+        SELECT d.event_type, d.d,
+               CAST(sc.n * d.x - sc.s AS HUGEINT) AS dev
+        FROM daily d JOIN scal sc USING (event_type)
+    ),
+    dena AS (
+        SELECT sum(dev * dev) AS da FROM dev
+        WHERE event_type = '{_XC_A}'
+    ),
+    denb AS (
+        SELECT sum(dev * dev) AS db FROM dev
+        WHERE event_type = '{_XC_B}'
+    ),
+    num AS (
+        SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+               sum(a.dev * b.dev) AS nu
+        FROM dev a
+        JOIN generate_series(-{_XC_MAX_LAG}, {_XC_MAX_LAG}) AS l(lag)
+          ON true
+        JOIN dev b ON b.event_type = '{_XC_B}'
+                  AND b.d = a.d + l.lag
+        WHERE a.event_type = '{_XC_A}'
+        GROUP BY l.lag
+    )
+    SELECT CAST(n.lag AS INT) AS lag_days, n.n_pairs,
+           round(CAST(n.nu AS DOUBLE)
+                 / nullif(sqrt(CAST(da.da AS DOUBLE)
+                               * CAST(db.db AS DOUBLE)), 0), 6)
+               AS crosscorr
+    FROM num n CROSS JOIN dena da CROSS JOIN denb db
+    """,
+)
+def events_crosscorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag cross-correlation between click and purchase daily
+    volumes at lags −6..+6 days — the "does marketing activity lead
+    revenue, and by how many days" diagnostic that the ACF
+    (within-series) cannot answer: a peak at +2 says click volume
+    predicts purchase volume two days out, the input to budget-timing
+    and attribution-window choices. The ACF's exactness recipe
+    applies unchanged: deviations are exact integers via scale-by-n,
+    product sums run in wide decimals, and the single normalizing
+    division is IEEE-identical cross-engine; zero-variance series
+    yield NULL.
+
+    Scale shape: one filtered daily rollup (two types only —
+    predicate pushed to the scan), calendar-bounded deviation tables,
+    a 13-row broadcast lag relation, and scalar denominators. No
+    corpus-scale joins."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.filter(F.col("event_type").isin(_XC_A, _XC_B))
+        .groupBy(
+            "event_type",
+            F.expr("floor(unix_timestamp(ts)) div 86400").alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    scal = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = daily.join(F.broadcast(scal), "event_type").select(
+        "event_type",
+        "d",
+        (F.col("n") * F.col("x") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("dev"),
+    ).localCheckpoint()
+    dena = dev.filter(F.col("event_type") == _XC_A).agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("da")
+    )
+    denb = dev.filter(F.col("event_type") == _XC_B).agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("db")
+    )
+    lags = spark.range(-_XC_MAX_LAG, _XC_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    b = dev.filter(F.col("event_type") == _XC_B).select(
+        F.col("d").alias("bd"), F.col("dev").alias("bdev")
+    )
+    num = (
+        dev.filter(F.col("event_type") == _XC_A)
+        .crossJoin(F.broadcast(lags))
+        .join(b, F.col("bd") == F.col("d") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("dev") * F.col("bdev")).alias("nu"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(dena))
+        .crossJoin(F.broadcast(denb))
+        .select(
+            F.col("lag").alias("lag_days"),
+            "n_pairs",
+            F.round(
+                F.col("nu").cast("double")
+                / F.nullif(
+                    F.sqrt(
+                        F.col("da").cast("double")
+                        * F.col("db").cast("double")
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("crosscorr"),
+        )
+    )
+
+
+_ATTR_WINDOWS_H = (1, 6, 24, 168)  # attribution windows (hours)
+
+
+@register(
+    "events_conversion_window_sensitivity",
+    # KPI sensitivity to the attribution window: signup → purchase
+    # conversion measured at 1h/6h/24h/7d windows from each user's
+    # FIRST signup — if the rate still climbs between 24h and 7d the
+    # window is truncating real conversions; if it plateaus at 6h a
+    # tight (cheap) window suffices. One user-keyed agg computes the
+    # first signup and first subsequent purchase; each window is a
+    # conditional count over the same two columns.
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(min(CASE WHEN event_type = 'signup'
+                        THEN floor(epoch(ts)) END) AS BIGINT) AS s0
+        FROM events GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id,
+               CAST(min(floor(epoch(e.ts))) AS BIGINT) AS p0
+        FROM events e JOIN u ON u.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND floor(epoch(e.ts)) >= u.s0
+        GROUP BY e.user_id
+    ),
+    j AS (
+        SELECT u.user_id, u.s0, p.p0
+        FROM u LEFT JOIN p ON p.user_id = u.user_id
+        WHERE u.s0 IS NOT NULL
+    )
+    {" UNION ALL ".join(f'''
+    SELECT {h} AS window_hours,
+           CAST(count(*) AS BIGINT) AS n_signup_users,
+           CAST(count(CASE WHEN p0 IS NOT NULL
+                           AND p0 - s0 <= {h} * 3600 THEN 1 END)
+                AS BIGINT) AS n_converted,
+           CAST(count(CASE WHEN p0 IS NOT NULL
+                           AND p0 - s0 <= {h} * 3600 THEN 1 END)
+                * 1000000 // nullif(count(*), 0) AS BIGINT)
+               AS conversion_micro
+    FROM j''' for h in _ATTR_WINDOWS_H)}
+    """,
+)
+def events_conversion_window_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Attribution-window sensitivity of the signup → purchase
+    conversion KPI: the same conversion rate measured at 1 h, 6 h,
+    24 h, and 7 d windows from each user's first signup — the curve
+    that says whether the reported number is an artifact of the
+    window (still climbing at 7 d = truncation; flat after 6 h = a
+    tight window is safe and the pipeline can drop a week of
+    late-event state). One user-keyed pass derives first signup and
+    first subsequent purchase; every window is a conditional count
+    over those two integers, so the four rows reconcile with each
+    other and with the funnel queries by construction.
+
+    Scale shape: two user-keyed aggs (signup min, post-signup
+    purchase min) joined user-scale, then a 4-row stack of scalar
+    counts. No windows, no re-scans per window width."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    es = F.expr("floor(unix_timestamp(ts))").cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", es)
+        ).alias("s0")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", es.alias("pe"))
+        .join(u, "user_id")
+        .filter(F.col("pe") >= F.col("s0"))
+        .groupBy("user_id")
+        .agg(F.min("pe").alias("p0"))
+    )
+    j = (
+        u.filter(F.col("s0").isNotNull())
+        .join(p, "user_id", "left")
+        .select("s0", "p0")
+        .localCheckpoint()  # four window counts reuse one tiny frame
+    )
+    out = None
+    for h in _ATTR_WINDOWS_H:
+        conv = F.col("p0").isNotNull() & (
+            F.col("p0") - F.col("s0") <= h * 3600
+        )
+        row = j.agg(
+            F.lit(h).alias("window_hours"),
+            F.count("*").cast("long").alias("n_signup_users"),
+            F.count(F.when(conv, 1)).cast("long").alias("n_converted"),
+            F.expr(
+                f"count(CASE WHEN p0 IS NOT NULL"
+                f" AND p0 - s0 <= {h} * 3600 THEN 1 END)"
+                " * 1000000 div nullif(count(*), 0)"
+            ).cast("long").alias("conversion_micro"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
