@@ -422,3 +422,54 @@ def scalar_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p_partkey % 10 = 0
         """
     )
+
+
+# The SAME SQL text runs on BOTH engines (Spark 4 supports WITH
+# RECURSIVE with UNION ALL recursion; DuckDB likewise) — the purest
+# possible parity check for the recursive-query surface.
+_RECURSIVE_REACH_SQL = """
+WITH RECURSIVE raw AS (
+    SELECT DISTINCT (doc_id * doc_id) % 53 AS src,
+           (doc_id * doc_id + doc_id + 17) % 53 AS dst
+    FROM documents
+),
+und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM raw WHERE src <> dst
+),
+adj AS (
+    SELECT a AS s, b AS t FROM und UNION ALL SELECT b, a FROM und
+),
+srcn AS (SELECT min(a) AS h FROM und),
+bfs(host, hop) AS (
+    SELECT h, 0 FROM srcn
+    UNION ALL
+    SELECT adj.t, bfs.hop + 1
+    FROM bfs JOIN adj ON adj.s = bfs.host
+    WHERE bfs.hop < 5
+),
+dist AS (
+    SELECT host, CAST(min(hop) AS BIGINT) AS hop
+    FROM bfs WHERE host IS NOT NULL GROUP BY host
+)
+SELECT hop, CAST(count(*) AS BIGINT) AS n_hosts
+FROM dist GROUP BY hop
+"""
+
+
+@register("sql_recursive_reachability", oracle=_RECURSIVE_REACH_SQL)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE surface (Q2 depth): min-hop reachability from the
+    lowest host computed by the IDENTICAL `WITH RECURSIVE` SQL text
+    on both engines — Spark 4's recursive CTE (UNION ALL recursion +
+    depth guard) against DuckDB's, zero translation layer. This is
+    UNION ALL recursion, i.e. bounded PATH enumeration folded to min
+    hop at the end — correct and cheap on the model-scale host graph;
+    the linear-frontier form for big graphs is host_graph_bfs_hops
+    (same answer, asserted by the oracle being shared there too).
+
+    Scale shape: one doc scan collapses to the ≤53-node edge table;
+    the recursion's working set is path rows bounded by depth 5 on a
+    model-scale graph. At web scale, prefer the iterative operator."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_RECURSIVE_REACH_SQL)
