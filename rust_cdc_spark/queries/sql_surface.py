@@ -473,3 +473,37 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     model-scale graph. At web scale, prefer the iterative operator."""
     register_views(spark, sf_dir, "documents")
     return spark.sql(_RECURSIVE_REACH_SQL)
+
+
+# Shared SQL text again (Spark 4 LATERAL correlated subquery == DuckDB
+# LATERAL): per-customer top-2 orders by value with a deterministic
+# orderkey tie-break.
+_LATERAL_TOPN_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) t
+"""
+
+
+@register("sql_lateral_topn_per_group", oracle=_LATERAL_TOPN_SQL)
+def sql_lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL-join surface (Q2 depth): top-2 orders per customer via
+    a correlated LATERAL subquery — the IDENTICAL SQL text executes
+    on Spark 4 and DuckDB, pinning the declarative per-group-top-n
+    idiom next to the window-function form
+    (window_topk_orders_per_customer computes the same shape with
+    row_number). Catalyst rewrites the LATERAL into a ranked window
+    under the hood, so the physical plan remains a key-partitioned
+    shuffle — no per-customer re-scan of orders.
+
+    Scale shape: one orders shuffle keyed on custkey (the correlated
+    LIMIT decorrelates to a partitioned rank), joined to the
+    customer dimension. Same cost class as the window formulation."""
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_LATERAL_TOPN_SQL)
