@@ -4437,3 +4437,135 @@ def events_conversion_window_sensitivity(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "events_growth_accounting",
+    # Weekly growth accounting (the standard user-state ledger): each
+    # active (user, week) is NEW (first week), RETAINED (also active
+    # the prior week) or RESURRECTED (active before, but not last
+    # week); CHURNED counts last week's actives who vanished. The
+    # quick ratio (new + resurrected) / churned is the one-number
+    # health gauge. States come from one distinct activity table
+    # joined to itself at lag 1 and to first-weeks — all exact.
+    oracle="""
+    WITH aw AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w
+        FROM events
+    ),
+    fw AS (
+        SELECT user_id, min(w) AS first_w FROM aw GROUP BY user_id
+    ),
+    state AS (
+        SELECT a.w, a.user_id,
+               CASE WHEN f.first_w = a.w THEN 'new'
+                    WHEN p.user_id IS NOT NULL THEN 'retained'
+                    ELSE 'resurrected' END AS st
+        FROM aw a
+        JOIN fw f ON f.user_id = a.user_id
+        LEFT JOIN aw p ON p.user_id = a.user_id AND p.w = a.w - 1
+    ),
+    churn AS (
+        SELECT p.w + 1 AS w, CAST(count(*) AS BIGINT) AS n_churned
+        FROM aw p LEFT JOIN aw c
+          ON c.user_id = p.user_id AND c.w = p.w + 1
+        WHERE c.user_id IS NULL
+        GROUP BY p.w + 1
+    ),
+    wk AS (
+        SELECT w,
+               CAST(count(CASE WHEN st = 'new' THEN 1 END) AS BIGINT)
+                   AS n_new,
+               CAST(count(CASE WHEN st = 'retained' THEN 1 END)
+                    AS BIGINT) AS n_retained,
+               CAST(count(CASE WHEN st = 'resurrected' THEN 1 END)
+                    AS BIGINT) AS n_resurrected
+        FROM state GROUP BY w
+    )
+    SELECT wk.w AS week,
+           wk.n_new, wk.n_retained, wk.n_resurrected,
+           CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned,
+           CAST((wk.n_new + wk.n_resurrected) * 1000000
+                // nullif(ch.n_churned, 0) AS BIGINT)
+               AS quick_ratio_micro
+    FROM wk LEFT JOIN churn ch ON ch.w = wk.w
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the user-state ledger every growth
+    team keeps: actives decomposed into new / retained / resurrected,
+    churn measured as last week's actives who vanished, and the quick
+    ratio (new + resurrected per churned) that summarizes whether the
+    top of the funnel outruns the leak. Composes with
+    events_new_vs_returning (daily view) and
+    events_retention_halflife (decay fit) into the full growth
+    toolkit. All states are exact set operations on the distinct
+    (user, week) activity table; the ratio is floored ppm with NULL
+    on zero churn.
+
+    Scale shape: ONE distinct (user, week) agg; states come from two
+    self-equi-joins at lag 1 plus a first-week join — all user-scale
+    hash joins co-keyed on user_id; the ledger is a |weeks|-keyed
+    agg."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    aw = ev.select(
+        "user_id",
+        F.expr("floor(unix_timestamp(ts)) div 604800").alias("w"),
+    ).distinct().localCheckpoint()  # three joins reuse it
+    fw = aw.groupBy("user_id").agg(F.min("w").alias("first_w"))
+    p = aw.select(
+        F.col("user_id").alias("pu"), (F.col("w") + 1).alias("pw")
+    )
+    state = (
+        aw.join(fw, "user_id")
+        .join(
+            p,
+            (F.col("pu") == F.col("user_id")) & (F.col("pw") == F.col("w")),
+            "left",
+        )
+        .select(
+            "w",
+            F.when(F.col("first_w") == F.col("w"), "new")
+            .when(F.col("pu").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("st"),
+        )
+    )
+    c = aw.select(
+        F.col("user_id").alias("cu"), F.col("w").alias("cw")
+    )
+    churn = (
+        aw.join(
+            c,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("cw") == F.col("w") + 1),
+            "left_anti",
+        )
+        .groupBy((F.col("w") + 1).alias("w"))
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+    wk = state.groupBy("w").agg(
+        F.count(F.when(F.col("st") == "new", 1)).cast("long")
+        .alias("n_new"),
+        F.count(F.when(F.col("st") == "retained", 1)).cast("long")
+        .alias("n_retained"),
+        F.count(F.when(F.col("st") == "resurrected", 1)).cast("long")
+        .alias("n_resurrected"),
+    )
+    return (
+        wk.join(churn, "w", "left")
+        .select(
+            F.col("w").alias("week"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0)).cast("long")
+            .alias("n_churned"),
+            F.expr(
+                "(n_new + n_resurrected) * 1000000"
+                " div nullif(n_churned, 0)"
+            ).cast("long").alias("quick_ratio_micro"),
+        )
+    )
