@@ -4569,3 +4569,110 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("quick_ratio_micro"),
         )
     )
+
+
+# z constants in micro units: z_{α/2}=1.959964 (two-sided 5%),
+# z_β=0.841621 (80% power) — fixed literals shared with the oracle.
+_PWR_ZA = 1_959_964
+_PWR_ZB = 841_621
+
+
+@register(
+    "events_power_analysis_mde",
+    # Experiment design readout: with the arms as currently sized and
+    # the pooled baseline conversion, the minimum detectable effect
+    # (absolute and relative) at 80% power / 5% two-sided α — the
+    # "could this experiment even see the effect we care about"
+    # number read BEFORE the readout. MDE = (z_α/2 + z_β) ·
+    # sqrt(p(1−p)(1/n0+1/n1)); inputs are exact counts, the z sum is
+    # an integer constant, one double chain rounded once.
+    oracle=f"""
+    WITH assign AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) >= 17
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    arm AS (
+        SELECT CAST(count(CASE WHEN variant = 0 THEN 1 END) AS BIGINT)
+                   AS n0,
+               CAST(count(CASE WHEN variant = 1 THEN 1 END) AS BIGINT)
+                   AS n1,
+               CAST(sum(converted) AS BIGINT) AS c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM assign
+    )
+    SELECT n0 AS control_users, n1 AS treatment_users,
+           CAST(c * 1000000 // nullif(n, 0) AS BIGINT)
+               AS baseline_micro,
+           CASE WHEN n0 > 0 AND n1 > 0 AND c > 0 AND c < n THEN
+               CAST(round(({_PWR_ZA} + {_PWR_ZB}) / 1e6
+                    * sqrt((CAST(c AS DOUBLE) / n)
+                           * (1 - CAST(c AS DOUBLE) / n)
+                           * (1.0 / n0 + 1.0 / n1)) * 1e6) AS BIGINT)
+           END AS mde_abs_micro,
+           CASE WHEN n0 > 0 AND n1 > 0 AND c > 0 AND c < n THEN
+               CAST(round(({_PWR_ZA} + {_PWR_ZB}) / 1e6
+                    * sqrt((CAST(c AS DOUBLE) / n)
+                           * (1 - CAST(c AS DOUBLE) / n)
+                           * (1.0 / n0 + 1.0 / n1))
+                    / (CAST(c AS DOUBLE) / n) * 1e6) AS BIGINT)
+           END AS mde_rel_micro
+    FROM arm
+    """,
+)
+def events_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis of the running experiment: at the arms' current
+    sizes and the pooled baseline conversion rate, the minimum
+    detectable effect — absolute and relative — at 80% power with
+    5% two-sided significance. This is the number that should be
+    read BEFORE events_ab_test_lift's z-score: an experiment whose
+    MDE is 30% relative cannot pronounce on a 5% hypothesis no
+    matter what the point estimate says. The z quantiles enter as
+    fixed integer micro constants; arm counts are exact; the one
+    double chain is identical cross-engine and rounded once;
+    degenerate arms (zero or saturated conversions) yield NULL.
+
+    Scale shape: one user-keyed conversion agg → a 1-row arm
+    reduction → scalar math. Nothing else."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    assign = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 17
+        ).cast("int").alias("converted"),
+    )
+    arm = assign.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).cast("long")
+        .alias("n0"),
+        F.count(F.when(F.col("variant") == 1, 1)).cast("long")
+        .alias("n1"),
+        F.sum("converted").cast("long").alias("c"),
+        F.count("*").cast("long").alias("n"),
+    )
+    ok = (
+        (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+        & (F.col("c") > 0)
+        & (F.col("c") < F.col("n"))
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    se = F.sqrt(
+        p * (1 - p) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    zsum = (_PWR_ZA + _PWR_ZB) / 1e6
+    return arm.select(
+        F.col("n0").alias("control_users"),
+        F.col("n1").alias("treatment_users"),
+        F.expr("c * 1000000 div nullif(n, 0)").cast("long")
+        .alias("baseline_micro"),
+        F.when(ok, F.round(zsum * se * 1e6).cast("long"))
+        .alias("mde_abs_micro"),
+        F.when(ok, F.round(zsum * se / p * 1e6).cast("long"))
+        .alias("mde_rel_micro"),
+    )
