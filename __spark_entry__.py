@@ -30,11 +30,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-6 priority order (the driver checks 50 names per round, in this
 # order), built per VERDICT r5 #1/#3: (1) the round-5 red query whose
 # fix must land a green driver row, (2) the queries ADDED or CHANGED in
-# round 6, (3) the 41 names whose most recent driver row is from ROUND
-# 1 — rotating the 50-slot window onto the stalest checks so driver
-# staleness stays bounded (~2 rounds) for unchanged code. Everything
-# below is green under tools/check_correctness.py at sf0.01 AND the new
-# sf0.001 degenerate sweep (standard + vanilla-TZ sessions).
+# round 6 (sessions 1 and 2 — 66 names, so ~16 spill past the 50-slot
+# window into round 7; every spilled name is covered by the local
+# full-registry sweeps at 3 SFs, the 0-row fixture sweep, the
+# vanilla-TZ sweep, and pytest oracle parity), (3) the 41 names whose
+# most recent driver row is from ROUND 1 — rotating the window onto
+# the stalest checks once the new names drain. Everything below is
+# green under tools/check_correctness.py at sf0.01 AND the sf0.001
+# degenerate sweep (standard + vanilla-TZ sessions).
 _R06_PRIORITY = [
     # 1 — the round-5 bug fix (DIVIDE_BY_ZERO on zero-conversion arms)
     "events_ab_test_lift",
