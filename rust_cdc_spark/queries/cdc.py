@@ -1104,13 +1104,18 @@ def cdc_key_churn_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     # step forces a larger watermark delay; none means log order is
     # a usable event-time order). Exact epoch-second integers.
     oracle=f"""
-    WITH seq AS (
-        SELECT user_id AS key,
-               CAST(floor(epoch(ts)) AS BIGINT) AS es,
-               lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+    WITH skewed AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+               - CASE WHEN event_id % 101 = 0 THEN 172800 ELSE 0 END AS es
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id AS key, es,
+               lag(es) OVER (
                    PARTITION BY user_id ORDER BY event_id
                ) AS prev_es
-        FROM events
+        FROM skewed
     ),
     steps AS (
         SELECT key, es, prev_es,
@@ -1147,7 +1152,15 @@ def cdc_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional distinct count. Nothing else."""
     cdc = events_as_cdc(spark, sf_dir)
     w = Window.partitionBy("key").orderBy("log_pos")
-    es = F.expr("floor(unix_timestamp(ts))").cast("long")
+    # Deterministic clock-skew injection (the PII/mojibake precedent):
+    # the synthetic stream is perfectly ordered, so events with
+    # log_pos % 101 == 0 get a writer whose clock runs 2 days behind —
+    # both engines build the identical skewed stream and the audit's
+    # detection path is exercised for real.
+    es = (
+        F.expr("floor(unix_timestamp(ts))").cast("long")
+        - F.when(F.col("log_pos") % 101 == 0, 172800).otherwise(0)
+    )
     seq = cdc.select(
         "key", es.alias("es"), F.lag(es).over(w).alias("prev_es")
     )
@@ -1176,4 +1189,99 @@ def cdc_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(
             F.when(F.col("inv") == 1, F.col("key"))
         ).cast("long").alias("n_affected_keys"),
+    )
+
+
+@register(
+    "cdc_late_data_histogram",
+    # Lateness distribution for watermark sizing: for each event,
+    # lateness = (max event time seen SO FAR in log order, per key)
+    # minus this event's time — the exact quantity a streaming
+    # watermark must cover. The out-of-order audit reports the max;
+    # this histogram gives the full distribution in log2 buckets so
+    # the watermark can be sized to a percentile instead of the
+    # worst case. Running max per key is one window; bucketing is
+    # integer bit arithmetic.
+    oracle=f"""
+    WITH skewed AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+               - CASE WHEN event_id % 101 = 0 THEN 172800 ELSE 0 END AS es
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id AS key, es,
+               max(es) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS seen_max
+        FROM skewed
+    ),
+    late AS (
+        SELECT CASE WHEN seen_max IS NULL OR es >= seen_max THEN 0
+                    ELSE seen_max - es END AS late_s
+        FROM seq
+    ),
+    bucketed AS (
+        SELECT CASE WHEN late_s = 0 THEN -1
+                    ELSE CAST(floor(log2(late_s)) AS BIGINT) END AS b,
+               late_s
+        FROM late
+    )
+    SELECT b AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(late_s) AS BIGINT) AS min_late_s,
+           CAST(max(late_s) AS BIGINT) AS max_late_s
+    FROM bucketed GROUP BY b
+    """,
+)
+def cdc_late_data_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data histogram for watermark sizing: per event, how far
+    its event time lags behind the per-key maximum already seen in
+    log order, bucketed by powers of two (bucket −1 = on-time) — the
+    distribution behind `withWatermark`: cdc_out_of_order_audit's max
+    backstep sizes the worst case, this table lets an operator choose
+    a watermark covering, say, 99.9% of events at a tenth of the
+    state cost. The running max is the same key-partitioned window
+    the collapse pays; lateness and buckets are exact integers (log2
+    of a positive integer floors identically on both engines).
+
+    Scale shape: one key-partitioned running-max window → map-side
+    bucket arithmetic → a ≤ ~20-key histogram agg."""
+    cdc = events_as_cdc(spark, sf_dir)
+    w = (
+        Window.partitionBy("key")
+        .orderBy("log_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # Same deterministic 2-day clock-skew injection as
+    # cdc_out_of_order_audit — the two lateness audits see the
+    # identical skewed stream and reconcile by construction.
+    es = (
+        F.expr("floor(unix_timestamp(ts))").cast("long")
+        - F.when(F.col("log_pos") % 101 == 0, 172800).otherwise(0)
+    )
+    seq = cdc.select(
+        es.alias("es"), F.max(es).over(w).alias("seen_max")
+    )
+    late = seq.select(
+        F.when(
+            F.col("seen_max").isNull()
+            | (F.col("es") >= F.col("seen_max")),
+            0,
+        )
+        .otherwise(F.col("seen_max") - F.col("es"))
+        .alias("late_s")
+    )
+    bucketed = late.select(
+        F.when(F.col("late_s") == 0, -1)
+        .otherwise(F.floor(F.log2("late_s")))
+        .cast("long")
+        .alias("b"),
+        "late_s",
+    )
+    return bucketed.groupBy(F.col("b").alias("log2_bucket")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("late_s").cast("long").alias("min_late_s"),
+        F.max("late_s").cast("long").alias("max_late_s"),
     )

@@ -3217,3 +3217,82 @@ def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif(sq2 * 1000000, 0)"
         ).cast("long").alias("effective_suppliers"),
     )
+
+
+@register(
+    "orders_skyline_price_date",
+    # 2-D skyline (Pareto-frontier) operator: orders not dominated on
+    # (lower total price, more recent date) — the preference-query
+    # primitive (Börzsönyi et al., ICDE'01). In 2-D the skyline has a
+    # closed form: sort by one criterion, keep rows strictly better
+    # than every predecessor on the other — a running-min window over
+    # the DATE-value groups, not an O(n²) dominance join. Exact cents
+    # and epoch days; deterministic tie handling (equal points are
+    # all kept unless strictly dominated).
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d
+        FROM orders
+    ),
+    -- min price per day, then the prefix min over STRICTLY LATER
+    -- days decides dominance: an order is dominated iff some
+    -- later-or-equal day has strictly lower price AND (later day or
+    -- lower price).
+    dmin AS (
+        SELECT d, min(cents) AS day_min FROM o GROUP BY d
+    ),
+    better AS (
+        SELECT d,
+               min(day_min) OVER (ORDER BY d DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS later_min,
+               day_min
+        FROM dmin
+    )
+    SELECT o.o_orderkey, o.cents, o.d AS epoch_day
+    FROM o JOIN better b ON b.d = o.d
+    WHERE (b.later_min IS NULL OR o.cents < b.later_min)
+      AND o.cents = b.day_min
+    """,
+)
+def orders_skyline_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: the orders no other order
+    beats on BOTH criteria — cheaper AND more recent — the
+    preference-query operator behind "best tradeoff" product
+    surfaces (cheapest-newest offers, dominated-option pruning).
+    The naive formulation is an O(n²) dominance self-join; in 2-D
+    the frontier collapses to per-day minima plus a running min over
+    strictly-later days, so the whole operator is one day-keyed agg
+    and a calendar-bounded window. A point survives iff it is its
+    day's minimum and strictly cheaper than every later day's
+    minimum. All comparisons on exact cents / epoch days.
+
+    Scale shape: ONE (day)-keyed min agg (map-side partials), a
+    running-min window over the |days|-row calendar table, and a
+    broadcast join back to the fact scan to emit surviving rows —
+    no dominance join at any scale."""
+    orders = load_table(spark, "orders", sf_dir)
+    o = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr("floor(unix_timestamp(o_orderdate)) div 86400").alias("d"),
+    )
+    dmin = o.groupBy("d").agg(F.min("cents").alias("day_min"))
+    w = (
+        Window.orderBy(F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    better = dmin.select(
+        "d", "day_min", F.min("day_min").over(w).alias("later_min")
+    )
+    return (
+        o.join(F.broadcast(better), "d")
+        .filter(
+            (F.col("later_min").isNull()
+             | (F.col("cents") < F.col("later_min")))
+            & (F.col("cents") == F.col("day_min"))
+        )
+        .select("o_orderkey", "cents", F.col("d").alias("epoch_day"))
+    )

@@ -545,6 +545,11 @@ GLOBAL_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
         " the lifetime-DURATION value histogram — bounded by the"
         " observation span in days, not by users",
     ),
+    "orders_skyline_price_date": (
+        1,
+        "running min over the per-DAY minimum table — bounded by the"
+        " calendar, not the order count (the 2-D skyline closed form)",
+    ),
 }
 
 
