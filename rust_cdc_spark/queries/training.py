@@ -2818,3 +2818,140 @@ def tokenizer_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("loss_micro").desc(), "token").limit(
         _UNI_TOP
     )
+
+
+_VIT_MAX_PIECE = 3  # subword piece length cap
+
+
+@register(
+    "tokenizer_viterbi_segment",
+    # SentencePiece's other half, executed as a recursive CTE: build
+    # a subword piece inventory (all substrings of length ≤ 3 of the
+    # corpus vocabulary, occurrence-weighted by word frequency, cost
+    # = −ln p in micro-nats quantized once per piece), then find each
+    # word's MINIMUM-COST segmentation by dynamic programming — the
+    # recursion extends every partial segmentation by any piece that
+    # matches at the cursor, and the final per-word argmin (cost,
+    # path) is deterministic. Spark 4's recursive CTE executes the
+    # same DP the oracle does.
+    oracle=f"""
+    WITH RECURSIVE wc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split(trim(text), ' ')) AS w
+            FROM documents
+        ) WHERE w <> '' GROUP BY w
+    ),
+    occ AS (
+        SELECT substr(wc.w, i.i, l.l) AS p, CAST(sum(wc.c) AS BIGINT) AS n
+        FROM wc,
+             LATERAL unnest(range(1, length(wc.w) + 1)) AS i(i),
+             LATERAL unnest(range(1, {_VIT_MAX_PIECE} + 1)) AS l(l)
+        WHERE i.i + l.l - 1 <= length(wc.w)
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM occ),
+    pieces AS (
+        SELECT p, CAST(length(p) AS INT) AS pl,
+               CAST(-round(1e6 * ln(CAST(n AS DOUBLE) / t.t)) AS BIGINT)
+                   AS cost
+        FROM occ CROSS JOIN tot t
+    ),
+    seg(w, pos, cost, path) AS (
+        SELECT w, 0, CAST(0 AS BIGINT), CAST('' AS VARCHAR) FROM wc
+        UNION ALL
+        SELECT s.w, s.pos + p.pl, s.cost + p.cost,
+               s.path || '|' || p.p
+        FROM seg s JOIN pieces p
+          ON substr(s.w, s.pos + 1, p.pl) = p.p
+        WHERE s.pos < length(s.w)
+    ),
+    done AS (
+        SELECT w, cost, path,
+               row_number() OVER (PARTITION BY w ORDER BY cost, path)
+                   AS rk
+        FROM seg WHERE pos = length(w)
+    )
+    SELECT d.w AS word, wc.c AS corpus_count,
+           CAST(length(d.path) - length(replace(d.path, '|', ''))
+                AS BIGINT) AS n_pieces,
+           d.cost AS cost_micro,
+           d.path AS segmentation
+    FROM done d JOIN wc ON wc.w = d.w
+    WHERE d.rk = 1
+    """,
+)
+def tokenizer_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi subword segmentation — the encode half of the unigram
+    tokenizer (tokenizer_unigram_prune scores the vocabulary; this
+    segments with it): every corpus word's minimum-cost split into
+    occurrence-weighted substring pieces (length ≤ 3), found by
+    dynamic programming expressed as a RECURSIVE CTE that Spark 4 and
+    DuckDB both execute — each recursion step extends a partial
+    segmentation by any piece matching at the cursor, and the winner
+    per word is the deterministic (cost, path) argmin. Piece costs
+    are −ln p quantized once to micro-nats; everything downstream is
+    exact integers and exact string paths.
+
+    Scale shape: the corpus collapses to the vocabulary in ONE scan;
+    the piece inventory and the DP run on vocab-scale tables (the
+    recursion's working set is bounded by segmentation-path counts of
+    ≤ max-word-length words — tribonacci-bounded per word, never
+    corpus-sized); the final argmin is a per-word window over those
+    bounded rows. For open-vocabulary corpora, cap the DP to the
+    top-K words and fall back to greedy encode (operators/bpe.py)."""
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select(
+            F.explode(F.expr("split(trim(text), ' ')")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wc.localCheckpoint().createOrReplaceTempView("vit_wc")
+    occ = spark.sql(f"""
+        SELECT substr(w, i, l) AS p, CAST(sum(c) AS BIGINT) AS n
+        FROM vit_wc
+        LATERAL VIEW explode(sequence(1, length(w))) AS i
+        LATERAL VIEW explode(sequence(1, {_VIT_MAX_PIECE})) AS l
+        WHERE i + l - 1 <= length(w)
+        GROUP BY 1
+    """)
+    occ.createOrReplaceTempView("vit_occ")
+    spark.sql(
+        """
+        SELECT p, CAST(length(p) AS INT) AS pl,
+               CAST(-round(1e6 * ln(CAST(n AS DOUBLE) / t.t)) AS BIGINT)
+                   AS cost
+        FROM vit_occ CROSS JOIN (
+            SELECT CAST(sum(n) AS BIGINT) AS t FROM vit_occ
+        ) t
+        """
+    ).localCheckpoint().createOrReplaceTempView("vit_pieces")
+    return spark.sql(
+        """
+        WITH RECURSIVE seg(w, pos, cost, path) AS (
+            SELECT w, 0, CAST(0 AS BIGINT), CAST('' AS STRING)
+            FROM vit_wc
+            UNION ALL
+            SELECT s.w, s.pos + p.pl, s.cost + p.cost,
+                   concat(s.path, '|', p.p)
+            FROM seg s JOIN vit_pieces p
+              ON substr(s.w, s.pos + 1, p.pl) = p.p
+            WHERE s.pos < length(s.w)
+        ),
+        done AS (
+            SELECT w, cost, path,
+                   row_number() OVER (PARTITION BY w
+                                      ORDER BY cost, path) AS rk
+            FROM seg WHERE pos = length(w)
+        )
+        SELECT d.w AS word, wc.c AS corpus_count,
+               CAST(length(d.path) - length(replace(d.path, '|', ''))
+                    AS BIGINT) AS n_pieces,
+               d.cost AS cost_micro,
+               d.path AS segmentation
+        FROM done d JOIN vit_wc wc ON wc.w = d.w
+        WHERE d.rk = 1
+        """
+    )
