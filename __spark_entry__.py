@@ -74,7 +74,7 @@ _R06_PRIORITY = [
     "sql_recursive_reachability", "sql_lateral_topn_per_group",
     "events_growth_accounting", "events_power_analysis_mde",
     "orders_skyline_price_date", "cdc_late_data_histogram",
-    "tokenizer_viterbi_segment",
+    "tokenizer_viterbi_segment", "lineitem_ship_delay_percentiles",
     "events_conversion_window_sensitivity",
     # 3 — stalest: last driver row is CORRECTNESS_r01
     "agg_cube_priority_status", "agg_distinct_lineitem", "agg_percentiles_by_status",

@@ -3296,3 +3296,99 @@ def orders_skyline_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "cents", F.col("d").alias("epoch_day"))
     )
+
+
+@register(
+    "lineitem_ship_delay_percentiles",
+    # Order-to-ship delay SLA profile per order priority: EXACT
+    # p50/p90/p99 of (l_shipdate − o_orderdate) in days, computed
+    # from the delay VALUE histogram with explicit rank arithmetic —
+    # the nearest-rank percentile (smallest value whose cumulative
+    # count reaches ⌈q·n⌉), so both engines pick the identical day
+    # with no interpolation. The histogram is bounded by the delay
+    # range, never the row count.
+    oracle="""
+    WITH d AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400
+               - CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400
+                   AS delay
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    hist AS (
+        SELECT priority, delay, CAST(count(*) AS BIGINT) AS c
+        FROM d GROUP BY priority, delay
+    ),
+    cum AS (
+        SELECT priority, delay, c,
+               sum(c) OVER (PARTITION BY priority ORDER BY delay
+                            ROWS UNBOUNDED PRECEDING) AS cm,
+               sum(c) OVER (PARTITION BY priority) AS n
+        FROM hist
+    )
+    SELECT priority,
+           CAST(max(n) AS BIGINT) AS n_lineitems,
+           CAST(min(CASE WHEN cm * 2 >= n THEN delay END) AS BIGINT)
+               AS p50_days,
+           CAST(min(CASE WHEN cm * 10 >= 9 * n THEN delay END) AS BIGINT)
+               AS p90_days,
+           CAST(min(CASE WHEN cm * 100 >= 99 * n THEN delay END)
+                AS BIGINT) AS p99_days,
+           CAST(max(delay) AS BIGINT) AS max_days
+    FROM cum GROUP BY priority
+    """,
+)
+def lineitem_ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-SLA profile: exact p50/p90/p99 of the order-to-ship
+    delay per order priority — the table that answers "do URGENT
+    orders actually ship faster, and what does the tail look like"
+    without approx_percentile's error bars. Percentiles are
+    nearest-rank over the delay VALUE histogram (cumulative-count
+    cross-multiplication, no division, no interpolation), the same
+    discipline as the funnel-latency and KS queries — so the chosen
+    day is identical on both engines by integer arithmetic alone.
+
+    Scale shape: one co-keyed fact-fact join (orderkey), a
+    (priority, delay)-keyed histogram agg with map-side partials,
+    then priority-partitioned cumulative windows over the
+    range-bounded value rows."""
+    utc(spark)
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    d = li.join(
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        (
+            F.expr("floor(unix_timestamp(l_shipdate)) div 86400")
+            - F.expr("floor(unix_timestamp(o_orderdate)) div 86400")
+        ).alias("delay"),
+    )
+    hist = d.groupBy("priority", "delay").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wc = (
+        Window.partitionBy("priority")
+        .orderBy("delay")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("priority")
+    cum = hist.select(
+        "priority", "delay", "c",
+        F.sum("c").over(wc).alias("cm"),
+        F.sum("c").over(wp).alias("n"),
+    )
+    return cum.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_lineitems"),
+        F.min(
+            F.when(F.col("cm") * 2 >= F.col("n"), F.col("delay"))
+        ).cast("long").alias("p50_days"),
+        F.min(
+            F.when(F.col("cm") * 10 >= 9 * F.col("n"), F.col("delay"))
+        ).cast("long").alias("p90_days"),
+        F.min(
+            F.when(F.col("cm") * 100 >= 99 * F.col("n"), F.col("delay"))
+        ).cast("long").alias("p99_days"),
+        F.max("delay").cast("long").alias("max_days"),
+    )
