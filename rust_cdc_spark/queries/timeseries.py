@@ -4676,3 +4676,91 @@ def events_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(zsum * se / p * 1e6).cast("long"))
         .alias("mde_rel_micro"),
     )
+
+
+@register(
+    "events_composition_drift_tv",
+    # Categorical composition drift: per week, the total-variation
+    # distance ½·Σ|p_w(type) − p_base(type)| between that week's
+    # event-type mix and the FIRST week's — the complement of
+    # quality_ks_drift (numeric distributions) for categorical mixes,
+    # and the alert behind "did the traffic composition change even
+    # though volume didn't". TV is computed from exact counts with
+    # one cross-multiplied integer numerator per type, summed and
+    # floored to micro units — no per-type division.
+    oracle="""
+    WITH wk AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w,
+               event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    wt AS (SELECT w, CAST(sum(c) AS BIGINT) AS n FROM wk GROUP BY w),
+    base AS (
+        SELECT k.event_type, k.c AS bc, t.n AS bn
+        FROM wk k JOIN wt t USING (w)
+        WHERE k.w = (SELECT min(w) FROM wt)
+    ),
+    joined AS (
+        SELECT k.w, t.n, b.bn,
+               abs(k.c * b.bn - b.bc * t.n) AS num
+        FROM wk k
+        JOIN wt t USING (w)
+        JOIN base b ON b.event_type = k.event_type
+    )
+    SELECT w AS week,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(sum(num) * 500000 // (max(n) * max(bn)) AS BIGINT)
+               AS tv_distance_micro
+    FROM joined GROUP BY w
+    """,
+)
+def events_composition_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-composition drift: each week's total-variation distance
+    from the first week's event-type mix — the categorical
+    counterpart to quality_ks_drift's numeric two-sample test, and
+    the alert that catches a silent mix shift (bots replacing
+    purchases with clicks) that total volume hides. TV = ½Σ|p − q|
+    over shared types, computed as one exact integer
+    cross-multiplication per (week, type) — |c_w·n_base − c_base·n_w|
+    — summed and floored once to micro units; no floats anywhere.
+    Types absent from the baseline week are excluded (documented:
+    the baseline defines the comparable support).
+
+    Scale shape: one (week, type)-keyed count agg (map-side
+    partials); everything after runs on the |weeks|·|types| rollup
+    with the baseline broadcast."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    wk = ev.groupBy(
+        F.expr("floor(unix_timestamp(ts)) div 604800").alias("w"),
+        "event_type",
+    ).agg(F.count("*").cast("long").alias("c"))
+    wt = wk.groupBy("w").agg(F.sum("c").cast("long").alias("n"))
+    w0 = wt.agg(F.min("w").alias("w0"))
+    base = (
+        wk.join(wt, "w")
+        .join(F.broadcast(w0), F.col("w") == F.col("w0"))
+        .select(
+            "event_type",
+            F.col("c").alias("bc"),
+            F.col("n").alias("bn"),
+        )
+    )
+    joined = (
+        wk.join(wt, "w")
+        .join(F.broadcast(base), "event_type")
+        .select(
+            "w",
+            "n",
+            "bn",
+            F.abs(
+                F.col("c") * F.col("bn") - F.col("bc") * F.col("n")
+            ).alias("num"),
+        )
+    )
+    return joined.groupBy(F.col("w").alias("week")).agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.expr("sum(num) * 500000 div (max(n) * max(bn))")
+        .cast("long")
+        .alias("tv_distance_micro"),
+    )
