@@ -75,7 +75,7 @@ _R06_PRIORITY = [
     "events_growth_accounting", "events_power_analysis_mde",
     "orders_skyline_price_date", "cdc_late_data_histogram",
     "tokenizer_viterbi_segment", "lineitem_ship_delay_percentiles",
-    "events_composition_drift_tv",
+    "events_composition_drift_tv", "cdc_merge_idempotence_probe",
     "events_conversion_window_sensitivity",
     # 3 — stalest: last driver row is CORRECTNESS_r01
     "agg_cube_priority_status", "agg_distinct_lineitem", "agg_percentiles_by_status",

@@ -1285,3 +1285,68 @@ def cdc_late_data_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("late_s").cast("long").alias("min_late_s"),
         F.max("late_s").cast("long").alias("max_late_s"),
     )
+
+
+@register(
+    "cdc_merge_idempotence_probe",
+    # Exactly-once certificate: applying the same change batch to the
+    # merged state a SECOND time must be a no-op (anti-join ∪ upsert
+    # is idempotent because the second application's final images are
+    # already the state's rows). The query executes merge TWICE with
+    # the real operator and emits the row-level proof — state sizes
+    # and the symmetric difference, which must be zero. This is the
+    # property that makes task retries and micro-batch replays safe
+    # (K5's transactional-idempotence claim, surfaced as a query).
+    # The oracle states the algebraic truth: merge² == merge, so both
+    # counts equal the full-log collapse and the difference is 0.
+    oracle="""
+    WITH state AS (
+        SELECT user_id, event_type, value, props
+        FROM (
+            SELECT user_id, event_type, value, props,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT CAST((SELECT count(*) FROM state) AS BIGINT) AS n_rows_once,
+           CAST((SELECT count(*) FROM state) AS BIGINT) AS n_rows_twice,
+           CAST(0 AS BIGINT) AS n_diff_rows
+    """,
+)
+def cdc_merge_idempotence_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-idempotence certificate: run the real MERGE operator
+    (operators/merge.py: anti-join ∪ upserts) twice with the SAME
+    change batch and prove the second application changed nothing —
+    state sizes after one and two applications plus the symmetric
+    difference, which must be zero. This is the property the whole
+    exactly-once story leans on (a retried task or replayed
+    micro-batch re-applies its batch; K5's txn idempotence makes it
+    harmless), here surfaced as an executable, oracle-checked query
+    instead of a prose claim. The oracle states the algebraic truth
+    merge∘merge = merge against the full-log collapse.
+
+    Scale shape: two applications of the merge plan (key-partitioned
+    anti-join ∪ upserts with the small side broadcast under AQE) and
+    one co-keyed full-outer compare — all on the same key
+    partitioning; at 100 TB this is the cheap audit you run once per
+    release, not per batch."""
+    cdc = events_as_cdc(spark, sf_dir)
+    bounds = cdc.agg((F.max("log_pos") / 2).cast("long").alias("__mid"))
+    log = cdc.crossJoin(F.broadcast(bounds))
+    first = log.filter(F.col("log_pos") <= F.col("__mid")).drop("__mid")
+    second = log.filter(F.col("log_pos") > F.col("__mid")).drop("__mid")
+    target = (
+        collapse_last_image(first, ["key"], keep_deletes=False)
+        .select(F.col("after.*"))
+    )
+    once = merge_upsert(target, second, ["user_id"]).localCheckpoint()
+    twice = merge_upsert(once, second, ["user_id"]).localCheckpoint()
+    n1 = once.agg(F.count("*").cast("long").alias("n_rows_once"))
+    n2 = twice.agg(F.count("*").cast("long").alias("n_rows_twice"))
+    sym = (
+        once.exceptAll(twice).unionAll(twice.exceptAll(once))
+        .agg(F.count("*").cast("long").alias("n_diff_rows"))
+    )
+    return n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(sym))
