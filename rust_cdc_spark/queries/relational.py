@@ -3392,3 +3392,90 @@ def lineitem_ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFra
         ).cast("long").alias("p99_days"),
         F.max("delay").cast("long").alias("max_days"),
     )
+
+
+@register(
+    "customer_revenue_gini_by_nation",
+    # Within-market inequality: the revenue Gini computed PER NATION
+    # — unlike the global customer_revenue_gini, the rank here is a
+    # nation-partitioned window (bounded by the nation's customer
+    # count), so no global-rank machinery is needed. Same rank
+    # identity, same exact cents, wide-decimal moments.
+    oracle="""
+    WITH u AS (
+        SELECT c.c_nationkey AS nation, o.o_custkey AS cust,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT nation, cents,
+               row_number() OVER (PARTITION BY nation
+                                  ORDER BY cents, cust) AS rk
+        FROM u
+    ),
+    m AS (
+        SELECT nation,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sx,
+               sum(CAST(rk AS HUGEINT) * cents) AS srx
+        FROM r GROUP BY nation
+    )
+    SELECT nation, n AS n_customers, sx AS total_cents,
+           CAST((2 * srx - (CAST(n AS HUGEINT) + 1) * sx) * 1000000
+                // nullif(CAST(n AS HUGEINT) * sx, 0) AS BIGINT)
+               AS gini_micro
+    FROM m
+    """,
+)
+def customer_revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue inequality per market: the Gini coefficient of customer
+    spend computed within each nation — the drill-down under the
+    global customer_revenue_gini that says WHICH markets hinge on a
+    few whales and which have broad books (different credit-risk and
+    go-to-market answers). Same rank identity (2Σr·x − (n+1)Σx over
+    nΣx) on exact cents; because the rank is nation-partitioned the
+    window is market-bounded and needs no global-rank machinery; the
+    moments still run in DECIMAL(38)/HUGEINT since n·Σx grows
+    quadratically in the market size.
+
+    Scale shape: one fact-dim join (customer broadcast), a
+    (nation, customer) rollup, a nation-partitioned rank window, and
+    a |nations|-keyed moment agg."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    u = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("o_custkey").alias("cust"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("cents", "cust")
+    r = u.select(
+        "nation", "cents", F.row_number().over(w).alias("rk")
+    )
+    m = r.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("cents"))
+        .alias("srx"),
+    )
+    return m.select(
+        "nation",
+        F.col("n").alias("n_customers"),
+        F.col("sx").alias("total_cents"),
+        F.expr(
+            "(2 * srx - (CAST(n AS DECIMAL(38,0)) + 1) * sx) * 1000000"
+            " div nullif(CAST(n AS DECIMAL(38,0)) * sx, 0)"
+        ).cast("long").alias("gini_micro"),
+    )
