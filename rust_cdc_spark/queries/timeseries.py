@@ -4764,3 +4764,124 @@ def events_composition_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tv_distance_micro"),
     )
+
+
+@register(
+    "events_segment_transition_matrix",
+    # Lifecycle flows: users bucketed into monthly spend terciles
+    # (high/mid/low, ntile with a user_id tie-break inside each
+    # month), plus 'absent'; the matrix counts month-over-month
+    # transitions between the four states with row shares — the
+    # engagement-lifecycle complement to the event-level transition
+    # matrix. All counts exact; ntile is deterministic because the
+    # order (cents, user) is total; shares floored ppm.
+    oracle="""
+    WITH um AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 2592000 AS m,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT user_id, m,
+               CASE ntile(3) OVER (PARTITION BY m
+                                   ORDER BY cents DESC, user_id)
+                    WHEN 1 THEN 'high' WHEN 2 THEN 'mid'
+                    ELSE 'low' END AS s
+        FROM um
+    ),
+    months AS (SELECT DISTINCT m FROM um),
+    users AS (SELECT DISTINCT user_id FROM um),
+    grid AS (
+        SELECT u.user_id, mo.m, coalesce(s.s, 'absent') AS s
+        FROM users u CROSS JOIN months mo
+        LEFT JOIN seg s ON s.user_id = u.user_id AND s.m = mo.m
+    ),
+    tr AS (
+        SELECT a.s AS seg_from, b.s AS seg_to,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM grid a JOIN grid b
+          ON b.user_id = a.user_id AND b.m = a.m + 1
+        GROUP BY 1, 2
+    )
+    SELECT seg_from, seg_to, n_users,
+           CAST(n_users * 1000000
+                // sum(n_users) OVER (PARTITION BY seg_from)
+                AS BIGINT) AS row_share_micro
+    FROM tr
+    """,
+)
+def events_segment_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifecycle transition matrix: users assigned to
+    monthly spend terciles (high/mid/low, with 'absent' for inactive
+    months), and the month-over-month flow counts between the four
+    states with row-normalized shares — the retention/upsell
+    diagnostic that says whether 'high' is sticky, where churn
+    (→absent) drains from, and whether winback (absent→any) happens
+    — the user-level complement to events_transition_matrix's
+    event-level chain. Terciles use ntile under a total (cents,
+    user) order so both engines cut identically; the user×month grid
+    makes absence explicit; shares are floored ppm.
+
+    Scale shape: one (user, month)-keyed agg; tercile windows are
+    month-partitioned over user-scale rows; the grid is
+    users×months (calendar-bounded multiplier) built with co-keyed
+    joins; transitions are one self-join at lag 1 into a 16-key
+    agg."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    um = ev.groupBy(
+        "user_id",
+        F.expr("floor(unix_timestamp(ts)) div 2592000").alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    wseg = Window.partitionBy("m").orderBy(
+        F.col("cents").desc(), F.col("user_id")
+    )
+    seg = um.select(
+        "user_id",
+        "m",
+        F.when(F.ntile(3).over(wseg) == 1, "high")
+        .when(F.ntile(3).over(wseg) == 2, "mid")
+        .otherwise("low")
+        .alias("s"),
+    )
+    months = um.select("m").distinct()
+    users = um.select("user_id").distinct()
+    grid = (
+        users.crossJoin(F.broadcast(months))
+        .join(seg, ["user_id", "m"], "left")
+        .select(
+            "user_id", "m", F.coalesce(F.col("s"), F.lit("absent"))
+            .alias("s"),
+        )
+    )
+    b = grid.select(
+        F.col("user_id").alias("ub"),
+        F.col("m").alias("mb"),
+        F.col("s").alias("seg_to"),
+    )
+    tr = (
+        grid.join(
+            b,
+            (F.col("ub") == F.col("user_id"))
+            & (F.col("mb") == F.col("m") + 1),
+        )
+        .groupBy(F.col("s").alias("seg_from"), "seg_to")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    wrow = Window.partitionBy("seg_from")
+    return tr.select(
+        "seg_from",
+        "seg_to",
+        "n_users",
+        F.expr("n_users * 1000000").alias("__num"),
+        F.sum("n_users").over(wrow).alias("__den"),
+    ).select(
+        "seg_from",
+        "seg_to",
+        "n_users",
+        F.expr("__num div __den").cast("long").alias("row_share_micro"),
+    )
