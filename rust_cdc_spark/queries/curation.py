@@ -4467,3 +4467,113 @@ def host_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "docs_source_vocab_jaccard",
+    # Lexical-overlap matrix: vocabulary Jaccard between every source
+    # pair via the inverted word→sources index — |Va∩Vb| falls out of
+    # a word-keyed self-join (never a source×source vocab compare),
+    # |Va∪Vb| = |Va|+|Vb|−|Va∩Vb| by inclusion–exclusion. The
+    # lexical complement to text_burrows_delta's frequency-profile
+    # distance: Jaccard says whether two sources share WORDS, Delta
+    # whether they share STYLE.
+    oracle="""
+    WITH sv AS (
+        SELECT DISTINCT source, w FROM (
+            SELECT source,
+                   lower(unnest(string_split(trim(text), ' '))) AS w
+            FROM documents
+        ) WHERE w <> ''
+    ),
+    sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS v FROM sv
+        GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS i
+        FROM sv a JOIN sv b
+          ON b.w = a.w AND b.source > a.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           i.i AS n_shared_words,
+           sa.v AS vocab_a, sb.v AS vocab_b,
+           CAST(i.i * 1000000 // (sa.v + sb.v - i.i) AS BIGINT)
+               AS jaccard_micro
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def docs_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-overlap matrix between sources: Jaccard similarity
+    of the distinct word sets for every source pair — the lexical
+    fingerprint that flags mirrored or syndicated feeds (near-1
+    overlap) and domain-divergent sources (near-0) before mixture
+    weighting; reads next to text_burrows_delta, which measures
+    shared STYLE where this measures shared WORDS. Intersections
+    come from the inverted word→sources index (a word-keyed
+    self-join — the dedup family's discipline, never a
+    source×source vocabulary comparison), unions by
+    inclusion–exclusion, shares floored ppm.
+
+    Scale shape: one token explode → distinct (source, word) — the
+    vocab-scale index; the pair join is word-keyed with per-word
+    fan-out ≤ |sources|²; the rollup is |sources|²-keyed. At web
+    scale, df-cap ubiquitous words exactly as the Jaccard dedup path
+    does."""
+    docs = load_table(spark, "documents", sf_dir)
+    sv = (
+        docs.select(
+            "source",
+            F.explode(F.expr("split(trim(text), ' ')")).alias("w0"),
+        )
+        .select("source", F.lower("w0").alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+        .localCheckpoint()  # index reused by sizes + both join sides
+    )
+    sizes = sv.groupBy("source").agg(F.count("*").cast("long").alias("v"))
+    b = sv.select(
+        F.col("w").alias("wb"), F.col("source").alias("source_b")
+    )
+    inter = (
+        sv.join(
+            b,
+            (F.col("wb") == F.col("w"))
+            & (F.col("source_b") > F.col("source")),
+        )
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"),
+                    F.col("v").alias("vocab_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("v").alias("vocab_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("i").alias("n_shared_words"),
+            "vocab_a",
+            "vocab_b",
+            F.expr("i * 1000000 div (vocab_a + vocab_b - i)")
+            .cast("long").alias("jaccard_micro"),
+        )
+    )
