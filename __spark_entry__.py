@@ -77,7 +77,8 @@ _R06_PRIORITY = [
     "tokenizer_viterbi_segment", "lineitem_ship_delay_percentiles",
     "events_composition_drift_tv", "cdc_merge_idempotence_probe",
     "customer_revenue_gini_by_nation", "events_segment_transition_matrix",
-    "docs_source_vocab_jaccard",
+    "docs_source_vocab_jaccard", "events_weekend_effect",
+    "embedding_dim_variance_profile",
     "events_conversion_window_sensitivity",
     # 3 — stalest: last driver row is CORRECTNESS_r01
     "agg_cube_priority_status", "agg_distinct_lineitem", "agg_percentiles_by_status",

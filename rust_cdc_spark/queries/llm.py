@@ -2992,3 +2992,101 @@ def embedding_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000000000, 0)"
         ).cast("long").alias("mean_pairwise_cos_micro"),
     )
+
+
+@register(
+    "embedding_dim_variance_profile",
+    # Per-dimension variance decomposition + the participation ratio
+    # (1/HHI of variance shares = the effective dimensionality) — the
+    # drill-down under embedding_isotropy_score: isotropy says THAT
+    # the space collapsed, this says into HOW MANY effective axes.
+    # Coordinates are milli-quantized once; per-dim moments, variance
+    # numerators (n·Σx² − S²), shares, and the participation ratio
+    # are all exact wide-integer arithmetic.
+    oracle="""
+    WITH q AS (
+        SELECT list_transform(embedding, x ->
+                   CAST(round(1000 * CAST(x AS DOUBLE)) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT i.i AS dim,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q.qv[i.i]) AS HUGEINT) AS s,
+               CAST(sum(CAST(q.qv[i.i] AS HUGEINT) * q.qv[i.i])
+                    AS HUGEINT) AS ss
+        FROM q, LATERAL unnest(range(1, len(q.qv) + 1)) AS i(i)
+        GROUP BY i.i
+    ),
+    v AS (
+        SELECT dim, n * ss - s * s AS vnum FROM dims
+    ),
+    tot AS (
+        SELECT sum(vnum) AS tv, sum(vnum * vnum) AS tv2 FROM v
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_dims,
+           CAST((SELECT max(vnum) FROM v) * 1000000
+                // nullif(t.tv, 0) AS BIGINT) AS top_dim_share_micro,
+           CAST(t.tv * t.tv * 1000 // nullif(t.tv2, 0) // 1000
+                AS BIGINT) AS participation_ratio,
+           CAST(t.tv * t.tv * 1000000 // nullif(t.tv2, 0)
+                - (t.tv * t.tv * 1000 // nullif(t.tv2, 0) // 1000)
+                  * 1000000 AS BIGINT) AS participation_frac_micro
+    FROM tot t
+    """,
+)
+def embedding_dim_variance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective dimensionality of the embedding space: per-dimension
+    variance shares summarized as the top dimension's share and the
+    participation ratio (Σv)²/Σv² — the number of axes the variance
+    actually lives in (64 nominal dims collapsing to an effective 10
+    is the anisotropy pathology quantified; the drill-down under
+    embedding_isotropy_score and the before/after meter for
+    embedding_pca_abtt). Coordinates are milli-quantized once;
+    variance numerators n·Σx² − S², their squares, and the ratio are
+    exact HUGEINT/DECIMAL(38) with floored integer + fractional-micro
+    outputs — no float summation anywhere.
+
+    Scale shape: one corpus scan, a 64-key per-dimension moment agg,
+    and a 1-row reduction."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.select(
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(round(1000 * CAST(x AS DOUBLE)) AS BIGINT))"
+        ).alias("qv")
+    )
+    dims = (
+        q.select(F.posexplode("qv").alias("dim", "qc"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("qc").cast("decimal(38,0)").alias("s"),
+            F.sum(F.col("qc").cast("decimal(38,0)") * F.col("qc"))
+            .alias("ss"),
+        )
+    )
+    v = dims.select(
+        "dim",
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        .alias("vnum"),
+    )
+    tot = v.agg(
+        F.count("*").cast("long").alias("n_dims"),
+        F.max("vnum").alias("maxv"),
+        F.sum("vnum").alias("tv"),
+        F.sum(F.col("vnum") * F.col("vnum")).alias("tv2"),
+    )
+    return tot.select(
+        "n_dims",
+        F.expr("CAST(maxv * 1000000 div nullif(tv, 0) AS BIGINT)")
+        .alias("top_dim_share_micro"),
+        F.expr(
+            "CAST(tv * tv * 1000 div nullif(tv2, 0) div 1000 AS BIGINT)"
+        ).alias("participation_ratio"),
+        F.expr(
+            "CAST(tv * tv * 1000000 div nullif(tv2, 0)"
+            " - (tv * tv * 1000 div nullif(tv2, 0) div 1000)"
+            " * 1000000 AS BIGINT)"
+        ).alias("participation_frac_micro"),
+    )

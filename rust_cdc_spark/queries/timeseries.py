@@ -4885,3 +4885,98 @@ def events_segment_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFr
         "n_users",
         F.expr("__num div __den").cast("long").alias("row_share_micro"),
     )
+
+
+@register(
+    "events_weekend_effect",
+    # Paired weekday/weekend comparison with a SIGN TEST: per user,
+    # average events per weekday day vs per weekend day (exact
+    # rational compare by cross-multiplication — no division), then
+    # the population sign counts: more-active-on-weekends /
+    # more-on-weekdays / tied. The sign test needs no variance
+    # assumptions, and the cross-multiplied compare makes it exact.
+    oracle="""
+    WITH ud AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    lab AS (
+        SELECT user_id, c,
+               CASE WHEN (d + 4) % 7 >= 5 THEN 1 ELSE 0 END AS we
+        FROM ud
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN we = 1 THEN c ELSE 0 END) AS BIGINT)
+                   AS wec,
+               CAST(sum(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS wed,
+               CAST(sum(CASE WHEN we = 0 THEN c ELSE 0 END) AS BIGINT)
+                   AS wdc,
+               CAST(sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS wdd
+        FROM lab GROUP BY user_id
+    ),
+    signs AS (
+        SELECT CASE
+                 WHEN wed = 0 OR wdd = 0 THEN 'undefined'
+                 WHEN wec * wdd > wdc * wed THEN 'weekend'
+                 WHEN wec * wdd < wdc * wed THEN 'weekday'
+                 ELSE 'tied' END AS side
+        FROM u
+    )
+    SELECT side, CAST(count(*) AS BIGINT) AS n_users
+    FROM signs GROUP BY side
+    """,
+)
+def events_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-effect sign test: per user, the average events per
+    weekend day vs per weekday day compared exactly (cross-
+    multiplication of integer counts — no rates, no division), then
+    the population split into weekend-heavier / weekday-heavier /
+    tied / undefined — the nonparametric paired test (each user is
+    their own control) that answers "is usage a work tool or a
+    leisure product" without any variance assumption, robust to
+    whales by construction. Epoch day 0 is a Thursday, so
+    (d+4) % 7 ≥ 5 marks Saturday/Sunday identically on both engines.
+
+    Scale shape: one (user, day)-keyed agg, a user-keyed 4-moment
+    rollup, a map-side verdict, and a 4-key count."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    ud = ev.groupBy(
+        "user_id",
+        F.expr("floor(unix_timestamp(ts)) div 86400").alias("d"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    lab = ud.select(
+        "user_id",
+        "c",
+        (((F.col("d") + 4) % 7) >= 5).cast("int").alias("we"),
+    )
+    u = lab.groupBy("user_id").agg(
+        F.sum(F.when(F.col("we") == 1, F.col("c")).otherwise(0))
+        .cast("long").alias("wec"),
+        F.sum(F.when(F.col("we") == 1, 1).otherwise(0))
+        .cast("long").alias("wed"),
+        F.sum(F.when(F.col("we") == 0, F.col("c")).otherwise(0))
+        .cast("long").alias("wdc"),
+        F.sum(F.when(F.col("we") == 0, 1).otherwise(0))
+        .cast("long").alias("wdd"),
+    )
+    side = (
+        F.when((F.col("wed") == 0) | (F.col("wdd") == 0), "undefined")
+        .when(
+            F.col("wec") * F.col("wdd") > F.col("wdc") * F.col("wed"),
+            "weekend",
+        )
+        .when(
+            F.col("wec") * F.col("wdd") < F.col("wdc") * F.col("wed"),
+            "weekday",
+        )
+        .otherwise("tied")
+    )
+    return u.select(side.alias("side")).groupBy("side").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
