@@ -4577,3 +4577,71 @@ def docs_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("jaccard_micro"),
         )
     )
+
+
+@register(
+    "text_hapax_ratio_by_source",
+    # Lexical richness per source: hapax legomena (words occurring
+    # exactly once IN THAT SOURCE) as a share of source vocabulary
+    # and of source tokens, plus dis legomena (exactly twice) — the
+    # classic productivity statistics (Baayen's P) complementing TTR
+    # and the Heaps fit: template/boilerplate sources have thin
+    # hapax mass, organic text is hapax-rich. All exact counts and
+    # floored ppm.
+    oracle="""
+    WITH wc AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT source,
+                   lower(unnest(string_split(trim(text), ' '))) AS w
+            FROM documents
+        ) WHERE w <> '' GROUP BY source, w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(c) AS BIGINT) AS tokens,
+           CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS hapax,
+           CAST(count(CASE WHEN c = 2 THEN 1 END) AS BIGINT) AS dis,
+           CAST(count(CASE WHEN c = 1 THEN 1 END) * 1000000
+                // count(*) AS BIGINT) AS hapax_vocab_micro,
+           CAST(count(CASE WHEN c = 1 THEN 1 END) * 1000000
+                // sum(c) AS BIGINT) AS hapax_token_micro
+    FROM wc GROUP BY source
+    """,
+)
+def text_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena profile per source: once-occurring and
+    twice-occurring word counts with their shares of the source's
+    vocabulary and token mass — the lexical-productivity statistic
+    (the numerator of Baayen's P and the Good–Turing mass estimate
+    for unseen words) that separates organic, hapax-rich prose from
+    template mills whose vocabulary saturates. Reads alongside
+    text_ttr_mattr (type density) and corpus_vocab_growth_heaps (the
+    growth law); hapax mass is also exactly what Good–Turing assigns
+    to the UNSEEN-word probability, so this doubles as the smoothing
+    diagnostic for the n-gram LM family. Exact counts, floored ppm.
+
+    Scale shape: one token explode → (source, word)-keyed count agg
+    (map-side partials) → |sources|-keyed conditional rollup."""
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select(
+            "source",
+            F.explode(F.expr("split(trim(text), ' ')")).alias("w0"),
+        )
+        .select("source", F.lower("w0").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return wc.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.sum("c").cast("long").alias("tokens"),
+        F.count(F.when(F.col("c") == 1, 1)).cast("long").alias("hapax"),
+        F.count(F.when(F.col("c") == 2, 1)).cast("long").alias("dis"),
+        F.expr(
+            "count(CASE WHEN c = 1 THEN 1 END) * 1000000 div count(*)"
+        ).cast("long").alias("hapax_vocab_micro"),
+        F.expr(
+            "count(CASE WHEN c = 1 THEN 1 END) * 1000000 div sum(c)"
+        ).cast("long").alias("hapax_token_micro"),
+    )

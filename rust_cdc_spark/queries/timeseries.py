@@ -4980,3 +4980,85 @@ def events_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.select(side.alias("side")).groupBy("side").agg(
         F.count("*").cast("long").alias("n_users")
     )
+
+
+@register(
+    "events_purchase_gap_gamma_fit",
+    # Gamma method-of-moments fit to inter-purchase gaps: shape
+    # k = mean²/var and scale θ = var/mean from exact integer
+    # moments — k ≈ 1 recovers the exponential (memoryless buying),
+    # k < 1 is bursty clumping, k > 1 regular rhythms; the
+    # distribution-family answer on top of events_gap_exponential_ks'
+    # yes/no fit test. Moments run in HUGEINT/DECIMAL(38); both
+    # outputs are single floored micro divisions of exact integers.
+    oracle="""
+    WITH p AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+               lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_es
+        FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+        SELECT es - prev_es AS x FROM p WHERE prev_es IS NOT NULL
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+        FROM g
+    )
+    SELECT n AS n_gaps,
+           CAST(s // nullif(n, 0) AS BIGINT) AS mean_gap_s,
+           CAST(CAST(s AS HUGEINT) * s * 1000000
+                // nullif(n * ss - CAST(s AS HUGEINT) * s, 0)
+                AS BIGINT) AS shape_k_micro,
+           CAST((n * ss - CAST(s AS HUGEINT) * s) * 1000000
+                // nullif(CAST(n AS HUGEINT) * n * s, 0) AS BIGINT)
+               AS scale_theta_micro_s
+    FROM m
+    """,
+)
+def events_purchase_gap_gamma_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gamma fit of inter-purchase times (method of moments): shape
+    k = mean²/variance and scale θ = variance/mean over all per-user
+    purchase gaps — the distribution-family diagnostic that
+    events_gap_exponential_ks' pass/fail test points at: k near 1
+    says buying is memoryless (Poisson), k well below 1 says
+    purchases clump in bursts (campaign- or payday-driven), k above
+    1 says regular replenishment rhythms — each implying a different
+    inventory and CRM cadence. Gaps are exact epoch-second integers;
+    the two ratios are floored micro divisions of wide-integer
+    moments, NULL-guarded for degenerate (constant or single-gap)
+    data.
+
+    Scale shape: one filtered lag window (predicate pushed to the
+    scan, key-partitioned), one 1-row moment agg."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.expr("floor(unix_timestamp(ts))").cast("long")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        es.alias("es"), F.lag(es).over(w).alias("prev_es")
+    )
+    g = p.filter(F.col("prev_es").isNotNull()).select(
+        (F.col("es") - F.col("prev_es")).alias("x")
+    )
+    m = g.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("ss"),
+    )
+    return m.select(
+        F.col("n").alias("n_gaps"),
+        F.expr("s div nullif(n, 0)").cast("long").alias("mean_gap_s"),
+        F.expr(
+            "CAST(CAST(s AS DECIMAL(38,0)) * s * 1000000"
+            " div nullif(n * ss - CAST(s AS DECIMAL(38,0)) * s, 0)"
+            " AS BIGINT)"
+        ).alias("shape_k_micro"),
+        F.expr(
+            "CAST((n * ss - CAST(s AS DECIMAL(38,0)) * s) * 1000000"
+            " div nullif(CAST(n AS DECIMAL(38,0)) * n * s, 0) AS BIGINT)"
+        ).alias("scale_theta_micro_s"),
+    )
