@@ -79,6 +79,7 @@ _R06_PRIORITY = [
     "customer_revenue_gini_by_nation", "events_segment_transition_matrix",
     "docs_source_vocab_jaccard", "events_weekend_effect",
     "events_purchase_gap_gamma_fit", "text_hapax_ratio_by_source",
+    "part_brand_switch_matrix",
     "embedding_dim_variance_profile",
     "events_conversion_window_sensitivity",
     # 3 — stalest: last driver row is CORRECTNESS_r01

@@ -3479,3 +3479,101 @@ def customer_revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFra
             " div nullif(CAST(n AS DECIMAL(38,0)) * sx, 0)"
         ).cast("long").alias("gini_micro"),
     )
+
+
+@register(
+    "part_brand_switch_matrix",
+    # Brand-loyalty flows: each order's representative brand (the
+    # lexicographic min over its line items — deterministic) chained
+    # per customer in order-date order; the matrix counts consecutive
+    # brand→brand transitions with row shares. The diagonal is
+    # loyalty, off-diagonal mass is switching — the assortment/
+    # promotion diagnostic on top of basket affinity's what-sells-
+    # together.
+    oracle="""
+    WITH ob AS (
+        SELECT l.l_orderkey AS ok, min(p.p_brand) AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY l.l_orderkey
+    ),
+    seqd AS (
+        SELECT o.o_custkey AS cust, ob.brand,
+               lag(ob.brand) OVER (
+                   PARTITION BY o.o_custkey
+                   ORDER BY o.o_orderdate, o.o_orderkey
+               ) AS prev_brand
+        FROM orders o JOIN ob ON ob.ok = o.o_orderkey
+    ),
+    tr AS (
+        SELECT prev_brand AS brand_from, brand AS brand_to,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seqd WHERE prev_brand IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT brand_from, brand_to, n AS n_transitions,
+           CAST(n * 1000000
+                // sum(n) OVER (PARTITION BY brand_from) AS BIGINT)
+               AS row_share_micro
+    FROM tr
+    """,
+)
+def part_brand_switch_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-switching matrix: consecutive-order brand transitions
+    per customer (each order represented by its deterministic
+    lexicographic-min brand), with row-normalized shares — the
+    loyalty/churn-between-brands view a category manager reads next
+    to orders_basket_affinity (within-basket) and
+    events_segment_transition_matrix (value-tier flows): a heavy
+    diagonal is a loyal category, hot off-diagonal cells name the
+    brand pairs customers actually trade between. Exact counts;
+    shares floored ppm over brand-partitioned windows on the
+    |brands|²-row matrix.
+
+    Scale shape: one orderkey-keyed min agg over the broadcast-dim
+    join, a customer-partitioned lag window (the shuffle order
+    history already pays), and a |brands|²-keyed rollup."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    ob = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.min("p_brand").alias("brand"))
+    )
+    w = Window.partitionBy("cust").orderBy("o_orderdate", "o_orderkey")
+    seqd = (
+        orders.join(ob, orders["o_orderkey"] == ob["ok"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            "o_orderdate",
+            "o_orderkey",
+            "brand",
+        )
+        .select(
+            "cust", "brand", F.lag("brand").over(w).alias("prev_brand")
+        )
+    )
+    tr = (
+        seqd.filter(F.col("prev_brand").isNotNull())
+        .groupBy(
+            F.col("prev_brand").alias("brand_from"),
+            F.col("brand").alias("brand_to"),
+        )
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )
+    wrow = Window.partitionBy("brand_from")
+    return tr.select(
+        "brand_from",
+        "brand_to",
+        "n_transitions",
+        F.expr("n_transitions * 1000000").alias("__num"),
+        F.sum("n_transitions").over(wrow).alias("__den"),
+    ).select(
+        "brand_from",
+        "brand_to",
+        "n_transitions",
+        F.expr("__num div __den").cast("long").alias("row_share_micro"),
+    )
