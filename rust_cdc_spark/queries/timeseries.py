@@ -5062,3 +5062,102 @@ def events_purchase_gap_gamma_fit(spark: SparkSession, sf_dir: str) -> DataFrame
             " div nullif(CAST(n AS DECIMAL(38,0)) * n * s, 0) AS BIGINT)"
         ).alias("scale_theta_micro_s"),
     )
+
+
+@register(
+    "events_activity_streaks",
+    # Gaps-and-islands: each user's consecutive-active-day streaks
+    # found with the classic d − row_number() island key (constant
+    # within a run of consecutive days, distinct across gaps — no
+    # self-join, no recursion), rolled into a streak-length
+    # histogram plus each length's share of users achieving it as
+    # their PERSONAL BEST. The engagement/gamification statistic
+    # (steps, logins) and the canonical islands idiom in one query.
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                   AS grp
+        FROM ud
+    ),
+    streaks AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS len
+        FROM isl GROUP BY user_id, grp
+    ),
+    best AS (
+        SELECT user_id, CAST(max(len) AS BIGINT) AS best_len
+        FROM streaks GROUP BY user_id
+    ),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM best)
+    SELECT s.len AS streak_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(coalesce(b.nb, 0) AS BIGINT) AS n_users_best,
+           CAST(coalesce(b.nb, 0) * 1000000 // max(u.n_users)
+                AS BIGINT) AS best_share_micro
+    FROM streaks s
+    LEFT JOIN (
+        SELECT best_len, CAST(count(*) AS BIGINT) AS nb
+        FROM best GROUP BY best_len
+    ) b ON b.best_len = s.len
+    CROSS JOIN nb u
+    GROUP BY s.len, b.nb
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-active-day streaks — the gaps-and-islands problem
+    solved with the canonical d − row_number() island key (constant
+    inside every run of consecutive days, no self-join, no
+    recursion): the streak-length histogram across all streaks, plus
+    how many users hold each length as their personal best and that
+    cohort's share — the habit-formation metric behind login streaks
+    and retention-by-habit segmentation. All exact integers; shares
+    floored ppm.
+
+    Scale shape: one distinct (user, day) agg; the island key is a
+    user-partitioned window; streaks and bests are two key-partitioned
+    rollups; the histogram is a |lengths|-keyed agg joined to the
+    model-scale best table."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    ud = ev.select(
+        "user_id",
+        F.expr("floor(unix_timestamp(ts)) div 86400").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = ud.select(
+        "user_id", (F.col("d") - F.row_number().over(w)).alias("grp")
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("len")
+    ).localCheckpoint()  # histogram + personal-best reuse it
+    best = streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("best_len")
+    )
+    nb = best.agg(F.count("*").cast("long").alias("n_users"))
+    bests = best.groupBy("best_len").agg(
+        F.count("*").cast("long").alias("nb")
+    )
+    return (
+        streaks.groupBy(F.col("len").alias("streak_days"))
+        .agg(F.count("*").cast("long").alias("n_streaks"))
+        .join(
+            F.broadcast(bests.withColumnRenamed("best_len", "streak_days")),
+            "streak_days",
+            "left",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "streak_days",
+            "n_streaks",
+            F.coalesce(F.col("nb"), F.lit(0)).cast("long")
+            .alias("n_users_best"),
+            F.expr(
+                "coalesce(nb, 0) * 1000000 div n_users"
+            ).cast("long").alias("best_share_micro"),
+        )
+    )
