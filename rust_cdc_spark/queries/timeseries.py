@@ -2853,21 +2853,19 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_KM_DEAD = -(10**12)  # sentinel log-survival when the last cohort dies
-
-
 @register(
     "events_survival_km",
     # Kaplan–Meier time-to-first-failure curve: per user, days from
     # first event to first 'error' (right-censored at the last
     # observed day when no error occurs). Per failure day t: at-risk
     # count (reverse-cumulative over the duration histogram), deaths,
-    # censored, and the cumulative LOG survival Σ ln(1 − d/n) — log
-    # space turns the sequential KM product into a window SUM of
-    # per-day factors each quantized ONCE to micro-nats; a day where
-    # everyone at risk fails emits the −10¹² sentinel, not ln(0).
-    oracle=f"""
-    WITH u AS (
+    # censored, and the KM survival Π(1 − dᵢ/nᵢ) in micro-units via
+    # the EXACT integer recurrence s ← (s·(n−d)) // n starting from
+    # 10⁶ — zero floats anywhere, so no cross-engine libm/quantization
+    # surface (the r06 driver red was a round(1e6·ln(...)) that this
+    # replaces). A total-extinction day drives s to 0 naturally.
+    oracle="""
+    WITH RECURSIVE u AS (
         SELECT user_id,
                CAST(min(floor(epoch(ts))) AS BIGINT) // 86400 AS first_d,
                CAST(min(CASE WHEN event_type = 'error'
@@ -2888,27 +2886,27 @@ _KM_DEAD = -(10**12)  # sentinel log-survival when the last cohort dies
                CAST(count(*) - sum(died) AS BIGINT) AS c
         FROM obs GROUP BY t
     ),
-    risk AS (
+    ranked AS (
         SELECT t, d, c,
                sum(d + c) OVER (ORDER BY t DESC
-                                ROWS UNBOUNDED PRECEDING) AS n_risk
+                                ROWS UNBOUNDED PRECEDING) AS n_risk,
+               row_number() OVER (ORDER BY t) AS i
         FROM hist
     ),
-    fac AS (
-        SELECT t, d, c, n_risk,
-               CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
-                    WHEN d = n_risk THEN CAST({_KM_DEAD} AS BIGINT)
-                    ELSE CAST(round(1e6 * ln(1.0 - CAST(d AS DOUBLE)
-                                                   / n_risk)) AS BIGINT)
-               END AS lnf_micro
-        FROM risk
+    km AS (
+        SELECT i, t, d, c, n_risk,
+               CAST((1000000 * (n_risk - d)) // n_risk AS BIGINT)
+                   AS surv_micro
+        FROM ranked WHERE i = 1
+        UNION ALL
+        SELECT r.i, r.t, r.d, r.c, r.n_risk,
+               CAST((km.surv_micro * (r.n_risk - r.d)) // r.n_risk
+                    AS BIGINT)
+        FROM ranked r JOIN km ON r.i = km.i + 1
     )
     SELECT t AS days_to_failure, n_risk, d AS n_failures,
-           c AS n_censored,
-           CAST(sum(lnf_micro) OVER (ORDER BY t
-                                     ROWS UNBOUNDED PRECEDING)
-                AS BIGINT) AS log_surv_micro
-    FROM fac
+           c AS n_censored, surv_micro
+    FROM km
     """,
 )
 def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2918,17 +2916,21 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     churn/reliability curve that naive "average time to failure" gets
     wrong by treating still-healthy users as failures-at-today.
     Censoring is exactly what KM exists for. The KM product Π(1−d/n)
-    runs in log space: each factor is quantized once to micro-nats
-    (exact integers thereafter), the running product becomes a
-    running SUM window, and a total-extinction day emits a −10¹²
-    sentinel rather than ln(0).
+    is carried as an exact integer recurrence in micro-units,
+    s ← (s·(n−d)) div n from s₀ = 10⁶, folded over the day histogram
+    in t-order — every intermediate is a BIGINT, both engines floor
+    identically, and a day where everyone at risk fails drives s to 0
+    with no sentinel. (Replaces the round-6 log-space variant whose
+    single round(1e6·ln(1−d/n)) float was engine-version-sensitive:
+    the one driver-red row of CORRECTNESS_r06.)
 
     Scale shape: ONE user-keyed agg collapses the corpus to
     durations; everything after runs on the duration HISTOGRAM
     (bounded by the observation span in days, not by users) — the
-    reverse-cumulative at-risk window and the forward log-survival
-    window both ride those bounded value rows (plan-gate allow-listed
-    like the other value-histogram queries)."""
+    reverse-cumulative at-risk window rides those bounded value rows
+    (plan-gate allow-listed), and the sequential KM product is a
+    prefix `aggregate()` fold over the collected ≤span-days array,
+    the same replay discipline as events_markov_attribution."""
     utc(spark)
     ev = load_table(spark, "events", sf_dir)
     u = ev.groupBy("user_id").agg(
@@ -2959,29 +2961,23 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t", "d", "c",
         F.sum(F.col("d") + F.col("c")).over(w_desc).alias("n_risk"),
     )
-    fac = risk.select(
-        "t", "d", "c", "n_risk",
-        F.when(F.col("d") == 0, F.lit(0).cast("long"))
-        .when(F.col("d") == F.col("n_risk"), F.lit(_KM_DEAD).cast("long"))
-        .otherwise(
-            F.round(
-                1e6
-                * F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
-            ).cast("long")
-        )
-        .alias("lnf_micro"),
+    days = risk.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "d", "c", "n_risk"))
+        ).alias("days")
     )
-    w_asc = (
-        Window.orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return fac.select(
-        F.col("t").alias("days_to_failure"),
-        "n_risk",
-        F.col("d").alias("n_failures"),
-        F.col("c").alias("n_censored"),
-        F.sum("lnf_micro").over(w_asc).cast("long")
-        .alias("log_surv_micro"),
+    return days.select(
+        F.col("days"), F.posexplode("days").alias("i", "x")
+    ).select(
+        F.col("x.t").alias("days_to_failure"),
+        F.col("x.n_risk").alias("n_risk"),
+        F.col("x.d").alias("n_failures"),
+        F.col("x.c").alias("n_censored"),
+        F.expr(
+            "aggregate(slice(days, 1, i + 1),"
+            " CAST(1000000 AS BIGINT),"
+            " (acc, e) -> (acc * (e.n_risk - e.d)) div e.n_risk)"
+        ).alias("surv_micro"),
     )
 
 

@@ -541,9 +541,10 @@ GLOBAL_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
     ),
     "events_survival_km": (
         2,
-        "reverse-cumulative at-risk + forward log-survival windows over"
-        " the lifetime-DURATION value histogram — bounded by the"
-        " observation span in days, not by users",
+        "reverse-cumulative at-risk window over the lifetime-DURATION"
+        " value histogram (bounded by the observation span in days, not"
+        " by users); the KM product itself is an aggregate() fold, not"
+        " a window — the row_number in the collect path may add one",
     ),
     "orders_skyline_price_date": (
         1,

@@ -242,7 +242,8 @@ class TestWeakSupervision:
 class TestSurvivalGiniEntropy:
     def test_km_at_risk_telescopes(self, spark):
         """n_risk(t) = n_risk(next t) + d(t) + c(t) — the KM
-        at-risk identity — and log-survival is non-increasing."""
+        at-risk identity — and survival is non-increasing in
+        [0, 10⁶] micro-units (exact integer recurrence)."""
         out = sorted(
             rows(spark, "events_survival_km"),
             key=lambda r: r.days_to_failure,
@@ -250,9 +251,13 @@ class TestSurvivalGiniEntropy:
         assert out
         for a, b in zip(out, out[1:]):
             assert a.n_risk == b.n_risk + a.n_failures + a.n_censored
-        ls = [r.log_surv_micro for r in out]
+        ls = [r.surv_micro for r in out]
         assert all(a >= b for a, b in zip(ls, ls[1:]))
-        assert ls[0] <= 0
+        assert all(0 <= s <= 1_000_000 for s in ls)
+        first = out[0]
+        assert ls[0] == (
+            1_000_000 * (first.n_risk - first.n_failures)
+        ) // first.n_risk
 
     def test_gini_bounds(self, spark):
         r = rows(spark, "customer_revenue_gini")[0]
