@@ -330,8 +330,11 @@ class ParquetUpsertTable:
         Env gate, attempted 2026-08-15 (round 6): ``import deltalake``
         fails and ``pip download deltalake`` cannot resolve (no network
         in the sandbox — DNS fails on the index), so a read-back test
-        with a real Delta implementation still cannot run here. If a
-        ``deltalake`` wheel (delta-rs) ever lands in the image, add:
+        with a real Delta implementation still cannot run here.
+        Re-checked 2026-08-16 (round 7): ``import deltalake`` and
+        ``import delta`` both still ImportError; no wheel has landed in
+        the image and installs remain out of scope for this sandbox. If
+        a ``deltalake`` wheel (delta-rs) ever lands in the image, add:
         ``DeltaTable(path).to_pyarrow_table()`` and assert row/schema/
         partition parity with ``self.read()``."""
         import uuid
