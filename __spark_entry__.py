@@ -66,7 +66,9 @@ _R07_PRIORITY = [
 
 # 3 — added or implementation-changed in round 7 (grows during the
 # round; each name lands here the moment its oracle sweep is green).
-_R07_NEW: list[str] = []
+_R07_NEW: list[str] = [
+    "corpus_curation_pipeline",
+]
 
 # 4 — staleness tiers: latest driver row is CORRECTNESS_r0N.
 _R01_STALE = [

@@ -4645,3 +4645,276 @@ def text_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "count(CASE WHEN c = 1 THEN 1 END) * 1000000 div sum(c)"
         ).cast("long").alias("hapax_token_micro"),
     )
+
+
+# ── End-to-end curation pipeline (VERDICT r6 #7) ─────────────────────
+# All curation stages composed into ONE DataFrame DAG — the shape a
+# real 100 TB run uses: benchmark holdout → URL-canonical dedup →
+# the four quality-rule families → exact dedup → fuzzy (near-dup
+# cluster) dedup → n-gram decontamination → per-source mixture
+# weights over the survivors. Each document carries its per-stage
+# verdict through the plan, so the per-source attrition funnel and the
+# survivor-id checksum come out of a single grouped aggregation with
+# no driver-side seam between stages.
+from rust_cdc_spark.functions import text as TX  # noqa: E402
+from rust_cdc_spark.queries.llm import _CC_CTES, _cluster_index  # noqa: E402
+
+_FP_CANON_SQL = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+_CURL_SQL = f"""
+    regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(lower({_RAWURL_SQL}),
+            '^https?://', ''),
+            '^www\\.', ''),
+            '\\?.*$', ''),
+            '/$', '')
+"""
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE
+    {_CC_CTES},
+    {_RULE_SIG_SQL},
+    cl AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    base AS (
+        SELECT doc_id, source,
+               (doc_id % {_BENCH_MOD} <> 0) AS alive0,
+               {_CURL_SQL} AS curl,
+               {_FP_CANON_SQL} AS fp
+        FROM documents
+    ),
+    p1 AS (
+        SELECT doc_id, source, alive0, fp,
+               (alive0 AND doc_id = min(CASE WHEN alive0 THEN doc_id END)
+                    OVER (PARTITION BY curl)) AS pass1
+        FROM base
+    ),
+    p2 AS (
+        SELECT p1.*,
+               (p1.pass1 AND s.keep_gopher AND s.keep_c4
+                AND s.keep_entropy AND s.keep_repetition) AS pass2
+        FROM p1 JOIN sig s ON p1.doc_id = s.doc_id
+    ),
+    p3 AS (
+        SELECT *,
+               (pass2 AND doc_id = min(CASE WHEN pass2 THEN doc_id END)
+                    OVER (PARTITION BY fp)) AS pass3
+        FROM p2
+    ),
+    p4 AS (
+        SELECT p3.*,
+               (p3.pass3 AND p3.doc_id =
+                    min(CASE WHEN p3.pass3 THEN p3.doc_id END)
+                        OVER (PARTITION BY cl.cluster_id)) AS pass4
+        FROM p3 JOIN cl ON p3.doc_id = cl.doc_id
+    ),
+    cgrams AS (
+        SELECT w.doc_id,
+               md5(array_to_string(w.words[(i+1):(i+{_CONTAM_K})], ' '))
+                   AS g
+        FROM w, LATERAL (
+            SELECT unnest(range(0, len(w.words) - {_CONTAM_K} + 1)) AS i)
+        WHERE len(w.words) >= {_CONTAM_K}
+    ),
+    bench AS (
+        SELECT DISTINCT g FROM cgrams WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    contam AS (
+        SELECT DISTINCT c.doc_id
+        FROM cgrams c JOIN bench b ON c.g = b.g
+        WHERE c.doc_id % {_BENCH_MOD} <> 0
+    ),
+    p5 AS (
+        SELECT p4.*, (p4.pass4 AND h.doc_id IS NULL) AS pass5
+        FROM p4 LEFT JOIN contam h ON p4.doc_id = h.doc_id
+    ),
+    agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN alive0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_corpus,
+               CAST(sum(CASE WHEN pass1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_after_url,
+               CAST(sum(CASE WHEN pass2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_after_quality,
+               CAST(sum(CASE WHEN pass3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_after_exact,
+               CAST(sum(CASE WHEN pass4 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_after_fuzzy,
+               CAST(sum(CASE WHEN pass5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(coalesce(sum(CASE WHEN pass5 THEN doc_id END), 0)
+                    AS BIGINT) AS survivor_checksum
+        FROM p5 GROUP BY source
+    ),
+    wt AS (
+        SELECT *,
+               CAST(round(sqrt(CAST(n_kept AS DOUBLE)
+                    / nullif(sum(n_kept) OVER (), 0)) * 1e6) AS BIGINT)
+                   AS sqrtp_micro
+        FROM agg
+    )
+    SELECT source, n_docs, n_corpus, n_after_url, n_after_quality,
+           n_after_exact, n_after_fuzzy, n_kept, survivor_checksum,
+           sqrtp_micro,
+           CAST(sqrtp_micro * 1000000
+                // nullif(sum(sqrtp_micro) OVER (), 0) AS BIGINT)
+               AS weight_ppm
+    FROM wt
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation stack as ONE DataFrame DAG — what a corpus
+    owner actually ships: (0) benchmark holdout (doc_id % {mod} == 0
+    stands in for the eval set and never enters the corpus), (1) URL
+    canonicalization dedup (min doc_id per canonical URL), (2) the four
+    quality-rule families (Gopher, C4 line rules, char-entropy band,
+    trigram repetition — `_quality_rule_flags`, one fused scan), (3)
+    exact dedup on the canonical text fingerprint, (4) fuzzy dedup
+    (Jaccard near-dup clusters from `dedup_clusters`, keep the minimum
+    SURVIVING doc per cluster), (5) n-gram decontamination against the
+    holdout's shingle set, then (6) temperature-T=2 mixture weights
+    over the survivors (the `mixture_temperature_weights` integer-ppm
+    discipline). Output: one row per source with the full attrition
+    funnel (n_docs → n_corpus → … → n_kept), a survivor-id CHECKSUM
+    (the oracle verifies WHICH documents survived, not just how many),
+    and the per-source sampling weight.
+
+    Every stage's verdict rides the row as a boolean, so stage k's
+    filter composes with stage k−1 by construction (alive_k =
+    alive_{{k−1}} AND pass_k) and the funnel is monotone — the
+    invariant the composition test asserts.
+
+    Scale shape: stages 1/3/4 are key-partitioned windows (canonical
+    URL / fingerprint / cluster id) — each is the same shuffle the
+    standalone dedup pays, reused here with no extra exchange; stage 2
+    is a map-stage expression join back on doc_id; stage 5 broadcasts
+    the (eval-set-sized) benchmark shingle set so the corpus never
+    shuffles for the probe; the funnel itself is ONE source-keyed agg
+    with map-side partials, and the mixture math runs on the
+    |sources|-row result (the two partition-less windows the plan gate
+    allow-lists). At 100 TB: no all-pairs anywhere — the fuzzy stage
+    rides the banded candidate pipeline inside `dedup_clusters`, and
+    everything else is doc-keyed or broadcast."""
+    docs = load_table(spark, "documents", sf_dir)
+    flags = _quality_rule_flags(docs).select(
+        "doc_id", "keep_gopher", "keep_c4", "keep_entropy",
+        "keep_repetition",
+    )
+    clusters = _cluster_index(spark, sf_dir).select("doc_id", "cluster_id")
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(F.expr(_RAWURL_SQL)), r"^https?://", ""
+                ),
+                r"^www\.", ""),
+            r"\?.*$", ""),
+        r"/$", "")
+    base = docs.select(
+        "doc_id", "source",
+        (F.col("doc_id") % _BENCH_MOD != 0).alias("alive0"),
+        curl.alias("curl"),
+        TX.fingerprint("text").alias("fp"),
+    )
+    p1 = base.select(
+        "doc_id", "source", "alive0", "fp",
+        (
+            F.col("alive0")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("alive0"), F.col("doc_id"))).over(
+                    Window.partitionBy("curl")
+                )
+            )
+        ).alias("pass1"),
+    )
+    p2 = p1.join(flags, "doc_id").select(
+        "doc_id", "source", "alive0", "fp", "pass1",
+        (
+            F.col("pass1") & F.col("keep_gopher") & F.col("keep_c4")
+            & F.col("keep_entropy") & F.col("keep_repetition")
+        ).alias("pass2"),
+    )
+    p3 = p2.withColumn(
+        "pass3",
+        F.col("pass2")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("pass2"), F.col("doc_id"))).over(
+                Window.partitionBy("fp")
+            )
+        ),
+    )
+    p4 = p3.join(clusters, "doc_id").withColumn(
+        "pass4",
+        F.col("pass3")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("pass3"), F.col("doc_id"))).over(
+                Window.partitionBy("cluster_id")
+            )
+        ),
+    )
+    w = docs.select(
+        "doc_id", F.expr(_WORDS_SPARK).alias("words")
+    ).filter(F.size("words") >= _CONTAM_K)
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(words) - {_CONTAM_K}),"
+                f" i -> md5(concat_ws(' ', slice(words, i+1,"
+                f" {_CONTAM_K}))))"
+            )
+        ).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select("g").distinct()
+    )
+    contam = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    p5 = p4.join(contam, "doc_id", "left").withColumn(
+        "pass5", F.col("pass4") & F.col("is_contam").isNull()
+    )
+    agg = p5.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("alive0").cast("bigint")).cast("bigint")
+        .alias("n_corpus"),
+        F.sum(F.col("pass1").cast("bigint")).cast("bigint")
+        .alias("n_after_url"),
+        F.sum(F.col("pass2").cast("bigint")).cast("bigint")
+        .alias("n_after_quality"),
+        F.sum(F.col("pass3").cast("bigint")).cast("bigint")
+        .alias("n_after_exact"),
+        F.sum(F.col("pass4").cast("bigint")).cast("bigint")
+        .alias("n_after_fuzzy"),
+        F.sum(F.col("pass5").cast("bigint")).cast("bigint")
+        .alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("pass5"), F.col("doc_id"))), F.lit(0)
+        ).cast("bigint").alias("survivor_checksum"),
+    )
+    wt = agg.withColumn(
+        "sqrtp_micro",
+        F.expr(
+            "cast(round(sqrt(cast(n_kept as double)"
+            " / nullif(sum(n_kept) over (), 0)) * 1e6) as bigint)"
+        ),
+    )
+    return wt.withColumn(
+        "weight_ppm",
+        F.expr(
+            "cast(sqrtp_micro * 1000000L"
+            " div nullif(sum(sqrtp_micro) over (), 0) as bigint)"
+        ),
+    )

@@ -482,6 +482,13 @@ GLOBAL_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
         "global-total windows over the SOURCE-level frame — one row"
         " per corpus source (single digits), not per document",
     ),
+    "corpus_curation_pipeline": (
+        2,
+        "the mixture_temperature_weights tail: global-total windows"
+        " over the per-SOURCE funnel frame (one row per corpus"
+        " source); every document-scale stage upstream is a"
+        " key-partitioned window or broadcast join",
+    ),
     "events_power_users_pareto": (
         1,
         "cumulative share over the 10-row decile rollup",
