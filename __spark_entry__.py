@@ -68,6 +68,7 @@ _R07_PRIORITY = [
 # round; each name lands here the moment its oracle sweep is green).
 _R07_NEW: list[str] = [
     "corpus_curation_pipeline",
+    "events_cusum_drift",  # refactored onto the shared streaming finisher
 ]
 
 # 4 — staleness tiers: latest driver row is CORRECTNESS_r0N.

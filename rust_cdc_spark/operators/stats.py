@@ -47,3 +47,51 @@ def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         "__n AS n_rows",
         f"stack({len(cols)}, {stack_args}) AS (column, n_nulls, min_str, max_str)",
     ).select("column", "n_rows", "n_nulls", "min_str", "max_str")
+
+
+def cusum_daily_finish(daily: DataFrame) -> DataFrame:
+    """One-sided CUSUM change detection over a per-key daily count
+    table ``(event_type, d, n)`` — the shared finishing plan of the
+    batch query ``events_cusum_drift`` and its streaming twin
+    (``streaming/analytics.py``): target rate k = mean daily count
+    (truncating div), excursion via the closed form
+    s_t = P_t − min(0, min_{j≤t} P_j) over prefix sums of (n − k),
+    alarm when s > 2k. Two per-type running windows, exact BIGINT —
+    see the batch query's docstring for the recursion-to-closed-form
+    argument.
+
+    Input is calendar-bounded (days × types), so this finisher is
+    cheap wherever it runs — including once per streaming microbatch
+    over an incrementally-maintained daily table."""
+    from pyspark.sql import Window
+
+    scal = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr("sum(n) div count(*)").cast("long").alias("k"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = (
+        daily.join(scal, "event_type")
+        .withColumn("t", F.row_number().over(
+            Window.partitionBy("event_type").orderBy("d")))
+        .withColumn("p", F.sum(F.col("n") - F.col("k")).over(w))
+        .withColumn("runmin", F.min("p").over(w))
+    )
+    cusum = pre.withColumn(
+        "s", F.col("p") - F.least(F.lit(0).cast("long"), F.col("runmin"))
+    )
+    alarm = F.col("s") > 2 * F.col("k")
+    return cusum.groupBy("event_type").agg(
+        F.max("n_days").cast("long").alias("n_days"),
+        F.max("k").cast("long").alias("target_daily"),
+        F.max("s").cast("long").alias("max_cusum"),
+        F.sum(F.when(alarm, 1).otherwise(0)).cast("long")
+        .alias("n_alarm_days"),
+        F.coalesce(
+            F.min(F.when(alarm, F.col("t"))), F.lit(0)
+        ).cast("long").alias("first_alarm_day"),
+    )

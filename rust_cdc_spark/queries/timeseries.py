@@ -1397,41 +1397,17 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined, (type, day) keyed); the windows then run over per-type
     daily rows bounded by the calendar, partitioned by event_type —
     no global window, no fold, no driver loop."""
+    from rust_cdc_spark.operators.stats import cusum_daily_finish
+
     utc(spark)
     ev = load_table(spark, "events", sf_dir)
     daily = ev.groupBy(
         "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
     ).agg(F.count("*").cast("long").alias("n"))
-    scal = daily.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_days"),
-        F.expr("sum(n) div count(*)").cast("long").alias("k"),
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    pre = (
-        daily.join(scal, "event_type")
-        .withColumn("t", F.row_number().over(
-            Window.partitionBy("event_type").orderBy("d")))
-        .withColumn("p", F.sum(F.col("n") - F.col("k")).over(w))
-        .withColumn("runmin", F.min("p").over(w))
-    )
-    cusum = pre.withColumn(
-        "s", F.col("p") - F.least(F.lit(0).cast("long"), F.col("runmin"))
-    )
-    alarm = F.col("s") > 2 * F.col("k")
-    return cusum.groupBy("event_type").agg(
-        F.max("n_days").cast("long").alias("n_days"),
-        F.max("k").cast("long").alias("target_daily"),
-        F.max("s").cast("long").alias("max_cusum"),
-        F.sum(F.when(alarm, 1).otherwise(0)).cast("long")
-        .alias("n_alarm_days"),
-        F.coalesce(
-            F.min(F.when(alarm, F.col("t"))), F.lit(0)
-        ).cast("long").alias("first_alarm_day"),
-    )
+    # Finishing plan shared with the streaming twin
+    # (streaming/analytics.py): the recursion's closed form over the
+    # calendar-bounded daily table.
+    return cusum_daily_finish(daily)
 
 
 @register(

@@ -495,3 +495,31 @@ def test_streaming_absence_matches_batch_anti_join(spark, tmp_path):
     assert sorted((r.followed, r.trigger_ts) for r in by_user[4]) == [
         (True, float(T0)), (True, float(T0 + 100)),
     ]
+
+
+def test_cusum_stream_converges_to_batch(spark, events_stream_dir):
+    """Streaming CUSUM twin (VERDICT r6 #8): the watermarked daily
+    rollup + per-microbatch shared finisher converges to the batch
+    events_cusum_drift result once the fixture is fully consumed."""
+    from rust_cdc_spark.queries import load_all
+    from rust_cdc_spark.streaming.analytics import cusum_drift_stream
+
+    last = {}
+
+    def emit(df, epoch_id):
+        last["rows"] = df.collect()
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = cusum_drift_stream(stream, emit)
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(tuple(r) for r in last["rows"])
+    want = sorted(
+        tuple(r)
+        for r in load_all()["events_cusum_drift"]
+        .spark_fn(spark, SF_SMOKE)
+        .collect()
+    )
+    assert got == want and len(got) > 0
