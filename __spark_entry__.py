@@ -69,6 +69,10 @@ _R07_PRIORITY = [
 _R07_NEW: list[str] = [
     "corpus_curation_pipeline",
     "events_cusum_drift",  # refactored onto the shared streaming finisher
+    "events_mann_kendall_trend", "events_runs_test",
+    "events_value_mannwhitney", "retrieval_eval_mrr",
+    "orders_chi2_priority_status", "customer_revenue_theil",
+    "quality_spearman_by_source", "docs_js_divergence_sources",
 ]
 
 # 4 — staleness tiers: latest driver row is CORRECTNESS_r0N.

@@ -4918,3 +4918,263 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif(sum(sqrtp_micro) over (), 0) as bigint)"
         ),
     )
+
+
+# ── Round 7: rank correlation + source-distribution divergence ───────
+from rust_cdc_spark.queries.training import _QUALITY_SQL  # noqa: E402
+
+
+@register(
+    "quality_spearman_by_source",
+    # Spearman rank correlation between quality score and document
+    # length, per source. Ranks use the doubled tie-averaged form
+    # r·2 = 2·cnt_less + cnt_eq + 1 (exact integers, computed from
+    # each variable's per-source VALUE histogram), so the Pearson-on-
+    # ranks moments are pure DECIMAL(38)/HUGEINT; the only floats are
+    # the final two sqrts over exact integers + one rounded division
+    # (the events_timeseries_pearson_topk discipline).
+    oracle=f"""
+    WITH d AS (
+        SELECT source, {_QUALITY_SQL} AS q, n_chars AS len
+        FROM documents
+    ),
+    qh AS (
+        SELECT source, q,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(count(*)) OVER (PARTITION BY source ORDER BY q
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM d GROUP BY source, q
+    ),
+    lh AS (
+        SELECT source, len,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(count(*)) OVER (PARTITION BY source ORDER BY len
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM d GROUP BY source, len
+    ),
+    ranked AS (
+        SELECT d.source,
+               CAST(2 * qh.cum - qh.cnt + 1 AS BIGINT) AS x,
+               CAST(2 * lh.cum - lh.cnt + 1 AS BIGINT) AS y
+        FROM d
+        JOIN qh ON qh.source = d.source AND qh.q = d.q
+        JOIN lh ON lh.source = d.source AND lh.len = d.len
+    ),
+    m AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM ranked GROUP BY source
+    )
+    SELECT source, n AS n_docs,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN NULL
+                ELSE CAST(round(1e6 * (n * sxy - sx * sy)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+                     AS BIGINT)
+           END AS spearman_micro
+    FROM m
+    """,
+)
+def quality_spearman_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the composite quality score
+    and raw document length, per source — the dataset-card diagnostic
+    for "is our quality filter secretly a length filter?": ρ near 1
+    means the score adds nothing beyond length; near 0 means the
+    fluency terms carry it. Rank-based, so the score's arbitrary
+    scale and the length's heavy tail don't distort the answer the
+    way Pearson on raw values would.
+
+    Exactness: ranks are the doubled tie-averaged integers
+    2·cnt_less + cnt_eq + 1, derived from each variable's per-source
+    value histogram (quality has ≤10⁴ distinct 4-decimal values,
+    length is bounded by max doc size — both histograms are VALUE-
+    bounded, not corpus-bounded); moments run in DECIMAL(38); the
+    final expression is two sqrts over exact integers and one rounded
+    division, identical IEEE ops in both engines. Zero-variance
+    sources yield NULL.
+
+    Scale shape: one fused scan computes (source, q, len); two
+    source-keyed histogram aggs + keyed cumulative windows over
+    value-bounded rows; two keyed join-backs; one source-keyed moment
+    agg. No global windows, no collect."""
+    from rust_cdc_spark.functions import text as TX2
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "source",
+        TX2.quality_score("text").alias("q"),
+        F.col("n_chars").alias("len"),
+    )
+
+    def hist(col: str) -> DataFrame:
+        w = (
+            Window.partitionBy("source")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            d.groupBy("source", col)
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .select(
+                "source", col, "cnt",
+                F.sum("cnt").over(w).cast("long").alias("cum"),
+            )
+            .select(
+                "source", col,
+                (2 * F.col("cum") - F.col("cnt") + 1)
+                .cast("long").alias(f"r_{col}"),
+            )
+        )
+
+    ranked = (
+        d.join(hist("q"), ["source", "q"])
+        .join(hist("len"), ["source", "len"])
+        .select(
+            "source",
+            F.col("r_q").alias("x"),
+            F.col("r_len").alias("y"),
+        )
+    )
+    m = ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    return m.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0"
+            " THEN NULL"
+            " ELSE CAST(round(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)"
+            "      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+            "         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))"
+            "      AS BIGINT) END"
+        ).alias("spearman_micro"),
+    )
+
+
+@register(
+    "docs_js_divergence_sources",
+    # Jensen–Shannon divergence of each source's unigram distribution
+    # against the whole corpus: JSD = ½KL(p‖m) + ½KL(q‖m), m=(p+q)/2,
+    # summed over the full (source × vocab) grid so tokens ABSENT
+    # from a source contribute their ½q·ln2 mass. Each cell quantizes
+    # once to micro-nats (the entropy-family discipline); p and q are
+    # single IEEE divisions of exact integers.
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, lower(unnest({_WORDS_SQL})) AS token
+        FROM documents
+    ),
+    c AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY source, token
+    ),
+    vocab AS (
+        SELECT token, CAST(sum(n) AS BIGINT) AS gt FROM c GROUP BY token
+    ),
+    srcs AS (
+        SELECT source, CAST(sum(n) AS BIGINT) AS ts FROM c GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(gt) AS BIGINT) AS t_all FROM vocab),
+    grid AS (
+        SELECT s.source, s.ts, v.token, v.gt, t.t_all,
+               coalesce(c.n, 0) AS n
+        FROM srcs s CROSS JOIN vocab v CROSS JOIN tot t
+        LEFT JOIN c ON c.source = s.source AND c.token = v.token
+    ),
+    cell AS (
+        SELECT source, ts,
+               CASE WHEN n > 0 THEN 1 ELSE 0 END AS present,
+               CAST(round(1e6 * (
+                   CASE WHEN n = 0
+                        THEN 0.5 * (CAST(gt AS DOUBLE) / t_all) * ln(2.0)
+                        ELSE 0.5 * (CAST(n AS DOUBLE) / ts)
+                             * ln(2.0 * (CAST(n AS DOUBLE) / ts)
+                                  / (CAST(n AS DOUBLE) / ts
+                                     + CAST(gt AS DOUBLE) / t_all))
+                           + 0.5 * (CAST(gt AS DOUBLE) / t_all)
+                             * ln(2.0 * (CAST(gt AS DOUBLE) / t_all)
+                                  / (CAST(n AS DOUBLE) / ts
+                                     + CAST(gt AS DOUBLE) / t_all))
+                   END)) AS BIGINT) AS cell_micro
+        FROM grid
+    )
+    SELECT source,
+           CAST(max(ts) AS BIGINT) AS n_tokens,
+           CAST(sum(present) AS BIGINT) AS vocab_present,
+           CAST(sum(cell_micro) AS BIGINT) AS jsd_micro
+    FROM cell GROUP BY source
+    """,
+)
+def docs_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen–Shannon divergence against the whole-corpus
+    unigram distribution — "which sources speak a different language
+    than the mixture?", the symmetric, bounded (≤ ln 2) counterpart
+    of corpus_drift_kl's one-directional token drill-down. High JSD
+    sources are candidates for their own mixture weight or their own
+    tokenizer coverage check; near-zero sources are redundant with
+    the mixture. The source itself is included in the global side
+    (corpus-vs-whole, the standard dataset-card framing).
+
+    Exactness: the (source × vocab) grid is materialized so absent
+    tokens contribute their closed-form ½q·ln2 mass; every cell
+    quantizes once to micro-nats from single IEEE divisions of exact
+    counts (the entropy-family discipline), then sums as integers.
+
+    Scale shape: one token explode → (source, token) hash agg is the
+    only data-scale stage; vocab/source/total tables are bounded
+    (Zipf vocabulary, single-digit sources); the grid is a broadcast
+    cross join of bounded frames with a keyed join-back. No windows,
+    no collect."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "source",
+        F.explode(F.expr(f"transform({_WORDS_SPARK}, w -> lower(w))"))
+        .alias("token"),
+    )
+    c = tok.groupBy("source", "token").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    vocab = c.groupBy("token").agg(F.sum("n").cast("long").alias("gt"))
+    srcs = c.groupBy("source").agg(F.sum("n").cast("long").alias("ts"))
+    tot = vocab.agg(F.sum("gt").cast("long").alias("t_all"))
+    grid = (
+        vocab.crossJoin(F.broadcast(srcs))
+        .crossJoin(F.broadcast(tot))
+        .join(c, ["source", "token"], "left")
+        .select(
+            "source", "ts", "gt", "t_all",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    p = F.col("n").cast("double") / F.col("ts")
+    q = F.col("gt").cast("double") / F.col("t_all")
+    cell = grid.select(
+        "source", "ts",
+        F.when(F.col("n") > 0, 1).otherwise(0).alias("present"),
+        F.round(
+            F.lit(1e6)
+            * F.when(
+                F.col("n") == 0, 0.5 * q * F.log(F.lit(2.0))
+            ).otherwise(
+                0.5 * p * F.log(2.0 * p / (p + q))
+                + 0.5 * q * F.log(2.0 * q / (p + q))
+            )
+        ).cast("long").alias("cell_micro"),
+    )
+    return cell.groupBy("source").agg(
+        F.max("ts").cast("long").alias("n_tokens"),
+        F.sum("present").cast("long").alias("vocab_present"),
+        F.sum("cell_micro").cast("long").alias("jsd_micro"),
+    )

@@ -3577,3 +3577,213 @@ def part_brand_switch_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         F.expr("__num div __den").cast("long").alias("row_share_micro"),
     )
+
+
+# ── Round 7: chi-square independence + Theil inequality ──────────────
+
+
+@register(
+    "orders_chi2_priority_status",
+    # Pearson chi-square test of independence on the priority ×
+    # status contingency table, in EXACT integer arithmetic: each
+    # cell contributes 10⁶·(O·N − r·c)² div (N·r·c) — the (O−E)²/E
+    # term with E = r·c/N cleared of fractions — floored once per
+    # cell, summed as integers. Zero cells (expected > 0, observed 0)
+    # are materialized by the level-grid cross join so they
+    # contribute their full r·c/N mass. Squared Cramér's V is then
+    # one more integer division. Products run in HUGEINT/DECIMAL(38):
+    # (O·N)² bounds the arithmetic at N ≲ 1.8·10⁹ rows; beyond that,
+    # switch the cell term to proportions.
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS pri, o_orderstatus AS st,
+               CAST(count(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT pri, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY pri),
+    cols_ AS (SELECT st, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY st),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    grid AS (
+        SELECT r.pri, c.st, r.r, c.c, n.n,
+               coalesce(ce.o, 0) AS o
+        FROM rows_ r CROSS JOIN cols_ c CROSS JOIN n
+        LEFT JOIN cells ce ON ce.pri = r.pri AND ce.st = c.st
+    ),
+    contrib AS (
+        SELECT pri, st, n,
+               (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+               * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+               * 1000000
+               // (CAST(n AS HUGEINT) * r * c) AS cell_micro
+        FROM grid
+    ),
+    dims AS (
+        SELECT CAST(count(DISTINCT pri) AS BIGINT) AS n_pri,
+               CAST(count(DISTINCT st) AS BIGINT) AS n_st
+        FROM cells
+    )
+    SELECT n.n AS n_orders, d.n_pri, d.n_st,
+           CAST((d.n_pri - 1) * (d.n_st - 1) AS BIGINT) AS dof,
+           CAST(sum(c.cell_micro) AS BIGINT) AS chi2_micro,
+           CAST(sum(c.cell_micro)
+                // (CAST(n.n AS HUGEINT)
+                    * least(d.n_pri - 1, d.n_st - 1)) AS BIGINT)
+               AS cramers_v2_micro
+    FROM contrib c CROSS JOIN n CROSS JOIN dims d
+    GROUP BY n.n, d.n_pri, d.n_st
+    """,
+)
+def orders_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and
+    order status — "does priority actually influence fulfilment
+    state, or is the contingency table what independence predicts?"
+    — with the squared Cramér's V effect size (χ²/(N·min(R−1,C−1)),
+    the scale-free strength of association a raw χ² hides at large
+    N). Exact integers end-to-end: the (O−E)²/E cell term is cleared
+    of fractions as (O·N − r·c)²/(N·r·c), floored once per cell;
+    empty cells appear via the level grid so their expected mass
+    counts.
+
+    Scale shape: ONE data-scale agg (the contingency rollup,
+    map-side combined, |levels|² groups); rows/cols/N and the grid
+    are broadcast-size frames; the cell math and χ² sum run on the
+    bounded grid. DECIMAL(38) keeps (O·N)² exact to N ≈ 1.8e9 rows
+    (documented bound — beyond it the term switches to
+    proportions)."""
+    orders = load_table(spark, "orders", sf_dir)
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    rows_ = cells.groupBy("pri").agg(F.sum("o").cast("long").alias("r"))
+    cols_ = cells.groupBy("st").agg(F.sum("o").cast("long").alias("c"))
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .crossJoin(F.broadcast(n))
+        .join(cells, ["pri", "st"], "left")
+        .select(
+            "pri", "st", "r", "c", "n",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    contrib = grid.select(
+        "n",
+        F.expr(
+            "(cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)"
+            " * (cast(o as decimal(38,0)) * n"
+            "    - cast(r as decimal(38,0)) * c)"
+            " * 1000000"
+            " div (cast(n as decimal(38,0)) * r * c)"
+        ).alias("cell_micro"),
+    )
+    dims = cells.agg(
+        F.countDistinct("pri").cast("long").alias("n_pri"),
+        F.countDistinct("st").cast("long").alias("n_st"),
+    )
+    return (
+        contrib.groupBy("n")
+        .agg(F.sum("cell_micro").alias("chi2d"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("n").alias("n_orders"),
+            "n_pri",
+            "n_st",
+            ((F.col("n_pri") - 1) * (F.col("n_st") - 1))
+            .cast("long").alias("dof"),
+            F.col("chi2d").cast("long").alias("chi2_micro"),
+            F.expr(
+                "cast(chi2d div (cast(n as decimal(38,0))"
+                " * least(n_pri - 1, n_st - 1)) as long)"
+            ).alias("cramers_v2_micro"),
+        )
+    )
+
+
+@register(
+    "customer_revenue_theil",
+    # Theil T inequality index over customer revenue:
+    # T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ). Each customer's term is quantized
+    # ONCE to micro-nats — xᵢ·n and S are exact integers, their ratio
+    # is one IEEE division, ln evaluated once per customer, rounded
+    # to an integer — then the sum and the final div n are pure
+    # BIGINT, the entropy-family discipline (events_entropy_rate,
+    # corpus_drift_kl).
+    oracle="""
+    WITH u AS (
+        SELECT o_custkey AS cust,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s
+        FROM u
+    ),
+    terms AS (
+        SELECT t.n, t.s,
+               CAST(round(1e6 * (CAST(u.cents AS HUGEINT) * t.n / t.s)
+                    * ln(CAST(u.cents AS HUGEINT) * t.n / t.s))
+                    AS BIGINT) AS term_micro
+        FROM u CROSS JOIN tot t
+        WHERE u.cents > 0
+    )
+    SELECT max(n) AS n_customers, max(s) AS total_cents,
+           CAST(sum(term_micro) AS BIGINT) AS theil_sum_micro,
+           CAST(sum(term_micro) // max(n) AS BIGINT) AS theil_micro
+    FROM terms
+    """,
+)
+def customer_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index of customer revenue concentration — the
+    inequality measure that, unlike the Gini
+    (customer_revenue_gini), DECOMPOSES additively: T over all
+    customers = within-group T + between-group T for any partition
+    (by nation, segment), so it's the one you aggregate up a
+    hierarchy. T = mean over customers of (x/μ)·ln(x/μ); 0 = perfect
+    equality, ln(n) = one customer holds everything.
+
+    Each customer's term quantizes once to micro-nats: x·n and Σx
+    are exact integers ≤ 2⁵³ (so the ratio is ONE correctly-rounded
+    IEEE division), ln evaluates once, rounds once — then everything
+    is BIGINT sums. Same ln-quantization discipline as
+    events_entropy_rate / corpus_drift_kl.
+
+    Scale shape: one customer-keyed agg, one broadcast 1-row total,
+    one map-stage term per customer, one scalar agg. No windows, no
+    rank, no collect."""
+    orders = load_table(spark, "orders", sf_dir)
+    u = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("cents")
+    )
+    tot = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    terms = (
+        u.filter(F.col("cents") > 0)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n", "s",
+            F.round(
+                F.lit(1e6)
+                * (
+                    F.col("cents").cast("double") * F.col("n")
+                    / F.col("s")
+                )
+                * F.log(
+                    F.col("cents").cast("double") * F.col("n")
+                    / F.col("s")
+                )
+            ).cast("long").alias("term_micro"),
+        )
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.max("s").cast("long").alias("total_cents"),
+        F.sum("term_micro").cast("long").alias("theil_sum_micro"),
+        F.expr("sum(term_micro) div max(n)").cast("long")
+        .alias("theil_micro"),
+    )

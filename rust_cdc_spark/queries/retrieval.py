@@ -1569,3 +1569,142 @@ def reduce_and(*conds):
     for c in conds[1:]:
         out = out & c
     return out
+
+
+# ── Round 7: MRR eval over a multi-query probe set ────────────────────
+_MRR_K = 20  # rank cutoff: first relevant beyond this scores 0
+
+
+@register(
+    "retrieval_eval_mrr",
+    # One probe QUERY per term; ranking = integer token-density
+    # tf·10⁶ div dl; relevance label = English doc containing the
+    # term (the label reads a column the ranker never sees). The
+    # first-relevant RANK is computed by COUNTING strictly-better
+    # docs against the broadcast best-relevant row — no global sort,
+    # no per-query single-partition window. rr_micro = 10⁶ div rank.
+    oracle=f"""
+    WITH q(term) AS (VALUES {", ".join(f"('{t}')" for t in _QUERY_TERMS)}),
+    scored AS (
+        SELECT q.term, d.doc_id, d.lang,
+               CAST(len(list_filter({_TOKS_SQL}, x -> x = q.term))
+                    AS BIGINT) * 1000000
+                   // len({_TOKS_SQL}) AS score,
+               CASE WHEN d.lang = 'en'
+                     AND len(list_filter({_TOKS_SQL}, x -> x = q.term)) > 0
+                    THEN 1 ELSE 0 END AS is_rel
+        FROM documents d CROSS JOIN q
+        WHERE len({_TOKS_SQL}) > 0
+    ),
+    bests AS (
+        SELECT term,
+               CAST(sum(is_rel) AS BIGINT) AS n_relevant,
+               max(CASE WHEN is_rel = 1 THEN score END) AS bs
+        FROM scored GROUP BY term
+    ),
+    best AS (
+        SELECT b.term, b.n_relevant, b.bs,
+               min(CASE WHEN s.is_rel = 1 AND s.score = b.bs
+                        THEN s.doc_id END) AS bid
+        FROM bests b JOIN scored s USING (term)
+        GROUP BY b.term, b.n_relevant, b.bs
+    ),
+    ranked AS (
+        SELECT s.term, b.n_relevant,
+               CASE WHEN b.n_relevant = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(1 + sum(CASE WHEN s.score > b.bs
+                              OR (s.score = b.bs AND s.doc_id < b.bid)
+                              THEN 1 ELSE 0 END) AS BIGINT)
+               END AS first_rel_rank
+        FROM scored s JOIN best b USING (term)
+        GROUP BY s.term, b.n_relevant
+    )
+    SELECT term, n_relevant, first_rel_rank,
+           CAST(CASE WHEN first_rel_rank BETWEEN 1 AND {_MRR_K}
+                     THEN 1000000 // first_rel_rank
+                     ELSE 0 END AS BIGINT) AS rr_micro
+    FROM ranked
+    """,
+)
+def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank eval surface: for each probe query (one
+    per lexical probe term), the rank of the FIRST relevant document
+    under an integer token-density ranking, and its reciprocal rank
+    in exact micro units (MRR = mean of rr_micro over the query rows,
+    one driver-side division). Relevance = English documents
+    containing the term — a label the ranker never reads, so the
+    metric measures something the score can actually get wrong.
+    Complements retrieval_eval_map (AP/P@k on ONE query) with the
+    known-item multi-query metric, cutoff at rank {k}.
+
+    Scale shape: scoring is one map pass per (doc × 3 terms) — the
+    term list is a literal cross join, fused into the scan; the
+    best-relevant row per query is ONE term-keyed agg; the rank is
+    COUNTED against that broadcast 3-row frame (count of
+    strictly-better docs + 1), so there is no global ordering
+    anywhere — the same trick as the gini rank identity, at any
+    corpus size.""".replace("{k}", str(_MRR_K))
+    docs = load_table(spark, "documents", sf_dir)
+    q = spark.createDataFrame(
+        [(t,) for t in _QUERY_TERMS], "term string"
+    )
+    toks = F.expr(_TOKS_SPARK)
+    scored = (
+        docs.filter(F.size(F.expr(_TOKS_SPARK)) > 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "term", "doc_id", "lang",
+            (
+                F.size(
+                    F.filter(toks, lambda x: x == F.col("term"))
+                ).cast("long") * 1000000
+            ).alias("tfm"),
+            F.size(toks).cast("long").alias("dl"),
+        )
+        .select(
+            "term", "doc_id", "lang",
+            F.expr("tfm div dl").alias("score"),
+            F.when(
+                (F.col("lang") == "en") & (F.col("tfm") > 0), 1
+            ).otherwise(0).alias("is_rel"),
+        )
+    )
+    best = scored.groupBy("term").agg(
+        F.sum("is_rel").cast("long").alias("n_relevant"),
+        F.max(
+            F.when(
+                F.col("is_rel") == 1,
+                F.struct(F.col("score"), (-F.col("doc_id")).alias("nid")),
+            )
+        ).alias("b"),
+    ).select(
+        "term", "n_relevant",
+        F.col("b.score").alias("bs"), (-F.col("b.nid")).alias("bid"),
+    )
+    ranked = (
+        scored.join(F.broadcast(best), "term")
+        .groupBy("term", "n_relevant")
+        .agg(
+            F.when(F.max("n_relevant") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                1
+                + F.sum(
+                    F.when(
+                        (F.col("score") > F.col("bs"))
+                        | (
+                            (F.col("score") == F.col("bs"))
+                            & (F.col("doc_id") < F.col("bid"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).cast("long")
+            ).alias("first_rel_rank")
+        )
+    )
+    return ranked.select(
+        "term", "n_relevant", "first_rel_rank",
+        F.when(
+            F.col("first_rel_rank").between(1, _MRR_K),
+            F.expr("1000000 div first_rel_rank"),
+        ).otherwise(0).cast("long").alias("rr_micro"),
+    )

@@ -5133,3 +5133,329 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("best_share_micro"),
         )
     )
+
+
+# ── Round 7: nonparametric trend / location tests ────────────────────
+# Three classical distribution-free tests, each exact-integer
+# cross-engine: Mann–Kendall (monotone trend in daily volume),
+# Wald–Wolfowitz runs (serial dependence of above/below-rate days),
+# Mann–Whitney U (do two event types' value distributions differ).
+# They complement the parametric monitors (CUSUM level shift, Poisson
+# dispersion, seasonal residual anomaly) with tests that need no
+# distributional assumption — the first thing an analyst reaches for
+# on messy ops data.
+
+
+@register(
+    "events_mann_kendall_trend",
+    # S = Σ_{i<j} sign(x_j − x_i) over the per-type daily count
+    # series, plus the exact tie-corrected variance NUMERATOR
+    # var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (the classical Var(S)
+    # is var18/18) — all BIGINT, no floats anywhere.
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST(sum(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat,
+               CAST(sum(CASE WHEN b.x > a.x THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_concordant,
+               CAST(sum(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_discordant
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+        GROUP BY a.event_type
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(sum(t) AS BIGINT) AS n_days,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY event_type, x
+        ) GROUP BY event_type
+    )
+    SELECT p.event_type, t.n_days, p.s_stat, p.n_concordant,
+           p.n_discordant,
+           CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+                - t.tie_term AS BIGINT) AS var18
+    FROM pairs p JOIN ties t ON p.event_type = t.event_type
+    """,
+)
+def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test on each event type's daily
+    volume: S = Σ_{i<j} sign(x_j − x_i) (positive = rising, negative
+    = falling), concordant/discordant pair counts, and the exact
+    tie-corrected variance numerator var18 (Var(S) = var18/18; the
+    normal z is S/√Var driver-side) — the distribution-free "is
+    volume trending" answer that a least-squares slope fakes under
+    heavy tails, complementing events_theil_sen's slope ESTIMATE with
+    a trend TEST.
+
+    Everything is exact BIGINT: signs, pair counts, and the variance
+    polynomial n(n−1)(2n+5) − Σ t(t−1)(2t+5) over tie-group sizes.
+
+    Scale shape: ONE data-scale agg (the (type, day) rollup,
+    map-side combined); the pair enumeration is a self-join of the
+    CALENDAR-bounded daily table (days²/2 per type, thousands of rows
+    regardless of corpus size), and the tie histogram is a second
+    bounded agg over the same table. No windows, no collect."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("floor(unix_timestamp(ts)) div 86400").alias("d"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s_stat"),
+            F.sum(F.when(F.col("b.x") > F.col("a.x"), 1).otherwise(0))
+            .cast("long").alias("n_concordant"),
+            F.sum(F.when(F.col("b.x") < F.col("a.x"), 1).otherwise(0))
+            .cast("long").alias("n_discordant"),
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.lit(1)).cast("long").alias("_groups"),
+            F.sum("t").cast("long").alias("n_days"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("long").alias("tie_term"),
+        )
+        .drop("_groups")
+    )
+    return pairs.join(ties, "event_type").select(
+        "event_type", "n_days", "s_stat", "n_concordant", "n_discordant",
+        (
+            F.col("n_days") * (F.col("n_days") - 1)
+            * (2 * F.col("n_days") + 5)
+            - F.col("tie_term")
+        ).cast("long").alias("var18"),
+    )
+
+
+@register(
+    "events_runs_test",
+    # Wald–Wolfowitz runs test on the above/below-mean-rate day
+    # sequence per type: a run boundary is a sign change between
+    # consecutive days (lag window), expected runs E[R] = 1 + 2n₊n₋/n
+    # reported as the exact numerator er_num = n + 2n₊n₋ over
+    # denominator n — pure integers.
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    k AS (
+        SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS k
+        FROM daily GROUP BY event_type
+    ),
+    s AS (
+        SELECT d.event_type, d.d,
+               CASE WHEN d.x > k.k THEN 1 ELSE 0 END AS up,
+               lag(CASE WHEN d.x > k.k THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY d.event_type ORDER BY d.d) AS prev_up
+        FROM daily d JOIN k USING (event_type)
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(up) AS BIGINT) AS n_plus,
+               CAST(count(*) - sum(up) AS BIGINT) AS n_minus,
+               CAST(1 + sum(CASE WHEN prev_up IS NOT NULL
+                                  AND up <> prev_up
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        FROM s GROUP BY event_type
+    )
+    SELECT event_type, n_days, n_plus, n_minus, n_runs,
+           CAST(n_days + 2 * n_plus * n_minus AS BIGINT) AS er_num
+    FROM agg
+    """,
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test of serial independence on each event
+    type's daily volume: classify each day above (+) or at-or-below
+    (−) the type's mean daily rate, count the RUNS of equal signs,
+    and report the exact expectation numerator E[R]·n = n + 2n₊n₋ —
+    too few runs means volume clusters (regimes, incidents,
+    weekly structure), too many means oscillation (load-balancer
+    flapping, retry storms). The nonparametric cousin of the ACF:
+    events_acf_lags measures HOW correlated adjacent days are, the
+    runs test answers IS the sequence random at all, with no
+    distributional assumption and no floats (all counts exact).
+
+    Scale shape: the (type, day) rollup is the only data-scale agg;
+    the sign sequence + lag comparison is a type-keyed window over
+    calendar-bounded rows; one bounded agg finishes. Mean rate uses
+    truncating div on both sides."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("floor(unix_timestamp(ts)) div 86400").alias("d"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    k = daily.groupBy("event_type").agg(
+        F.expr("sum(x) div count(*)").cast("long").alias("k")
+    )
+    up = F.when(F.col("x") > F.col("k"), 1).otherwise(0)
+    s = daily.join(k, "event_type").select(
+        "event_type", "d", up.alias("up"),
+        F.lag(up).over(
+            Window.partitionBy("event_type").orderBy("d")
+        ).alias("prev_up"),
+    )
+    agg = s.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("up").cast("long").alias("n_plus"),
+        (F.count("*") - F.sum("up")).cast("long").alias("n_minus"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_up").isNotNull()
+                    & (F.col("up") != F.col("prev_up")),
+                    1,
+                ).otherwise(0)
+            )
+        ).cast("long").alias("n_runs"),
+    )
+    return agg.select(
+        "event_type", "n_days", "n_plus", "n_minus", "n_runs",
+        (F.col("n_days") + 2 * F.col("n_plus") * F.col("n_minus"))
+        .cast("long").alias("er_num"),
+    )
+
+
+_MW_A, _MW_B = "click", "purchase"  # the two compared samples
+
+
+@register(
+    "events_value_mannwhitney",
+    # Mann–Whitney U between the two types' value distributions with
+    # EXACT tie handling: global row ranks by value (unique 1..n), a
+    # tie block occupying ranks [lo, hi] gives every member the
+    # doubled tie-averaged rank lo + hi, so the doubled rank sum
+    # R₁·2 = Σ_blocks cntA·(lo+hi) is pure integer arithmetic.
+    # U₁·2 = R₁·2 − n₁(n₁+1); products run in HUGEINT/DECIMAL(38).
+    oracle=f"""
+    WITH v AS (
+        SELECT value,
+               CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END AS is_a
+        FROM events
+        WHERE event_type IN ('{_MW_A}', '{_MW_B}') AND value IS NOT NULL
+    ),
+    r AS (
+        SELECT value, is_a,
+               row_number() OVER (ORDER BY value) AS rn
+        FROM v
+    ),
+    g AS (
+        SELECT value,
+               CAST(min(rn) AS BIGINT) AS lo,
+               CAST(max(rn) AS BIGINT) AS hi,
+               CAST(sum(is_a) AS BIGINT) AS ca,
+               CAST(count(*) AS BIGINT) AS ct
+        FROM r GROUP BY value
+    ),
+    m AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n1,
+               CAST(sum(ct - ca) AS BIGINT) AS n2,
+               CAST(sum(CAST(ca AS HUGEINT) * (lo + hi)) AS HUGEINT)
+                   AS r1_x2,
+               CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS HUGEINT)
+                   AS tie_cubes
+        FROM g
+    )
+    SELECT n1, n2,
+           CAST(r1_x2 AS BIGINT) AS r1_x2,
+           CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT)
+               AS u1_x2,
+           CAST(2 * CAST(n1 AS HUGEINT) * n2
+                - (r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1)) AS BIGINT)
+               AS u2_x2,
+           CAST(tie_cubes AS BIGINT) AS tie_cubes
+    FROM m
+    """,
+)
+def events_value_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test: do '{a}' and '{b}'
+    events draw their values from the same distribution? The
+    location-shift test that works when t-tests can't (skewed,
+    heavy-tailed revenue-like values). Doubled statistics keep the
+    tie-averaged ranks integral: every member of a tie block at
+    global ranks [lo, hi] contributes (lo+hi), so R₁·2, U₁·2, U₂·2
+    and the tie-correction Σ(t³−t) are all exact integers — the
+    identity U₁+U₂ = n₁n₂ is asserted in tests. Values are only
+    COMPARED, never added, so double precision never enters the
+    statistic.
+
+    Scale shape: the global rank uses the exact-global-rank operator
+    (range repartition + partition offsets — no single-partition
+    window); the tie blocks are one value-keyed agg; the moments are
+    a 1-row agg in DECIMAL(38)/HUGEINT since rank sums grow with
+    n².""".replace("{a}", _MW_A).replace("{b}", _MW_B)
+    from rust_cdc_spark.operators.ranks import with_global_rank
+
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.filter(
+        F.col("event_type").isin([_MW_A, _MW_B])
+        & F.col("value").isNotNull()
+    ).select(
+        "value",
+        (F.col("event_type") == _MW_A).cast("long").alias("is_a"),
+    )
+    r = with_global_rank(v, [F.col("value")], rank_col="rn")
+    g = r.groupBy("value").agg(
+        F.min("rn").cast("long").alias("lo"),
+        F.max("rn").cast("long").alias("hi"),
+        F.sum("is_a").cast("long").alias("ca"),
+        F.count("*").cast("long").alias("ct"),
+    )
+    m = g.agg(
+        F.sum("ca").cast("long").alias("n1"),
+        F.sum(F.col("ct") - F.col("ca")).cast("long").alias("n2"),
+        F.sum(
+            F.col("ca").cast("decimal(38,0)") * (F.col("lo") + F.col("hi"))
+        ).alias("r1_x2d"),
+        F.sum(
+            F.col("ct").cast("decimal(38,0)") * F.col("ct") * F.col("ct")
+            - F.col("ct")
+        ).alias("tie_cubesd"),
+    )
+    return m.select(
+        "n1", "n2",
+        F.col("r1_x2d").cast("long").alias("r1_x2"),
+        F.expr(
+            "cast(r1_x2d - cast(n1 as decimal(38,0)) * (n1 + 1) as long)"
+        ).alias("u1_x2"),
+        F.expr(
+            "cast(2 * cast(n1 as decimal(38,0)) * n2"
+            " - (r1_x2d - cast(n1 as decimal(38,0)) * (n1 + 1)) as long)"
+        ).alias("u2_x2"),
+        F.col("tie_cubesd").cast("long").alias("tie_cubes"),
+    )

@@ -69,3 +69,69 @@ class TestCurationPipeline:
             r.n_after_url for r in docs.collect()
         )
         assert 0 < n_after_url <= n_groups
+
+
+class TestNonparametricTests:
+    def test_mann_kendall_identities(self, spark):
+        """S = concordant − discordant, |S| ≤ n(n−1)/2, var18 ≥ 0."""
+        out = rows(spark, "events_mann_kendall_trend", SF1)
+        assert out
+        for r in out:
+            assert r.s_stat == r.n_concordant - r.n_discordant
+            assert abs(r.s_stat) <= r.n_days * (r.n_days - 1) // 2
+            assert r.var18 >= 0
+
+    def test_runs_test_identities(self, spark):
+        out = rows(spark, "events_runs_test", SF1)
+        assert out
+        for r in out:
+            assert r.n_plus + r.n_minus == r.n_days
+            assert 1 <= r.n_runs <= r.n_days
+            assert r.er_num == r.n_days + 2 * r.n_plus * r.n_minus
+
+    def test_mannwhitney_u_identity(self, spark):
+        """U₁ + U₂ = n₁·n₂ (doubled: u1_x2 + u2_x2 = 2·n1·n2) and the
+        rank-sum total Σr·2 over BOTH samples is n(n+1)."""
+        (r,) = rows(spark, "events_value_mannwhitney", SF1)
+        assert r.u1_x2 + r.u2_x2 == 2 * r.n1 * r.n2
+        assert 0 <= r.u1_x2 <= 2 * r.n1 * r.n2
+        assert r.tie_cubes >= 0
+
+    def test_chi2_bounds(self, spark):
+        (r,) = rows(spark, "orders_chi2_priority_status", SF1)
+        assert r.dof == (r.n_pri - 1) * (r.n_st - 1)
+        assert r.chi2_micro >= 0
+        # V² ∈ [0, 1]: χ² ≤ N·min(R−1, C−1)
+        assert 0 <= r.cramers_v2_micro <= 1_000_000
+
+    def test_theil_bounds(self, spark):
+        import math
+
+        (r,) = rows(spark, "customer_revenue_theil", SF1)
+        assert 0 <= r.theil_micro <= int(1e6 * math.log(r.n_customers)) + 1
+        assert r.theil_sum_micro // r.n_customers == r.theil_micro
+
+    def test_mrr_reciprocal(self, spark):
+        out = rows(spark, "retrieval_eval_mrr", SF1)
+        assert len(out) == 3
+        for r in out:
+            if 1 <= r.first_rel_rank <= 20:
+                assert r.rr_micro == 1_000_000 // r.first_rel_rank
+            else:
+                assert r.rr_micro == 0
+
+    def test_spearman_bounds(self, spark):
+        out = rows(spark, "quality_spearman_by_source", SF1)
+        assert out
+        for r in out:
+            if r.spearman_micro is not None:
+                assert -1_000_000 <= r.spearman_micro <= 1_000_000
+
+    def test_jsd_bounds(self, spark):
+        """JSD ≤ ln 2 per source (≈693147 micro-nats, plus per-cell
+        rounding slack)."""
+        out = rows(spark, "docs_js_divergence_sources", SF1)
+        assert out
+        for r in out:
+            assert 0 <= r.jsd_micro <= 750_000
+            assert 0 < r.vocab_present
