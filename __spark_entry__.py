@@ -73,6 +73,9 @@ _R07_NEW: list[str] = [
     "events_value_mannwhitney", "retrieval_eval_mrr",
     "orders_chi2_priority_status", "customer_revenue_theil",
     "quality_spearman_by_source", "docs_js_divergence_sources",
+    "events_kruskal_wallis", "events_ljung_box",
+    "embedding_silhouette_simplified", "privacy_user_sensitivity",
+    "quality_rules_mcnemar",
 ]
 
 # 4 — staleness tiers: latest driver row is CORRECTNESS_r0N.

@@ -5178,3 +5178,100 @@ def docs_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("present").cast("long").alias("vocab_present"),
         F.sum("cell_micro").cast("long").alias("jsd_micro"),
     )
+
+
+@register(
+    "quality_rules_mcnemar",
+    # McNemar's paired test for every pair of the four quality-rule
+    # families, on the SAME fused verdict scan the kappa/attribution
+    # queries use: b = docs rule A keeps and B drops, c = the
+    # reverse; the statistic (b−c)²/(b+c) quantizes as one integer
+    # division. Where quality_rule_kappa measures AGREEMENT, McNemar
+    # tests whether the two rules' keep RATES differ — the paired
+    # test that a two-proportion z on overlapping data gets wrong.
+    oracle=f"""
+    WITH {_RULE_SIG_SQL},
+    m AS (
+        SELECT
+          CAST(sum(CASE WHEN keep_gopher AND NOT keep_c4 THEN 1 ELSE 0 END) AS BIGINT) AS b_g_c4,
+          CAST(sum(CASE WHEN NOT keep_gopher AND keep_c4 THEN 1 ELSE 0 END) AS BIGINT) AS c_g_c4,
+          CAST(sum(CASE WHEN keep_gopher AND NOT keep_entropy THEN 1 ELSE 0 END) AS BIGINT) AS b_g_e,
+          CAST(sum(CASE WHEN NOT keep_gopher AND keep_entropy THEN 1 ELSE 0 END) AS BIGINT) AS c_g_e,
+          CAST(sum(CASE WHEN keep_gopher AND NOT keep_repetition THEN 1 ELSE 0 END) AS BIGINT) AS b_g_r,
+          CAST(sum(CASE WHEN NOT keep_gopher AND keep_repetition THEN 1 ELSE 0 END) AS BIGINT) AS c_g_r,
+          CAST(sum(CASE WHEN keep_c4 AND NOT keep_entropy THEN 1 ELSE 0 END) AS BIGINT) AS b_c4_e,
+          CAST(sum(CASE WHEN NOT keep_c4 AND keep_entropy THEN 1 ELSE 0 END) AS BIGINT) AS c_c4_e,
+          CAST(sum(CASE WHEN keep_c4 AND NOT keep_repetition THEN 1 ELSE 0 END) AS BIGINT) AS b_c4_r,
+          CAST(sum(CASE WHEN NOT keep_c4 AND keep_repetition THEN 1 ELSE 0 END) AS BIGINT) AS c_c4_r,
+          CAST(sum(CASE WHEN keep_entropy AND NOT keep_repetition THEN 1 ELSE 0 END) AS BIGINT) AS b_e_r,
+          CAST(sum(CASE WHEN NOT keep_entropy AND keep_repetition THEN 1 ELSE 0 END) AS BIGINT) AS c_e_r
+        FROM sig
+    )
+    SELECT p.pair, p.b, p.c,
+           CAST(CASE WHEN p.b + p.c > 0
+                     THEN (p.b - p.c) * (p.b - p.c) * 1000000
+                          // (p.b + p.c)
+                     ELSE NULL END AS BIGINT) AS mcnemar_micro
+    FROM m, LATERAL (
+        SELECT * FROM (VALUES
+            ('gopher|c4', m.b_g_c4, m.c_g_c4),
+            ('gopher|entropy', m.b_g_e, m.c_g_e),
+            ('gopher|repetition', m.b_g_r, m.c_g_r),
+            ('c4|entropy', m.b_c4_e, m.c_c4_e),
+            ('c4|repetition', m.b_c4_r, m.c_c4_r),
+            ('entropy|repetition', m.b_e_r, m.c_e_r)
+        ) AS t(pair, b, c)
+    ) p
+    """,
+)
+def quality_rules_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for every pair of quality-rule families
+    (Gopher, C4, entropy band, repetition): on the documents where
+    the two rules DISAGREE (b = A-keeps/B-drops, c = B-keeps/A-drops),
+    is the asymmetry bigger than coin-flips? χ²₁ = (b−c)²/(b+c). The
+    paired-data companion to quality_rule_kappa: two rules can agree
+    almost everywhere (high κ) yet still have systematically
+    different keep rates (significant McNemar) — which one matters
+    when swapping a rule in a curation pipeline.
+
+    Scale shape: the four verdicts come from the ONE fused codegen
+    scan shared with kappa/attribution (`_quality_rule_flags`); all
+    12 discordance counts are conditional sums in a single 1-row agg;
+    the 6 output rows unpivot via stack() on that row. One data-scale
+    pass, zero joins."""
+    docs = load_table(spark, "documents", sf_dir)
+    sig = _quality_rule_flags(docs)
+    pairs = [
+        ("gopher|c4", "keep_gopher", "keep_c4"),
+        ("gopher|entropy", "keep_gopher", "keep_entropy"),
+        ("gopher|repetition", "keep_gopher", "keep_repetition"),
+        ("c4|entropy", "keep_c4", "keep_entropy"),
+        ("c4|repetition", "keep_c4", "keep_repetition"),
+        ("entropy|repetition", "keep_entropy", "keep_repetition"),
+    ]
+    aggs = []
+    for name, ra, rb in pairs:
+        key = name.replace("|", "_")
+        aggs.append(
+            F.sum(F.when(F.col(ra) & ~F.col(rb), 1).otherwise(0))
+            .cast("long").alias(f"b_{key}")
+        )
+        aggs.append(
+            F.sum(F.when(~F.col(ra) & F.col(rb), 1).otherwise(0))
+            .cast("long").alias(f"c_{key}")
+        )
+    m = sig.agg(*aggs)
+    stack_expr = "stack({n}, {args}) as (pair, b, c)".format(
+        n=len(pairs),
+        args=", ".join(
+            "'{p}', b_{k}, c_{k}".format(p=p, k=p.replace("|", "_"))
+            for p, _, _ in pairs
+        ),
+    )
+    return m.select(F.expr(stack_expr)).select(
+        "pair", "b", "c",
+        F.when(
+            F.col("b") + F.col("c") > 0,
+            F.expr("(b - c) * (b - c) * 1000000 div (b + c)"),
+        ).cast("long").alias("mcnemar_micro"),
+    )

@@ -3787,3 +3787,100 @@ def customer_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(term_micro) div max(n)").cast("long")
         .alias("theil_micro"),
     )
+
+
+@register(
+    "privacy_user_sensitivity",
+    # User-level differential-privacy sensitivity audit for per-type
+    # event-count releases: the L1 sensitivity of "count of events by
+    # type" under user add/remove is the MAX events one user
+    # contributes; the Laplace scale at ε = 0.5 is b = Δ/ε = 2Δ. Also
+    # the (lower) median contribution — what clipping at p50 would
+    # shrink the noise to — all exact integers via the contribution
+    # HISTOGRAM (value-bounded rows) and a keyed cumulative window.
+    oracle="""
+    WITH contrib AS (
+        SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    hist AS (
+        SELECT event_type, c, CAST(count(*) AS BIGINT) AS nu
+        FROM contrib GROUP BY event_type, c
+    ),
+    cum AS (
+        SELECT event_type, c, nu,
+               sum(nu) OVER (PARTITION BY event_type ORDER BY c
+                             ROWS UNBOUNDED PRECEDING) AS cumu,
+               sum(nu) OVER (PARTITION BY event_type) AS n_users,
+               max(c) OVER (PARTITION BY event_type) AS max_contrib
+        FROM hist
+    )
+    SELECT event_type,
+           CAST(max(n_users) AS BIGINT) AS n_users,
+           CAST(max(max_contrib) AS BIGINT) AS max_contrib,
+           CAST(min(CASE WHEN 2 * cumu >= n_users THEN c END) AS BIGINT)
+               AS median_contrib,
+           CAST(2 * 1000000 * max(max_contrib) AS BIGINT)
+               AS laplace_b_micro,
+           CAST(2 * 1000000 * min(CASE WHEN 2 * cumu >= n_users
+                                       THEN c END) AS BIGINT)
+               AS clipped_b_micro,
+           CAST(min(CASE WHEN 2 * cumu >= n_users THEN c END) * 1000000
+                // max(max_contrib) AS BIGINT) AS clip_ratio_micro
+    FROM cum GROUP BY event_type
+    """,
+)
+def privacy_user_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level DP sensitivity audit for releasing per-type event
+    counts: the worst-case single-user contribution (= the L1
+    sensitivity Δ of the count under user add/remove — the number
+    that CALIBRATES the noise), the Laplace scale b = Δ/ε at ε = 0.5
+    in micro units, and the same after clipping each user at the
+    median contribution — the clip-vs-noise trade a DP release
+    actually tunes (clip_ratio_micro = how far p50 clipping shrinks
+    b). Complements privacy_k_anonymity's re-identification audit
+    with the noise-calibration side of a private release.
+
+    All exact integers: contributions are counts, the median is the
+    lower median read off the contribution histogram's cumulative
+    window (value-bounded rows — distinct contribution sizes, not
+    users), and the scales are integer multiples.
+
+    Scale shape: one (type, user) agg is the only data-scale stage
+    (map-side partials); the histogram, cumulative window, and
+    finishing agg all run on value-bounded rows keyed by type."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    contrib = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    hist = contrib.groupBy("event_type", "c").agg(
+        F.count("*").cast("long").alias("nu")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type", "c", "nu",
+        F.sum("nu").over(wcum).alias("cumu"),
+        F.sum("nu").over(wall).alias("n_users"),
+        F.max("c").over(wall).alias("max_contrib"),
+    )
+    med = F.min(
+        F.when(2 * F.col("cumu") >= F.col("n_users"), F.col("c"))
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n_users").cast("long").alias("n_users"),
+        F.max("max_contrib").cast("long").alias("max_contrib"),
+        med.cast("long").alias("median_contrib"),
+        (2 * 1000000 * F.max("max_contrib")).cast("long")
+        .alias("laplace_b_micro"),
+        (2 * 1000000 * med).cast("long").alias("clipped_b_micro"),
+        F.expr(
+            "min(CASE WHEN 2 * cumu >= n_users THEN c END) * 1000000"
+            " div max(max_contrib)"
+        ).cast("long").alias("clip_ratio_micro"),
+    )

@@ -5459,3 +5459,279 @@ def events_value_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("u2_x2"),
         F.col("tie_cubesd").cast("long").alias("tie_cubes"),
     )
+
+
+@register(
+    "events_kruskal_wallis",
+    # Kruskal–Wallis k-sample rank test across ALL event types'
+    # value distributions — the k-group extension of Mann–Whitney.
+    # Doubled tie-averaged ranks (lo+hi per tie block) keep rank sums
+    # integral. The H sum runs in its CENTERED form
+    # H = 3/(n(n+1)) · Σ Dᵢ²/nᵢ with Dᵢ = R2ᵢ − nᵢ(n+1) (algebraically
+    # equal to the textbook 12Σ Rᵢ²/nᵢ/(n(n+1)) − 3(n+1), since
+    # ΣR2ᵢ = n(n+1)): centering bounds every quotient by n², so the
+    # per-group term tᵢ = (2Dᵢ² + nᵢ) div (2nᵢ) (nearest-integer
+    # division) and the final (3·10⁶·Σtᵢ) div (n(n+1)) both fit
+    # BIGINT — the uncentered micro-scaled form overflowed 64 bits at
+    # sf0.1. tie_cubes = Σ(t³−t) ships for the driver-side H/C.
+    oracle="""
+    WITH v AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, value,
+               row_number() OVER (ORDER BY value) AS rn
+        FROM v
+    ),
+    blocks AS (
+        SELECT value,
+               CAST(min(rn) AS BIGINT) AS lo,
+               CAST(max(rn) AS BIGINT) AS hi,
+               CAST(count(*) AS BIGINT) AS ct
+        FROM r GROUP BY value
+    ),
+    grp AS (
+        SELECT r.event_type,
+               CAST(count(*) AS BIGINT) AS ni,
+               CAST(sum(CAST(b.lo + b.hi AS HUGEINT)) AS HUGEINT) AS r2
+        FROM r JOIN blocks b USING (value)
+        GROUP BY r.event_type
+    ),
+    tot0 AS (
+        SELECT CAST(sum(ni) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k
+        FROM grp
+    ),
+    terms AS (
+        SELECT g.ni,
+               (2 * (g.r2 - CAST(g.ni AS HUGEINT) * (t.n + 1))
+                  * (g.r2 - CAST(g.ni AS HUGEINT) * (t.n + 1))
+                + g.ni) // (2 * CAST(g.ni AS HUGEINT)) AS ti
+        FROM grp g CROSS JOIN tot0 t
+    ),
+    ties AS (
+        SELECT CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS HUGEINT)
+                   AS tie_cubes
+        FROM blocks
+    )
+    SELECT t.n AS n_values, t.k AS n_groups,
+           CAST((3 * 1000000 * (SELECT CAST(sum(ti) AS HUGEINT)
+                                FROM terms))
+                // (CAST(t.n AS HUGEINT) * (t.n + 1)) AS BIGINT)
+               AS h_micro,
+           CAST(ti.tie_cubes AS BIGINT) AS tie_cubes
+    FROM tot0 t CROSS JOIN ties ti
+    """,
+)
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis test: do the k event types draw their values
+    from one distribution? The k-sample generalization of
+    events_value_mannwhitney (which compares just two), and the
+    nonparametric stand-in for one-way ANOVA on skewed revenue-like
+    values. H = 12/(n(n+1))·Σ Rᵢ²/nᵢ − 3(n+1) with tie-averaged
+    ranks; large H → at least one type's value distribution sits
+    apart.
+
+    Exactness: global ranks come from the range-partitioned exact
+    rank operator; tie blocks double the averaged rank into integers
+    (lo+hi); the centered per-group term (2Dᵢ²+nᵢ) div (2nᵢ) rounds
+    once at UNIT rank scale (±½ rank² out of an n²-scale statistic)
+    and the rest is DECIMAL(38) integer arithmetic — no float ever
+    touches a rank, and centering keeps every 64-bit quotient in
+    range at 10× data (the uncentered form overflowed at sf0.1). The
+    tie-correction mass Σ(t³−t) is emitted for the driver-side H/C
+    adjustment.
+
+    Scale shape: one exact global rank (range repartition +
+    offsets), one value-keyed tie-block agg, one type-keyed rank-sum
+    agg (k rows), two scalar aggs. No global windows, no collect."""
+    from rust_cdc_spark.operators.ranks import with_global_rank
+
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.filter(F.col("value").isNotNull()).select("event_type", "value")
+    r = with_global_rank(v, [F.col("value")], rank_col="rn")
+    blocks = r.groupBy("value").agg(
+        F.min("rn").cast("long").alias("lo"),
+        F.max("rn").cast("long").alias("hi"),
+        F.count("*").cast("long").alias("ct"),
+    )
+    grp = (
+        r.join(blocks.select("value", "lo", "hi"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("ni"),
+            F.sum(
+                (F.col("lo") + F.col("hi")).cast("decimal(38,0)")
+            ).alias("r2"),
+        )
+    )
+    tot0 = grp.agg(
+        F.sum("ni").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    terms = grp.crossJoin(F.broadcast(tot0)).select(
+        "n", "k",
+        F.expr(
+            "(2 * (r2 - cast(ni as decimal(38,0)) * (n + 1))"
+            "   * (r2 - cast(ni as decimal(38,0)) * (n + 1))"
+            " + ni) div (2 * cast(ni as decimal(38,0)))"
+        ).alias("ti"),
+    )
+    ties = blocks.agg(
+        F.sum(
+            F.col("ct").cast("decimal(38,0)") * F.col("ct") * F.col("ct")
+            - F.col("ct")
+        ).alias("tie_cubesd")
+    )
+    tot = terms.groupBy("n", "k").agg(
+        F.sum(F.col("ti").cast("decimal(38,0)")).alias("st")
+    )
+    return tot.crossJoin(F.broadcast(ties)).select(
+        F.col("n").alias("n_values"),
+        F.col("k").alias("n_groups"),
+        F.expr(
+            "cast((3 * 1000000 * st)"
+            " div (cast(n as decimal(38,0)) * (n + 1)) as long)"
+        ).alias("h_micro"),
+        F.col("tie_cubesd").cast("long").alias("tie_cubes"),
+    )
+
+
+_LB_LAGS = 12  # Ljung-Box lag depth (matches events_acf_lags)
+
+
+@register(
+    "events_ljung_box",
+    # Ljung–Box portmanteau Q over the same hourly series and exact
+    # integer deviations as events_acf_lags: each lag's r_k is the
+    # IDENTICAL round-6 quantized ratio the ACF query emits, and its
+    # Q term round(10⁶·n(n+2)·r_k²/(n−k)) quantizes once per lag —
+    # the sum is then pure BIGINT. Tests H₀ "white noise" jointly
+    # across lags 1..12 instead of eyeballing 12 ACF bars.
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    scal AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s
+        FROM hourly GROUP BY event_type
+    ),
+    dev AS (
+        SELECT h.event_type, h.h,
+               CAST(sc.n * h.x - sc.s AS HUGEINT) AS dev
+        FROM hourly h JOIN scal sc USING (event_type)
+    ),
+    den AS (
+        SELECT event_type, sum(dev * dev) AS d
+        FROM dev GROUP BY event_type
+    ),
+    num AS (
+        SELECT a.event_type, l.lag, sum(a.dev * b.dev) AS nu
+        FROM dev a
+        JOIN generate_series(1, {_LB_LAGS}) AS l(lag) ON true
+        JOIN dev b ON b.event_type = a.event_type
+                  AND b.h = a.h + l.lag
+        GROUP BY 1, 2
+    ),
+    terms AS (
+        SELECT n.event_type, sc.n, n.lag,
+               round(CAST(n.nu AS DOUBLE)
+                     / CAST(nullif(d.d, 0) AS DOUBLE), 6) AS r6
+        FROM num n
+        JOIN den d USING (event_type)
+        JOIN scal sc USING (event_type)
+        WHERE sc.n > n.lag
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_hours,
+           CAST(count(*) AS BIGINT) AS n_lags,
+           CAST(sum(CAST(round(1e6 * (r6 * r6)
+                    * CAST(n * (n + 2) AS DOUBLE) / (n - lag))
+                    AS BIGINT)) AS BIGINT) AS q_micro
+    FROM terms
+    GROUP BY event_type
+    """,
+)
+def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test per event type: is the hourly
+    volume series white noise, judged JOINTLY across lags 1..12?
+    Q = n(n+2)·Σ r_k²/(n−k); compare to χ²(12) driver-side. The
+    one-number companion to events_acf_lags' per-lag drill-down —
+    the model-residual check that decides whether the forecast
+    family (SES/Holt/seasonal) has absorbed the structure.
+
+    Exactness: deviations and their products are exact integers (the
+    ACF's scale-by-n trick, DECIMAL(38)); each lag's r_k is the same
+    round-6 quantized double the ACF query ships (proven engine-equal
+    there), and the Q term quantizes once per lag before a pure
+    integer sum.
+
+    Scale shape: identical to events_acf_lags — hourly rollup is the
+    only corpus-scale agg; lag pairing self-equi-joins the
+    calendar-bounded series with a broadcast 12-row lag relation;
+    the Q sum is a k-row agg."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("floor(unix_timestamp(ts)) div 3600").alias("h"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    scal = hourly.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = hourly.join(F.broadcast(scal), "event_type").select(
+        "event_type", "h",
+        (F.col("n") * F.col("x") - F.col("s"))
+        .cast("decimal(38,0)").alias("dev"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("d")
+    )
+    lags = spark.range(1, _LB_LAGS + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    b = dev.select(
+        F.col("event_type").alias("bt"),
+        F.col("h").alias("bh"),
+        F.col("dev").alias("bdev"),
+    )
+    num = (
+        dev.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("bt") == F.col("event_type"))
+            & (F.col("bh") == F.col("h") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.col("dev") * F.col("bdev")).alias("nu"))
+    )
+    terms = (
+        num.join(F.broadcast(den), "event_type")
+        .join(F.broadcast(scal), "event_type")
+        .filter(F.col("n") > F.col("lag"))
+        .select(
+            "event_type", "n", "lag",
+            F.round(
+                F.col("nu").cast("double")
+                / F.nullif(F.col("d"), F.lit(0)).cast("double"),
+                6,
+            ).alias("r6"),
+        )
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_hours"),
+        F.count("*").cast("long").alias("n_lags"),
+        F.sum(
+            F.round(
+                F.lit(1e6)
+                * (F.col("r6") * F.col("r6"))
+                * (F.col("n") * (F.col("n") + 2)).cast("double")
+                / (F.col("n") - F.col("lag"))
+            ).cast("long")
+        ).cast("long").alias("q_micro"),
+    )

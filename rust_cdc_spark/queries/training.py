@@ -2955,3 +2955,110 @@ def tokenizer_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.rk = 1
         """
     )
+
+
+# ── Round 7: clustering-quality eval ──────────────────────────────────
+
+
+@register(
+    "embedding_silhouette_simplified",
+    # Simplified silhouette over the seed-centroid assignment (the
+    # centroid-based variant that replaces all-pairs distances with
+    # distances to the k centroids — the only silhouette that scales):
+    # a = distance to the nearest (own) centroid, b = distance to the
+    # second-nearest, s = (b − a)/max(a, b) quantized ONCE per point
+    # to micro units, then per-cluster integer means. Distances are
+    # the same sequential-fold L2 both engines evaluate identically
+    # (the kmeans_assign discipline).
+    oracle=f"""
+    WITH {_CENTROID_SQL},
+    ab AS (
+        SELECT vec_id,
+               max(CASE WHEN rn = 1 THEN cid END) AS cid,
+               max(CASE WHEN rn = 1 THEN dist END) AS a,
+               max(CASE WHEN rn = 2 THEN dist END) AS b
+        FROM assigned
+        WHERE rn <= 2
+        GROUP BY vec_id
+    ),
+    s AS (
+        SELECT cid,
+               CASE WHEN greatest(a, b) > 0
+                    THEN CAST(round(1e6 * (b - a) / greatest(a, b))
+                         AS BIGINT)
+                    ELSE CAST(0 AS BIGINT)
+               END AS s_micro
+        FROM ab
+    )
+    SELECT cid,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN s_micro < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boundary,
+           CAST(sum(s_micro) // count(*) AS BIGINT)
+               AS mean_silhouette_micro
+    FROM s GROUP BY cid
+    """,
+)
+def embedding_silhouette_simplified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simplified silhouette score per cluster — the clustering-
+    quality eval for the k-means family (embedding_kmeans_assign /
+    embedding_cluster_profile): s = (b − a)/max(a, b) with a = the
+    point's distance to its own (nearest) centroid and b = to the
+    second-nearest. Mean s near 1 → compact, well-separated cluster;
+    near 0 → clusters touch; negative points sit closer to another
+    centroid than their own (assignment boundary mass, reported as
+    n_boundary). The full silhouette needs all-pairs distances —
+    O(n²) and dead at scale; the simplified form is the standard
+    centroid proxy (and exactly what a 100 TB run can afford:
+    distances to k centroids only).
+
+    Exactness: L2 distances are sequential array folds (identical in
+    both engines); s quantizes once per point; cluster means are
+    integer divisions of micro sums.
+
+    Scale shape: one broadcast of the k-row centroid set, one fused
+    scan scoring n×k distances, ONE vec-keyed top-2 reduction, one
+    cluster-keyed agg. No windows over data-scale rows, no pairs."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < _K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid",
+        V.l2_distance(F.col("embedding"), F.col("cv")).alias("dist"),
+    )
+    # top-2 via one grouped min(struct) + an excluded second pass kept
+    # in the same shuffle key (vec_id)
+    first = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "cid")).alias("f")
+    ).select(
+        "vec_id",
+        F.col("f.cid").alias("cid"),
+        F.col("f.dist").alias("a"),
+    )
+    second = (
+        scored.join(first.withColumnRenamed("cid", "fcid"), "vec_id")
+        .filter(F.col("cid") != F.col("fcid"))
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("b"))
+    )
+    ab = first.join(second, "vec_id")
+    s = ab.select(
+        "cid",
+        F.when(
+            F.greatest("a", "b") > 0,
+            F.round(
+                F.lit(1e6) * (F.col("b") - F.col("a"))
+                / F.greatest("a", "b")
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("s_micro"),
+    )
+    return s.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum(F.when(F.col("s_micro") < 0, 1).otherwise(0))
+        .cast("long").alias("n_boundary"),
+        F.expr("sum(s_micro) div count(*)").cast("long")
+        .alias("mean_silhouette_micro"),
+    )

@@ -135,3 +135,54 @@ class TestNonparametricTests:
         for r in out:
             assert 0 <= r.jsd_micro <= 750_000
             assert 0 < r.vocab_present
+
+
+class TestRound7Batch3:
+    def test_kruskal_wallis_bounds(self, spark):
+        """0 ≤ H ≤ n−1 (the k-group upper bound is n−1 when every
+        group is a distinct block), and tie mass is nonnegative."""
+        (r,) = rows(spark, "events_kruskal_wallis", SF1)
+        assert r.n_groups >= 2
+        assert -2 <= r.h_micro <= (r.n_values - 1) * 1_000_000
+        assert r.tie_cubes >= 0
+
+    def test_ljung_box_nonnegative(self, spark):
+        out = rows(spark, "events_ljung_box", SF1)
+        assert out
+        for r in out:
+            assert r.q_micro >= 0
+            assert 1 <= r.n_lags <= 12
+
+    def test_silhouette_bounds(self, spark):
+        """s ∈ [−1, 1]; boundary points are a subset; seed centroids
+        (vec_id < k) have a = 0 → s = 1 pulls means up."""
+        out = rows(spark, "embedding_silhouette_simplified", SF1)
+        assert out
+        total = sum(r.n_points for r in out)
+        for r in out:
+            assert -1_000_000 <= r.mean_silhouette_micro <= 1_000_000
+            assert 0 <= r.n_boundary <= r.n_points
+        from rust_cdc_spark.sources.tables import load_table
+
+        n_emb = load_table(spark, "embeddings", SF1).count()
+        assert total == n_emb
+
+    def test_dp_sensitivity_identities(self, spark):
+        out = rows(spark, "privacy_user_sensitivity", SF1)
+        assert out
+        for r in out:
+            assert 1 <= r.median_contrib <= r.max_contrib
+            assert r.laplace_b_micro == 2_000_000 * r.max_contrib
+            assert r.clipped_b_micro == 2_000_000 * r.median_contrib
+            assert 0 < r.clip_ratio_micro <= 1_000_000
+
+    def test_mcnemar_pairs(self, spark):
+        out = rows(spark, "quality_rules_mcnemar", SF1)
+        assert len(out) == 6
+        for r in out:
+            if r.b + r.c > 0:
+                assert r.mcnemar_micro == (
+                    (r.b - r.c) ** 2 * 1_000_000 // (r.b + r.c)
+                )
+            else:
+                assert r.mcnemar_micro is None
