@@ -76,6 +76,7 @@ _R07_NEW: list[str] = [
     "events_kruskal_wallis", "events_ljung_box",
     "embedding_silhouette_simplified", "privacy_user_sensitivity",
     "quality_rules_mcnemar",
+    "docs_simpson_diversity", "lineitem_simpson_reversal",
 ]
 
 # 4 — staleness tiers: latest driver row is CORRECTNESS_r0N.

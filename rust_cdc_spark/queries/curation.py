@@ -5275,3 +5275,74 @@ def quality_rules_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(b - c) * (b - c) * 1000000 div (b + c)"),
         ).cast("long").alias("mcnemar_micro"),
     )
+
+
+@register(
+    "docs_simpson_diversity",
+    # Simpson concentration / Gini–Simpson diversity of each source's
+    # token distribution — the no-logarithm diversity index: the
+    # probability two tokens drawn WITHOUT replacement coincide is
+    # EXACTLY Σ n_t(n_t−1) / (N(N−1)), a pure integer rational (the
+    # entropy family needs per-term ln quantization; this needs
+    # nothing). Products run in HUGEINT/DECIMAL(38).
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, lower(unnest({_WORDS_SQL})) AS token
+        FROM documents
+    ),
+    c AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CAST(n AS HUGEINT) * (n - 1)) * 1000000
+                // nullif(CAST(sum(n) AS HUGEINT)
+                          * (sum(n) - 1), 0) AS BIGINT)
+               AS simpson_micro,
+           CAST(1000000 - sum(CAST(n AS HUGEINT) * (n - 1)) * 1000000
+                // nullif(CAST(sum(n) AS HUGEINT)
+                          * (sum(n) - 1), 0) AS BIGINT)
+               AS gini_simpson_micro
+    FROM c GROUP BY source
+    """,
+)
+def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration index per source — the probability two
+    randomly drawn tokens are the SAME type — and its Gini–Simpson
+    complement (diversity). The lexical-diversity measure that, unlike
+    entropy (char_entropy_filter) or TTR (text_ttr_mattr), is an
+    EXACT integer rational: Σ n(n−1)/(N(N−1)) needs no logarithm and
+    no length correction, so it's the one you can compare across
+    engines and corpus sizes bit-for-bit. High concentration flags
+    template/boilerplate sources; high diversity flags
+    random-token noise — both curation signals.
+
+    Scale shape: one token explode → (source, token) hash agg
+    (map-side partials) → one source-keyed finishing agg in
+    DECIMAL(38)/HUGEINT. No windows, no joins, no floats."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "source",
+        F.explode(F.expr(f"transform({_WORDS_SPARK}, w -> lower(w))"))
+        .alias("token"),
+    )
+    c = tok.groupBy("source", "token").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.expr(
+            "cast(sum(cast(n as decimal(38,0)) * (n - 1)) * 1000000"
+            " div nullif(cast(sum(n) as decimal(38,0))"
+            "            * (sum(n) - 1), 0) as long)"
+        ).alias("simpson_micro"),
+        F.expr(
+            "cast(1000000 - sum(cast(n as decimal(38,0)) * (n - 1))"
+            " * 1000000"
+            " div nullif(cast(sum(n) as decimal(38,0))"
+            "            * (sum(n) - 1), 0) as long)"
+        ).alias("gini_simpson_micro"),
+    )

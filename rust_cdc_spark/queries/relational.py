@@ -3884,3 +3884,140 @@ def privacy_user_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div max(max_contrib)"
         ).cast("long").alias("clip_ratio_micro"),
     )
+
+
+@register(
+    "lineitem_simpson_reversal",
+    # Simpson's-paradox probe on the discount → quantity relationship:
+    # does the OVERALL covariance sign contradict the within-brand
+    # signs once line items are stratified by part brand? Covariance
+    # NUMERATORS n·Σxy − Σx·Σy are exact integers (discount in
+    # hundredths, quantity integral), so every sign is exact — the
+    # aggregation-reversal audit that tells an analyst a pooled trend
+    # is a mix artifact. DECIMAL(38)/HUGEINT against n² growth.
+    oracle="""
+    WITH li AS (
+        SELECT p.p_brand AS brand,
+               CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+               CAST(l.l_quantity AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    g AS (
+        SELECT brand,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM li GROUP BY brand
+    ),
+    signs AS (
+        SELECT brand, n,
+               CASE WHEN CAST(n AS HUGEINT) * sxy
+                         - CAST(sx AS HUGEINT) * sy > 0 THEN 1
+                    WHEN CAST(n AS HUGEINT) * sxy
+                         - CAST(sx AS HUGEINT) * sy < 0 THEN -1
+                    ELSE 0 END AS sgn
+        FROM g
+    ),
+    overall AS (
+        SELECT CASE WHEN CAST(sum(n) AS HUGEINT) * sum(sxy)
+                         - CAST(sum(sx) AS HUGEINT) * sum(sy) > 0 THEN 1
+                    WHEN CAST(sum(n) AS HUGEINT) * sum(sxy)
+                         - CAST(sum(sx) AS HUGEINT) * sum(sy) < 0 THEN -1
+                    ELSE 0 END AS overall_sign
+        FROM g
+    )
+    SELECT o.overall_sign,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN s.sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos_groups,
+           CAST(sum(CASE WHEN s.sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neg_groups,
+           CAST(sum(CASE WHEN s.sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_groups,
+           (o.overall_sign <> 0
+            AND sum(CASE WHEN s.sgn = -o.overall_sign
+                         THEN 1 ELSE 0 END)
+                > sum(CASE WHEN s.sgn = o.overall_sign
+                           THEN 1 ELSE 0 END)) AS reversal
+    FROM signs s CROSS JOIN overall o
+    GROUP BY o.overall_sign
+    """,
+)
+def lineitem_simpson_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit of the pooled discount→quantity trend:
+    compare the OVERALL covariance sign against the per-brand
+    covariance signs — if most strata trend opposite to the pool, the
+    pooled number is a composition artifact (brand mix), not a causal
+    signal, and any pricing decision made on it inverts reality. The
+    single most common aggregation trap in BI; this is the one-query
+    detector.
+
+    Exactness: discount quantizes to hundredths (its generator grid),
+    quantity is integral, so every covariance numerator
+    n·Σxy − Σx·Σy is an exact DECIMAL(38) integer and the SIGNS —
+    all this test needs — are exact, no variance division anywhere.
+
+    Scale shape: one lineitem⋈part equi-join (partkey-keyed; the
+    dimension side broadcasts at small SF, shuffles co-keyed at
+    scale), one brand-keyed moment agg, then sign math over the
+    |brands|-row frame (25 rows). No windows, no collect."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    j = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    g = j.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxy")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    )
+    signs = g.select(
+        "brand", "n",
+        F.when(num > 0, 1).when(num < 0, -1).otherwise(0).alias("sgn"),
+    )
+    overall = g.agg(
+        F.expr(
+            "CASE WHEN cast(sum(n) as decimal(38,0)) * sum(sxy)"
+            "          - cast(sum(sx) as decimal(38,0)) * sum(sy) > 0"
+            "     THEN 1"
+            "     WHEN cast(sum(n) as decimal(38,0)) * sum(sxy)"
+            "          - cast(sum(sx) as decimal(38,0)) * sum(sy) < 0"
+            "     THEN -1 ELSE 0 END"
+        ).alias("overall_sign")
+    )
+    return (
+        signs.crossJoin(F.broadcast(overall))
+        .groupBy("overall_sign")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+            .cast("long").alias("n_pos_groups"),
+            F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+            .cast("long").alias("n_neg_groups"),
+            F.sum(F.when(F.col("sgn") == 0, 1).otherwise(0))
+            .cast("long").alias("n_zero_groups"),
+            (
+                (F.max("overall_sign") != 0)
+                & (
+                    F.sum(
+                        F.when(
+                            F.col("sgn") == -F.col("overall_sign"), 1
+                        ).otherwise(0)
+                    )
+                    > F.sum(
+                        F.when(
+                            F.col("sgn") == F.col("overall_sign"), 1
+                        ).otherwise(0)
+                    )
+                )
+            ).alias("reversal"),
+        )
+    )

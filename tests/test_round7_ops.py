@@ -186,3 +186,21 @@ class TestRound7Batch3:
                 )
             else:
                 assert r.mcnemar_micro is None
+
+
+class TestSimpsonPair:
+    def test_simpson_complement(self, spark):
+        out = rows(spark, "docs_simpson_diversity", SF1)
+        assert out
+        for r in out:
+            assert 0 <= r.simpson_micro <= 1_000_000
+            assert r.simpson_micro + r.gini_simpson_micro == 1_000_000
+            assert r.vocab <= r.n_tokens
+
+    def test_reversal_partition(self, spark):
+        (r,) = rows(spark, "lineitem_simpson_reversal", SF1)
+        assert (
+            r.n_pos_groups + r.n_neg_groups + r.n_zero_groups == r.n_groups
+        )
+        assert r.overall_sign in (-1, 0, 1)
+        assert isinstance(r.reversal, bool)
