@@ -5181,11 +5181,13 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM daily GROUP BY event_type, x
         ) GROUP BY event_type
     )
-    SELECT p.event_type, t.n_days, p.s_stat, p.n_concordant,
-           p.n_discordant,
+    SELECT t.event_type, t.n_days,
+           CAST(coalesce(p.s_stat, 0) AS BIGINT) AS s_stat,
+           CAST(coalesce(p.n_concordant, 0) AS BIGINT) AS n_concordant,
+           CAST(coalesce(p.n_discordant, 0) AS BIGINT) AS n_discordant,
            CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
                 - t.tie_term AS BIGINT) AS var18
-    FROM pairs p JOIN ties t ON p.event_type = t.event_type
+    FROM ties t LEFT JOIN pairs p ON p.event_type = t.event_type
     """,
 )
 def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5246,8 +5248,19 @@ def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_groups")
     )
-    return pairs.join(ties, "event_type").select(
-        "event_type", "n_days", "s_stat", "n_concordant", "n_discordant",
+    # ties is the base and pairs joins LEFT: a type whose series has a
+    # single day has no (i < j) pair, but still belongs in the output
+    # with S = 0 (found by the hypothesis reference, which the
+    # inner-join formulation silently dropped — in BOTH engines, so
+    # the oracle agreed with the bug).
+    return ties.join(pairs, "event_type", "left").select(
+        "event_type", "n_days",
+        F.coalesce(F.col("s_stat"), F.lit(0)).cast("long")
+        .alias("s_stat"),
+        F.coalesce(F.col("n_concordant"), F.lit(0)).cast("long")
+        .alias("n_concordant"),
+        F.coalesce(F.col("n_discordant"), F.lit(0)).cast("long")
+        .alias("n_discordant"),
         (
             F.col("n_days") * (F.col("n_days") - 1)
             * (2 * F.col("n_days") + 5)

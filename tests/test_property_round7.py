@@ -1,0 +1,232 @@
+"""Property-based tests (hypothesis) for the round-7 statistics: each
+query runs end-to-end against a generated events fixture and must
+match an INDEPENDENT pure-Python reference — a third implementation
+next to the Spark plan and the DuckDB oracle, so a misconception
+shared by the two SQL dialects still gets caught.
+
+Fixtures are written as {tmp}/events.parquet so the registered query
+runs through its real load_table path.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter, defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rust_cdc_spark.operators.stats import cusum_daily_finish
+from rust_cdc_spark.queries import load_all
+
+REG = load_all()
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_TYPES = ["click", "purchase", "error", "view"]
+
+
+@st.composite
+def event_rows(draw):
+    n = draw(st.integers(min_value=4, max_value=50))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                draw(st.integers(min_value=1, max_value=6)),  # user_id
+                draw(st.sampled_from(_TYPES)),
+                # epoch seconds across up to ~9 days for multi-day series
+                draw(st.integers(min_value=0, max_value=800_000)),
+                # small integer-valued doubles => deliberate heavy ties
+                float(draw(st.integers(min_value=0, max_value=5))),
+            )
+        )
+    return rows
+
+
+def _write_events(spark, tmp_path, rows) -> str:
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, sec long, value double"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_seconds("sec").alias("ts"), "value",
+        F.lit("{}").alias("props"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    return sf
+
+
+def _rank2(values):
+    """value -> doubled tie-averaged rank (2*cnt_less + cnt_eq + 1)."""
+    cnt = Counter(values)
+    out, less = {}, 0
+    for v in sorted(cnt):
+        out[v] = 2 * less + cnt[v] + 1
+        less += cnt[v]
+    return out
+
+
+@_SETTINGS
+@given(rows=event_rows())
+def test_mannwhitney_matches_python(spark, tmp_path_factory, rows):
+    sf = _write_events(
+        spark, tmp_path_factory.mktemp("mw"), rows
+    )
+    got = REG["events_value_mannwhitney"].spark_fn(spark, sf).collect()
+    sample = [
+        (t, v) for (_, _, t, _, v) in rows if t in ("click", "purchase")
+    ]
+    if not sample:
+        assert got == []
+        return
+    r2 = _rank2([v for _, v in sample])
+    n1 = sum(1 for t, _ in sample if t == "click")
+    n2 = len(sample) - n1
+    r1x2 = sum(r2[v] for t, v in sample if t == "click")
+    cnt = Counter(v for _, v in sample)
+    (r,) = got
+    assert (r.n1, r.n2) == (n1, n2)
+    assert r.r1_x2 == r1x2
+    assert r.u1_x2 == r1x2 - n1 * (n1 + 1)
+    assert r.u2_x2 == 2 * n1 * n2 - r.u1_x2
+    assert r.tie_cubes == sum(c**3 - c for c in cnt.values())
+
+
+@_SETTINGS
+@given(rows=event_rows())
+def test_kruskal_wallis_matches_python(spark, tmp_path_factory, rows):
+    sf = _write_events(
+        spark, tmp_path_factory.mktemp("kw"), rows
+    )
+    got = REG["events_kruskal_wallis"].spark_fn(spark, sf).collect()
+    vals = [(t, v) for (_, _, t, _, v) in rows]
+    r2 = _rank2([v for _, v in vals])
+    n = len(vals)
+    groups = defaultdict(list)
+    for t, v in vals:
+        groups[t].append(v)
+    st_sum = 0
+    for g, vs in groups.items():
+        ni = len(vs)
+        d = sum(r2[v] for v in vs) - ni * (n + 1)
+        st_sum += (2 * d * d + ni) // (2 * ni)
+    h_micro = (3 * 1_000_000 * st_sum) // (n * (n + 1))
+    cnt = Counter(v for _, v in vals)
+    (r,) = got
+    assert r.n_values == n
+    assert r.n_groups == len(groups)
+    assert r.h_micro == h_micro
+    assert r.tie_cubes == sum(c**3 - c for c in cnt.values())
+
+
+@_SETTINGS
+@given(rows=event_rows())
+def test_mann_kendall_matches_python(spark, tmp_path_factory, rows):
+    sf = _write_events(
+        spark, tmp_path_factory.mktemp("mk"), rows
+    )
+    got = {
+        r.event_type: r
+        for r in REG["events_mann_kendall_trend"].spark_fn(spark, sf)
+        .collect()
+    }
+    daily = Counter((t, sec // 86400) for (_, _, t, sec, _) in rows)
+    by_type = defaultdict(dict)
+    for (t, d), x in daily.items():
+        by_type[t][d] = x
+    for t, series in by_type.items():
+        xs = [series[d] for d in sorted(series)]
+        nc = sum(
+            1
+            for i in range(len(xs))
+            for j in range(i + 1, len(xs))
+            if xs[j] > xs[i]
+        )
+        nd = sum(
+            1
+            for i in range(len(xs))
+            for j in range(i + 1, len(xs))
+            if xs[j] < xs[i]
+        )
+        nn = len(xs)
+        ties = Counter(xs)
+        var18 = nn * (nn - 1) * (2 * nn + 5) - sum(
+            c * (c - 1) * (2 * c + 5) for c in ties.values()
+        )
+        r = got[t]
+        assert (r.n_days, r.s_stat) == (nn, nc - nd)
+        assert (r.n_concordant, r.n_discordant) == (nc, nd)
+        assert r.var18 == var18
+
+
+@_SETTINGS
+@given(rows=event_rows())
+def test_survival_km_matches_python(spark, tmp_path_factory, rows):
+    sf = _write_events(
+        spark, tmp_path_factory.mktemp("km"), rows
+    )
+    got = sorted(
+        (r.days_to_failure, r.n_risk, r.n_failures, r.n_censored,
+         r.surv_micro)
+        for r in REG["events_survival_km"].spark_fn(spark, sf).collect()
+    )
+    users = defaultdict(list)
+    for (_, u, t, sec, _) in rows:
+        users[u].append((t, sec // 86400))
+    obs = []
+    for u, evs in users.items():
+        first_d = min(d for _, d in evs)
+        last_d = max(d for _, d in evs)
+        errs = [d for t, d in evs if t == "error"]
+        if errs:
+            obs.append((min(errs) - first_d, 1))
+        else:
+            obs.append((last_d - first_d, 0))
+    hist = defaultdict(lambda: [0, 0])
+    for t, died in obs:
+        hist[t][0] += died
+        hist[t][1] += 1 - died
+    days = sorted(hist)
+    want, s, remaining = [], 1_000_000, len(obs)
+    for t in days:
+        d, c = hist[t]
+        n_risk = remaining
+        s = (s * (n_risk - d)) // n_risk
+        want.append((t, n_risk, d, c, s))
+        remaining -= d + c
+    assert got == sorted(want)
+
+
+@_SETTINGS
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40)
+)
+def test_cusum_finish_matches_sequential_recurrence(spark, xs):
+    """The closed form P_t − min(0, min P) inside cusum_daily_finish
+    must equal the textbook sequential recurrence s_t = max(0,
+    s_{t−1} + x_t − k) — including alarm count and first alarm day."""
+    daily = spark.createDataFrame(
+        [("a", i, x) for i, x in enumerate(xs)], "event_type string, d int, n long"
+    )
+    (r,) = cusum_daily_finish(daily).collect()
+    k = sum(xs) // len(xs)
+    s, smax, alarms, first = 0, 0, 0, 0
+    for i, x in enumerate(xs, start=1):
+        s = max(0, s + x - k)
+        smax = max(smax, s)
+        if s > 2 * k:
+            alarms += 1
+            if first == 0:
+                first = i
+    assert (r.n_days, r.target_daily) == (len(xs), k)
+    assert (r.max_cusum, r.n_alarm_days, r.first_alarm_day) == (
+        smax, alarms, first,
+    )
