@@ -3626,8 +3626,8 @@ def part_brand_switch_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((d.n_pri - 1) * (d.n_st - 1) AS BIGINT) AS dof,
            CAST(sum(c.cell_micro) AS BIGINT) AS chi2_micro,
            CAST(sum(c.cell_micro)
-                // (CAST(n.n AS HUGEINT)
-                    * least(d.n_pri - 1, d.n_st - 1)) AS BIGINT)
+                // nullif(CAST(n.n AS HUGEINT)
+                          * least(d.n_pri - 1, d.n_st - 1), 0) AS BIGINT)
                AS cramers_v2_micro
     FROM contrib c CROSS JOIN n CROSS JOIN dims d
     GROUP BY n.n, d.n_pri, d.n_st
@@ -3693,8 +3693,8 @@ def orders_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("dof"),
             F.col("chi2d").cast("long").alias("chi2_micro"),
             F.expr(
-                "cast(chi2d div (cast(n as decimal(38,0))"
-                " * least(n_pri - 1, n_st - 1)) as long)"
+                "cast(chi2d div nullif(cast(n as decimal(38,0))"
+                " * least(n_pri - 1, n_st - 1), 0) as long)"
             ).alias("cramers_v2_micro"),
         )
     )
