@@ -196,3 +196,103 @@ def test_theil_matches_python(spark, tmp_path_factory, rows):
     # the truncating form for possibly-negative rounding residue
     q = abs(terms) // n * (1 if terms >= 0 else -1)
     assert r.theil_micro == q
+
+
+_STOPS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+
+def _quality(text: str) -> float:
+    """Pure-Python twin of functions/text.py::quality_score, including
+    Spark's ROUND_HALF_UP-on-decimal-expansion semantics."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    toks = text.strip().split(" ")
+    tc = len(toks)
+    sat = min(tc / 64.0, 1.0)
+    sw = sum(1 for t in toks if t.lower() in _STOPS) / tc
+    atl = sum(len(t) for t in toks) / tc
+    len_ok = 1.0 if 2.0 <= atl <= 12.0 else 0.0
+    raw = 0.4 * sat + 0.4 * min(sw * 4.0, 1.0) + 0.2 * len_ok
+    return float(
+        Decimal(raw).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
+
+
+@_SETTINGS
+@given(rows=document_rows())
+def test_spearman_matches_python(spark, tmp_path_factory, rows):
+    sf = _write_documents(spark, tmp_path_factory.mktemp("sp"), rows)
+    got = {
+        r.source: r
+        for r in REG["quality_spearman_by_source"].spark_fn(spark, sf)
+        .collect()
+    }
+    per_source = defaultdict(list)
+    for (_, text, _, source, n_chars) in rows:
+        per_source[source].append((_quality(text), n_chars))
+    for s, pts in per_source.items():
+        rq = _rank2_map([q for q, _ in pts])
+        rl = _rank2_map([ln for _, ln in pts])
+        xs = [rq[q] for q, _ in pts]
+        ys = [rl[ln] for _, ln in pts]
+        n = len(pts)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+        r = got[s]
+        assert r.n_docs == n
+        if d1 == 0 or d2 == 0:
+            assert r.spearman_micro is None
+        else:
+            want = _round_half_away(
+                1e6 * float(n * sxy - sx * sy)
+                / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+            )
+            assert r.spearman_micro == want
+
+
+def _rank2_map(values):
+    lt, cnt = 0, Counter(values)
+    out = {}
+    for v in sorted(cnt):
+        out[v] = 2 * lt + cnt[v] + 1
+        lt += cnt[v]
+    return out
+
+
+@_SETTINGS
+@given(rows=document_rows())
+def test_jsd_matches_python(spark, tmp_path_factory, rows):
+    sf = _write_documents(spark, tmp_path_factory.mktemp("jsd"), rows)
+    got = {
+        r.source: r
+        for r in REG["docs_js_divergence_sources"].spark_fn(spark, sf)
+        .collect()
+    }
+    per_source, global_cnt = defaultdict(Counter), Counter()
+    for (_, text, _, source, _) in rows:
+        ws = [w.lower() for w in text.strip().split(" ")]
+        per_source[source].update(ws)
+        global_cnt.update(ws)
+    t_all = sum(global_cnt.values())
+    for s, cnt in per_source.items():
+        ts = sum(cnt.values())
+        jsd = 0
+        present = 0
+        for tok, gt in global_cnt.items():
+            n = cnt.get(tok, 0)
+            q = gt / t_all
+            if n == 0:
+                cell = 0.5 * q * math.log(2.0)
+            else:
+                present += 1
+                p = n / ts
+                cell = 0.5 * p * math.log(2.0 * p / (p + q)) + 0.5 * q * (
+                    math.log(2.0 * q / (p + q))
+                )
+            jsd += _round_half_away(1e6 * cell)
+        r = got[s]
+        assert (r.n_tokens, r.vocab_present) == (ts, present)
+        assert r.jsd_micro == jsd
