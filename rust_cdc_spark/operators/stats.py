@@ -95,3 +95,47 @@ def cusum_daily_finish(daily: DataFrame) -> DataFrame:
             F.min(F.when(alarm, F.col("t"))), F.lit(0)
         ).cast("long").alias("first_alarm_day"),
     )
+
+
+def binseg_daily_finish(daily: DataFrame) -> DataFrame:
+    """Single change-point by binary segmentation over a per-key daily
+    count table ``(event_type, d, x)`` — the shared finishing plan of
+    the batch ``events_changepoint_binseg`` query and its streaming
+    twin (``streaming/analytics.py``): exact BIGINT prefix sums, gain
+    S_L²/n_L + S_R²/n_R − S²/n from three divisions of exact ints,
+    argmax tie-broken on the earliest split. Input is calendar-bounded
+    (days × types), so re-running per microbatch is cheap."""
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("d")
+    pre = daily.select(
+        "event_type",
+        "d",
+        F.row_number().over(wo).alias("t"),
+        F.sum("x").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("sk"),
+        F.sum("x").over(wp).alias("s"),
+        F.count("*").over(wp).alias("n"),
+    )
+    gains = pre.filter(F.col("t") < F.col("n")).withColumn(
+        "gain",
+        F.col("sk").cast("double") * F.col("sk") / F.col("t")
+        + (F.col("s") - F.col("sk")).cast("double")
+        * (F.col("s") - F.col("sk"))
+        / (F.col("n") - F.col("t"))
+        - F.col("s").cast("double") * F.col("s") / F.col("n"),
+    )
+    best = gains.withColumn(
+        "rk", F.row_number().over(wp.orderBy(F.col("gain").desc(), "t"))
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("t").cast("long").alias("split_index"),
+        F.col("d").cast("long").alias("split_epoch_day"),
+        F.expr("sk * 1000 div t").alias("mean_left_milli"),
+        F.expr("(s - sk) * 1000 div (n - t)").alias("mean_right_milli"),
+        F.round("gain", 6).alias("gain"),
+    )

@@ -2589,44 +2589,18 @@ def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, no fold, no driver loop). At 100 TB the series is still
     |days| rows per type; recursing to multiple change points repeats
     the same bounded computation per segment."""
+    from rust_cdc_spark.operators.stats import binseg_daily_finish
+
     utc(spark)
     ev = load_table(spark, "events", sf_dir)
     daily = ev.groupBy(
         "event_type",
         F.expr("floor(unix_timestamp(ts)) div 86400").alias("d"),
     ).agg(F.count("*").cast("long").alias("x"))
-    wp = Window.partitionBy("event_type")
-    wo = wp.orderBy("d")
-    pre = daily.select(
-        "event_type",
-        "d",
-        F.row_number().over(wo).alias("t"),
-        F.sum("x").over(
-            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("sk"),
-        F.sum("x").over(wp).alias("s"),
-        F.count("*").over(wp).alias("n"),
-    )
-    gains = pre.filter(F.col("t") < F.col("n")).withColumn(
-        "gain",
-        F.col("sk").cast("double") * F.col("sk") / F.col("t")
-        + (F.col("s") - F.col("sk")).cast("double")
-        * (F.col("s") - F.col("sk"))
-        / (F.col("n") - F.col("t"))
-        - F.col("s").cast("double") * F.col("s") / F.col("n"),
-    )
-    best = gains.withColumn(
-        "rk", F.row_number().over(wp.orderBy(F.col("gain").desc(), "t"))
-    ).filter(F.col("rk") == 1)
-    return best.select(
-        "event_type",
-        F.col("n").cast("long").alias("n_days"),
-        F.col("t").cast("long").alias("split_index"),
-        F.col("d").cast("long").alias("split_epoch_day"),
-        F.expr("sk * 1000 div t").alias("mean_left_milli"),
-        F.expr("(s - sk) * 1000 div (n - t)").alias("mean_right_milli"),
-        F.round("gain", 6).alias("gain"),
-    )
+    # Finishing plan shared with the streaming twin
+    # (streaming/analytics.py): exact prefix sums + gain argmax over
+    # the calendar-bounded daily table.
+    return binseg_daily_finish(daily)
 
 
 _ATTR_ITERS = 5

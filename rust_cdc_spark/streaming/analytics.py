@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from rust_cdc_spark.operators.stats import cusum_daily_finish
+from rust_cdc_spark.operators.stats import (
+    binseg_daily_finish,
+    cusum_daily_finish,
+)
 
 
 def daily_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
@@ -68,6 +71,39 @@ def cusum_drift_stream(
             F.col("n"),
         )
         emit(cusum_daily_finish(d), epoch_id)
+
+    writer = (
+        daily.writeStream.outputMode("complete").foreachBatch(_finish)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def changepoint_stream(
+    events: DataFrame,
+    emit: Callable[[DataFrame, int], None],
+    watermark: str = "1 day",
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Streaming twin of events_changepoint_binseg: the same
+    incrementally-maintained daily rollup as cusum_drift_stream, with
+    the shared binseg finisher re-deriving the best split per
+    microbatch. Complete output mode, so the final emission equals
+    the batch query — a live "the level shifted on day X" monitor
+    whose verdict sharpens as data arrives."""
+    daily = daily_counts_stream(events, watermark)
+
+    def _finish(batch_df: DataFrame, epoch_id: int) -> None:
+        d = batch_df.select(
+            "event_type",
+            # epoch-day key, matching the batch query's
+            # floor(unix_timestamp)/86400 convention
+            (F.unix_timestamp(F.col("w.start")) / 86400)
+            .cast("long").alias("d"),
+            F.col("n").alias("x"),
+        )
+        emit(binseg_daily_finish(d), epoch_id)
 
     writer = (
         daily.writeStream.outputMode("complete").foreachBatch(_finish)

@@ -523,3 +523,30 @@ def test_cusum_stream_converges_to_batch(spark, events_stream_dir):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_binseg_stream_converges_to_batch(spark, events_stream_dir):
+    """Streaming changepoint twin: same fixture, shared finisher —
+    final emission equals the batch events_changepoint_binseg."""
+    from rust_cdc_spark.queries import load_all
+    from rust_cdc_spark.streaming.analytics import changepoint_stream
+
+    last = {}
+
+    def emit(df, epoch_id):
+        last["rows"] = df.collect()
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = changepoint_stream(stream, emit)
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(tuple(r) for r in last["rows"])
+    want = sorted(
+        tuple(r)
+        for r in load_all()["events_changepoint_binseg"]
+        .spark_fn(spark, SF_SMOKE)
+        .collect()
+    )
+    assert got == want and len(got) > 0
