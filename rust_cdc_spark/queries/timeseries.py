@@ -5722,3 +5722,154 @@ def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).cast("long").alias("q_micro"),
     )
+
+
+# ── Round 7: Poisson bootstrap (the web-scale resampling method) ─────
+_BOOT_B = 32  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds in micro units (floor(1e6·CDF(k))):
+# a hash-uniform u in [0, 1e6) maps to the weight k whose threshold
+# first exceeds u — identical CASE ladder in both engines.
+_POIS_CDF = (367879, 735758, 919698, 981011, 996340, 999405, 999916,
+             999989, 999998)
+
+
+def _pois_case(u: str, dialect: str) -> str:
+    """CASE ladder mapping a micro-uniform to a Poisson(1) draw."""
+    branches = "".join(
+        f" WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"(CASE{branches} ELSE 9 END)"
+
+
+@register(
+    "events_poisson_bootstrap_ci",
+    # Poisson bootstrap of each type's mean daily volume: replicate b
+    # reweights day d by w ~ Poisson(1), drawn DETERMINISTICALLY from
+    # md5(type|b|day) → micro-uniform → inverse-CDF ladder (the
+    # md5-replay discipline every trainer here uses). Replicate means
+    # are floored milli-units (exact integers), so the bootstrap SE's
+    # variance numerator B·Σm²−(Σm)² is exact and the one sqrt runs
+    # on identical integers in both engines. This is the resampling
+    # method that actually works on distributed data — per-row
+    # independent weights, no global permutation (Kleiner et al.;
+    # the standard web-scale bootstrap).
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT daily.event_type, daily.d, daily.x, b.b,
+               {_pois_case(
+                   "CAST(('0x' || substr(md5(daily.event_type || '|' ||"
+                   " b.b || '|' || daily.d), 1, 12)) AS BIGINT)"
+                   " % 1000000", "duckdb")} AS wt
+        FROM daily CROSS JOIN generate_series(1, {_BOOT_B}) AS b(b)
+    ),
+    means AS (
+        SELECT event_type, b,
+               CAST(sum(wt * x) * 1000 // nullif(sum(wt), 0) AS BIGINT)
+                   AS m_milli
+        FROM w GROUP BY event_type, b
+        HAVING sum(wt) > 0
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_reps,
+               CAST(sum(m_milli) AS BIGINT) AS sm,
+               CAST(sum(CAST(m_milli AS HUGEINT) * m_milli) AS HUGEINT)
+                   AS smm,
+               CAST(min(m_milli) AS BIGINT) AS boot_min_milli,
+               CAST(max(m_milli) AS BIGINT) AS boot_max_milli
+        FROM means GROUP BY event_type
+    )
+    SELECT event_type, n_reps,
+           CAST(sm // n_reps AS BIGINT) AS boot_mean_milli,
+           boot_min_milli, boot_max_milli,
+           CAST(round(sqrt(CAST(n_reps * smm
+                    - CAST(sm AS HUGEINT) * sm AS DOUBLE)
+                    / (CAST(n_reps AS DOUBLE) * (n_reps - 1))))
+                AS BIGINT) AS boot_se_milli
+    FROM agg WHERE n_reps > 1
+    """,
+)
+def events_poisson_bootstrap_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Poisson-bootstrap standard error of each event type's mean
+    daily volume — the uncertainty bar every point estimate in this
+    registry lacks. The classical bootstrap needs a global resample
+    (a shuffle per replicate, dead at scale); the Poisson bootstrap
+    reweights each observation independently with w ~ Poisson(1), so
+    ALL {b} replicates ride ONE pass over the daily table as a
+    broadcast-replicate cross join — the method large-scale A/B
+    platforms actually use. Weights are md5-derived (type|replicate|
+    day → micro-uniform → inverse-CDF ladder), so both engines draw
+    the identical pseudo-randomness and the result is replayable, the
+    same discipline as the k-means/BPE trainers. Replicate means
+    floor to exact milli-integers; the SE's variance numerator is
+    exact DECIMAL(38)/HUGEINT with one final sqrt on identical
+    values; min/max replicate means bound the CI.
+
+    Scale shape: the corpus-scale agg is the daily rollup; the
+    replicate expansion multiplies the CALENDAR-bounded daily table
+    by {b} (a few thousand rows regardless of corpus size), then one
+    (type, replicate) agg and one type agg. No global permutation,
+    no shuffle per replicate, no collect.""".replace("{b}", str(_BOOT_B))
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("floor(unix_timestamp(ts)) div 86400").alias("d"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    reps = spark.range(1, _BOOT_B + 1).select(
+        F.col("id").cast("int").alias("b")
+    )
+    u = (
+        "conv(substr(md5(concat(event_type, '|', b, '|', d)), 1, 12),"
+        " 16, 10) % 1000000"
+    )
+    w = daily.crossJoin(F.broadcast(reps)).select(
+        "event_type", "b", "x",
+        F.expr(_pois_case(f"CAST({u} AS BIGINT)", "spark")).alias("wt"),
+    )
+    means = (
+        w.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("wt") * F.col("x")).cast("long").alias("swx"),
+            F.sum("wt").cast("long").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            F.expr("swx * 1000 div sw").cast("long").alias("m_milli"),
+        )
+    )
+    agg = means.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_reps"),
+        F.sum("m_milli").cast("long").alias("sm"),
+        F.sum(
+            F.col("m_milli").cast("decimal(38,0)") * F.col("m_milli")
+        ).alias("smm"),
+        F.min("m_milli").cast("long").alias("boot_min_milli"),
+        F.max("m_milli").cast("long").alias("boot_max_milli"),
+    )
+    return agg.filter(F.col("n_reps") > 1).select(
+        "event_type", "n_reps",
+        F.expr("sm div n_reps").cast("long").alias("boot_mean_milli"),
+        "boot_min_milli", "boot_max_milli",
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "cast(n_reps * smm - cast(sm as decimal(38,0)) * sm"
+                    " as double)"
+                )
+                / (
+                    F.col("n_reps").cast("double")
+                    * (F.col("n_reps") - 1)
+                )
+            )
+        ).cast("long").alias("boot_se_milli"),
+    )

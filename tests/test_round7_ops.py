@@ -204,3 +204,39 @@ class TestSimpsonPair:
         )
         assert r.overall_sign in (-1, 0, 1)
         assert isinstance(r.reversal, bool)
+
+
+class TestPoissonBootstrap:
+    def test_bootstrap_brackets_point_estimate(self, spark):
+        """min ≤ mean ≤ max of replicate means; SE ≥ 0; and the
+        replicate weights average ≈ 1 so the bootstrap mean sits near
+        the plain mean of the daily series."""
+        from collections import defaultdict
+
+        from rust_cdc_spark.sources.tables import load_table
+        from pyspark.sql import functions as F
+
+        out = rows(spark, "events_poisson_bootstrap_ci", SF1)
+        assert out
+        daily = (
+            load_table(spark, "events", SF1)
+            .groupBy(
+                "event_type",
+                F.expr("floor(unix_timestamp(ts)) div 86400").alias("d"),
+            )
+            .count()
+            .groupBy("event_type")
+            .agg(
+                (F.sum("count") * 1000 / F.count("*")).alias("mean_milli")
+            )
+            .collect()
+        )
+        plain = {r.event_type: r.mean_milli for r in daily}
+        for r in out:
+            assert r.boot_min_milli <= r.boot_mean_milli <= r.boot_max_milli
+            assert r.boot_se_milli >= 0
+            assert r.n_reps == 32
+            # bootstrap mean within the replicate envelope of the
+            # plain mean (weights are mean-1)
+            assert r.boot_min_milli <= plain[r.event_type] * 1.05
+            assert r.boot_max_milli >= plain[r.event_type] * 0.95
