@@ -77,8 +77,9 @@ _R07_NEW: list[str] = [
     "embedding_silhouette_simplified", "privacy_user_sensitivity",
     "quality_rules_mcnemar",
     "docs_simpson_diversity", "lineitem_simpson_reversal",
-    # spills one past the 50-slot window; first in line for round 8
+    # these spill past the 50-slot window; first in line for round 8
     "events_poisson_bootstrap_ci",
+    "dedup_sorted_neighborhood_pairs",
 ]
 
 # 4 — staleness tiers: latest driver row is CORRECTNESS_r0N.

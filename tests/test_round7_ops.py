@@ -240,3 +240,26 @@ class TestPoissonBootstrap:
             # plain mean (weights are mean-1)
             assert r.boot_min_milli <= plain[r.event_type] * 1.05
             assert r.boot_max_milli >= plain[r.event_type] * 0.95
+
+
+class TestSortedNeighborhood:
+    def test_pairs_oriented_and_thresholded(self, spark):
+        out = rows(spark, "dedup_sorted_neighborhood_pairs", SF1)
+        for r in out:
+            assert r.src != r.dst
+            assert 500_000 <= r.jaccard_micro <= 1_000_000
+
+    def test_snm_is_subset_of_exact_jaccard_pairs(self, spark):
+        """Every SNM-verified pair must also appear in the exhaustive
+        Jaccard pair query at the same threshold — SNM trades recall
+        for linear candidates, never precision."""
+        snm = {
+            (r.src, r.dst)
+            for r in rows(spark, "dedup_sorted_neighborhood_pairs", SF1)
+        }
+        full = {
+            (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+            for r in rows(spark, "dedup_ngram_jaccard_pairs", SF1)
+        }
+        oriented = {(min(a, b), max(a, b)) for a, b in snm}
+        assert oriented <= full
