@@ -230,3 +230,132 @@ def test_cusum_finish_matches_sequential_recurrence(spark, xs):
     assert (r.max_cusum, r.n_alarm_days, r.first_alarm_day) == (
         smax, alarms, first,
     )
+
+
+@_SETTINGS
+@given(rows=event_rows())
+def test_runs_test_matches_python(spark, tmp_path_factory, rows):
+    sf = _write_events(spark, tmp_path_factory.mktemp("runs"), rows)
+    got = {
+        r.event_type: r
+        for r in REG["events_runs_test"].spark_fn(spark, sf).collect()
+    }
+    daily = Counter((t, sec // 86400) for (_, _, t, sec, _) in rows)
+    by_type = defaultdict(dict)
+    for (t, d), x in daily.items():
+        by_type[t][d] = x
+    for t, series in by_type.items():
+        xs = [series[d] for d in sorted(series)]
+        k = sum(xs) // len(xs)
+        ups = [1 if x > k else 0 for x in xs]
+        runs = 1 + sum(1 for a, b in zip(ups, ups[1:]) if a != b)
+        r = got[t]
+        assert r.n_days == len(xs)
+        assert r.n_plus == sum(ups)
+        assert r.n_minus == len(xs) - sum(ups)
+        assert r.n_runs == runs
+
+
+@_SETTINGS
+@given(rows=event_rows())
+def test_dp_sensitivity_matches_python(spark, tmp_path_factory, rows):
+    sf = _write_events(spark, tmp_path_factory.mktemp("dp"), rows)
+    got = {
+        r.event_type: r
+        for r in REG["privacy_user_sensitivity"].spark_fn(spark, sf)
+        .collect()
+    }
+    contrib = Counter((t, u) for (_, u, t, _, _) in rows)
+    by_type = defaultdict(list)
+    for (t, _), c in contrib.items():
+        by_type[t].append(c)
+    for t, cs in by_type.items():
+        cs.sort()
+        n = len(cs)
+        # lower median: min c where 2*(cumulative users at or below c)
+        # >= n — computed off the contribution histogram like the query
+        cum, med = 0, None
+        for c in sorted(set(cs)):
+            cum += sum(1 for x in cs if x == c)
+            if 2 * cum >= n:
+                med = c
+                break
+        r = got[t]
+        assert (r.n_users, r.max_contrib, r.median_contrib) == (
+            n, max(cs), med,
+        )
+        assert r.clip_ratio_micro == med * 1_000_000 // max(cs)
+
+
+@st.composite
+def embedding_rows(draw):
+    n = draw(st.integers(min_value=2, max_value=24))
+    dim = 4
+    return [
+        (
+            i,
+            [
+                float(draw(st.integers(min_value=-4, max_value=4)))
+                for _ in range(dim)
+            ],
+            0,
+        )
+        for i in range(n)
+    ]
+
+
+@_SETTINGS
+@given(rows=embedding_rows())
+def test_silhouette_matches_python(spark, tmp_path_factory, rows):
+    """Pure-Python reference including the SEQUENTIAL L2 fold (sum in
+    array order, then sqrt) — validates the determinism assumption
+    the engine-parity argument rests on."""
+    import math as m
+
+    sf = str(tmp_path_factory.mktemp("sil"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+    got = {
+        r.cid: r
+        for r in REG["embedding_silhouette_simplified"].spark_fn(spark, sf)
+        .collect()
+    }
+    k = 8
+    # float32 storage: distances must be computed from the float32
+    # values, exactly as both engines read them back
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    vecs = {i: [f32(x) for x in v] for i, v, _ in rows}
+    cents = {i: v for i, v in vecs.items() if i < k}
+
+    def l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return m.sqrt(acc)
+
+    per_cluster = defaultdict(list)
+    for i, v in vecs.items():
+        ds = sorted((l2(v, cv), cid) for cid, cv in cents.items())
+        (a, cid), b = ds[0], (ds[1][0] if len(ds) > 1 else None)
+        if b is None or max(a, b) == 0:
+            s = 0
+        else:
+            s = int(m.floor(abs(1e6 * (b - a) / max(a, b)) + 0.5)) * (
+                1 if b >= a else -1
+            )
+        per_cluster[cid].append(s)
+    assert set(got) == set(per_cluster)
+    for cid, ss in per_cluster.items():
+        r = got[cid]
+        assert r.n_points == len(ss)
+        assert r.n_boundary == sum(1 for s in ss if s < 0)
+        total = sum(ss)
+        q = abs(total) // len(ss) * (1 if total >= 0 else -1)
+        assert r.mean_silhouette_micro == q
