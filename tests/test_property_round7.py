@@ -359,3 +359,95 @@ def test_silhouette_matches_python(spark, tmp_path_factory, rows):
         total = sum(ss)
         q = abs(total) // len(ss) * (1 if total >= 0 else -1)
         assert r.mean_silhouette_micro == q
+
+
+@_SETTINGS
+@given(rows=event_rows())
+def test_binseg_matches_python(spark, tmp_path_factory, rows):
+    """Gain argmax + earliest-split tie-break, per type, against a
+    direct Python evaluation of S_L²/n_L + S_R²/n_R − S²/n."""
+    sf = _write_events(spark, tmp_path_factory.mktemp("bs"), rows)
+    got = {
+        r.event_type: r
+        for r in REG["events_changepoint_binseg"].spark_fn(spark, sf)
+        .collect()
+    }
+    daily = Counter((t, sec // 86400) for (_, _, t, sec, _) in rows)
+    by_type = defaultdict(dict)
+    for (t, d), x in daily.items():
+        by_type[t][d] = x
+    for t, series in by_type.items():
+        ds = sorted(series)
+        xs = [series[d] for d in ds]
+        n, s = len(xs), sum(xs)
+        if n < 2:
+            assert t not in got
+            continue
+        best = None
+        sk = 0
+        for k in range(1, n):
+            sk += xs[k - 1]
+            gain = (
+                float(sk) * sk / k
+                + float(s - sk) * (s - sk) / (n - k)
+                - float(s) * s / n
+            )
+            if best is None or gain > best[0]:
+                best = (gain, k, ds[k - 1], sk)
+        gain, k, d, sk = best
+        r = got[t]
+        assert (r.n_days, r.split_index, r.split_epoch_day) == (n, k, d)
+        assert r.mean_left_milli == sk * 1000 // k
+        assert r.mean_right_milli == (s - sk) * 1000 // (n - k)
+
+
+@_SETTINGS
+@given(rows=event_rows())
+def test_poisson_bootstrap_matches_python(spark, tmp_path_factory, rows):
+    """Replays the md5 → micro-uniform → inverse-CDF weight draw and
+    the replicate means in pure Python — validating the cross-engine
+    pseudo-randomness contract itself (conv(hex,16,10) in Spark,
+    '0x'||hex cast in DuckDB, hashlib here)."""
+    import hashlib
+
+    from rust_cdc_spark.queries.timeseries import _BOOT_B, _POIS_CDF
+
+    sf = _write_events(spark, tmp_path_factory.mktemp("boot"), rows)
+    got = {
+        r.event_type: r
+        for r in REG["events_poisson_bootstrap_ci"].spark_fn(spark, sf)
+        .collect()
+    }
+    daily = Counter((t, sec // 86400) for (_, _, t, sec, _) in rows)
+    by_type = defaultdict(dict)
+    for (t, d), x in daily.items():
+        by_type[t][d] = x
+
+    def pois(t, b, d):
+        u = (
+            int(
+                hashlib.md5(f"{t}|{b}|{d}".encode()).hexdigest()[:12], 16
+            )
+            % 1_000_000
+        )
+        for k, thr in enumerate(_POIS_CDF):
+            if u < thr:
+                return k
+        return 9
+
+    for t, series in by_type.items():
+        means = []
+        for b in range(1, _BOOT_B + 1):
+            swx = sum(pois(t, b, d) * x for d, x in series.items())
+            sw = sum(pois(t, b, d) for d in series)
+            if sw > 0:
+                means.append(swx * 1000 // sw)
+        if len(means) <= 1:
+            assert t not in got
+            continue
+        r = got[t]
+        assert r.n_reps == len(means)
+        assert r.boot_mean_milli == sum(means) // len(means)
+        assert (r.boot_min_milli, r.boot_max_milli) == (
+            min(means), max(means),
+        )
