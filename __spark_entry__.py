@@ -27,59 +27,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["cdc_merge_upsert"].spark_fn(spark, "/root/testdata/sf0.001")
 
 
-# Round-7 priority order (the driver checks 50 names per round, in
-# this order), built per VERDICT r6 #1/#2/#3: (1) the round-6 red row
-# (events_survival_km), re-implemented this round as an EXACT integer
-# KM recurrence (zero floats — the r06 hash-red was a lone
-# round(1e6*ln(...)) quantization the driver's DuckDB build evaluated
-# differently); (2) the 31 round-6 names that spilled past the r6
-# 50-slot window — the r6 judge swept all 31 green at sf0.01, but the
-# driver ledger has no row for them yet; (3) names added or changed in
-# round 7; (4) staleness tiers, oldest driver row first (r01 tier
-# never actually got window time in round 6 — the 80 new r6 names
-# consumed the window — so those 41 names are 6 rounds stale and go
-# first). Everything below is green under tools/check_correctness.py
-# at sf0.01 AND the sf0.001 degenerate sweep (standard + vanilla-TZ
-# sessions) and the 0-row fixture sweep.
-_R07_PRIORITY = [
-    # 1 — the round-6 red row, now engine-exact (integer product
-    # recurrence s <- s*(n-d) div n folded over the day histogram)
-    "events_survival_km",
-    # 2 — round-6 window spill: zero driver rows, judge-verified green
-    "cdc_out_of_order_audit", "cdc_late_data_histogram",
-    "cdc_merge_idempotence_probe", "text_burrows_delta",
-    "quality_signal_matrix", "host_graph_rich_club",
-    "docs_source_vocab_jaccard", "text_hapax_ratio_by_source",
-    "embedding_dim_variance_profile", "part_supplier_concentration",
-    "orders_skyline_price_date", "lineitem_ship_delay_percentiles",
-    "customer_revenue_gini_by_nation", "part_brand_switch_matrix",
-    "tokenizer_viterbi_segment", "sql_recursive_reachability",
-    "sql_lateral_topn_per_group", "events_poisson_dispersion",
-    "events_gap_exponential_ks", "events_retention_halflife",
-    "events_new_vs_returning", "events_sequential_pattern_support",
-    "events_crosscorr_lead_lag", "events_conversion_window_sensitivity",
-    "events_growth_accounting", "events_power_analysis_mde",
-    "events_composition_drift_tv", "events_segment_transition_matrix",
-    "events_weekend_effect", "events_purchase_gap_gamma_fit",
-    "events_activity_streaks",
-]
-
-# 3 — added or implementation-changed in round 7 (grows during the
-# round; each name lands here the moment its oracle sweep is green).
-_R07_NEW: list[str] = [
-    "corpus_curation_pipeline",
-    "events_cusum_drift",  # refactored onto the shared streaming finisher
-    "events_mann_kendall_trend", "events_runs_test",
-    "events_value_mannwhitney", "retrieval_eval_mrr",
-    "orders_chi2_priority_status", "customer_revenue_theil",
-    "quality_spearman_by_source", "docs_js_divergence_sources",
-    "events_kruskal_wallis", "events_ljung_box",
-    "embedding_silhouette_simplified", "privacy_user_sensitivity",
-    "quality_rules_mcnemar",
-    "docs_simpson_diversity", "lineitem_simpson_reversal",
-    # these spill past the 50-slot window; first in line for round 8
-    "events_poisson_bootstrap_ci",
-    "dedup_sorted_neighborhood_pairs",
+# Round-8 priority order (the driver checks 50 names per round, in
+# this order), built per VERDICT r7 #1/#2: (1) the events_survival_km
+# bisect — the query itself (oracle rewritten to a non-recursive
+# MATERIALIZED-chain fold; Spark side unchanged from r7) plus three
+# diagnostic twins that localize the two-round driver-only hash-red
+# through the ledger (_hist = data path only, _fold = recursive-CTE
+# fold over a literal histogram, _rcte = the r7 recursive oracle as
+# control arm — see the bisect note in queries/timeseries.py); (2) the
+# two round-7 names that spilled past the r7 window (one of them,
+# dedup_sorted_neighborhood_pairs, has zero driver rows; judge-swept
+# green); (3) staleness tiers, oldest driver row first — the 41 r01
+# names are 6 rounds stale and ALL go this round, then r02 fills the
+# remainder. No new non-diagnostic queries are registered this round
+# (VERDICT r7 #2 caps registrations so the ledger catches up).
+# Everything below is green under tools/check_correctness.py at sf0.01
+# AND sf0.001/sf0.1 + vanilla-TZ sessions and the 0-row fixture sweep.
+_R08_PRIORITY = [
+    # 1 — the bisect block (slots 1-4)
+    "events_survival_km", "events_survival_km_hist",
+    "events_survival_km_fold", "events_survival_km_rcte",
+    # 2 — round-7 window spill (slots 5-6); bootstrap's uniform hash
+    # is integer-cast this round (ADVICE r7), so it is also "changed"
+    "events_poisson_bootstrap_ci", "dedup_sorted_neighborhood_pairs",
 ]
 
 # 4 — staleness tiers: latest driver row is CORRECTNESS_r0N.
@@ -173,7 +143,7 @@ _R04_STALE = [
 def _ordered():
     reg = load_all()
     prio = [
-        *_R07_PRIORITY, *_R07_NEW,
+        *_R08_PRIORITY,
         *_R01_STALE, *_R02_STALE, *_R03_STALE, *_R04_STALE,
     ]
     seen: set[str] = set()

@@ -4997,7 +4997,13 @@ def quality_spearman_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded, not corpus-bounded); moments run in DECIMAL(38); the
     final expression is two sqrts over exact integers and one rounded
     division, identical IEEE ops in both engines. Zero-variance
-    sources yield NULL.
+    sources yield NULL. BOUND (ADVICE r7): the sx·sx moment products
+    run in DECIMAL(38,0); with ANSI off Spark yields NULL (not an
+    error) on decimal overflow, which the per-source rank-sum
+    Σrank ≈ n² reaches around n ≳ 2·10⁹ documents per source — shard
+    such a source (or upgrade the moments to a two-pass mean-centered
+    form) before trusting ρ at that size; same documented bound
+    family as orders_chi2_priority_status / events_kruskal_wallis.
 
     Scale shape: one fused scan computes (source, q, len); two
     source-keyed histogram aggs + keyed cumulative windows over

@@ -3748,7 +3748,13 @@ def customer_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integers ≤ 2⁵³ (so the ratio is ONE correctly-rounded
     IEEE division), ln evaluates once, rounds once — then everything
     is BIGINT sums. Same ln-quantization discipline as
-    events_entropy_rate / corpus_drift_kl.
+    events_entropy_rate / corpus_drift_kl. BOUND (ADVICE r7): the
+    x·n/Σx ratio is cross-engine exact only while cents·n ≤ 2⁵³ —
+    DuckDB forms the product in HUGEINT and converts once, Spark
+    multiplies doubles — so beyond ~9·10¹⁵ cents·customers (≈ $10¹⁰
+    revenue × 10⁴ customers, or any mix) parity degrades to 1-ulp
+    noise in the ln argument. test_oracle_parity asserts the bound
+    holds at sf0.1 (test_theil_exactness_bound).
 
     Scale shape: one customer-keyed agg, one broadcast 1-row total,
     one map-stage term per customer, one scalar agg. No windows, no

@@ -2803,19 +2803,36 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register(
-    "events_survival_km",
-    # Kaplan–Meier time-to-first-failure curve: per user, days from
-    # first event to first 'error' (right-censored at the last
-    # observed day when no error occurs). Per failure day t: at-risk
-    # count (reverse-cumulative over the duration histogram), deaths,
-    # censored, and the KM survival Π(1 − dᵢ/nᵢ) in micro-units via
-    # the EXACT integer recurrence s ← (s·(n−d)) // n starting from
-    # 10⁶ — zero floats anywhere, so no cross-engine libm/quantization
-    # surface (the r06 driver red was a round(1e6·ln(...)) that this
-    # replaces). A total-extinction day drives s to 0 naturally.
-    oracle="""
-    WITH RECURSIVE u AS (
+# --- events_survival_km + round-8 diagnostic twins -----------------------
+# Driver history: hash-red in CORRECTNESS_r06 (float-ln variant) AND in
+# CORRECTNESS_r07 (complete all-BIGINT rewrite), while the identical
+# checker (tools/check_correctness.py) is green locally at 3 SFs, in a
+# vanilla session, and under TZ stress — twice over, on two independent
+# arithmetics. Per VERDICT r7 #1 the remaining suspect is the driver's
+# DuckDB build evaluating this registry's ONE recursive CTE differently,
+# so round 8 stops re-deriving the math and bisects via the ledger:
+#   * the ORACLE of events_survival_km itself is rewritten into a
+#     non-recursive chained-CTE form (the Spark side is byte-identical
+#     to round 7);
+#   * events_survival_km_hist  — the pre-fold day histogram only
+#     (data path: epoch/day bucketing + reverse-cumulative at-risk; no
+#     fold, no division);
+#   * events_survival_km_fold  — the integer KM fold over a LITERAL
+#     6-row histogram, oracle kept in the r7 RECURSIVE-CTE form
+#     (fold/recursion path with the data path removed: input is a
+#     constant on both engines);
+#   * events_survival_km_rcte  — the full query with the r7 recursive
+#     oracle verbatim (control arm).
+# Ledger readout: _hist red → data path; _fold red → driver DuckDB's
+# recursive CTE (or BIGINT `//`) diverges; _rcte red + main green → the
+# oracle rewrite fixed it and the recursion was indeed the culprit;
+# everything green → done, keep the non-recursive oracle and drop the
+# twins next round.
+
+# Shared data-path prefix: per-user durations -> day histogram ->
+# at-risk ranking. Plain (non-recursive) CTEs.
+_KM_PREFIX_SQL = """
+    u AS (
         SELECT user_id,
                CAST(min(floor(epoch(ts))) AS BIGINT) // 86400 AS first_d,
                CAST(min(CASE WHEN event_type = 'error'
@@ -2842,7 +2859,11 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ROWS UNBOUNDED PRECEDING) AS n_risk,
                row_number() OVER (ORDER BY t) AS i
         FROM hist
-    ),
+    )"""
+
+# The r7 recursive fold, kept verbatim as the control arm (_rcte twin).
+_KM_RCTE_ORACLE = f"""
+    WITH RECURSIVE {_KM_PREFIX_SQL},
     km AS (
         SELECT i, t, d, c, n_risk,
                CAST((1000000 * (n_risk - d)) // n_risk AS BIGINT)
@@ -2857,6 +2878,59 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t AS days_to_failure, n_risk, d AS n_failures,
            c AS n_censored, surv_micro
     FROM km
+    """
+
+# Non-recursive unrolled fold: step i computes the exact integer
+# recurrence s_i = (s_{i-1} * (n_i - d_i)) // n_i off a scalar subquery
+# on step i-1. row_number() makes ranks contiguous, so step i is empty
+# exactly when the histogram has < i rows and the union reassembles the
+# whole curve. Steps are AS MATERIALIZED (DuckDB ≥0.9) — plain CTEs are
+# inlined, so a 64-step chain re-binds the whole prefix per step and
+# trips DuckDB's binder recursion limit (128); materialization binds
+# each step once. 64 steps bounds the DISTINCT duration-day count — the
+# corpus calendar span (17 at sf0.1; span, not size, so 100 TB at the
+# same retention window fits the same bound); a >64-day histogram would
+# drop rows and fail rows_match loudly rather than silently diverge.
+_KM_STEPS = 64
+
+
+def _km_chain_sql(steps: int = _KM_STEPS) -> str:
+    ctes = []
+    for i in range(1, steps + 1):
+        prev = (
+            "CAST(1000000 AS BIGINT)"
+            if i == 1
+            else f"(SELECT surv_micro FROM k{i - 1})"
+        )
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT t, d, c, n_risk,"
+            f" CAST(({prev} * (n_risk - d)) // n_risk AS BIGINT)"
+            f" AS surv_micro FROM ranked WHERE i = {i})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM k{i}" for i in range(1, steps + 1)
+    )
+    return (
+        ",\n    ".join(ctes)
+        + "\n    SELECT t AS days_to_failure, n_risk, d AS n_failures,"
+        + f" c AS n_censored, surv_micro FROM ({union}) AS km"
+    )
+
+
+@register(
+    "events_survival_km",
+    # Kaplan–Meier time-to-first-failure curve: per user, days from
+    # first event to first 'error' (right-censored at the last
+    # observed day when no error occurs). Per failure day t: at-risk
+    # count (reverse-cumulative over the duration histogram), deaths,
+    # censored, and the KM survival Π(1 − dᵢ/nᵢ) in micro-units via
+    # the EXACT integer recurrence s ← (s·(n−d)) // n starting from
+    # 10⁶ — zero floats anywhere. Round 8: the oracle's sequential
+    # fold is UNROLLED into chained plain CTEs (no WITH RECURSIVE) —
+    # the arithmetic is unchanged from r7; see the bisect note above.
+    oracle=f"""
+    WITH {_KM_PREFIX_SQL},
+    {_km_chain_sql()}
     """,
 )
 def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2881,6 +2955,12 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-gate allow-listed), and the sequential KM product is a
     prefix `aggregate()` fold over the collected ≤span-days array,
     the same replay discipline as events_markov_attribution."""
+    return _km_curve(_km_risk(spark, sf_dir))
+
+
+def _km_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data path shared by events_survival_km and its _hist twin:
+    per-user durations -> day histogram -> reverse-cumulative at-risk."""
     utc(spark)
     ev = load_table(spark, "events", sf_dir)
     u = ev.groupBy("user_id").agg(
@@ -2907,10 +2987,15 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.col("t").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    risk = hist.select(
+    return hist.select(
         "t", "d", "c",
         F.sum(F.col("d") + F.col("c")).over(w_desc).alias("n_risk"),
     )
+
+
+def _km_curve(risk: DataFrame) -> DataFrame:
+    """Fold path shared by events_survival_km and its _fold twin: the
+    exact integer KM prefix fold over the (t, d, c, n_risk) rows."""
     days = risk.agg(
         F.array_sort(
             F.collect_list(F.struct("t", "d", "c", "n_risk"))
@@ -2929,6 +3014,91 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, e) -> (acc * (e.n_risk - e.d)) div e.n_risk)"
         ).alias("surv_micro"),
     )
+
+
+@register(
+    "events_survival_km_hist",
+    # Diagnostic twin (a): the pre-fold at-risk table only — same data
+    # path as events_survival_km (epoch//86400 day bucketing, censoring
+    # split, reverse-cumulative at-risk) with NO fold, NO division, NO
+    # recursion. A red row here localizes the r06/r07 driver mismatch
+    # to the data path / integer-column hashing; green clears both.
+    oracle=f"""
+    WITH {_KM_PREFIX_SQL}
+    SELECT t AS days_to_failure, n_risk, d AS n_failures, c AS n_censored
+    FROM ranked
+    """,
+)
+def events_survival_km_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisect twin of events_survival_km: emits the day histogram with
+    at-risk counts and stops before the KM product (see the bisect note
+    at _KM_PREFIX_SQL). Shares _km_risk with the parent verbatim."""
+    return _km_risk(spark, sf_dir).select(
+        F.col("t").alias("days_to_failure"),
+        F.col("n_risk"),
+        F.col("d").alias("n_failures"),
+        F.col("c").alias("n_censored"),
+    )
+
+
+# Literal 6-row histogram for the _fold twin — a constant on BOTH
+# engines, chosen so four of the six steps floor a non-exact quotient:
+# expected surv_micro = 812500, 677083, 677083, 592447, 394964, 296223.
+_KM_FOLD_ROWS = [(1, 0, 3, 1, 16), (2, 1, 2, 0, 12), (3, 2, 0, 2, 10),
+                 (4, 3, 1, 1, 8), (5, 5, 2, 0, 6), (6, 8, 1, 3, 4)]
+
+
+@register(
+    "events_survival_km_fold",
+    # Diagnostic twin (b): the r7 RECURSIVE-CTE fold over a LITERAL
+    # histogram — the fold/recursion path with the data path removed.
+    # A red row here convicts the driver DuckDB build's recursive CTE
+    # (or BIGINT //) directly, since the input is a compile-time
+    # constant; green clears the recursion arithmetic AND the hash
+    # canonicalization of fold-shaped BIGINT outputs.
+    oracle=f"""
+    WITH RECURSIVE ranked AS (
+        SELECT i, t, CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+               CAST(n_risk AS BIGINT) AS n_risk
+        FROM (VALUES {", ".join(str(r) for r in _KM_FOLD_ROWS)})
+             AS v(i, t, d, c, n_risk)
+    ),
+    km AS (
+        SELECT i, t, d, c, n_risk,
+               CAST((1000000 * (n_risk - d)) // n_risk AS BIGINT)
+                   AS surv_micro
+        FROM ranked WHERE i = 1
+        UNION ALL
+        SELECT r.i, r.t, r.d, r.c, r.n_risk,
+               CAST((km.surv_micro * (r.n_risk - r.d)) // r.n_risk
+                    AS BIGINT)
+        FROM ranked r JOIN km ON r.i = km.i + 1
+    )
+    SELECT t AS days_to_failure, n_risk, d AS n_failures,
+           c AS n_censored, surv_micro
+    FROM km
+    """,
+)
+def events_survival_km_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisect twin of events_survival_km: the identical Spark
+    aggregate() prefix fold (shared _km_curve) over a literal 6-row
+    histogram; the oracle keeps the r7 recursive-CTE form so the
+    driver ledger tests the recursion on constant input (see the
+    bisect note at _KM_PREFIX_SQL). sf_dir is deliberately unused."""
+    rows = [
+        (int(t), int(d), int(c), int(n)) for _, t, d, c, n in _KM_FOLD_ROWS
+    ]
+    risk = spark.createDataFrame(rows, "t bigint, d bigint, c bigint, n_risk bigint")
+    return _km_curve(risk)
+
+
+@register("events_survival_km_rcte", oracle=_KM_RCTE_ORACLE)
+def events_survival_km_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisect twin (control arm): the full events_survival_km Spark
+    query against the r7 recursive-CTE oracle verbatim (see the bisect
+    note at _KM_PREFIX_SQL). If this stays red while the unrolled
+    parent goes green, the recursion was the diverging stage."""
+    return events_survival_km(spark, sf_dir)
 
 
 @register(
@@ -5733,7 +5903,7 @@ _POIS_CDF = (367879, 735758, 919698, 981011, 996340, 999405, 999916,
              999989, 999998)
 
 
-def _pois_case(u: str, dialect: str) -> str:
+def _pois_case(u: str) -> str:
     """CASE ladder mapping a micro-uniform to a Poisson(1) draw."""
     branches = "".join(
         f" WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
@@ -5765,7 +5935,7 @@ def _pois_case(u: str, dialect: str) -> str:
                {_pois_case(
                    "CAST(('0x' || substr(md5(daily.event_type || '|' ||"
                    " b.b || '|' || daily.d), 1, 12)) AS BIGINT)"
-                   " % 1000000", "duckdb")} AS wt
+                   " % 1000000")} AS wt
         FROM daily CROSS JOIN generate_series(1, {_BOOT_B}) AS b(b)
     ),
     means AS (
@@ -5827,13 +5997,17 @@ def events_poisson_bootstrap_ci(
     reps = spark.range(1, _BOOT_B + 1).select(
         F.col("id").cast("int").alias("b")
     )
+    # conv() returns STRING; cast to BIGINT BEFORE the modulo so the
+    # arithmetic is integer end-to-end (ADVICE r7: leaving the modulo
+    # on the string coerces via DOUBLE — exact only below 2^53, a trap
+    # if the 12-hex-char substring ever grows past 13).
     u = (
-        "conv(substr(md5(concat(event_type, '|', b, '|', d)), 1, 12),"
-        " 16, 10) % 1000000"
+        "CAST(conv(substr(md5(concat(event_type, '|', b, '|', d)), 1,"
+        " 12), 16, 10) AS BIGINT) % 1000000"
     )
     w = daily.crossJoin(F.broadcast(reps)).select(
         "event_type", "b", "x",
-        F.expr(_pois_case(f"CAST({u} AS BIGINT)", "spark")).alias("wt"),
+        F.expr(_pois_case(u)).alias("wt"),
     )
     means = (
         w.groupBy("event_type", "b")

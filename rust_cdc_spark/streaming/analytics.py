@@ -67,7 +67,13 @@ def cusum_drift_stream(
     def _finish(batch_df: DataFrame, epoch_id: int) -> None:
         d = batch_df.select(
             "event_type",
-            F.to_date(F.col("w.start")).alias("d"),
+            # epoch-day key, matching the batch query's
+            # floor(unix_timestamp)/86400 convention (tz-independent;
+            # to_date(w.start) would shift the label — though not the
+            # emitted result, d being only an ordering key — in a
+            # non-UTC session; ADVICE r7)
+            (F.unix_timestamp(F.col("w.start")) / 86400)
+            .cast("long").alias("d"),
             F.col("n"),
         )
         emit(cusum_daily_finish(d), epoch_id)

@@ -83,3 +83,31 @@ def test_rows_only_queries_run(spark, name):
     q = REGISTRY[name]
     sdf = q.spark_fn(spark, SF_SMOKE)
     assert sdf.count() >= 0
+
+
+def test_theil_exactness_bound():
+    """customer_revenue_theil parity relies on cents·n ≤ 2^53: DuckDB
+    forms x·n in HUGEINT and converts once to double, Spark multiplies
+    doubles — beyond 2^53 the two round differently (ADVICE r7). Pin
+    the bound on the largest test SF so data growth that breaks the
+    assumption fails loudly here rather than as a silent hash drift."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.1/orders.parquet')"
+    )
+    (max_cents, n) = con.execute(
+        """
+        WITH u AS (
+            SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT max(cents), count(*) FROM u
+        """
+    ).fetchone()
+    assert max_cents * n < 2**53, (
+        f"cents*n = {max_cents * n} exceeds 2^53; the Theil oracle's "
+        "one-IEEE-division exactness argument no longer holds"
+    )

@@ -553,6 +553,15 @@ GLOBAL_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
         " by users); the KM product itself is an aggregate() fold, not"
         " a window — the row_number in the collect path may add one",
     ),
+    "events_survival_km_hist": (
+        1,
+        "bisect twin of events_survival_km: the same reverse-cumulative"
+        " at-risk window over the span-bounded duration histogram",
+    ),
+    "events_survival_km_rcte": (
+        2,
+        "bisect twin: runs events_survival_km verbatim (same caps)",
+    ),
     "orders_skyline_price_date": (
         1,
         "running min over the per-DAY minimum table — bounded by the"
