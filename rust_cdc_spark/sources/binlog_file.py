@@ -31,6 +31,130 @@ XID_EVENT = 0x10
 GTID_EVENT = 0x21
 ANONYMOUS_GTID_EVENT = 0x22
 PREVIOUS_GTIDS_EVENT = 0x23
+TRANSACTION_PAYLOAD_EVENT = 0x28  # MySQL 8.0.20+ compressed transactions
+
+# Transaction_payload_event on-the-wire TLV field types and compression
+# codes (public libbinlogevents format: each header field is
+# lenenc(type) + lenenc(length) + value, terminated by a bare END mark;
+# the transaction's ordinary event stream follows the header). Servers
+# with binlog_transaction_compression=ON wrap whole transactions in
+# these; the reference has no dispatch arm for them at all
+# (/root/reference/src/mysql/event/mod.rs:257-367 stops at the classic
+# type codes), so a modern server would stream events it cannot decode.
+_TP_OTW_END = 0
+_TP_OTW_PAYLOAD_SIZE = 1
+_TP_OTW_COMPRESSION_TYPE = 2
+_TP_OTW_UNCOMPRESSED_SIZE = 3
+TP_COMPRESSION_ZSTD = 0
+TP_COMPRESSION_NONE = 255
+
+
+def _lenenc(buf: bytes, pos: int) -> tuple[int, int]:
+    """MySQL length-encoded integer (net_field_length) → (value, pos)."""
+    first = buf[pos]
+    if first < 0xFB:
+        return first, pos + 1
+    if first == 0xFC:
+        return int.from_bytes(buf[pos + 1 : pos + 3], "little"), pos + 3
+    if first == 0xFD:
+        return int.from_bytes(buf[pos + 1 : pos + 4], "little"), pos + 4
+    if first == 0xFE:
+        return int.from_bytes(buf[pos + 1 : pos + 9], "little"), pos + 9
+    raise ValueError(f"invalid length-encoded integer prefix {first:#x}")
+
+
+def decode_transaction_payload(body: bytes) -> bytes:
+    """Transaction_payload_event body → the embedded event-stream bytes.
+
+    Parses the TLV header (payload size, compression type, uncompressed
+    size), then returns the transaction's inner binlog-event stream,
+    decompressing if needed. ZSTD (the server default) is env-gated:
+    the ``zstandard`` wheel is not in this image (checked 2026-08-16 —
+    ``import zstandard`` → ModuleNotFoundError, no network to fetch it),
+    so a ZSTD payload raises ImportError with a clear message and lands
+    in the DLQ rather than crashing ingest; compression NONE (emitted
+    when per-transaction compression is off/ineffective) decodes fully.
+    """
+    pos = 0
+    payload_size: int | None = None
+    compression = TP_COMPRESSION_NONE
+    uncompressed_size: int | None = None
+    while pos < len(body):
+        ftype, pos = _lenenc(body, pos)
+        if ftype == _TP_OTW_END:
+            break
+        flen, pos = _lenenc(body, pos)
+        value = body[pos : pos + flen]
+        pos += flen
+        if ftype == _TP_OTW_PAYLOAD_SIZE:
+            payload_size, _ = _lenenc(value, 0)
+        elif ftype == _TP_OTW_COMPRESSION_TYPE:
+            compression, _ = _lenenc(value, 0)
+        elif ftype == _TP_OTW_UNCOMPRESSED_SIZE:
+            uncompressed_size, _ = _lenenc(value, 0)
+        # unknown field types are skipped (forward-compatible TLV)
+    payload = body[pos:] if payload_size is None else body[pos : pos + payload_size]
+    if payload_size is not None and len(payload) != payload_size:
+        raise ValueError(
+            f"payload truncated: header says {payload_size} bytes,"
+            f" {len(payload)} present"
+        )
+    if compression == TP_COMPRESSION_NONE:
+        return payload
+    if compression == TP_COMPRESSION_ZSTD:
+        try:
+            import zstandard  # noqa: PLC0415 — env-gated decompressor
+        except ImportError as exc:
+            raise ImportError(
+                "Transaction_payload_event is zstd-compressed but the"
+                " 'zstandard' package is unavailable in this environment"
+                " (2026-08-16: not in image, no network); the event is"
+                " quarantined to the DLQ"
+            ) from exc
+        data = zstandard.ZstdDecompressor().decompress(
+            payload, max_output_size=uncompressed_size or 0
+        )
+        if uncompressed_size is not None and len(data) != uncompressed_size:
+            raise ValueError(
+                f"zstd payload decompressed to {len(data)} bytes,"
+                f" header says {uncompressed_size}"
+            )
+        return data
+    raise ValueError(f"unknown payload compression type {compression}")
+
+
+def iter_embedded_events(data: bytes, outer_log_pos: int = 0) -> Iterator[RawEvent]:
+    """Iterate the ordinary binlog events embedded in a transaction
+    payload: bare v4 headers + bodies, NO file magic and NO per-event
+    checksum (the payload is written with checksum alg off — the outer
+    event's CRC already covers it). ``log_pos`` of every inner event is
+    overridden with the OUTER event's end position: a consumer cannot
+    seek into the middle of a compressed payload, so the only
+    resume-safe offset for every row inside it is the position after
+    the whole payload event (same reasoning as the GTID-set failover
+    path in streaming/gtid.py)."""
+    pos = 0
+    while pos < len(data):
+        if pos + HEADER_LEN > len(data):
+            raise ValueError(
+                f"embedded event header truncated at offset {pos}"
+            )
+        header = data[pos : pos + HEADER_LEN]
+        ts = int.from_bytes(header[0:4], "little")
+        type_code = header[4]
+        server_id = int.from_bytes(header[5:9], "little")
+        event_size = int.from_bytes(header[9:13], "little")
+        flags = int.from_bytes(header[17:19], "little")
+        if event_size < HEADER_LEN or pos + event_size > len(data):
+            raise ValueError(
+                f"embedded event at offset {pos} claims {event_size}"
+                f" bytes, {len(data) - pos} remain"
+            )
+        body = data[pos + HEADER_LEN : pos + event_size]
+        yield RawEvent(
+            ts, type_code, server_id, event_size, outer_log_pos, flags, body
+        )
+        pos += event_size
 
 
 @dataclass
@@ -104,14 +228,18 @@ def envelopes_from_events(
     events: Iterator[RawEvent],
     file_name: str,
     registry: BR.TableRegistry | None = None,
+    _gtid: str | None = None,
 ) -> Iterator[dict]:
     """RawEvent stream → normalized envelopes. Shared by the offline file
     parser above and the live wire reader (``sources/wire.py``) — same
     decode, registry, and quarantine semantics regardless of transport,
     mirroring how the reference's event loop is transport-agnostic past
-    the packet layer (/root/reference/src/mysql/conn.rs:307-356)."""
+    the packet layer (/root/reference/src/mysql/conn.rs:307-356).
+    ``_gtid`` seeds the current-GTID state when recursing into a
+    Transaction_payload_event (whose GTID event precedes the payload in
+    the OUTER stream)."""
     registry = registry or BR.TableRegistry()
-    current_gtid: str | None = None
+    current_gtid: str | None = _gtid
     row_event_types = {
         BR.WRITE_ROWS_V1, BR.WRITE_ROWS_V2, BR.UPDATE_ROWS_V1,
         BR.UPDATE_ROWS_V2, BR.DELETE_ROWS_V1, BR.DELETE_ROWS_V2,
@@ -129,6 +257,41 @@ def envelopes_from_events(
             continue
         if ev.type_code == BR.TABLE_MAP_EVENT:
             registry.handle(BR.decode_table_map(ev.body))
+            continue
+        if ev.type_code == TRANSACTION_PAYLOAD_EVENT:
+            # MySQL 8.0.20+ compressed transaction: unwrap and replay
+            # the embedded event stream through this same loop (shared
+            # registry; the outer GTID seeds the inner context; every
+            # inner offset is pinned to the outer event's end position
+            # — see iter_embedded_events). Undecodable payloads (zstd
+            # without the env-gated wheel, truncation) quarantine to
+            # the DLQ like any other bad record instead of killing the
+            # ingest loop.
+            try:
+                inner = decode_transaction_payload(ev.body)
+                yield from envelopes_from_events(
+                    iter_embedded_events(inner, ev.log_pos),
+                    file_name,
+                    registry,
+                    _gtid=current_gtid,
+                )
+            except Exception as exc:  # noqa: BLE001 — quarantine
+                yield {
+                    "ts": ev.timestamp,
+                    "server_id": ev.server_id,
+                    "file": file_name,
+                    "pos": ev.log_pos,
+                    "gtid": current_gtid,
+                    "xid": None,
+                    "database": "",
+                    "table": "",
+                    "op": "ERR",
+                    "before": None,
+                    "after": None,
+                    "query": f"{type(exc).__name__}: {exc} "
+                             f"[event_type={ev.type_code:#x} "
+                             f"body={ev.body[:64].hex()}]",
+                }
             continue
         base = {
             "ts": ev.timestamp,

@@ -454,3 +454,164 @@ class TestDeadLetterQuarantine:
         ok, dead = split_dead_letters(df)
         assert ok.count() == 1
         assert dead.count() == 2
+
+
+class TestTransactionPayload:
+    """MySQL 8.0.20+ Transaction_payload_event (compressed transactions,
+    binlog_transaction_compression=ON). The reference has NO dispatch
+    arm for type 0x28 (/root/reference/src/mysql/event/mod.rs:257-367
+    stops at the classic codes); here the uncompressed path decodes
+    fully and the zstd path is env-gated to the DLQ (no zstandard wheel
+    in image, checked 2026-08-16)."""
+
+    TS = 1_600_000_123
+    GTID = "12345678-1234-5678-1234-567812345678:42"
+
+    @staticmethod
+    def _frame(tc: int, body: bytes, log_pos: int = 0) -> bytes:
+        """Bare v4 event frame (19-byte header + body, NO checksum) —
+        the embedded-payload wire shape."""
+        size = 19 + len(body)
+        return (
+            TestTransactionPayload.TS.to_bytes(4, "little") + bytes([tc])
+            + (1).to_bytes(4, "little") + size.to_bytes(4, "little")
+            + log_pos.to_bytes(4, "little") + b"\x00\x00" + body
+        )
+
+    @staticmethod
+    def _lenenc(v: int) -> bytes:
+        if v < 0xFB:
+            return bytes([v])
+        if v < 2**16:
+            return b"\xfc" + v.to_bytes(2, "little")
+        if v < 2**24:
+            return b"\xfd" + v.to_bytes(3, "little")
+        return b"\xfe" + v.to_bytes(8, "little")
+
+    @classmethod
+    def _tp_body(
+        cls, payload: bytes, compression: int = 255,
+        uncompressed: int | None = None, payload_size: int | None = None,
+    ) -> bytes:
+        le = cls._lenenc
+        ps = le(len(payload) if payload_size is None else payload_size)
+        body = le(1) + le(len(ps)) + ps          # OTW_PAYLOAD_SIZE
+        ct = le(compression)
+        body += le(2) + le(len(ct)) + ct         # OTW_COMPRESSION_TYPE
+        if uncompressed is not None:
+            us = le(uncompressed)
+            body += le(3) + le(len(us)) + us     # OTW_UNCOMPRESSED_SIZE
+        return body + le(0) + payload            # END mark, then events
+
+    def _inner_txn(self) -> bytes:
+        """TABLE_MAP + WRITE_ROWS_V2 + XID — a whole transaction as the
+        server would embed it."""
+        from tests.test_binlog_decode import _table_map_body
+
+        tmap = _table_map_body(
+            71, "cdc", "rustcdc", [MT.LONG, MT.VARCHAR],
+            metas=(160).to_bytes(2, "little"), nullable_bits=0b10,
+        )
+        img = b"\x00" + enc_long(9) + enc_varchar("packed")
+        rows = (
+            (71).to_bytes(6, "little") + b"\x01\x00"
+            + (2).to_bytes(2, "little") + bytes([2]) + bytes([0b11]) + img
+        )
+        xid = (777).to_bytes(8, "little")
+        return (
+            self._frame(BR.TABLE_MAP_EVENT, tmap)
+            + self._frame(BR.WRITE_ROWS_V2, rows)
+            + self._frame(0x10, xid)
+        )
+
+    def _outer(self, tp_body: bytes, log_pos: int = 4321):
+        """[GTID, TRANSACTION_PAYLOAD] RawEvents, as on the wire."""
+        import uuid
+
+        from rust_cdc_spark.sources.binlog_file import (
+            GTID_EVENT,
+            TRANSACTION_PAYLOAD_EVENT,
+            RawEvent,
+        )
+
+        u, gno = self.GTID.split(":")
+        gtid_body = b"\x01" + uuid.UUID(u).bytes + int(gno).to_bytes(8, "little")
+        return [
+            RawEvent(self.TS, GTID_EVENT, 1, 19 + len(gtid_body), 4300, 0,
+                     gtid_body),
+            RawEvent(self.TS, TRANSACTION_PAYLOAD_EVENT, 1,
+                     19 + len(tp_body), log_pos, 0, tp_body),
+        ]
+
+    def test_uncompressed_payload_decodes_whole_transaction(self):
+        from rust_cdc_spark.sources.binlog_file import envelopes_from_events
+
+        body = self._tp_body(self._inner_txn(), compression=255)
+        evs = list(envelopes_from_events(iter(self._outer(body)), "b.000001"))
+        assert [e["op"] for e in evs] == ["I", "TXN"]
+        ins, txn = evs
+        assert ins["after"] == {"col_0": 9, "col_1": "packed"}
+        assert ins["database"] == "cdc" and ins["table"] == "rustcdc"
+        # outer GTID context reaches the inner rows
+        assert ins["gtid"] == self.GTID
+        # resume-safe offsets: every inner event pins to the OUTER pos
+        assert ins["pos"] == 4321 and txn["pos"] == 4321
+        assert txn["xid"] == 777
+
+    def test_zstd_payload_quarantines_without_wheel(self):
+        from rust_cdc_spark.sources.binlog_file import envelopes_from_events
+
+        try:
+            import zstandard  # noqa: F401
+        except ImportError:
+            zstandard = None
+        if zstandard is not None:  # env-gate: wheel appeared, decode fully
+            cctx = zstandard.ZstdCompressor()
+            inner = self._inner_txn()
+            body = self._tp_body(
+                cctx.compress(inner), compression=0, uncompressed=len(inner)
+            )
+            evs = list(
+                envelopes_from_events(iter(self._outer(body)), "b.000001")
+            )
+            assert [e["op"] for e in evs] == ["I", "TXN"]
+            return
+        body = self._tp_body(b"\x28\xb5\x2f\xfd dummy", compression=0,
+                             uncompressed=64)
+        evs = list(envelopes_from_events(iter(self._outer(body)), "b.000001"))
+        assert [e["op"] for e in evs] == ["ERR"]
+        assert "zstandard" in evs[0]["query"]
+
+    def test_multibyte_lenenc_header(self):
+        """A >251-byte payload forces the 0xFC two-byte length-encoded
+        size — the path a real multi-row transaction always takes."""
+        from rust_cdc_spark.sources.binlog_file import envelopes_from_events
+
+        inner = self._inner_txn()
+        pad = self._frame(0x10, (778).to_bytes(8, "little"))
+        while len(inner) < 300:
+            inner += pad
+        body = self._tp_body(inner, compression=255)
+        assert b"\xfc" in body[:16]  # the size field really is multibyte
+        evs = list(envelopes_from_events(iter(self._outer(body)), "b.000001"))
+        assert evs[0]["op"] == "I" and all(
+            e["op"] == "TXN" for e in evs[1:]
+        ) and len(evs) >= 3
+
+    def test_truncated_payload_quarantines(self):
+        from rust_cdc_spark.sources.binlog_file import envelopes_from_events
+
+        inner = self._inner_txn()
+        body = self._tp_body(inner[: len(inner) // 2], compression=255,
+                             payload_size=len(inner))
+        evs = list(envelopes_from_events(iter(self._outer(body)), "b.000001"))
+        assert [e["op"] for e in evs] == ["ERR"]
+        assert "truncated" in evs[0]["query"]
+
+    def test_unknown_compression_quarantines(self):
+        from rust_cdc_spark.sources.binlog_file import envelopes_from_events
+
+        body = self._tp_body(b"xx", compression=7)
+        evs = list(envelopes_from_events(iter(self._outer(body)), "b.000001"))
+        assert [e["op"] for e in evs] == ["ERR"]
+        assert "compression" in evs[0]["query"]
