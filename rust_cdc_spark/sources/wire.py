@@ -466,16 +466,40 @@ class WireError(RuntimeError):
         self.code = code
 
 
-def binlog_events_from_stream(stream) -> Iterator[RawEvent]:
+class DumpInterrupted(WireError):
+    """The dump socket died WITHOUT a clean EOF/ERR packet — a transport
+    failure (reset, half-close, network partition), not a protocol end.
+    Distinct from WireError-with-a-code so callers can retry transport
+    failures while still failing fast on server refusals (e.g. 1236 bad
+    log position)."""
+
+    def __init__(self, message: str):
+        super().__init__(0, message)
+
+
+def binlog_events_from_stream(stream, strict: bool = False) -> Iterator[RawEvent]:
     """Post-COM_BINLOG_DUMP packet stream → RawEvents. Each packet is
     0x00 + event frame (19-byte header + body); 0xFE (short) ends the
     stream, 0xFF raises the server error. Learns the checksum algorithm
-    from the FORMAT_DESCRIPTION event exactly like the file reader."""
+    from the FORMAT_DESCRIPTION event exactly like the file reader.
+
+    ``strict=True`` (the live connector) raises :class:`DumpInterrupted`
+    when the byte stream ends without an EOF packet — on a real server a
+    dump NEVER ends spontaneously, so bare EOF always means the
+    transport died mid-batch and silently returning would truncate the
+    microbatch (committed offsets would then skip the lost tail: data
+    loss, not an error). ``strict=False`` keeps the lenient behavior for
+    scripted/recorded buffers that simply run out of bytes."""
     checksum_len = 0
     while True:
         try:
             _, payload = read_packet(stream)
         except EOFError:
+            if strict:
+                raise DumpInterrupted(
+                    "dump stream ended without EOF packet (transport"
+                    " failure mid-dump)"
+                ) from None
             return
         marker = payload[0]
         if marker == EOF_HEADER and len(payload) < 9:

@@ -145,6 +145,100 @@ class _AdminConn:
         return {"file": first, "pos": 4}  # 4 = past the magic, first event
 
 
+def _open_dump(o: dict, log_file: str, log_pos: int):
+    """Open one dump connection: TCP connect → handshake/auth (+TLS per
+    sslmode) → session-setup ritual → COM_BINLOG_DUMP from (file, pos).
+    Returns (sock, raw-event iterator in strict mode)."""
+    sock = _socket.create_connection(
+        (o["host"], int(o.get("port", "3306"))), timeout=30
+    )
+    sock.settimeout(30)
+    try:
+        stream, send, hs = W.establish(
+            sock,
+            o["user"],
+            o.get("password", ""),
+            ssl_mode=o.get("sslmode", "preferred"),
+        )
+        eof = bool(hs.capabilities & W.CLIENT_DEPRECATE_EOF)
+        # the reference's pre-dump ritual: charset/tz pin + checksum
+        # negotiation (conn.rs:499-604, 367-374); ignore the
+        # position it returns — ours comes from the offset contract.
+        try:
+            W.session_setup(stream, send, deprecate_eof=eof)
+        except W.WireError:
+            pass  # minimal servers (tests) may not implement it all
+        send(W.write_packet(0, W.build_com_binlog_dump(
+            int(o.get("serverid", "54321")), log_file, log_pos
+        )))
+        return sock, W.binlog_events_from_stream(stream, strict=True)
+    except BaseException:
+        sock.close()
+        raise
+
+
+def _resilient_dump(o: dict, start: dict):
+    """RawEvent stream for one microbatch that SURVIVES transport
+    failures: on a mid-dump socket death (strict-mode DumpInterrupted /
+    OSError / timeout) it reconnects — full handshake + session setup —
+    and re-issues COM_BINLOG_DUMP from the END position of the last
+    event already delivered, so nothing is duplicated and nothing is
+    lost (COM_BINLOG_DUMP is random-access; resuming mid-transaction is
+    fine because the envelope decoder's registry/GTID state lives ABOVE
+    this generator and persists across the reconnect). Server refusals
+    (ERR packets — e.g. 1236 bad position) are NOT retried: those mean
+    the request itself is wrong and a retry loop would hammer the
+    master. ``reconnectretries`` (default 3) bounds attempts per batch;
+    ``reconnectbackoff`` (seconds, default 0.5, linearly increasing)
+    spaces them. Exactly-once does not DEPEND on this — a task that
+    exhausts its retries fails and Spark's offset/commit logs + MERGE
+    idempotence still deliver it on the re-run — this keeps transient
+    blips from burning whole task/query retries.
+
+    Resume-position tracking mirrors ``_until``'s file tracking: a real
+    rotate resets (file, 4); the artificial rotate (log_pos 0) and the
+    re-sent FDE (log_pos ≤ its original position) never move the cursor
+    backwards because only ``log_pos > cur_pos`` advances it."""
+    import time as _time
+
+    retries = int(o.get("reconnectretries", "3"))
+    backoff = float(o.get("reconnectbackoff", "0.5"))
+    cur_file, cur_pos = start["file"], int(start["pos"])
+    attempt = 0
+    while True:
+        sock = None
+        clean = False
+        try:
+            sock, raw = _open_dump(o, cur_file, cur_pos)
+            for ev in raw:
+                if ev.type_code == 0x04:  # ROTATE (real or artificial)
+                    new_file = ev.body[8:].decode("utf-8", errors="replace")
+                    if new_file != cur_file:
+                        cur_file, cur_pos = new_file, 4
+                    yield ev
+                    continue
+                yield ev
+                if ev.log_pos and ev.log_pos > cur_pos:
+                    cur_pos = ev.log_pos
+            clean = True
+        except W.DumpInterrupted:
+            pass  # transport died mid-dump — retry below
+        except (OSError, EOFError):
+            pass  # connect/handshake-phase transport failure — retry
+        finally:
+            if sock is not None:
+                sock.close()
+        if clean:
+            return  # server ended the dump with a clean EOF packet
+        attempt += 1
+        if attempt > retries:
+            raise W.DumpInterrupted(
+                f"dump failed {attempt} times for {cur_file}:{cur_pos}"
+                f" (reconnectretries={retries} exhausted)"
+            )
+        _time.sleep(backoff * attempt)
+
+
 class MySQLBinlogStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.options = dict(options)
@@ -222,29 +316,8 @@ class MySQLBinlogStreamReader(DataSourceStreamReader):
             return [r[0] for r in rows] or None
 
         registry = BR.TableRegistry(name_resolver=resolve_names)
-        sock = _socket.create_connection(
-            (o["host"], int(o.get("port", "3306"))), timeout=30
-        )
-        sock.settimeout(30)
+        raw = _resilient_dump(o, start)
         try:
-            stream, send, hs = W.establish(
-                sock,
-                o["user"],
-                o.get("password", ""),
-                ssl_mode=o.get("sslmode", "preferred"),
-            )
-            eof = bool(hs.capabilities & W.CLIENT_DEPRECATE_EOF)
-            # the reference's pre-dump ritual: charset/tz pin + checksum
-            # negotiation (conn.rs:499-604, 367-374); ignore the
-            # position it returns — ours comes from the offset contract.
-            try:
-                W.session_setup(stream, send, deprecate_eof=eof)
-            except W.WireError:
-                pass  # minimal servers (tests) may not implement it all
-            send(W.write_packet(0, W.build_com_binlog_dump(
-                int(o.get("serverid", "54321")), start["file"], start["pos"]
-            )))
-            raw = W.binlog_events_from_stream(stream)
             for env in envelopes_from_events(
                 self._until(raw, start["file"], end), start["file"],
                 registry=registry,
@@ -268,7 +341,7 @@ class MySQLBinlogStreamReader(DataSourceStreamReader):
         finally:
             if admin_holder:
                 admin_holder[0].close()
-            sock.close()
+            raw.close()  # propagates to the dump socket's finally
 
     @staticmethod
     def _until(raw, start_file: str, end: dict):

@@ -118,6 +118,11 @@ class FakeMySQLServer:
         # masters put no COLUMN_NAME TLV on the wire)
         self.column_names = column_names or {}
         self.tail = self.bounds[-1][1]  # visible end of the log
+        # failure injection: when set to N, the NEXT dump abruptly
+        # closes the socket (no EOF packet — a transport death, as a
+        # network partition or master crash produces) after sending N
+        # event frames, then re-arms to healthy so the retry succeeds
+        self.drop_dump_after: int | None = None
         self.dump_requests: list[tuple[str, int]] = []
         self.queries: list[str] = []
         self.tls_upgrades = 0
@@ -230,13 +235,22 @@ class FakeMySQLServer:
                 sock.sendall(W.write_packet(
                     seq, b"\x00" + _artificial_rotate(file, pos)
                 ))
+                sent = 0
                 for frame, (lo, hi) in zip(outer.frames, outer.bounds):
                     if hi > outer.tail:
                         break
                     # FDE is always (re)sent; data events from pos on
                     if lo >= pos or frame[4] == 0x0F:
+                        if (
+                            outer.drop_dump_after is not None
+                            and sent >= outer.drop_dump_after
+                        ):
+                            outer.drop_dump_after = None  # fail ONCE
+                            sock.close()  # mid-dump transport death
+                            return
                         seq += 1
                         sock.sendall(W.write_packet(seq, b"\x00" + frame))
+                        sent += 1
                 seq += 1
                 sock.sendall(W.write_packet(seq, EOF_PKT))  # end of dump
 
