@@ -139,3 +139,49 @@ def binseg_daily_finish(daily: DataFrame) -> DataFrame:
         F.expr("(s - sk) * 1000 div (n - t)").alias("mean_right_milli"),
         F.round("gain", 6).alias("gain"),
     )
+
+
+def mad_anomaly_finish(hist: DataFrame) -> DataFrame:
+    """Per-type robust anomaly gate over a ``(event_type, cents, n)``
+    VALUE HISTOGRAM — the shared finishing plan of the batch query
+    ``events_value_anomaly_mad`` and its streaming twin
+    (``streaming/analytics.py::value_anomaly_stream``). Identical exact
+    integers to the event-level batch formula, because both statistics
+    are plain sums: mean = Σ(cents·n) div Σn and
+    mad = Σ(|cents−mean|·n) div Σn weight-fold the histogram exactly as
+    ``sum(cents) div count(*)`` folds the raw events. Emits the value
+    BUCKETS outside mean ± 3·mad — the alert payload a monitor needs
+    (type, offending value, how many, against what baseline), and the
+    exact projection of the batch query's per-event rows onto
+    (event_type, cents).
+
+    Input is value-bounded (|types| × |distinct cents|), so the
+    finisher is cheap wherever it runs — including once per streaming
+    microbatch over the incrementally-maintained histogram."""
+    stats = hist.groupBy("event_type").agg(
+        F.expr("sum(cents * n) div sum(n)").cast("long")
+        .alias("mean_cents"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(F.expr("cents * n")).cast("long").alias("sum_cents"),
+    )
+    mad = (
+        hist.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("sum(abs(cents - mean_cents) * n) div sum(n)")
+            .cast("long").alias("mad_cents"),
+            F.max("mean_cents").alias("mean_cents"),
+        )
+    )
+    return (
+        hist.join(F.broadcast(mad), "event_type")
+        .filter(
+            F.abs(F.col("cents") - F.col("mean_cents"))
+            > 3 * F.col("mad_cents")
+        )
+        .select(
+            "event_type", "cents",
+            F.col("n").cast("long").alias("n_events"),
+            "mean_cents", "mad_cents",
+        )
+    )

@@ -31,6 +31,7 @@ from pyspark.sql.streaming import StreamingQuery
 from rust_cdc_spark.operators.stats import (
     binseg_daily_finish,
     cusum_daily_finish,
+    mad_anomaly_finish,
 )
 
 
@@ -113,6 +114,52 @@ def changepoint_stream(
 
     writer = (
         daily.writeStream.outputMode("complete").foreachBatch(_finish)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def value_histogram_stream(events: DataFrame) -> DataFrame:
+    """Incrementally-maintained per-type value histogram
+    ``(event_type, cents, n)`` — the state behind the streaming MAD
+    anomaly gate. The aggregate is keyed by VALUE, not by event, so
+    state is |types| × |distinct cents| regardless of stream length
+    (the same value-histogram discipline the batch rank/tie queries
+    use); complete output mode re-emits it whole each microbatch."""
+    return (
+        events.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def value_anomaly_stream(
+    events: DataFrame,
+    emit: Callable[[DataFrame, int], None],
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Streaming twin of ``events_value_anomaly_mad`` (VERDICT r7 #7):
+    the live fat-finger/unit-mixup tripwire. Maintains the value
+    histogram incrementally; each microbatch the shared
+    ``mad_anomaly_finish`` re-derives mean ± 3·MAD per type over exact
+    integers and emits the offending value buckets. Complete output
+    mode, so the final emission equals the batch query's rows projected
+    onto (event_type, cents) — the convergence check the test asserts.
+    MAD is deliberately recomputed from the WHOLE histogram each batch
+    (two-pass statistic; the histogram being value-bounded makes that
+    cheap) rather than approximated incrementally — the gate must not
+    drift as the anomalies it hunts enter the state."""
+    hist = value_histogram_stream(events)
+
+    def _finish(batch_df: DataFrame, epoch_id: int) -> None:
+        emit(mad_anomaly_finish(batch_df), epoch_id)
+
+    writer = (
+        hist.writeStream.outputMode("complete").foreachBatch(_finish)
     )
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)

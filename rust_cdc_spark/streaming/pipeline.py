@@ -333,7 +333,9 @@ class ParquetUpsertTable:
         with a real Delta implementation still cannot run here.
         Re-checked 2026-08-16 (round 7): ``import deltalake`` and
         ``import delta`` both still ImportError; no wheel has landed in
-        the image and installs remain out of scope for this sandbox. If
+        the image and installs remain out of scope for this sandbox.
+        Re-checked 2026-08-16 (round 8): both imports still
+        ModuleNotFoundError — unchanged. If
         a ``deltalake`` wheel (delta-rs) ever lands in the image, add:
         ``DeltaTable(path).to_pyarrow_table()`` and assert row/schema/
         partition parity with ``self.read()``."""

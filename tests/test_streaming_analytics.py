@@ -550,3 +550,35 @@ def test_binseg_stream_converges_to_batch(spark, events_stream_dir):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_value_anomaly_stream_converges_to_batch(spark, events_stream_dir):
+    """Streaming MAD anomaly twin (VERDICT r7 #7): the value-histogram
+    streaming state + shared mad_anomaly_finish converges to the batch
+    events_value_anomaly_mad projected onto (event_type, cents) buckets
+    once the fixture is fully consumed."""
+    from rust_cdc_spark.queries import load_all
+    from rust_cdc_spark.streaming.analytics import value_anomaly_stream
+
+    last = {}
+
+    def emit(df, epoch_id):
+        last["rows"] = df.collect()
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = value_anomaly_stream(stream, emit)
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(tuple(r) for r in last["rows"])
+    batch = (
+        load_all()["events_value_anomaly_mad"]
+        .spark_fn(spark, SF_SMOKE)
+        .groupBy("event_type", "cents", "mean_cents", "mad_cents")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select("event_type", "cents", "n_events", "mean_cents",
+                "mad_cents")
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(got) > 0
