@@ -385,3 +385,39 @@ class TestMidStreamReconnect:
         assert sorted(have) == sorted(want)
         poss = [r.log_pos for r in got if r.op in ("I", "U", "D")]
         assert len(poss) == len(set(poss))  # exactly-once after restart
+
+
+class TestReconnectExhaustive:
+    def test_drop_at_every_frame_position_is_lossless(self):
+        """Property, exhaustively: for EVERY possible mid-dump death
+        point k (the server kills the socket after k frames), the
+        resilient dump's envelope stream equals the offline file parse
+        — no loss, no duplication, regardless of whether the cut lands
+        on the FDE, between transactions, or mid-transaction (between
+        TABLE_MAP and its rows, between GTID and Xid). Raw-level: no
+        Spark, one reconnect cycle per k."""
+        from rust_cdc_spark.sources.binlog_file import envelopes_from_events
+        from rust_cdc_spark.streaming.live_source import _resilient_dump
+
+        want = [_canon(e) for e in parse_binlog_file(FIX_INSERTS)]
+        n_frames = len(split_frames(FIX_INSERTS))
+        with FakeMySQLServer(FIX_INSERTS, "mysql-bin.000002") as srv:
+            opts = {
+                "host": "127.0.0.1", "port": str(srv.port),
+                "user": srv.user, "password": srv.password,
+                "sslmode": "disabled", "reconnectbackoff": "0.01",
+            }
+            # k = n_frames would send everything before the cut point is
+            # reached (no frame left to withhold), so the last real cut
+            # is after n_frames - 1 frames
+            for k in range(1, n_frames):
+                srv.drop_dump_after = k
+                raw = _resilient_dump(
+                    opts, {"file": "mysql-bin.000002", "pos": 4}
+                )
+                have = [
+                    _canon(e)
+                    for e in envelopes_from_events(raw, "mysql-bin.000002")
+                ]
+                assert sorted(have) == sorted(want), f"cut at frame {k}"
+                assert srv.drop_dump_after is None  # injection fired
