@@ -453,6 +453,37 @@ def build_com_binlog_dump(server_id: int, log_file: str, log_pos: int) -> bytes:
     )
 
 
+COM_BINLOG_DUMP_GTID = 0x1E
+BINLOG_THROUGH_GTID = 0x04
+
+
+def build_com_binlog_dump_gtid(
+    server_id: int,
+    gtid_set_data: bytes,
+    log_file: str = "",
+    log_pos: int = 4,
+) -> bytes:
+    """COM_BINLOG_DUMP_GTID: GTID auto-positioning — "send everything my
+    executed set doesn't contain". The modern fleet resume: after a
+    failover the new primary's (file, pos) numbering is unrelated, but
+    the GTID set is server-independent, so the same checkpoint resumes
+    against ANY server. Public wire layout (little-endian): command
+    byte, u16 flags (BINLOG_THROUGH_GTID), u32 server_id, u32
+    filename-length + name, u64 pos, u32 data-size + the SID-block set
+    (``GtidSet.encode()``). Beyond the reference, which only ever
+    issues positional dumps (conn.rs:307-317)."""
+    name = log_file.encode()
+    return (
+        bytes([COM_BINLOG_DUMP_GTID])
+        + struct.pack("<HI", BINLOG_THROUGH_GTID, server_id)
+        + struct.pack("<I", len(name))
+        + name
+        + struct.pack("<Q", log_pos)
+        + struct.pack("<I", len(gtid_set_data))
+        + gtid_set_data
+    )
+
+
 # ── Replication event stream ────────────────────────────────────────────
 
 OK_HEADER = 0x00

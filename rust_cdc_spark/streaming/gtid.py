@@ -82,6 +82,49 @@ class GtidSet:
                 out._add_range(uuid, lo, hi)
         return out
 
+    def encode(self) -> bytes:
+        """Binary SID-block form — the payload COM_BINLOG_DUMP_GTID
+        carries (public wire format, little-endian): u64 n_sids, then
+        per sid 16 raw UUID bytes, u64 n_intervals, and per interval
+        u64 start / u64 end with END EXCLUSIVE (MySQL encodes
+        [start, end+1) on the wire; the text form is inclusive)."""
+        import struct
+        import uuid as _uuid
+
+        out = [struct.pack("<Q", len(self._by_uuid))]
+        for u in sorted(self._by_uuid):
+            ivs = self._by_uuid[u]
+            out.append(_uuid.UUID(u).bytes)
+            out.append(struct.pack("<Q", len(ivs)))
+            for lo, hi in ivs:
+                out.append(struct.pack("<QQ", lo, hi + 1))
+        return b"".join(out)
+
+    @classmethod
+    def decode(cls, data: bytes) -> "GtidSet":
+        """Inverse of :meth:`encode` (used by tests and by servers
+        parsing a client's auto-position request)."""
+        import struct
+        import uuid as _uuid
+
+        out = cls()
+        (n_sids,) = struct.unpack_from("<Q", data, 0)
+        pos = 8
+        for _ in range(n_sids):
+            u = str(_uuid.UUID(bytes=data[pos : pos + 16]))
+            pos += 16
+            (n_ivs,) = struct.unpack_from("<Q", data, pos)
+            pos += 8
+            for _ in range(n_ivs):
+                lo, end = struct.unpack_from("<QQ", data, pos)
+                pos += 16
+                out._add_range(u, lo, end - 1)
+        if pos != len(data):
+            raise ValueError(
+                f"GTID set payload has {len(data) - pos} trailing bytes"
+            )
+        return out
+
     def __str__(self) -> str:
         parts = []
         for uuid in sorted(self._by_uuid):

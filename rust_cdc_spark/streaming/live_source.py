@@ -145,10 +145,12 @@ class _AdminConn:
         return {"file": first, "pos": 4}  # 4 = past the magic, first event
 
 
-def _open_dump(o: dict, log_file: str, log_pos: int):
+def _open_dump(o: dict, log_file: str, log_pos: int, gtid_data: bytes | None = None):
     """Open one dump connection: TCP connect → handshake/auth (+TLS per
-    sslmode) → session-setup ritual → COM_BINLOG_DUMP from (file, pos).
-    Returns (sock, raw-event iterator in strict mode)."""
+    sslmode) → session-setup ritual → COM_BINLOG_DUMP from (file, pos),
+    or COM_BINLOG_DUMP_GTID (auto-positioning) when ``gtid_data`` — an
+    encoded executed-GTID set — is given. Returns (sock, raw-event
+    iterator in strict mode)."""
     sock = _socket.create_connection(
         (o["host"], int(o.get("port", "3306"))), timeout=30
     )
@@ -168,9 +170,15 @@ def _open_dump(o: dict, log_file: str, log_pos: int):
             W.session_setup(stream, send, deprecate_eof=eof)
         except W.WireError:
             pass  # minimal servers (tests) may not implement it all
-        send(W.write_packet(0, W.build_com_binlog_dump(
-            int(o.get("serverid", "54321")), log_file, log_pos
-        )))
+        server_id = int(o.get("serverid", "54321"))
+        if gtid_data is not None:
+            send(W.write_packet(0, W.build_com_binlog_dump_gtid(
+                server_id, gtid_data, log_file, log_pos
+            )))
+        else:
+            send(W.write_packet(0, W.build_com_binlog_dump(
+                server_id, log_file, log_pos
+            )))
         return sock, W.binlog_events_from_stream(stream, strict=True)
     except BaseException:
         sock.close()
@@ -204,12 +212,26 @@ def _resilient_dump(o: dict, start: dict):
     retries = int(o.get("reconnectretries", "3"))
     backoff = float(o.get("reconnectbackoff", "0.5"))
     cur_file, cur_pos = start["file"], int(start["pos"])
+    # GTID auto-positioning (``dumpgtid=true`` + ``gtidexecuted``): the
+    # FIRST request is COM_BINLOG_DUMP_GTID — the server skips executed
+    # transactions and CHOOSES the position, so (file, pos) is anchored
+    # only once the first positioned event arrives; until then a
+    # reconnect re-sends the GTID request (idempotent — the executed
+    # set hasn't changed), after it the usual positional resume applies.
+    gtid_data = None
+    if o.get("dumpgtid", "").lower() == "true" and o.get("gtidexecuted"):
+        from rust_cdc_spark.streaming.gtid import GtidSet
+
+        gtid_data = GtidSet(o["gtidexecuted"]).encode()
+    anchored = gtid_data is None
     attempt = 0
     while True:
         sock = None
         clean = False
         try:
-            sock, raw = _open_dump(o, cur_file, cur_pos)
+            sock, raw = _open_dump(
+                o, cur_file, cur_pos, None if anchored else gtid_data
+            )
             for ev in raw:
                 if ev.type_code == 0x04:  # ROTATE (real or artificial)
                     new_file = ev.body[8:].decode("utf-8", errors="replace")
@@ -218,7 +240,15 @@ def _resilient_dump(o: dict, start: dict):
                     yield ev
                     continue
                 yield ev
-                if ev.log_pos and ev.log_pos > cur_pos:
+                if not anchored and ev.log_pos and ev.type_code != 0x0F:
+                    # first positioned NON-FDE event: the server's chosen
+                    # start is now known. The FDE must not anchor — it is
+                    # always re-sent with its original file-start
+                    # position, which in GTID mode can sit BEFORE the
+                    # chosen start (a positional resume from there would
+                    # replay the very transactions the server skipped).
+                    cur_pos, anchored = ev.log_pos, True
+                elif anchored and ev.log_pos and ev.log_pos > cur_pos:
                     cur_pos = ev.log_pos
             clean = True
         except W.DumpInterrupted:

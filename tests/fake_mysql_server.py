@@ -118,6 +118,9 @@ class FakeMySQLServer:
         # masters put no COLUMN_NAME TLV on the wire)
         self.column_names = column_names or {}
         self.tail = self.bounds[-1][1]  # visible end of the log
+        # GTID auto-position requests received: decoded executed-set
+        # text per COM_BINLOG_DUMP_GTID
+        self.gtid_dump_requests: list[str] = []
         # failure injection: when set to N, the NEXT dump abruptly
         # closes the socket (no EOF packet — a transport death, as a
         # network partition or master crash produces) after sending N
@@ -178,6 +181,9 @@ class FakeMySQLServer:
                     elif op == 0x12:  # COM_BINLOG_DUMP
                         self._dump(sock, cmd)
                         return  # dump mode ends the command loop
+                    elif op == 0x1E:  # COM_BINLOG_DUMP_GTID
+                        self._dump_gtid(sock, cmd)
+                        return
                     else:
                         sock.sendall(W.write_packet(
                             1, b"\xff\x30\x04#42000unknown command"
@@ -253,6 +259,57 @@ class FakeMySQLServer:
                         sent += 1
                 seq += 1
                 sock.sendall(W.write_packet(seq, EOF_PKT))  # end of dump
+
+            def _dump_gtid(self, sock, cmd: bytes):
+                """COM_BINLOG_DUMP_GTID: parse the client's executed set
+                and serve every transaction NOT in it — the server-side
+                skip of GTID auto-positioning. Transactions are framed
+                GTID event → … → XID; frames outside any GTID-tagged
+                transaction (FDE, DDL on this fixture shape) always go.
+                Assumes checksum-free fixtures (alg 0) so the GTID body
+                parses at fixed offsets."""
+                import struct
+                import uuid as _uuid
+
+                from rust_cdc_spark.streaming.gtid import GtidSet
+
+                (nlen,) = struct.unpack_from("<I", cmd, 7)
+                off = 11 + nlen + 8  # skip name + u64 pos
+                (dsize,) = struct.unpack_from("<I", cmd, off)
+                gset = GtidSet.decode(cmd[off + 4 : off + 4 + dsize])
+                outer.gtid_dump_requests.append(str(gset))
+                seq = 1
+                sock.sendall(W.write_packet(
+                    seq, b"\x00" + _artificial_rotate(outer.file_name, 4)
+                ))
+                skipping = False
+                sent = 0
+                for frame, (lo, hi) in zip(outer.frames, outer.bounds):
+                    if hi > outer.tail:
+                        break
+                    tc = frame[4]
+                    if tc == 0x21:  # GTID event opens a transaction
+                        u = str(_uuid.UUID(bytes=frame[20:36]))
+                        gno = int.from_bytes(frame[36:44], "little")
+                        skipping = gset.contains(f"{u}:{gno}")
+                        if skipping:
+                            continue
+                    elif skipping:
+                        if tc == 0x10:  # XID closes the skipped txn
+                            skipping = False
+                        continue
+                    if (
+                        outer.drop_dump_after is not None
+                        and sent >= outer.drop_dump_after
+                    ):
+                        outer.drop_dump_after = None  # fail ONCE
+                        sock.close()  # mid-dump transport death
+                        return
+                    seq += 1
+                    sock.sendall(W.write_packet(seq, b"\x00" + frame))
+                    sent += 1
+                seq += 1
+                sock.sendall(W.write_packet(seq, EOF_PKT))
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True

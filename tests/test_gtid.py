@@ -232,3 +232,57 @@ class TestShardedPipeline:
         q.processAllAvailable(); q.stop()
         got = {r.id: r.balance for r in table.read(spark).collect()}
         assert got == {"1": "1.0", "2": "9.0", "3": "7.0"}
+
+
+class TestGtidSetBinaryCodec:
+    """encode()/decode(): the SID-block payload COM_BINLOG_DUMP_GTID
+    carries (u64 n_sids; per sid 16 uuid bytes, u64 n_intervals,
+    u64 start / u64 end-EXCLUSIVE per interval)."""
+
+    def test_roundtrip_multi_sid_multi_interval(self):
+        from rust_cdc_spark.streaming.gtid import GtidSet
+
+        text = (
+            "11111111-2222-3333-4444-555555555555:1-50:60:70-80,"
+            "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee:5-7"
+        )
+        s = GtidSet(text)
+        assert GtidSet.decode(s.encode()) == s
+
+    def test_golden_bytes_single_txn(self):
+        import struct
+        import uuid
+
+        from rust_cdc_spark.streaming.gtid import GtidSet
+
+        u = "12345678-1234-5678-1234-567812345678"
+        data = GtidSet(f"{u}:42").encode()
+        assert data == (
+            struct.pack("<Q", 1) + uuid.UUID(u).bytes
+            + struct.pack("<Q", 1) + struct.pack("<QQ", 42, 43)
+        )
+
+    def test_trailing_bytes_rejected(self):
+        import pytest
+
+        from rust_cdc_spark.streaming.gtid import GtidSet
+
+        with pytest.raises(ValueError, match="trailing"):
+            GtidSet.decode(GtidSet("a0a0a0a0-0000-0000-0000-000000000000:1").encode() + b"x")
+
+    def test_dump_gtid_packet_layout(self):
+        import struct
+
+        from rust_cdc_spark.sources import wire as W
+        from rust_cdc_spark.streaming.gtid import GtidSet
+
+        data = GtidSet("12345678-1234-5678-1234-567812345678:7").encode()
+        pkt = W.build_com_binlog_dump_gtid(1001, data, "b.000002", 4)
+        assert pkt[0] == W.COM_BINLOG_DUMP_GTID
+        flags, server_id = struct.unpack_from("<HI", pkt, 1)
+        assert flags == W.BINLOG_THROUGH_GTID and server_id == 1001
+        (nlen,) = struct.unpack_from("<I", pkt, 7)
+        assert pkt[11 : 11 + nlen] == b"b.000002"
+        (pos,) = struct.unpack_from("<Q", pkt, 11 + nlen)
+        (dsize,) = struct.unpack_from("<I", pkt, 19 + nlen)
+        assert pos == 4 and pkt[23 + nlen :] == data and dsize == len(data)

@@ -421,3 +421,132 @@ class TestReconnectExhaustive:
                 ]
                 assert sorted(have) == sorted(want), f"cut at frame {k}"
                 assert srv.drop_dump_after is None  # injection fired
+
+
+class TestGtidAutoPosition:
+    """COM_BINLOG_DUMP_GTID end-to-end: the client sends its executed
+    set, the fake server skips those transactions server-side (the
+    fleet-failover resume — position numbering is server-local, the
+    GTID set is not). Beyond the reference, which only issues
+    positional dumps."""
+
+    UUID = "12345678-1234-5678-1234-567812345678"
+
+    def _gtid_binlog(self, tmp_path, n_txns=3):
+        """Checksum-free (alg 0) binlog: FDE + per txn
+        GTID(uuid:gno) + TABLE_MAP + WRITE_ROWS_V2(id=gno) + XID."""
+        import uuid as _uuid
+
+        from tests.test_binlog_decode import (
+            _table_map_body,
+            enc_long,
+            enc_varchar,
+        )
+
+        fde_body = (
+            b"\x04\x00" + b"x" * 50 + b"\x00" * 4 + bytes([19])
+            + bytes(39) + b"\x00" + b"\x00" * 4  # alg 0 at body[-5]
+        )
+        out = b"\xfebin"
+        pos = 4
+
+        def frame(tc: int, body: bytes) -> bytes:
+            nonlocal pos
+            size = 19 + len(body)
+            pos += size
+            return (
+                (1_600_000_000).to_bytes(4, "little") + bytes([tc])
+                + (1).to_bytes(4, "little") + size.to_bytes(4, "little")
+                + pos.to_bytes(4, "little") + b"\x00\x00" + body
+            )
+
+        out += frame(0x0F, fde_body)
+        tmap = _table_map_body(
+            71, "cdc", "rustcdc", [3, 15],  # LONG, VARCHAR
+            metas=(160).to_bytes(2, "little"), nullable_bits=0b10,
+        )
+        for gno in range(1, n_txns + 1):
+            gtid_body = (
+                b"\x01" + _uuid.UUID(self.UUID).bytes
+                + gno.to_bytes(8, "little")
+            )
+            img = b"\x00" + enc_long(gno) + enc_varchar(f"row-{gno}")
+            rows = (
+                (71).to_bytes(6, "little") + b"\x01\x00"
+                + (2).to_bytes(2, "little") + bytes([2]) + bytes([0b11])
+                + img
+            )
+            out += frame(0x21, gtid_body)
+            out += frame(0x13, tmap)
+            out += frame(0x1E, rows)  # WRITE_ROWS_V2
+            out += frame(0x10, (100 + gno).to_bytes(8, "little"))
+        p = tmp_path / "gtid-bin.000001"
+        p.write_bytes(out)
+        return str(p)
+
+    def _opts(self, srv, executed):
+        return {
+            "host": "127.0.0.1", "port": str(srv.port),
+            "user": srv.user, "password": srv.password,
+            "sslmode": "disabled", "dumpgtid": "true",
+            "gtidexecuted": executed, "reconnectbackoff": "0.01",
+        }
+
+    def _envelopes(self, opts, start_pos=4):
+        from rust_cdc_spark.sources.binlog_file import envelopes_from_events
+        from rust_cdc_spark.streaming.live_source import _resilient_dump
+
+        raw = _resilient_dump(
+            opts, {"file": "gtid-bin.000001", "pos": start_pos}
+        )
+        return list(envelopes_from_events(raw, "gtid-bin.000001"))
+
+    def test_server_skips_executed_transactions(self, tmp_path):
+        path = self._gtid_binlog(tmp_path)
+        executed = f"{self.UUID}:1"
+        with FakeMySQLServer(path, "gtid-bin.000001") as srv:
+            envs = self._envelopes(self._opts(srv, executed))
+            assert srv.gtid_dump_requests == [executed]
+            assert srv.dump_requests == []  # no positional fallback used
+        inserts = [e for e in envs if e["op"] == "I"]
+        assert [e["after"]["col_0"] for e in inserts] == [2, 3]
+        assert [e["gtid"] for e in inserts] == [
+            f"{self.UUID}:2", f"{self.UUID}:3"
+        ]
+
+    def test_nothing_executed_streams_everything(self, tmp_path):
+        path = self._gtid_binlog(tmp_path)
+        with FakeMySQLServer(path, "gtid-bin.000001") as srv:
+            # a set for a DIFFERENT server: nothing matches
+            envs = self._envelopes(self._opts(
+                srv, "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee:1-9"
+            ))
+        assert [e["after"]["col_0"] for e in envs if e["op"] == "I"] == [1, 2, 3]
+
+    def test_reconnect_before_anchor_resends_gtid_request(self, tmp_path):
+        """Dump dies after the FDE (no positioned event delivered): the
+        retry must re-send the GTID request, not a positional dump from
+        a position the server never confirmed."""
+        path = self._gtid_binlog(tmp_path)
+        executed = f"{self.UUID}:1"
+        with FakeMySQLServer(path, "gtid-bin.000001") as srv:
+            srv.drop_dump_after = 1  # FDE sent, then transport death
+            envs = self._envelopes(self._opts(srv, executed))
+            assert len(srv.gtid_dump_requests) == 2  # re-sent, same set
+            assert srv.dump_requests == []
+        assert [e["after"]["col_0"] for e in envs if e["op"] == "I"] == [2, 3]
+
+    def test_reconnect_after_anchor_is_positional(self, tmp_path):
+        """Once positioned events flowed, a mid-dump death resumes with
+        a plain positional dump from the last delivered end position —
+        no re-skip round-trip, no duplicates."""
+        path = self._gtid_binlog(tmp_path)
+        executed = f"{self.UUID}:1"
+        with FakeMySQLServer(path, "gtid-bin.000001") as srv:
+            srv.drop_dump_after = 4  # FDE + txn2's GTID/TABLE_MAP/ROWS
+            envs = self._envelopes(self._opts(srv, executed))
+            assert len(srv.gtid_dump_requests) == 1
+            assert len(srv.dump_requests) == 1  # positional resume
+            assert srv.dump_requests[0][1] > 4
+        inserts = [e["after"]["col_0"] for e in envs if e["op"] == "I"]
+        assert inserts == [2, 3]  # nothing lost, nothing duplicated

@@ -111,3 +111,30 @@ def test_truncated_embedded_stream_raises(junk):
     except ValueError:
         raised = True
     assert raised
+
+
+@_SETTINGS
+@given(
+    st.dictionaries(
+        st.uuids().map(str),
+        st.lists(
+            st.tuples(st.integers(min_value=1, max_value=2**40),
+                      st.integers(min_value=0, max_value=1000)),
+            min_size=1, max_size=5,
+        ),
+        min_size=1, max_size=4,
+    )
+)
+def test_gtid_set_binary_roundtrip(spec):
+    """GtidSet SID-block codec: arbitrary uuid→interval maps survive
+    encode→decode (intervals may overlap/adjoin — the set normalizes
+    them identically on both sides)."""
+    from rust_cdc_spark.streaming.gtid import GtidSet
+
+    s = GtidSet()
+    for u, ivs in spec.items():
+        for lo, width in ivs:
+            s._add_range(u, lo, lo + width)
+    assert GtidSet.decode(s.encode()) == s
+    # and the text form agrees too (same normalization path)
+    assert GtidSet(str(GtidSet.decode(s.encode()))) == s
