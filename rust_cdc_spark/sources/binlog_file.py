@@ -243,6 +243,7 @@ def envelopes_from_events(
     row_event_types = {
         BR.WRITE_ROWS_V1, BR.WRITE_ROWS_V2, BR.UPDATE_ROWS_V1,
         BR.UPDATE_ROWS_V2, BR.DELETE_ROWS_V1, BR.DELETE_ROWS_V2,
+        BR.PARTIAL_UPDATE_ROWS_V2,
     }
     for ev in events:
         if ev.type_code == ROTATE_EVENT:

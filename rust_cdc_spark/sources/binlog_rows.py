@@ -27,9 +27,16 @@ DELETE_ROWS_V1 = 0x19
 WRITE_ROWS_V2 = 0x1E
 UPDATE_ROWS_V2 = 0x1F
 DELETE_ROWS_V2 = 0x20
+# MySQL 8.0 binlog_row_value_options=PARTIAL_JSON: updates whose
+# after-image JSON columns may carry diff vectors instead of full
+# documents. No reference arm exists for this type code.
+PARTIAL_UPDATE_ROWS_V2 = 0x27
+# value_options bit: after-image JSON columns may be partial
+_VALUE_OPTIONS_PARTIAL_JSON = 0x01
 
-_V2_EVENTS = {WRITE_ROWS_V2, UPDATE_ROWS_V2, DELETE_ROWS_V2}
-_UPDATE_EVENTS = {UPDATE_ROWS_V1, UPDATE_ROWS_V2}
+_V2_EVENTS = {WRITE_ROWS_V2, UPDATE_ROWS_V2, DELETE_ROWS_V2,
+              PARTIAL_UPDATE_ROWS_V2}
+_UPDATE_EVENTS = {UPDATE_ROWS_V1, UPDATE_ROWS_V2, PARTIAL_UPDATE_ROWS_V2}
 _WRITE_EVENTS = {WRITE_ROWS_V1, WRITE_ROWS_V2}
 _DELETE_EVENTS = {DELETE_ROWS_V1, DELETE_ROWS_V2}
 
@@ -319,10 +326,17 @@ def _bitmap_get(bitmap: bytes, i: int) -> bool:
 
 
 def _decode_image(
-    body: bytes, pos: int, entry: TableMapEntry, present: bytes
+    body: bytes, pos: int, entry: TableMapEntry, present: bytes,
+    partial_cols: frozenset = frozenset(), before: dict | None = None,
 ) -> tuple[dict, int]:
     """One row image: null bitmap over present columns, then values
-    positionally (reference ``parse_one_row``, decode.rs:428-452)."""
+    positionally (reference ``parse_one_row``, decode.rs:428-452).
+
+    ``partial_cols``/``before``: for PARTIAL_UPDATE_ROWS after-images,
+    the JSON columns whose value is a length-prefixed diff vector
+    rather than a full document — decoded and APPLIED to the
+    before-image here, so every consumer downstream sees full JSON
+    text (see functions/json_diff.py)."""
     n_present = sum(
         1 for i in range(len(entry.column_types)) if _bitmap_get(present, i)
     )
@@ -340,6 +354,17 @@ def _decode_image(
         )
         if _bitmap_get(null_bitmap, j):
             values[name] = None
+        elif i in partial_cols:
+            from rust_cdc_spark.functions import json_diff as JD
+
+            len_bytes = entry.column_metas[i][0] if entry.column_metas[i] else 4
+            n = int.from_bytes(body[pos : pos + len_bytes], "little")
+            pos += len_bytes
+            diffs = JD.decode_diff_vector(bytes(body[pos : pos + n]))
+            pos += n
+            values[name] = JD.apply_diffs(
+                before.get(name) if before else None, diffs
+            )
         else:
             values[name], pos = MT.decode_value(
                 body,
@@ -385,8 +410,33 @@ def decode_rows_event(
 
     rows: list[dict] = []
     end = len(body)
+    # JSON columns present in the after-image — the domain of a
+    # PARTIAL_UPDATE row's partial_bits bitmap (one bit each)
+    pj_cols = [
+        i for i, tc in enumerate(entry.column_types)
+        if tc == MT.JSON and _bitmap_get(present2, i)
+    ]
     while pos < end:
-        if event_type in _UPDATE_EVENTS:
+        if event_type == PARTIAL_UPDATE_ROWS_V2:
+            # per row: value_options lenenc, then (when the PARTIAL_JSON
+            # bit is set) one partial bit per after-image JSON column
+            value_options, pos = MT.read_lenenc_int(body, pos)
+            partial: frozenset = frozenset()
+            if value_options & _VALUE_OPTIONS_PARTIAL_JSON and pj_cols:
+                nb = (len(pj_cols) + 7) // 8
+                bits = body[pos : pos + nb]
+                pos += nb
+                partial = frozenset(
+                    col for j, col in enumerate(pj_cols)
+                    if _bitmap_get(bits, j)
+                )
+            before, pos = _decode_image(body, pos, entry, present1)
+            after, pos = _decode_image(
+                body, pos, entry, present2,
+                partial_cols=partial, before=before,
+            )
+            rows.append({"before": before, "after": after})
+        elif event_type in _UPDATE_EVENTS:
             before, pos = _decode_image(body, pos, entry, present1)
             after, pos = _decode_image(body, pos, entry, present2)
             rows.append({"before": before, "after": after})

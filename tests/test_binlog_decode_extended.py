@@ -615,3 +615,134 @@ class TestTransactionPayload:
         evs = list(envelopes_from_events(iter(self._outer(body)), "b.000001"))
         assert [e["op"] for e in evs] == ["ERR"]
         assert "compression" in evs[0]["query"]
+
+
+class TestPartialJsonUpdate:
+    """PARTIAL_UPDATE_ROWS_EVENT (0x27, binlog_row_value_options=
+    PARTIAL_JSON): after-image JSON columns carry diff vectors applied
+    to the before-image at decode time, so downstream always sees full
+    document text. No reference arm exists for this type code
+    (src/mysql/event/mod.rs:257-367)."""
+
+    def _registry(self):
+        body = _table_map_with_partial_json()
+        reg = BR.TableRegistry()
+        reg.handle(BR.decode_table_map(body))
+        return reg
+
+    @staticmethod
+    def _diff(op: int, path: str, value=None) -> bytes:
+        out = bytes([op]) + bytes([len(path)]) + path.encode()
+        if op != 2:  # REMOVE carries no value
+            v = jsonb_bytes(value)
+            out += bytes([len(v)]) + v
+        return out
+
+    def _event_body(self, before_doc, diffs: bytes,
+                    value_options: int = 1, partial_bits: int = 1) -> bytes:
+        jb = jsonb_bytes(before_doc)
+        before_img = b"\x00" + enc_long(7) + bytes([len(jb)]) + jb
+        after_img = b"\x00" + enc_long(7) + bytes([len(diffs)]) + diffs
+        body = (72).to_bytes(6, "little") + b"\x01\x00"
+        body += (2).to_bytes(2, "little")  # extra-data: just the len
+        body += bytes([2])                 # col count
+        body += bytes([0b11]) + bytes([0b11])  # present1, present2
+        body += bytes([value_options])     # lenenc value_options
+        if value_options & 1:
+            body += bytes([partial_bits])
+        return body + before_img + after_img
+
+    def test_diffs_applied_to_before_image(self):
+        reg = self._registry()
+        before = {"a": 1, "b": [1, 2, 3], "keep": "x"}
+        diffs = (
+            self._diff(0, "$.a", 42)          # REPLACE
+            + self._diff(2, "$.b[1]")         # REMOVE
+            + self._diff(1, "$.c", "new")     # INSERT member
+        )
+        tid, rows = BR.decode_rows_event(
+            self._event_body(before, diffs),
+            BR.PARTIAL_UPDATE_ROWS_V2, reg,
+        )
+        assert tid == 72
+        [row] = rows
+        import json
+
+        assert json.loads(row["before"]["col_1"]) == before
+        assert json.loads(row["after"]["col_1"]) == {
+            "a": 42, "b": [1, 3], "keep": "x", "c": "new"
+        }
+
+    def test_value_options_zero_means_full_document(self):
+        """A partial event whose row has value_options=0 carries plain
+        full images — the decoder must not expect partial_bits."""
+        reg = self._registry()
+        jb = jsonb_bytes({"full": True})
+        body = (72).to_bytes(6, "little") + b"\x01\x00"
+        body += (2).to_bytes(2, "little") + bytes([2])
+        body += bytes([0b11]) + bytes([0b11])
+        body += bytes([0])  # value_options = 0
+        img = b"\x00" + enc_long(1) + bytes([len(jb)]) + jb
+        body += img + img
+        _, rows = BR.decode_rows_event(body, BR.PARTIAL_UPDATE_ROWS_V2, reg)
+        assert rows[0]["after"]["col_1"] == '{"full":true}'
+
+    def test_diff_against_vanished_target_quarantines(self):
+        """A diff path missing from the before-image is an error (the
+        replica drifted) — through the envelope loop it lands in the
+        DLQ, it does not silently no-op."""
+        from rust_cdc_spark.sources.binlog_file import (
+            RawEvent,
+            envelopes_from_events,
+        )
+
+        reg = BR.TableRegistry()
+        reg.handle(BR.decode_table_map(_table_map_with_partial_json()))
+        body = self._event_body({"a": 1}, self._diff(0, "$.missing", 9))
+        ev = RawEvent(1, BR.PARTIAL_UPDATE_ROWS_V2, 1, 19 + len(body),
+                      500, 0, body)
+        envs = list(envelopes_from_events(iter([ev]), "b.1", registry=reg))
+        assert [e["op"] for e in envs] == ["ERR"]
+        assert "missing" in envs[0]["query"]
+
+    def test_quoted_and_nested_paths(self):
+        from rust_cdc_spark.functions.json_diff import (
+            apply_diffs,
+            decode_diff_vector,
+            parse_json_path,
+        )
+
+        assert parse_json_path('$."weird key"[2].x') == ["weird key", 2, "x"]
+        assert parse_json_path("$") == []
+        raw = self._diff(0, '$."k.with.dots"', [1, 2])
+        diffs = decode_diff_vector(raw)
+        assert apply_diffs('{"k.with.dots":null}', diffs) == '{"k.with.dots":[1,2]}'
+
+    def test_root_replace(self):
+        from rust_cdc_spark.functions.json_diff import (
+            apply_diffs,
+            decode_diff_vector,
+        )
+
+        diffs = decode_diff_vector(self._diff(0, "$", {"whole": "new"}))
+        assert apply_diffs('{"old":1}', diffs) == '{"whole":"new"}'
+
+    def test_array_insert_appends_past_end(self):
+        from rust_cdc_spark.functions.json_diff import (
+            apply_diffs,
+            decode_diff_vector,
+        )
+
+        diffs = decode_diff_vector(self._diff(1, "$.b[99]", 4))
+        assert apply_diffs('{"b":[1,2,3]}', diffs) == '{"b":[1,2,3,4]}'
+
+
+def _table_map_with_partial_json() -> bytes:
+    """TABLE_MAP for (id LONG, doc JSON) — JSON meta = 1 length byte so
+    the synthesized images stay compact."""
+    from tests.test_binlog_decode import _table_map_body
+
+    return _table_map_body(
+        72, "cdc", "jdoc", [MT.LONG, MT.JSON], metas=bytes([1]),
+        nullable_bits=0b10,
+    )
