@@ -31,6 +31,7 @@ XID_EVENT = 0x10
 GTID_EVENT = 0x21
 ANONYMOUS_GTID_EVENT = 0x22
 PREVIOUS_GTIDS_EVENT = 0x23
+ROWS_QUERY_EVENT = 0x1D  # original SQL (binlog_rows_query_log_events=ON)
 TRANSACTION_PAYLOAD_EVENT = 0x28  # MySQL 8.0.20+ compressed transactions
 
 # Transaction_payload_event on-the-wire TLV field types and compression
@@ -240,6 +241,7 @@ def envelopes_from_events(
     the OUTER stream)."""
     registry = registry or BR.TableRegistry()
     current_gtid: str | None = _gtid
+    rows_query: str | None = None  # ROWS_QUERY_EVENT statement context
     row_event_types = {
         BR.WRITE_ROWS_V1, BR.WRITE_ROWS_V2, BR.UPDATE_ROWS_V1,
         BR.UPDATE_ROWS_V2, BR.DELETE_ROWS_V1, BR.DELETE_ROWS_V2,
@@ -255,6 +257,15 @@ def envelopes_from_events(
             continue
         if ev.type_code in (GTID_EVENT, ANONYMOUS_GTID_EVENT):
             current_gtid = _decode_gtid(ev.body) if ev.type_code == GTID_EVENT else None
+            rows_query = None  # query context is per-transaction
+            continue
+        if ev.type_code == ROWS_QUERY_EVENT:
+            # the originating SQL text, logged right before its row
+            # events when binlog_rows_query_log_events=ON — attach it to
+            # every row of the statement (audit/lineage surface the
+            # reference ignores). Body: 1 length byte (servers truncate
+            # it; the text runs to the end of the event) + query text.
+            rows_query = ev.body[1:].decode("utf-8", errors="replace")
             continue
         if ev.type_code == BR.TABLE_MAP_EVENT:
             registry.handle(BR.decode_table_map(ev.body))
@@ -339,6 +350,7 @@ def envelopes_from_events(
                     "op": op,
                     "before": _jsonable(row.get("before")),
                     "after": _jsonable(row.get("after")),
+                    "query": rows_query,
                 }
         elif ev.type_code == QUERY_EVENT:
             schema, sql = _decode_query(ev.body)
@@ -354,6 +366,7 @@ def envelopes_from_events(
                 "query": sql,
             }
         elif ev.type_code == XID_EVENT:
+            rows_query = None  # statement context ends with the txn
             yield {
                 **base,
                 "xid": int.from_bytes(ev.body[0:8], "little"),

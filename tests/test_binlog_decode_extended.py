@@ -746,3 +746,54 @@ def _table_map_with_partial_json() -> bytes:
         72, "cdc", "jdoc", [MT.LONG, MT.JSON], metas=bytes([1]),
         nullable_bits=0b10,
     )
+
+
+class TestRowsQueryEvent:
+    """ROWS_QUERY_EVENT (0x1D, binlog_rows_query_log_events=ON): the
+    originating SQL text rides the envelope's query column on every row
+    of the statement — the audit/lineage surface row-based replication
+    otherwise loses. Cleared at transaction boundaries."""
+
+    def test_query_text_attached_to_rows_and_cleared(self):
+        from tests.test_binlog_decode import (
+            _table_map_body,
+            enc_long,
+            enc_varchar,
+        )
+
+        from rust_cdc_spark.sources.binlog_file import (
+            ROWS_QUERY_EVENT,
+            XID_EVENT,
+            RawEvent,
+            envelopes_from_events,
+        )
+
+        reg = BR.TableRegistry()
+        reg.handle(BR.decode_table_map(_table_map_body(
+            71, "cdc", "rustcdc", [MT.LONG, MT.VARCHAR],
+            metas=(160).to_bytes(2, "little"), nullable_bits=0b10,
+        )))
+
+        def rows_body(n: int) -> bytes:
+            img = b"\x00" + enc_long(n) + enc_varchar(f"r{n}")
+            return (
+                (71).to_bytes(6, "little") + b"\x01\x00"
+                + (2).to_bytes(2, "little") + bytes([2]) + bytes([0b11])
+                + img
+            )
+
+        sql = "INSERT INTO rustcdc VALUES (1, 'r1') /* app=checkout */"
+        evs = [
+            RawEvent(1, ROWS_QUERY_EVENT, 1, 0, 100, 0,
+                     b"\x01" + sql.encode()),
+            RawEvent(1, BR.WRITE_ROWS_V2, 1, 0, 200, 0, rows_body(1)),
+            RawEvent(1, XID_EVENT, 1, 0, 300, 0, (5).to_bytes(8, "little")),
+            # second txn WITHOUT a rows-query event
+            RawEvent(1, BR.WRITE_ROWS_V2, 1, 0, 400, 0, rows_body(2)),
+            RawEvent(1, XID_EVENT, 1, 0, 500, 0, (6).to_bytes(8, "little")),
+        ]
+        envs = list(envelopes_from_events(iter(evs), "b.1", registry=reg))
+        assert [e["op"] for e in envs] == ["I", "TXN", "I", "TXN"]
+        assert envs[0]["query"] == sql
+        assert envs[1]["query"] is None  # not smeared onto the Xid
+        assert envs[2]["query"] is None  # cleared at the txn boundary
