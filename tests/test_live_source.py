@@ -550,3 +550,44 @@ class TestGtidAutoPosition:
             assert srv.dump_requests[0][1] > 4
         inserts = [e["after"]["col_0"] for e in envs if e["op"] == "I"]
         assert inserts == [2, 3]  # nothing lost, nothing duplicated
+
+    def test_spark_stream_with_gtid_auto_position(self, spark, tmp_path):
+        """Option plumbing end-to-end: the Structured Streaming source
+        with dumpgtid=true resumes via GTID auto-positioning inside its
+        microbatch read and the sink sees only unexecuted transactions."""
+        path = self._gtid_binlog(tmp_path)
+        executed = f"{self.UUID}:1"
+        register(spark)
+        with FakeMySQLServer(path, "gtid-bin.000001") as srv:
+            q = (
+                spark.readStream.format("mysql-cdc")
+                .option("host", "127.0.0.1")
+                .option("port", str(srv.port))
+                .option("user", srv.user)
+                .option("password", srv.password)
+                .option("startingoffsets", "earliest")
+                .option("sslmode", "disabled")
+                .option("dumpgtid", "true")
+                .option("gtidexecuted", executed)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", str(tmp_path / "sink"))
+                .option("checkpointLocation", str(tmp_path / "cp"))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            assert srv.gtid_dump_requests == [executed]
+        from rust_cdc_spark.datamodel import CDC_SCHEMA
+
+        rows = (
+            spark.read.schema(CDC_SCHEMA)
+            .parquet(str(tmp_path / "sink"))
+            .collect()
+        )
+        ids = sorted(
+            int(r.after["col_0"]) for r in rows if r.op == "I"
+        )
+        assert ids == [2, 3]
+        gtids = {r.gtid for r in rows if r.op == "I"}
+        assert gtids == {f"{self.UUID}:2", f"{self.UUID}:3"}
