@@ -32,7 +32,41 @@ GTID_EVENT = 0x21
 ANONYMOUS_GTID_EVENT = 0x22
 PREVIOUS_GTIDS_EVENT = 0x23
 ROWS_QUERY_EVENT = 0x1D  # original SQL (binlog_rows_query_log_events=ON)
+XA_PREPARE_LOG_EVENT = 0x26  # two-phase XA: prepared-txn marker
 TRANSACTION_PAYLOAD_EVENT = 0x28  # MySQL 8.0.20+ compressed transactions
+
+
+def _parse_xa_xid(text: str) -> tuple[int, bytes, bytes] | None:
+    """Parse the xid from MySQL's serialized XA statement text:
+    ``XA START|COMMIT|ROLLBACK X'<gtrid hex>',X'<bqual hex>',<formatID>``
+    (the exact form the server writes into QUERY events). Returns
+    (formatID, gtrid, bqual) or None if the text isn't that shape."""
+    import re
+
+    m = re.match(
+        r"XA\s+(?:START|BEGIN|END|COMMIT|ROLLBACK)\s+"
+        r"X'([0-9a-fA-F]*)'\s*(?:,\s*X'([0-9a-fA-F]*)')?\s*(?:,\s*(\d+))?",
+        text.strip(), re.IGNORECASE,
+    )
+    if not m:
+        return None
+    gtrid = bytes.fromhex(m.group(1))
+    bqual = bytes.fromhex(m.group(2) or "")
+    fmt = int(m.group(3) or "1")
+    return (fmt, gtrid, bqual)
+
+
+def _decode_xa_prepare(body: bytes) -> tuple[bool, tuple[int, bytes, bytes]]:
+    """XA_PREPARE_LOG_EVENT body → (one_phase, xid). Layout (public
+    libbinlogevents XA_prepare_event): u8 one_phase, u32 formatID,
+    u32 gtrid_length, u32 bqual_length, gtrid bytes, bqual bytes."""
+    import struct
+
+    one_phase = bool(body[0])
+    fmt, glen, blen = struct.unpack_from("<iii", body, 1)
+    gtrid = bytes(body[13 : 13 + glen])
+    bqual = bytes(body[13 + glen : 13 + glen + blen])
+    return one_phase, (fmt, gtrid, bqual)
 
 # Transaction_payload_event on-the-wire TLV field types and compression
 # codes (public libbinlogevents format: each header field is
@@ -242,6 +276,19 @@ def envelopes_from_events(
     registry = registry or BR.TableRegistry()
     current_gtid: str | None = _gtid
     rows_query: str | None = None  # ROWS_QUERY_EVENT statement context
+    # Two-phase XA: rows logged between XA START and XA PREPARE are
+    # HELD here and released only by XA COMMIT (pos-pinned to the
+    # commit, which is the resume-safe offset) or dropped by XA
+    # ROLLBACK — without this, a rolled-back prepared transaction
+    # would emit phantom rows downstream. One-phase XA (XA COMMIT ...
+    # ONE PHASE) flushes at the prepare event itself. RESTART CAVEAT
+    # (documented, same gap Debezium has): the buffer is stream state,
+    # so a resume that starts after an in-flight txn's XA START but
+    # before its XA COMMIT cannot recover those rows — resume offsets
+    # should not be advanced past an unresolved prepare (the TXN
+    # marker emitted at commit carries the query text for auditing).
+    xa_current: tuple | None = None
+    xa_buffer: dict[tuple, list[dict]] = {}
     row_event_types = {
         BR.WRITE_ROWS_V1, BR.WRITE_ROWS_V2, BR.UPDATE_ROWS_V1,
         BR.UPDATE_ROWS_V2, BR.DELETE_ROWS_V1, BR.DELETE_ROWS_V2,
@@ -343,7 +390,7 @@ def envelopes_from_events(
             else:
                 op = "D"
             for row in rows:
-                yield {
+                env = {
                     **base,
                     "database": entry.schema_name,
                     "table": entry.table_name,
@@ -352,9 +399,36 @@ def envelopes_from_events(
                     "after": _jsonable(row.get("after")),
                     "query": rows_query,
                 }
+                if xa_current is not None:
+                    xa_buffer.setdefault(xa_current, []).append(env)
+                else:
+                    yield env
         elif ev.type_code == QUERY_EVENT:
             schema, sql = _decode_query(ev.body)
-            if sql.strip().upper() in ("BEGIN", "COMMIT"):
+            up = sql.strip().upper()
+            if up in ("BEGIN", "COMMIT"):
+                continue
+            if up.startswith("XA "):
+                xid = _parse_xa_xid(sql)
+                if up.startswith(("XA START", "XA BEGIN")):
+                    xa_current = xid
+                elif up.startswith("XA END"):
+                    pass  # statement phase over; txn resolves at prepare
+                elif up.startswith("XA COMMIT") and xid is not None:
+                    rows_query = None
+                    for env in xa_buffer.pop(xid, []):
+                        # pos-pin to the commit: the only offset at
+                        # which these rows are durably decided
+                        yield {**env, "pos": ev.log_pos,
+                               "gtid": current_gtid}
+                    yield {
+                        **base, "database": schema, "table": "",
+                        "op": "TXN", "before": None, "after": None,
+                        "query": sql,
+                    }
+                elif up.startswith("XA ROLLBACK") and xid is not None:
+                    rows_query = None
+                    xa_buffer.pop(xid, None)  # phantoms never emitted
                 continue
             yield {
                 **base,
@@ -365,6 +439,20 @@ def envelopes_from_events(
                 "after": None,
                 "query": sql,
             }
+        elif ev.type_code == XA_PREPARE_LOG_EVENT:
+            one_phase, xid = _decode_xa_prepare(ev.body)
+            xa_current = None  # statement phase sealed
+            if one_phase:
+                # XA COMMIT ... ONE PHASE: decided right here
+                rows_query = None
+                for env in xa_buffer.pop(xid, []):
+                    yield {**env, "pos": ev.log_pos, "gtid": current_gtid}
+                yield {
+                    **base, "database": "", "table": "",
+                    "op": "TXN", "before": None, "after": None,
+                    "query": "XA COMMIT ONE PHASE",
+                }
+            continue
         elif ev.type_code == XID_EVENT:
             rows_query = None  # statement context ends with the txn
             yield {

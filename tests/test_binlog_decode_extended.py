@@ -797,3 +797,111 @@ class TestRowsQueryEvent:
         assert envs[0]["query"] == sql
         assert envs[1]["query"] is None  # not smeared onto the Xid
         assert envs[2]["query"] is None  # cleared at the txn boundary
+
+
+class TestXaTransactions:
+    """Two-phase XA through the envelope loop: rows of a prepared
+    transaction are HELD until XA COMMIT (pos-pinned to the commit) and
+    dropped on XA ROLLBACK — a rolled-back prepare must never emit
+    phantom rows. One-phase XA flushes at the prepare event. The
+    reference streams XA rows immediately and leaks the XA statements
+    as DDL envelopes."""
+
+    XID = "X'6774726964',X'627175616c',1"  # gtrid / bqual / formatID
+
+    def _events(self, outcome: str):
+        from tests.test_binlog_decode import (
+            _table_map_body,
+            enc_long,
+            enc_varchar,
+        )
+
+        from rust_cdc_spark.sources.binlog_file import (
+            QUERY_EVENT,
+            XA_PREPARE_LOG_EVENT,
+            XID_EVENT,
+            RawEvent,
+        )
+
+        def q(sql: str, pos: int) -> RawEvent:
+            body = (
+                (1).to_bytes(4, "little") + (0).to_bytes(4, "little")
+                + bytes([3]) + (0).to_bytes(2, "little")
+                + (0).to_bytes(2, "little") + b"cdc\x00" + sql.encode()
+            )
+            return RawEvent(1, QUERY_EVENT, 1, 0, pos, 0, body)
+
+        tmap = _table_map_body(
+            71, "cdc", "rustcdc", [MT.LONG, MT.VARCHAR],
+            metas=(160).to_bytes(2, "little"), nullable_bits=0b10,
+        )
+
+        def rows(n: int, pos: int) -> "RawEvent":
+            img = b"\x00" + enc_long(n) + enc_varchar(f"r{n}")
+            body = (
+                (71).to_bytes(6, "little") + b"\x01\x00"
+                + (2).to_bytes(2, "little") + bytes([2]) + bytes([0b11])
+                + img
+            )
+            return RawEvent(1, BR.WRITE_ROWS_V2, 1, 0, pos, 0, body)
+
+        import struct
+
+        one_phase = outcome == "one_phase"
+        prep_body = (
+            bytes([1 if one_phase else 0])
+            + struct.pack("<iii", 1, 5, 5) + b"gtrid" + b"bqual"
+        )
+        evs = [
+            RawEvent(1, BR.TABLE_MAP_EVENT, 1, 0, 90, 0, tmap),
+            q(f"XA START {self.XID}", 100),
+            RawEvent(1, BR.TABLE_MAP_EVENT, 1, 0, 150, 0, tmap),
+            rows(1, 200),
+            q(f"XA END {self.XID}", 250),
+            RawEvent(1, XA_PREPARE_LOG_EVENT, 1, 0, 300, 0, prep_body),
+            # an ORDINARY transaction interleaves before the XA decision
+            RawEvent(1, BR.TABLE_MAP_EVENT, 1, 0, 350, 0, tmap),
+            rows(2, 400),
+            RawEvent(1, XID_EVENT, 1, 0, 450, 0, (9).to_bytes(8, "little")),
+        ]
+        if outcome == "commit":
+            evs.append(q(f"XA COMMIT {self.XID}", 500))
+        elif outcome == "rollback":
+            evs.append(q(f"XA ROLLBACK {self.XID}", 500))
+        return evs
+
+    def _run(self, outcome: str):
+        from rust_cdc_spark.sources.binlog_file import envelopes_from_events
+
+        return list(envelopes_from_events(iter(self._events(outcome)), "b.1"))
+
+    def test_commit_releases_rows_pos_pinned_after_interleaved_txn(self):
+        envs = self._run("commit")
+        ops = [(e["op"], e.get("after", {}) or {}) for e in envs]
+        # interleaved txn first (row 2), then the decided XA rows (row 1)
+        assert [e["op"] for e in envs] == ["I", "TXN", "I", "TXN"]
+        assert envs[0]["after"]["col_0"] == 2
+        assert envs[2]["after"]["col_0"] == 1
+        assert envs[2]["pos"] == 500  # pinned to the XA COMMIT
+        assert "XA COMMIT" in envs[3]["query"]
+        # and no XA statement leaked as a DDL envelope
+        assert all(e["op"] != "DDL" for e in envs), ops
+
+    def test_rollback_emits_no_phantom_rows(self):
+        envs = self._run("rollback")
+        assert [e["op"] for e in envs] == ["I", "TXN"]
+        assert envs[0]["after"]["col_0"] == 2  # only the ordinary txn
+
+    def test_one_phase_flushes_at_prepare(self):
+        envs = self._run("one_phase")
+        assert [e["op"] for e in envs] == ["I", "TXN", "I", "TXN"]
+        assert envs[0]["after"]["col_0"] == 1  # decided at prepare (pos 300)
+        assert envs[0]["pos"] == 300
+        assert envs[2]["after"]["col_0"] == 2
+
+    def test_xid_text_roundtrip(self):
+        from rust_cdc_spark.sources.binlog_file import _parse_xa_xid
+
+        assert _parse_xa_xid(f"XA COMMIT {self.XID}") == (1, b"gtrid", b"bqual")
+        assert _parse_xa_xid("XA ROLLBACK X'61'") == (1, b"a", b"")
+        assert _parse_xa_xid("XA RECOVER") is None
