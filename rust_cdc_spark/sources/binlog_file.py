@@ -264,6 +264,7 @@ def envelopes_from_events(
     file_name: str,
     registry: BR.TableRegistry | None = None,
     _gtid: str | None = None,
+    _xa_state: dict | None = None,
 ) -> Iterator[dict]:
     """RawEvent stream → normalized envelopes. Shared by the offline file
     parser above and the live wire reader (``sources/wire.py``) — same
@@ -272,7 +273,10 @@ def envelopes_from_events(
     the packet layer (/root/reference/src/mysql/conn.rs:307-356).
     ``_gtid`` seeds the current-GTID state when recursing into a
     Transaction_payload_event (whose GTID event precedes the payload in
-    the OUTER stream)."""
+    the OUTER stream); ``_xa_state`` shares the XA buffer with that
+    recursion — a prepared XA transaction and its XA COMMIT arrive in
+    DIFFERENT payload events (each payload wraps one transaction), so
+    the buffer must outlive any single payload's decode."""
     registry = registry or BR.TableRegistry()
     current_gtid: str | None = _gtid
     rows_query: str | None = None  # ROWS_QUERY_EVENT statement context
@@ -287,8 +291,7 @@ def envelopes_from_events(
     # before its XA COMMIT cannot recover those rows — resume offsets
     # should not be advanced past an unresolved prepare (the TXN
     # marker emitted at commit carries the query text for auditing).
-    xa_current: tuple | None = None
-    xa_buffer: dict[tuple, list[dict]] = {}
+    xa = _xa_state if _xa_state is not None else {"current": None, "buffer": {}}
     row_event_types = {
         BR.WRITE_ROWS_V1, BR.WRITE_ROWS_V2, BR.UPDATE_ROWS_V1,
         BR.UPDATE_ROWS_V2, BR.DELETE_ROWS_V1, BR.DELETE_ROWS_V2,
@@ -333,6 +336,7 @@ def envelopes_from_events(
                     file_name,
                     registry,
                     _gtid=current_gtid,
+                    _xa_state=xa,
                 )
             except Exception as exc:  # noqa: BLE001 — quarantine
                 yield {
@@ -399,8 +403,8 @@ def envelopes_from_events(
                     "after": _jsonable(row.get("after")),
                     "query": rows_query,
                 }
-                if xa_current is not None:
-                    xa_buffer.setdefault(xa_current, []).append(env)
+                if xa["current"] is not None:
+                    xa["buffer"].setdefault(xa["current"], []).append(env)
                 else:
                     yield env
         elif ev.type_code == QUERY_EVENT:
@@ -411,12 +415,12 @@ def envelopes_from_events(
             if up.startswith("XA "):
                 xid = _parse_xa_xid(sql)
                 if up.startswith(("XA START", "XA BEGIN")):
-                    xa_current = xid
+                    xa["current"] = xid
                 elif up.startswith("XA END"):
                     pass  # statement phase over; txn resolves at prepare
                 elif up.startswith("XA COMMIT") and xid is not None:
                     rows_query = None
-                    for env in xa_buffer.pop(xid, []):
+                    for env in xa["buffer"].pop(xid, []):
                         # pos-pin to the commit: the only offset at
                         # which these rows are durably decided
                         yield {**env, "pos": ev.log_pos,
@@ -428,7 +432,7 @@ def envelopes_from_events(
                     }
                 elif up.startswith("XA ROLLBACK") and xid is not None:
                     rows_query = None
-                    xa_buffer.pop(xid, None)  # phantoms never emitted
+                    xa["buffer"].pop(xid, None)  # phantoms never emitted
                 continue
             yield {
                 **base,
@@ -441,11 +445,11 @@ def envelopes_from_events(
             }
         elif ev.type_code == XA_PREPARE_LOG_EVENT:
             one_phase, xid = _decode_xa_prepare(ev.body)
-            xa_current = None  # statement phase sealed
+            xa["current"] = None  # statement phase sealed
             if one_phase:
                 # XA COMMIT ... ONE PHASE: decided right here
                 rows_query = None
-                for env in xa_buffer.pop(xid, []):
+                for env in xa["buffer"].pop(xid, []):
                     yield {**env, "pos": ev.log_pos, "gtid": current_gtid}
                 yield {
                     **base, "database": "", "table": "",

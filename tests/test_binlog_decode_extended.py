@@ -905,3 +905,40 @@ class TestXaTransactions:
         assert _parse_xa_xid(f"XA COMMIT {self.XID}") == (1, b"gtrid", b"bqual")
         assert _parse_xa_xid("XA ROLLBACK X'61'") == (1, b"a", b"")
         assert _parse_xa_xid("XA RECOVER") is None
+
+    def test_xa_spanning_two_compressed_payloads(self):
+        """The composition that actually occurs on a
+        binlog_transaction_compression=ON server: the prepared XA txn
+        and its XA COMMIT arrive in DIFFERENT payload events. The XA
+        buffer is shared with the payload recursion, so the rows
+        survive the payload boundary and release at the commit."""
+        from rust_cdc_spark.sources.binlog_file import (
+            TRANSACTION_PAYLOAD_EVENT,
+            RawEvent,
+            envelopes_from_events,
+        )
+
+        evs = self._events("commit")
+        # wrap [XA START .. XA PREPARE] in payload A, the interleaved
+        # ordinary txn in payload B, and XA COMMIT in payload C
+        def wrap(raw_events, log_pos):
+            inner = b"".join(
+                TestTransactionPayload._frame(e.type_code, e.body,
+                                              log_pos=e.log_pos)
+                for e in raw_events
+            )
+            body = TestTransactionPayload._tp_body(inner, compression=255)
+            return RawEvent(1, TRANSACTION_PAYLOAD_EVENT, 1,
+                            19 + len(body), log_pos, 0, body)
+
+        outer = [
+            evs[0],                      # TABLE_MAP (outside, fine)
+            wrap(evs[1:6], 1000),        # XA START..PREPARE
+            wrap(evs[6:9], 2000),        # ordinary txn
+            wrap(evs[9:], 3000),         # XA COMMIT
+        ]
+        envs = list(envelopes_from_events(iter(outer), "b.1"))
+        assert [e["op"] for e in envs] == ["I", "TXN", "I", "TXN"]
+        assert envs[0]["after"]["col_0"] == 2   # ordinary txn first
+        assert envs[2]["after"]["col_0"] == 1   # XA rows at the commit
+        assert envs[2]["pos"] == 3000           # pinned to payload C
