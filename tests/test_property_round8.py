@@ -138,3 +138,160 @@ def test_gtid_set_binary_roundtrip(spec):
     assert GtidSet.decode(s.encode()) == s
     # and the text form agrees too (same normalization path)
     assert GtidSet(str(GtidSet.decode(s.encode()))) == s
+
+
+# ── XA / payload interleaving property test ──────────────────────────
+# Random schedules of ordinary and XA transactions (commit / rollback /
+# one-phase), optionally regrouped into compressed payload events, must
+# produce exactly the envelopes an independent pure-Python simulator
+# derives: ordinary rows in log order, XA rows at their commit point,
+# rolled-back rows never.
+
+def _q_body(sql: str) -> bytes:
+    return (
+        (1).to_bytes(4, "little") + (0).to_bytes(4, "little") + bytes([3])
+        + (0).to_bytes(2, "little") + (0).to_bytes(2, "little")
+        + b"cdc\x00" + sql.encode()
+    )
+
+
+def _tmap_body() -> bytes:
+    from tests.test_binlog_decode import _table_map_body
+
+    return _table_map_body(
+        71, "cdc", "rustcdc", [3, 15], metas=(160).to_bytes(2, "little"),
+        nullable_bits=0b10,
+    )
+
+
+def _rows_body(n: int) -> bytes:
+    from tests.test_binlog_decode import enc_long, enc_varchar
+
+    img = b"\x00" + enc_long(n) + enc_varchar(f"r{n}")
+    return (
+        (71).to_bytes(6, "little") + b"\x01\x00" + (2).to_bytes(2, "little")
+        + bytes([2]) + bytes([0b11]) + img
+    )
+
+
+@st.composite
+def xa_schedules(draw):
+    """A log: list of transactions, each ordinary or XA with an
+    outcome; XA decisions may be deferred past later transactions."""
+    txns = []
+    n = draw(st.integers(min_value=1, max_value=6))
+    for t in range(n):
+        kind = draw(st.sampled_from(["ordinary", "commit", "rollback",
+                                     "one_phase"]))
+        txns.append((t + 1, kind))
+    # decision delay: commits/rollbacks resolve 0..2 txns later
+    delays = [draw(st.integers(min_value=0, max_value=2)) for _ in txns]
+    group = draw(st.booleans())  # wrap each txn in a payload event?
+    return txns, delays, group
+
+
+@_SETTINGS
+@given(xa_schedules())
+def test_xa_interleavings_match_simulator(schedule):
+    import struct
+
+    from rust_cdc_spark.sources.binlog_file import (
+        TRANSACTION_PAYLOAD_EVENT,
+        XA_PREPARE_LOG_EVENT,
+        RawEvent,
+        envelopes_from_events,
+    )
+    from tests.test_binlog_decode_extended import TestTransactionPayload
+
+    txns, delays, group = schedule
+    pos = 100
+
+    def ev(tc, body):
+        nonlocal pos
+        pos += 100
+        return RawEvent(1, tc, 1, 19 + len(body), pos, 0, body)
+
+    # build the log: each txn's statement block, with XA decisions
+    # queued `delay` transaction-blocks later
+    blocks = []  # list of lists of RawEvent
+    pending = []  # (due_block_index, decision events)
+    for i, ((row_id, kind), delay) in enumerate(zip(txns, delays)):
+        blk = [ev(0x13, _tmap_body())]
+        if kind == "ordinary":
+            blk.append(ev(0x1E, _rows_body(row_id)))
+            blk.append(ev(0x10, row_id.to_bytes(8, "little")))
+        else:
+            xid_txt = f"X'{row_id:02x}',X'00',1"
+            one = kind == "one_phase"
+            prep = (
+                bytes([1 if one else 0]) + struct.pack("<iii", 1, 1, 1)
+                + bytes([row_id]) + b"\x00"
+            )
+            blk = [
+                ev(0x02, _q_body(f"XA START {xid_txt}")),
+                ev(0x13, _tmap_body()),
+                ev(0x1E, _rows_body(row_id)),
+                ev(0x02, _q_body(f"XA END {xid_txt}")),
+                ev(0x26, prep),
+            ]
+            if kind == "commit":
+                pending.append((i + delay, f"XA COMMIT {xid_txt}"))
+            elif kind == "rollback":
+                pending.append((i + delay, f"XA ROLLBACK {xid_txt}"))
+        blocks.append(blk)
+        for due, sql in [p for p in pending if p[0] == i]:
+            blocks.append([ev(0x02, _q_body(sql))])
+            pending.remove((due, sql))
+    for due, sql in sorted(pending):
+        blocks.append([ev(0x02, _q_body(sql))])
+
+    # independent simulator: expected row ids in emission order,
+    # derived by a tiny separate state machine over the flat event list
+    expected = []
+    cur_xa = None
+    buf: dict[str, list[int]] = {}
+    flat = [e for blk in blocks for e in blk]
+    for e in flat:
+        if e.type_code == 0x02:
+            sql = e.body[13 + 4:].decode()  # schema 'cdc'+NUL then sql
+            up = sql.upper()
+            if up.startswith("XA START"):
+                cur_xa = sql.split()[2]
+            elif up.startswith("XA COMMIT"):
+                expected.extend(buf.pop(sql.split()[2], []))
+            elif up.startswith("XA ROLLBACK"):
+                buf.pop(sql.split()[2], None)
+        elif e.type_code == 0x1E:
+            # the LONG row id sits at a fixed offset in the body we built
+            n = int.from_bytes(e.body[13:17], "little")
+            if cur_xa is not None:
+                buf.setdefault(cur_xa, []).append(n)
+            else:
+                expected.append(n)
+        elif e.type_code == 0x26:
+            one_phase = bool(e.body[0])
+            rid_key = None
+            if cur_xa is not None:
+                rid_key = cur_xa
+            cur_xa = None
+            if one_phase and rid_key is not None:
+                expected.extend(buf.pop(rid_key, []))
+
+    events = flat
+    if group:
+        wrapped = []
+        for blk in blocks:
+            inner = b"".join(
+                TestTransactionPayload._frame(e.type_code, e.body,
+                                              log_pos=e.log_pos)
+                for e in blk
+            )
+            body = TestTransactionPayload._tp_body(inner, compression=255)
+            pos_outer = blk[-1].log_pos + 50
+            wrapped.append(RawEvent(1, TRANSACTION_PAYLOAD_EVENT, 1,
+                                    19 + len(body), pos_outer, 0, body))
+        events = wrapped
+
+    envs = list(envelopes_from_events(iter(events), "b.1"))
+    got = [e["after"]["col_0"] for e in envs if e["op"] == "I"]
+    assert got == expected, (txns, delays, group)
