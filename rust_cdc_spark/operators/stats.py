@@ -161,8 +161,6 @@ def mad_anomaly_finish(hist: DataFrame) -> DataFrame:
     stats = hist.groupBy("event_type").agg(
         F.expr("sum(cents * n) div sum(n)").cast("long")
         .alias("mean_cents"),
-        F.sum("n").cast("long").alias("n_total"),
-        F.sum(F.expr("cents * n")).cast("long").alias("sum_cents"),
     )
     mad = (
         hist.join(F.broadcast(stats), "event_type")

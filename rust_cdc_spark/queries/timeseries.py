@@ -2861,6 +2861,18 @@ _KM_PREFIX_SQL = """
         FROM hist
     )"""
 
+# MATERIALIZED variant of the prefix for the unrolled chain: each of
+# the 64 k_i steps references `ranked`, and plain CTEs are inlined —
+# without materialization DuckDB would re-plan and re-run the whole
+# events scan + window data path once per step (review r8). The _hist
+# twin keeps the plain form (one reference; and the bisect wants the
+# data path evaluated the ordinary way), the _rcte twin stays verbatim.
+_KM_PREFIX_MAT_SQL = _KM_PREFIX_SQL
+for _cte in ("u", "obs", "hist", "ranked"):
+    _KM_PREFIX_MAT_SQL = _KM_PREFIX_MAT_SQL.replace(
+        f"{_cte} AS (", f"{_cte} AS MATERIALIZED (", 1
+    )
+
 # The r7 recursive fold, kept verbatim as the control arm (_rcte twin).
 _KM_RCTE_ORACLE = f"""
     WITH RECURSIVE {_KM_PREFIX_SQL},
@@ -2929,7 +2941,7 @@ def _km_chain_sql(steps: int = _KM_STEPS) -> str:
     # fold is UNROLLED into chained plain CTEs (no WITH RECURSIVE) —
     # the arithmetic is unchanged from r7; see the bisect note above.
     oracle=f"""
-    WITH {_KM_PREFIX_SQL},
+    WITH {_KM_PREFIX_MAT_SQL},
     {_km_chain_sql()}
     """,
 )

@@ -18,6 +18,7 @@ import datetime
 from collections.abc import Iterator
 from dataclasses import dataclass
 
+from rust_cdc_spark.functions import mysql_types as MT
 from rust_cdc_spark.sources import binlog_rows as BR
 
 MAGIC = b"\xfebin"
@@ -84,18 +85,11 @@ TP_COMPRESSION_ZSTD = 0
 TP_COMPRESSION_NONE = 255
 
 
-def _lenenc(buf: bytes, pos: int) -> tuple[int, int]:
-    """MySQL length-encoded integer (net_field_length) → (value, pos)."""
-    first = buf[pos]
-    if first < 0xFB:
-        return first, pos + 1
-    if first == 0xFC:
-        return int.from_bytes(buf[pos + 1 : pos + 3], "little"), pos + 3
-    if first == 0xFD:
-        return int.from_bytes(buf[pos + 1 : pos + 4], "little"), pos + 4
-    if first == 0xFE:
-        return int.from_bytes(buf[pos + 1 : pos + 9], "little"), pos + 9
-    raise ValueError(f"invalid length-encoded integer prefix {first:#x}")
+# MySQL length-encoded integer (net_field_length) → (value, pos): ONE
+# shared decoder — functions/mysql_types.read_lenenc_int — re-exported
+# under the local name (a second implementation here would silently
+# drift from future bounds-checking fixes; ADVICE-style dedup, r8).
+_lenenc = MT.read_lenenc_int
 
 
 def decode_transaction_payload(body: bytes) -> bytes:
@@ -291,7 +285,11 @@ def envelopes_from_events(
     # before its XA COMMIT cannot recover those rows — resume offsets
     # should not be advanced past an unresolved prepare (the TXN
     # marker emitted at commit carries the query text for auditing).
-    xa = _xa_state if _xa_state is not None else {"current": None, "buffer": {}}
+    xa = (
+        _xa_state
+        if _xa_state is not None
+        else {"current": None, "buffer": {}, "alias": {}}
+    )
     row_event_types = {
         BR.WRITE_ROWS_V1, BR.WRITE_ROWS_V2, BR.UPDATE_ROWS_V1,
         BR.UPDATE_ROWS_V2, BR.DELETE_ROWS_V1, BR.DELETE_ROWS_V2,
@@ -413,26 +411,66 @@ def envelopes_from_events(
             if up in ("BEGIN", "COMMIT"):
                 continue
             if up.startswith("XA "):
+                # key by the parsed xid; an unparseable text degrades to
+                # the normalized statement tail (everything after the
+                # verb), which is identical between a txn's START and
+                # its COMMIT/ROLLBACK — so exotic serializations still
+                # pair up instead of silently orphaning the buffer
                 xid = _parse_xa_xid(sql)
+                parts = sql.strip().split(None, 2)
+                key = xid if xid is not None else (
+                    "raw", parts[2].strip() if len(parts) > 2 else ""
+                )
                 if up.startswith(("XA START", "XA BEGIN")):
-                    xa["current"] = xid
+                    xa["current"] = key
                 elif up.startswith("XA END"):
                     pass  # statement phase over; txn resolves at prepare
-                elif up.startswith("XA COMMIT") and xid is not None:
+                elif up.startswith("XA COMMIT"):
                     rows_query = None
-                    for env in xa["buffer"].pop(xid, []):
-                        # pos-pin to the commit: the only offset at
-                        # which these rows are durably decided
-                        yield {**env, "pos": ev.log_pos,
-                               "gtid": current_gtid}
+                    held = xa["buffer"].pop(key, None)
+                    if held is None:
+                        # the prepare re-keyed a raw-tail buffer under
+                        # its binary xid; follow the alias
+                        alt = xa["alias"].pop(key, None)
+                        if alt is not None:
+                            held = xa["buffer"].pop(alt, None)
+                    if held is None and xid is not None:
+                        held = xa["buffer"].pop(("raw", parts[2].strip()),
+                                                None)
+                    if held is None:
+                        # commit for a txn we never saw prepare: its
+                        # rows were logged before this stream's start
+                        # offset. Say so loudly (DLQ) — resuming past
+                        # an unresolved prepare loses data.
+                        yield {
+                            **base, "database": schema, "table": "",
+                            "op": "ERR", "before": None, "after": None,
+                            "query": "XA COMMIT for unknown prepared"
+                                     f" transaction: {sql} — rows were"
+                                     " logged before this stream's"
+                                     " start offset",
+                        }
+                        continue
+                    for env in held:
+                        # (file, pos)-pin to the commit: the only
+                        # offset at which these rows are durably
+                        # decided (the prepare may sit in an earlier
+                        # binlog file entirely)
+                        yield {**env, "file": file_name,
+                               "pos": ev.log_pos, "gtid": current_gtid}
                     yield {
                         **base, "database": schema, "table": "",
                         "op": "TXN", "before": None, "after": None,
                         "query": sql,
                     }
-                elif up.startswith("XA ROLLBACK") and xid is not None:
+                elif up.startswith("XA ROLLBACK"):
                     rows_query = None
-                    xa["buffer"].pop(xid, None)  # phantoms never emitted
+                    xa["buffer"].pop(key, None)  # phantoms never emitted
+                    alt = xa["alias"].pop(key, None)
+                    if alt is not None:
+                        xa["buffer"].pop(alt, None)
+                    if xid is not None:
+                        xa["buffer"].pop(("raw", parts[2].strip()), None)
                 continue
             yield {
                 **base,
@@ -445,12 +483,21 @@ def envelopes_from_events(
             }
         elif ev.type_code == XA_PREPARE_LOG_EVENT:
             one_phase, xid = _decode_xa_prepare(ev.body)
+            # the prepare always refers to the txn whose statements just
+            # ran: re-key its buffer under the BINARY xid so the later
+            # XA COMMIT (parsed from text) matches even when XA START's
+            # text form didn't parse
+            cur = xa["current"]
             xa["current"] = None  # statement phase sealed
+            if cur is not None and cur != xid and cur in xa["buffer"]:
+                xa["buffer"][xid] = xa["buffer"].pop(cur)
+                xa["alias"][cur] = xid  # let a raw-tail COMMIT find it
             if one_phase:
                 # XA COMMIT ... ONE PHASE: decided right here
                 rows_query = None
                 for env in xa["buffer"].pop(xid, []):
-                    yield {**env, "pos": ev.log_pos, "gtid": current_gtid}
+                    yield {**env, "file": file_name, "pos": ev.log_pos,
+                           "gtid": current_gtid}
                 yield {
                     **base, "database": "", "table": "",
                     "op": "TXN", "before": None, "after": None,
@@ -470,6 +517,34 @@ def envelopes_from_events(
             }
         # Rotate / FDE / heartbeat / previous-gtids: positional metadata,
         # consumed internally (reference conn.rs:311-317 does the same).
+    if _xa_state is None and xa["buffer"]:
+        # the stream ended (file EOF, or a microbatch's end offset in
+        # the live source) with prepared-but-undecided XA transactions.
+        # Their rows cannot be emitted — a later XA ROLLBACK may still
+        # retract them — but they are NOT dropped silently either: one
+        # DLQ record per unresolved txn makes the split visible (the
+        # later batch's XA COMMIT then raises its own unknown-prepare
+        # DLQ record). Recover by resuming from <= the earliest
+        # unresolved XA START. Top-level only: the payload recursion
+        # shares this state and must not flush it.
+        for key, held in xa["buffer"].items():
+            yield {
+                "ts": held[-1]["ts"],
+                "server_id": held[-1]["server_id"],
+                "file": file_name,
+                "pos": held[-1]["pos"],
+                "gtid": held[-1]["gtid"],
+                "xid": None,
+                "database": "",
+                "table": "",
+                "op": "ERR",
+                "before": None,
+                "after": None,
+                "query": "unresolved XA prepare at stream end:"
+                         f" {len(held)} row(s) held for xid {key!r} —"
+                         " resume from <= this transaction's XA START"
+                         " or re-snapshot",
+            }
 
 
 def _jsonable(image: dict | None) -> dict | None:

@@ -410,16 +410,21 @@ def decode_rows_event(
 
     rows: list[dict] = []
     end = len(body)
-    # JSON columns present in the after-image — the domain of a
-    # PARTIAL_UPDATE row's partial_bits bitmap (one bit each)
+    # the partial_bits bitmap spans ALL JSON columns of the TABLE (one
+    # bit each, regardless of after-image inclusion — MySQL
+    # print_verbose_one_row / go-mysql decodeImage both size it from
+    # the table's JSON column count)
     pj_cols = [
-        i for i, tc in enumerate(entry.column_types)
-        if tc == MT.JSON and _bitmap_get(present2, i)
+        i for i, tc in enumerate(entry.column_types) if tc == MT.JSON
     ]
     while pos < end:
         if event_type == PARTIAL_UPDATE_ROWS_V2:
-            # per row: value_options lenenc, then (when the PARTIAL_JSON
-            # bit is set) one partial bit per after-image JSON column
+            # per row: the before-image is ordinary; the AFTER-image is
+            # preceded by a shared-image — value_options lenenc, then
+            # (when the PARTIAL_JSON bit is set) the partial_bits
+            # bitmap (public layout per WL#2955: value_options belongs
+            # to the update after-image, never the before-image)
+            before, pos = _decode_image(body, pos, entry, present1)
             value_options, pos = MT.read_lenenc_int(body, pos)
             partial: frozenset = frozenset()
             if value_options & _VALUE_OPTIONS_PARTIAL_JSON and pj_cols:
@@ -428,9 +433,8 @@ def decode_rows_event(
                 pos += nb
                 partial = frozenset(
                     col for j, col in enumerate(pj_cols)
-                    if _bitmap_get(bits, j)
+                    if _bitmap_get(bits, j) and _bitmap_get(present2, col)
                 )
-            before, pos = _decode_image(body, pos, entry, present1)
             after, pos = _decode_image(
                 body, pos, entry, present2,
                 partial_cols=partial, before=before,

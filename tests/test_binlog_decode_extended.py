@@ -640,6 +640,10 @@ class TestPartialJsonUpdate:
 
     def _event_body(self, before_doc, diffs: bytes,
                     value_options: int = 1, partial_bits: int = 1) -> bytes:
+        """Real-server layout: BI is ordinary; value_options (+
+        partial_bits over the table's JSON columns) PRECEDE the AI —
+        the shared-image belongs to the update after-image (WL#2955;
+        verified against go-mysql decodeImage)."""
         jb = jsonb_bytes(before_doc)
         before_img = b"\x00" + enc_long(7) + bytes([len(jb)]) + jb
         after_img = b"\x00" + enc_long(7) + bytes([len(diffs)]) + diffs
@@ -647,10 +651,11 @@ class TestPartialJsonUpdate:
         body += (2).to_bytes(2, "little")  # extra-data: just the len
         body += bytes([2])                 # col count
         body += bytes([0b11]) + bytes([0b11])  # present1, present2
+        body += before_img
         body += bytes([value_options])     # lenenc value_options
         if value_options & 1:
             body += bytes([partial_bits])
-        return body + before_img + after_img
+        return body + after_img
 
     def test_diffs_applied_to_before_image(self):
         reg = self._registry()
@@ -681,9 +686,10 @@ class TestPartialJsonUpdate:
         body = (72).to_bytes(6, "little") + b"\x01\x00"
         body += (2).to_bytes(2, "little") + bytes([2])
         body += bytes([0b11]) + bytes([0b11])
-        body += bytes([0])  # value_options = 0
         img = b"\x00" + enc_long(1) + bytes([len(jb)]) + jb
-        body += img + img
+        body += img             # ordinary before-image
+        body += bytes([0])      # value_options = 0, no partial_bits
+        body += img             # full after-image
         _, rows = BR.decode_rows_event(body, BR.PARTIAL_UPDATE_ROWS_V2, reg)
         assert rows[0]["after"]["col_1"] == '{"full":true}'
 
@@ -942,3 +948,124 @@ class TestXaTransactions:
         assert envs[0]["after"]["col_0"] == 2   # ordinary txn first
         assert envs[2]["after"]["col_0"] == 1   # XA rows at the commit
         assert envs[2]["pos"] == 3000           # pinned to payload C
+
+    def test_partial_bits_span_all_table_json_columns(self):
+        """binlog_row_image=MINIMAL shape: a table with TWO JSON columns
+        where only the second appears in the after-image. The
+        partial_bits bitmap is indexed over the TABLE's JSON columns
+        (bit 1 = second JSON column), not over after-image membership —
+        the real-server domain (go-mysql sizes it from JsonColumnCount)."""
+        from tests.test_binlog_decode import _table_map_body, enc_long
+
+        reg = BR.TableRegistry()
+        reg.handle(BR.decode_table_map(_table_map_body(
+            73, "cdc", "jj", [MT.LONG, MT.JSON, MT.JSON],
+            metas=bytes([1, 1]), nullable_bits=0b110,
+        )))
+        before_doc2 = {"n": 1}
+        jb1 = jsonb_bytes({"other": True})
+        jb2 = jsonb_bytes(before_doc2)
+        diffs = TestPartialJsonUpdate._diff(0, "$.n", 99)
+        body = (73).to_bytes(6, "little") + b"\x01\x00"
+        body += (2).to_bytes(2, "little") + bytes([3])
+        body += bytes([0b111])  # present1: full before-image
+        body += bytes([0b101])  # present2: id + SECOND json col only
+        # before image: 3 present cols → 1-byte null bitmap + values
+        body += (
+            b"\x00" + enc_long(5)
+            + bytes([len(jb1)]) + jb1 + bytes([len(jb2)]) + jb2
+        )
+        body += bytes([1])      # value_options: PARTIAL_JSON
+        body += bytes([0b10])   # partial bit 1 → the second table JSON col
+        # after image: 2 present cols → 1-byte null bitmap + values
+        body += b"\x00" + enc_long(5) + bytes([len(diffs)]) + diffs
+        _, rows = BR.decode_rows_event(body, BR.PARTIAL_UPDATE_ROWS_V2, reg)
+        [row] = rows
+        assert "col_1" not in row["after"]  # not in the after-image
+        assert row["after"]["col_2"] == '{"n":99}'
+        assert row["before"]["col_1"] == '{"other":true}'
+
+    def test_commit_for_unknown_prepare_is_dlq(self):
+        """XA COMMIT for a txn prepared before this stream's start
+        offset: the rows are unrecoverable from here — one loud DLQ
+        record, never a silent no-op."""
+        from rust_cdc_spark.sources.binlog_file import envelopes_from_events
+
+        evs = [e for e in self._events("commit")
+               if e.type_code == 0x02 and b"XA COMMIT" in e.body]
+        envs = list(envelopes_from_events(iter(evs), "b.1"))
+        assert [e["op"] for e in envs] == ["ERR"]
+        assert "unknown prepared" in envs[0]["query"]
+
+    def test_unresolved_prepare_at_stream_end_is_dlq(self):
+        """Stream (or microbatch) ends between XA PREPARE and its
+        decision: the held rows surface as a DLQ record naming the xid
+        and the recovery action — the cross-microbatch case is loud,
+        not silent loss."""
+        from rust_cdc_spark.sources.binlog_file import envelopes_from_events
+
+        evs = self._events("commit")[:-1]  # drop the XA COMMIT
+        envs = list(envelopes_from_events(iter(evs), "b.1"))
+        # ordinary interleaved txn still flows; the XA rows become ERR
+        assert [e["op"] for e in envs] == ["I", "TXN", "ERR"]
+        assert "unresolved XA prepare" in envs[2]["query"]
+        assert "1 row(s)" in envs[2]["query"]
+
+    def test_commit_after_rotation_pins_current_file(self):
+        """Prepare in one binlog file, commit in the next: released
+        rows must carry the COMMIT's (file, pos) — a (prepare-file,
+        commit-pos) pair points at unrelated bytes."""
+        from rust_cdc_spark.sources.binlog_file import (
+            ROTATE_EVENT,
+            RawEvent,
+            envelopes_from_events,
+        )
+
+        evs = self._events("commit")
+        commit = evs[-1]
+        rotate = RawEvent(1, ROTATE_EVENT, 1, 0, 0, 0,
+                          (4).to_bytes(8, "little") + b"b.2")
+        envs = list(envelopes_from_events(
+            iter(evs[:-1] + [rotate, commit]), "b.1"
+        ))
+        released = [e for e in envs if e["op"] == "I"
+                    and e["after"]["col_0"] == 1]
+        assert released[0]["file"] == "b.2"
+        assert released[0]["pos"] == commit.log_pos
+
+    def test_unparseable_xid_text_still_pairs_via_raw_tail(self):
+        """START/COMMIT texts the xid regex can't parse still pair via
+        the normalized statement tail, so the rows release at commit
+        instead of leaking."""
+        from rust_cdc_spark.sources.binlog_file import (
+            _parse_xa_xid,
+            envelopes_from_events,
+        )
+
+        weird = "'plain-string-xid',12345"  # not the X'..' form
+        assert _parse_xa_xid(f"XA START {weird}") is None
+        evs = self._events("commit")
+
+        def swap(e):
+            if e.type_code != 0x02:
+                return e
+            sql = e.body[13 + 4:].decode()
+            for verb in ("XA START", "XA END", "XA COMMIT"):
+                if sql.startswith(verb):
+                    from rust_cdc_spark.sources.binlog_file import RawEvent
+                    return RawEvent(e.timestamp, e.type_code, e.server_id,
+                                    e.event_size, e.log_pos, e.flags,
+                                    _q_body_ext(f"{verb} {weird}"))
+            return e
+
+        envs = list(envelopes_from_events(iter([swap(e) for e in evs]), "b.1"))
+        assert [e["op"] for e in envs] == ["I", "TXN", "I", "TXN"]
+        assert envs[2]["after"]["col_0"] == 1  # released at the commit
+
+
+def _q_body_ext(sql: str) -> bytes:
+    return (
+        (1).to_bytes(4, "little") + (0).to_bytes(4, "little") + bytes([3])
+        + (0).to_bytes(2, "little") + (0).to_bytes(2, "little")
+        + b"cdc\x00" + sql.encode()
+    )
