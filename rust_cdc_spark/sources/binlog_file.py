@@ -451,6 +451,12 @@ def envelopes_from_events(
                                      " start offset",
                         }
                         continue
+                    # purge any alias still pointing at the decided txn
+                    # (added when an unparseable START was re-keyed at
+                    # prepare but the COMMIT parsed fine)
+                    xa["alias"] = {
+                        k: v for k, v in xa["alias"].items() if v != key
+                    }
                     for env in held:
                         # (file, pos)-pin to the commit: the only
                         # offset at which these rows are durably
