@@ -51,12 +51,22 @@ def decode_diff_vector(buf: bytes) -> list[tuple[int, str, object]]:
         if op not in _OPS:
             raise ValueError(f"unknown JSON diff operation {op}")
         plen, pos = MT.read_lenenc_int(buf, pos)
+        if pos + plen > len(buf):
+            raise ValueError(
+                f"JSON diff path truncated: {plen} bytes claimed,"
+                f" {len(buf) - pos} remain"
+            )
         path = bytes(buf[pos : pos + plen]).decode("utf-8")
         pos += plen
         if op == OP_REMOVE:
             out.append((op, path, _NO_VALUE))
             continue
         vlen, pos = MT.read_lenenc_int(buf, pos)
+        if pos + vlen > len(buf):
+            raise ValueError(
+                f"JSON diff value truncated: {vlen} bytes claimed,"
+                f" {len(buf) - pos} remain"
+            )
         value = decode_jsonb(bytes(buf[pos : pos + vlen]))
         pos += vlen
         out.append((op, path, value))

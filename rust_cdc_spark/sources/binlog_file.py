@@ -409,24 +409,38 @@ def envelopes_from_events(
             schema, sql = _decode_query(ev.body)
             up = sql.strip().upper()
             if up in ("BEGIN", "COMMIT"):
+                if up == "COMMIT":
+                    rows_query = None  # txn over — don't smear the SQL
                 continue
             if up.startswith("XA "):
                 # key by the parsed xid; an unparseable text degrades to
                 # the normalized statement tail (everything after the
-                # verb), which is identical between a txn's START and
-                # its COMMIT/ROLLBACK — so exotic serializations still
-                # pair up instead of silently orphaning the buffer
+                # verb, with a one-phase commit's trailing ONE PHASE
+                # stripped), which is then identical between a txn's
+                # START and its COMMIT/ROLLBACK — so exotic
+                # serializations still pair up instead of silently
+                # orphaning the buffer
                 xid = _parse_xa_xid(sql)
                 parts = sql.strip().split(None, 2)
-                key = xid if xid is not None else (
-                    "raw", parts[2].strip() if len(parts) > 2 else ""
-                )
+                tail = parts[2].strip() if len(parts) > 2 else ""
+                if tail.upper().endswith("ONE PHASE"):
+                    tail = tail[: -len("ONE PHASE")].strip().rstrip(",")
+                key = xid if xid is not None else ("raw", tail)
                 if up.startswith(("XA START", "XA BEGIN")):
                     xa["current"] = key
+                    # materialize the entry NOW: a prepared txn with
+                    # zero decoded rows (empty txn, or every row DLQ'd)
+                    # must still have its COMMIT answered with a TXN
+                    # marker, not a spurious unknown-prepare ERR
+                    xa["buffer"].setdefault(key, [])
                 elif up.startswith("XA END"):
                     pass  # statement phase over; txn resolves at prepare
                 elif up.startswith("XA COMMIT"):
                     rows_query = None
+                    # real servers log one-phase XA as this QUERY form
+                    # with NO prepare event — the statement phase is
+                    # still open here, so always close it
+                    xa["current"] = None
                     held = xa["buffer"].pop(key, None)
                     if held is None:
                         # the prepare re-keyed a raw-tail buffer under
@@ -471,6 +485,7 @@ def envelopes_from_events(
                     }
                 elif up.startswith("XA ROLLBACK"):
                     rows_query = None
+                    xa["current"] = None  # may close a one-phase block
                     xa["buffer"].pop(key, None)  # phantoms never emitted
                     alt = xa["alias"].pop(key, None)
                     if alt is not None:
@@ -488,7 +503,20 @@ def envelopes_from_events(
                 "query": sql,
             }
         elif ev.type_code == XA_PREPARE_LOG_EVENT:
-            one_phase, xid = _decode_xa_prepare(ev.body)
+            try:
+                one_phase, xid = _decode_xa_prepare(ev.body)
+            except Exception as exc:  # noqa: BLE001 — quarantine
+                # a truncated/corrupt prepare must not kill the ingest
+                # generator (same policy as the row-event path)
+                xa["current"] = None
+                yield {
+                    **base, "database": "", "table": "",
+                    "op": "ERR", "before": None, "after": None,
+                    "query": f"{type(exc).__name__}: {exc} "
+                             f"[event_type={ev.type_code:#x} "
+                             f"body={ev.body[:64].hex()}]",
+                }
+                continue
             # the prepare always refers to the txn whose statements just
             # ran: re-key its buffer under the BINARY xid so the later
             # XA COMMIT (parsed from text) matches even when XA START's
@@ -523,7 +551,7 @@ def envelopes_from_events(
             }
         # Rotate / FDE / heartbeat / previous-gtids: positional metadata,
         # consumed internally (reference conn.rs:311-317 does the same).
-    if _xa_state is None and xa["buffer"]:
+    if _xa_state is None and any(xa["buffer"].values()):
         # the stream ended (file EOF, or a microbatch's end offset in
         # the live source) with prepared-but-undecided XA transactions.
         # Their rows cannot be emitted — a later XA ROLLBACK may still
@@ -534,6 +562,8 @@ def envelopes_from_events(
         # unresolved XA START. Top-level only: the payload recursion
         # shares this state and must not flush it.
         for key, held in xa["buffer"].items():
+            if not held:
+                continue  # an undecided EMPTY txn loses nothing
             yield {
                 "ts": held[-1]["ts"],
                 "server_id": held[-1]["server_id"],

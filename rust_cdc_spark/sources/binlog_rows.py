@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from rust_cdc_spark.functions import json_diff as JD
 from rust_cdc_spark.functions import mysql_types as MT
 
 # Event type codes (public constants; reference enum at
@@ -355,8 +356,6 @@ def _decode_image(
         if _bitmap_get(null_bitmap, j):
             values[name] = None
         elif i in partial_cols:
-            from rust_cdc_spark.functions import json_diff as JD
-
             len_bytes = entry.column_metas[i][0] if entry.column_metas[i] else 4
             n = int.from_bytes(body[pos : pos + len_bytes], "little")
             pos += len_bytes

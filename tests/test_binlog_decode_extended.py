@@ -1069,3 +1069,128 @@ def _q_body_ext(sql: str) -> bytes:
         + (0).to_bytes(2, "little") + (0).to_bytes(2, "little")
         + b"cdc\x00" + sql.encode()
     )
+
+
+class TestXaOnePhaseAndEdgeCases:
+    """Real-server one-phase XA (logged as QUERY 'XA COMMIT ... ONE
+    PHASE' with NO prepare event — the prepare-event one_phase flag is
+    a format capability, not what servers emit), empty prepared txns,
+    and corrupt-prepare quarantine (round-8 second review pass)."""
+
+    XID = "X'6774726964',X'627175616c',1"
+
+    def _q(self, sql: str, pos: int):
+        from rust_cdc_spark.sources.binlog_file import QUERY_EVENT, RawEvent
+
+        return RawEvent(1, QUERY_EVENT, 1, 0, pos, 0, _q_body_ext(sql))
+
+    def _tmap(self, pos: int):
+        from tests.test_binlog_decode import _table_map_body
+
+        from rust_cdc_spark.sources.binlog_file import RawEvent
+
+        body = _table_map_body(
+            71, "cdc", "rustcdc", [MT.LONG, MT.VARCHAR],
+            metas=(160).to_bytes(2, "little"), nullable_bits=0b10,
+        )
+        return RawEvent(1, BR.TABLE_MAP_EVENT, 1, 0, pos, 0, body)
+
+    def _rows(self, n: int, pos: int):
+        from tests.test_binlog_decode import enc_long, enc_varchar
+
+        from rust_cdc_spark.sources.binlog_file import RawEvent
+
+        img = b"\x00" + enc_long(n) + enc_varchar(f"r{n}")
+        body = (
+            (71).to_bytes(6, "little") + b"\x01\x00"
+            + (2).to_bytes(2, "little") + bytes([2]) + bytes([0b11]) + img
+        )
+        return RawEvent(1, BR.WRITE_ROWS_V2, 1, 0, pos, 0, body)
+
+    def _xid_ev(self, pos: int):
+        from rust_cdc_spark.sources.binlog_file import XID_EVENT, RawEvent
+
+        return RawEvent(1, XID_EVENT, 1, 0, pos, 0, (9).to_bytes(8, "little"))
+
+    def test_one_phase_query_commit_does_not_swallow_later_rows(self):
+        """The statement context MUST close at the ONE PHASE commit —
+        otherwise every subsequent ordinary row would be buffered under
+        the decided xid and silently withheld."""
+        from rust_cdc_spark.sources.binlog_file import envelopes_from_events
+
+        evs = [
+            self._q(f"XA START {self.XID}", 100),
+            self._tmap(150), self._rows(1, 200),
+            self._q(f"XA END {self.XID}", 250),
+            self._q(f"XA COMMIT {self.XID} ONE PHASE", 300),
+            # ordinary txn AFTER the one-phase commit
+            self._tmap(350), self._rows(2, 400), self._xid_ev(450),
+        ]
+        envs = list(envelopes_from_events(iter(evs), "b.1"))
+        assert [e["op"] for e in envs] == ["I", "TXN", "I", "TXN"]
+        assert envs[0]["after"]["col_0"] == 1 and envs[0]["pos"] == 300
+        assert envs[2]["after"]["col_0"] == 2  # NOT swallowed
+
+    def test_one_phase_with_unparseable_xid_pairs_via_tail(self):
+        """ONE PHASE suffix is stripped from the raw-tail key so an
+        exotic xid's START and one-phase COMMIT still pair."""
+        from rust_cdc_spark.sources.binlog_file import envelopes_from_events
+
+        weird = "'plain',7"
+        evs = [
+            self._q(f"XA START {weird}", 100),
+            self._tmap(150), self._rows(1, 200),
+            self._q(f"XA END {weird}", 250),
+            self._q(f"XA COMMIT {weird} ONE PHASE", 300),
+        ]
+        envs = list(envelopes_from_events(iter(evs), "b.1"))
+        assert [e["op"] for e in envs] == ["I", "TXN"]
+        assert envs[0]["after"]["col_0"] == 1
+
+    def test_empty_prepared_txn_commit_is_clean(self):
+        """A prepared txn with zero decoded rows (empty, or all rows
+        DLQ'd) gets a TXN marker at commit — never a false
+        unknown-prepare ERR."""
+        import struct
+
+        from rust_cdc_spark.sources.binlog_file import (
+            XA_PREPARE_LOG_EVENT,
+            RawEvent,
+            envelopes_from_events,
+        )
+
+        prep = RawEvent(
+            1, XA_PREPARE_LOG_EVENT, 1, 0, 300, 0,
+            bytes([0]) + struct.pack("<iii", 1, 5, 5) + b"gtridbqual",
+        )
+        evs = [
+            self._q("XA START X'6774726964',X'627175616c',1", 100),
+            self._q("XA END X'6774726964',X'627175616c',1", 200),
+            prep,
+            self._q("XA COMMIT X'6774726964',X'627175616c',1", 400),
+        ]
+        envs = list(envelopes_from_events(iter(evs), "b.1"))
+        assert [e["op"] for e in envs] == ["TXN"]
+
+    def test_corrupt_prepare_quarantines_not_crashes(self):
+        from rust_cdc_spark.sources.binlog_file import (
+            XA_PREPARE_LOG_EVENT,
+            RawEvent,
+            envelopes_from_events,
+        )
+
+        bad = RawEvent(1, XA_PREPARE_LOG_EVENT, 1, 0, 300, 0, b"\x00\x01")
+        evs = [bad, self._tmap(350), self._rows(2, 400), self._xid_ev(450)]
+        envs = list(envelopes_from_events(iter(evs), "b.1"))
+        assert [e["op"] for e in envs] == ["ERR", "I", "TXN"]
+
+    def test_truncated_diff_vector_is_dlq(self):
+        """A diff whose path length overruns the buffer raises (→ DLQ),
+        never silently applies a truncated path."""
+        import pytest as _pytest
+
+        from rust_cdc_spark.functions.json_diff import decode_diff_vector
+
+        raw = bytes([0]) + bytes([50]) + b"$.a"  # claims 50, has 3
+        with _pytest.raises(ValueError, match="truncated"):
+            decode_diff_vector(raw)
