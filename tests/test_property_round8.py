@@ -182,7 +182,7 @@ def xa_schedules(draw):
     n = draw(st.integers(min_value=1, max_value=6))
     for t in range(n):
         kind = draw(st.sampled_from(["ordinary", "commit", "rollback",
-                                     "one_phase"]))
+                                     "one_phase", "one_phase_query"]))
         txns.append((t + 1, kind))
     # decision delay: commits/rollbacks resolve 0..2 txns later
     delays = [draw(st.integers(min_value=0, max_value=2)) for _ in txns]
@@ -232,8 +232,15 @@ def test_xa_interleavings_match_simulator(schedule):
                 ev(0x13, _tmap_body()),
                 ev(0x1E, _rows_body(row_id)),
                 ev(0x02, _q_body(f"XA END {xid_txt}")),
-                ev(0x26, prep),
             ]
+            if kind == "one_phase_query":
+                # the form REAL servers write: QUERY 'XA COMMIT ... ONE
+                # PHASE', no prepare event at all
+                blk.append(ev(0x02, _q_body(
+                    f"XA COMMIT {xid_txt} ONE PHASE"
+                )))
+            else:
+                blk.append(ev(0x26, prep))
             if kind == "commit":
                 pending.append((i + delay, f"XA COMMIT {xid_txt}"))
             elif kind == "rollback":
@@ -258,8 +265,10 @@ def test_xa_interleavings_match_simulator(schedule):
             if up.startswith("XA START"):
                 cur_xa = sql.split()[2]
             elif up.startswith("XA COMMIT"):
+                cur_xa = None  # one-phase form closes the block here
                 expected.extend(buf.pop(sql.split()[2], []))
             elif up.startswith("XA ROLLBACK"):
+                cur_xa = None
                 buf.pop(sql.split()[2], None)
         elif e.type_code == 0x1E:
             # the LONG row id sits at a fixed offset in the body we built
