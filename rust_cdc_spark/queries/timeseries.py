@@ -2803,42 +2803,58 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# --- events_survival_km + round-8 diagnostic twins -----------------------
-# Driver history: hash-red in CORRECTNESS_r06 (float-ln variant) AND in
-# CORRECTNESS_r07 (complete all-BIGINT rewrite), while the identical
-# checker (tools/check_correctness.py) is green locally at 3 SFs, in a
-# vanilla session, and under TZ stress — twice over, on two independent
-# arithmetics. Per VERDICT r7 #1 the remaining suspect is the driver's
-# DuckDB build evaluating this registry's ONE recursive CTE differently,
-# so round 8 stops re-deriving the math and bisects via the ledger:
-#   * the ORACLE of events_survival_km itself is rewritten into a
-#     non-recursive chained-CTE form (the Spark side is byte-identical
-#     to round 7);
-#   * events_survival_km_hist  — the pre-fold day histogram only
-#     (data path: epoch/day bucketing + reverse-cumulative at-risk; no
-#     fold, no division);
-#   * events_survival_km_fold  — the integer KM fold over a LITERAL
-#     6-row histogram, oracle kept in the r7 RECURSIVE-CTE form
-#     (fold/recursion path with the data path removed: input is a
-#     constant on both engines);
-#   * events_survival_km_rcte  — the full query with the r7 recursive
-#     oracle verbatim (control arm).
-# Ledger readout: _hist red → data path; _fold red → driver DuckDB's
-# recursive CTE (or BIGINT `//`) diverges; _rcte red + main green → the
-# oracle rewrite fixed it and the recursion was indeed the culprit;
-# everything green → done, keep the non-recursive oracle and drop the
-# twins next round.
+# --- events_survival_km + diagnostic twins (round-9 form) ----------------
+# Driver history: hash-red in CORRECTNESS_r06 (float-ln), r07 (all-BIGINT
+# rewrite), and r08 — while the identical checker
+# (tools/check_correctness.py) is green locally at 3 SFs, in a vanilla
+# session, and under TZ stress, every round. The round-8 bisect ANSWERED
+# the stage question through the ledger: `_fold` (the identical fold +
+# recursive oracle over a LITERAL histogram) came back GREEN while
+# `_hist` (the data path only — epoch/day bucketing, censoring split,
+# at-risk window; no fold, no division, no recursion) came back RED →
+# the driver's two engine builds disagree somewhere inside the
+# epoch→day data path, not in the fold arithmetic or the hash
+# canonicalization (VERDICT r8, What's wrong #1). Round 9 therefore:
+#   * retires the two answered twins (_fold, _rcte — their verdicts are
+#     in; keeping them would burn 2 of the driver's 50 ledger slots);
+#   * rewrites the DAY DERIVATION on BOTH sides into the one form that
+#     is invariant under every engine/type mapping either side could
+#     apply to the naive-micros parquet column: pure-integer
+#     microsecond extraction, `epoch_us(ts) // 86400000000` (DuckDB)
+#     ↔ `unix_micros(cast(ts as timestamp)) div 86400000000` (Spark).
+#     This removes the only float in the path (DuckDB's
+#     floor(epoch(ts)) is a DOUBLE round-trip; a build whose epoch()
+#     ROUNDS instead of truncating shifts events within 1 s of
+#     midnight into the wrong day) and touches no date/TZ cast —
+#     epoch_us/unix_micros give the same integer whether the engine
+#     mapped the column to a naive or an instant timestamp type,
+#     which date-part casts (CAST(ts AS DATE)) do NOT;
+#   * adds ONE new twin, events_survival_km_probe — a single row of
+#     raw ingredients carrying all three candidate derivations
+#     (legacy floor(epoch) seconds, integer-micros day, date-cast day)
+#     so that if the parent is STILL red, the r9 ledger says exactly
+#     which read path the driver's engines disagree on.
+# Probe readout matrix (columns red ⇒ conclusion):
+#   * sum_epoch_s red, sum_day_us red, sum_day_date green → the engines
+#     disagree on the epoch value of the parquet timestamps themselves
+#     → r10 moves the family to the textual/date-part derivation.
+#   * sum_epoch_s red, sum_day_us green → legacy float floor(epoch) was
+#     the defect; the r9 integer-micros rewrite already fixed the
+#     parent (expect parent green alongside).
+#   * all probe columns green, parent red → the divergence is AFTER day
+#     derivation (censoring/group/window stage) → r10 bisects obs/hist.
+#   * everything green → closed; retire _hist and _probe in r10.
 
 # Shared data-path prefix: per-user durations -> day histogram ->
-# at-risk ranking. Plain (non-recursive) CTEs.
+# at-risk ranking. Plain (non-recursive) CTEs. Day derivation is
+# integer micros end-to-end (see the round-9 note above).
 _KM_PREFIX_SQL = """
     u AS (
         SELECT user_id,
-               CAST(min(floor(epoch(ts))) AS BIGINT) // 86400 AS first_d,
-               CAST(min(CASE WHEN event_type = 'error'
-                             THEN floor(epoch(ts)) END) AS BIGINT)
-                   // 86400 AS err_d,
-               CAST(max(floor(epoch(ts))) AS BIGINT) // 86400 AS last_d
+               min(epoch_us(ts) // 86400000000) AS first_d,
+               min(CASE WHEN event_type = 'error'
+                        THEN epoch_us(ts) // 86400000000 END) AS err_d,
+               max(epoch_us(ts) // 86400000000) AS last_d
         FROM events GROUP BY user_id
     ),
     obs AS (
@@ -2872,25 +2888,6 @@ for _cte in ("u", "obs", "hist", "ranked"):
     _KM_PREFIX_MAT_SQL = _KM_PREFIX_MAT_SQL.replace(
         f"{_cte} AS (", f"{_cte} AS MATERIALIZED (", 1
     )
-
-# The r7 recursive fold, kept verbatim as the control arm (_rcte twin).
-_KM_RCTE_ORACLE = f"""
-    WITH RECURSIVE {_KM_PREFIX_SQL},
-    km AS (
-        SELECT i, t, d, c, n_risk,
-               CAST((1000000 * (n_risk - d)) // n_risk AS BIGINT)
-                   AS surv_micro
-        FROM ranked WHERE i = 1
-        UNION ALL
-        SELECT r.i, r.t, r.d, r.c, r.n_risk,
-               CAST((km.surv_micro * (r.n_risk - r.d)) // r.n_risk
-                    AS BIGINT)
-        FROM ranked r JOIN km ON r.i = km.i + 1
-    )
-    SELECT t AS days_to_failure, n_risk, d AS n_failures,
-           c AS n_censored, surv_micro
-    FROM km
-    """
 
 # Non-recursive unrolled fold: step i computes the exact integer
 # recurrence s_i = (s_{i-1} * (n_i - d_i)) // n_i off a scalar subquery
@@ -2975,14 +2972,18 @@ def _km_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user durations -> day histogram -> reverse-cumulative at-risk."""
     utc(spark)
     ev = load_table(spark, "events", sf_dir)
+    # Integer-micros day: no float, no date/TZ cast — the engine-proof
+    # form shared with the DuckDB oracle (round-9 note at
+    # _KM_PREFIX_SQL). cast(.. as timestamp) pins NTZ→LTZ through the
+    # UTC session so the micros equal the stored naive-UTC value under
+    # either parquet timestamp inference.
+    day = "unix_micros(cast(ts as timestamp)) div 86400000000"
     u = ev.groupBy("user_id").agg(
-        F.expr("min(floor(unix_timestamp(ts))) div 86400")
-        .alias("first_d"),
+        F.expr(f"min({day})").alias("first_d"),
         F.expr(
-            "min(CASE WHEN event_type = 'error'"
-            " THEN floor(unix_timestamp(ts)) END) div 86400"
+            f"min(CASE WHEN event_type = 'error' THEN {day} END)"
         ).alias("err_d"),
-        F.expr("max(floor(unix_timestamp(ts))) div 86400").alias("last_d"),
+        F.expr(f"max({day})").alias("last_d"),
     )
     died = F.col("err_d").isNotNull()
     obs = u.select(
@@ -3030,11 +3031,13 @@ def _km_curve(risk: DataFrame) -> DataFrame:
 
 @register(
     "events_survival_km_hist",
-    # Diagnostic twin (a): the pre-fold at-risk table only — same data
-    # path as events_survival_km (epoch//86400 day bucketing, censoring
+    # Diagnostic twin: the pre-fold at-risk table only — same data path
+    # as events_survival_km (integer-micros day bucketing, censoring
     # split, reverse-cumulative at-risk) with NO fold, NO division, NO
-    # recursion. A red row here localizes the r06/r07 driver mismatch
-    # to the data path / integer-column hashing; green clears both.
+    # recursion. RED in CORRECTNESS_r08 under the legacy floor(epoch)
+    # derivation — the readout that localized the divergence to the
+    # data path (round-9 note at _KM_PREFIX_SQL); kept this round to
+    # verify the integer-micros rewrite on the driver's engines.
     oracle=f"""
     WITH {_KM_PREFIX_SQL}
     SELECT t AS days_to_failure, n_risk, d AS n_failures, c AS n_censored
@@ -3053,64 +3056,62 @@ def events_survival_km_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Literal 6-row histogram for the _fold twin — a constant on BOTH
-# engines, chosen so four of the six steps floor a non-exact quotient:
-# expected surv_micro = 812500, 677083, 677083, 592447, 394964, 296223.
-_KM_FOLD_ROWS = [(1, 0, 3, 1, 16), (2, 1, 2, 0, 12), (3, 2, 0, 2, 10),
-                 (4, 3, 1, 1, 8), (5, 5, 2, 0, 6), (6, 8, 1, 3, 4)]
+# events_survival_km_fold / events_survival_km_rcte — RETIRED in round
+# 9 (VERDICT r8, Next round #2). Their CORRECTNESS_r08 rows delivered
+# the bisect verdict (_fold GREEN over a literal histogram -> the fold,
+# the recursion, the BIGINT //, and the hash canonicalization are all
+# cleared; _rcte red as expected, it contains the data path) and
+# keeping them registered would spend 2 of the driver's 50 ledger
+# slots re-proving an answered question every round.
 
 
 @register(
-    "events_survival_km_fold",
-    # Diagnostic twin (b): the r7 RECURSIVE-CTE fold over a LITERAL
-    # histogram — the fold/recursion path with the data path removed.
-    # A red row here convicts the driver DuckDB build's recursive CTE
-    # (or BIGINT //) directly, since the input is a compile-time
-    # constant; green clears the recursion arithmetic AND the hash
-    # canonicalization of fold-shaped BIGINT outputs.
-    oracle=f"""
-    WITH RECURSIVE ranked AS (
-        SELECT i, t, CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
-               CAST(n_risk AS BIGINT) AS n_risk
-        FROM (VALUES {", ".join(str(r) for r in _KM_FOLD_ROWS)})
-             AS v(i, t, d, c, n_risk)
-    ),
-    km AS (
-        SELECT i, t, d, c, n_risk,
-               CAST((1000000 * (n_risk - d)) // n_risk AS BIGINT)
-                   AS surv_micro
-        FROM ranked WHERE i = 1
-        UNION ALL
-        SELECT r.i, r.t, r.d, r.c, r.n_risk,
-               CAST((km.surv_micro * (r.n_risk - r.d)) // r.n_risk
-                    AS BIGINT)
-        FROM ranked r JOIN km ON r.i = km.i + 1
-    )
-    SELECT t AS days_to_failure, n_risk, d AS n_failures,
-           c AS n_censored, surv_micro
-    FROM km
+    "events_survival_km_probe",
+    # Diagnostic twin (round 9): ONE row of raw data-path ingredients,
+    # no grouping beyond the global aggregate — splits "the driver's
+    # engines read the parquet timestamps differently" from "the
+    # censoring/group/window math differs" (VERDICT r8, Next round #1).
+    # Carries all three candidate day derivations side by side; the
+    # readout matrix lives in the round-9 note at _KM_PREFIX_SQL.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(floor(epoch(ts))) AS BIGINT) AS min_epoch_s,
+           CAST(max(floor(epoch(ts))) AS BIGINT) AS max_epoch_s,
+           CAST(sum(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+               AS sum_epoch_s,
+           CAST(sum(epoch_us(ts) // 86400000000) AS BIGINT) AS sum_day_us,
+           CAST(sum(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+                AS BIGINT) AS sum_day_date
+    FROM events
     """,
 )
-def events_survival_km_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisect twin of events_survival_km: the identical Spark
-    aggregate() prefix fold (shared _km_curve) over a literal 6-row
-    histogram; the oracle keeps the r7 recursive-CTE form so the
-    driver ledger tests the recursion on constant input (see the
-    bisect note at _KM_PREFIX_SQL). sf_dir is deliberately unused."""
-    rows = [
-        (int(t), int(d), int(c), int(n)) for _, t, d, c, n in _KM_FOLD_ROWS
-    ]
-    risk = spark.createDataFrame(rows, "t bigint, d bigint, c bigint, n_risk bigint")
-    return _km_curve(risk)
+def events_survival_km_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisect twin of events_survival_km: one row of raw ingredients —
+    event/user counts plus the corpus min/max/sum of the LEGACY
+    floor-epoch seconds, the sum of the round-9 integer-micros day, and
+    the sum of the date-cast day. Whichever columns hash-red on the
+    driver name the exact read path its engines disagree on (readout
+    matrix at _KM_PREFIX_SQL).
 
-
-@register("events_survival_km_rcte", oracle=_KM_RCTE_ORACLE)
-def events_survival_km_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisect twin (control arm): the full events_survival_km Spark
-    query against the r7 recursive-CTE oracle verbatim (see the bisect
-    note at _KM_PREFIX_SQL). If this stays red while the unrolled
-    parent goes green, the recursion was the diverging stage."""
-    return events_survival_km(spark, sf_dir)
+    Scale shape: one global aggregate over the events scan — map-side
+    partial aggregation, a single 1-row exchange, no window, no join."""
+    utc(spark)
+    ev = load_table(spark, "events", sf_dir)
+    es = F.expr("floor(unix_timestamp(ts))").cast("long")
+    return ev.agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.min(es).alias("min_epoch_s"),
+        F.max(es).alias("max_epoch_s"),
+        F.sum(es).alias("sum_epoch_s"),
+        F.sum(
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        ).alias("sum_day_us"),
+        F.sum(F.datediff(F.to_date("ts"), F.lit("1970-01-01")))
+        .cast("long")
+        .alias("sum_day_date"),
+    )
 
 
 @register(

@@ -98,8 +98,9 @@ def decode_transaction_payload(body: bytes) -> bytes:
     Parses the TLV header (payload size, compression type, uncompressed
     size), then returns the transaction's inner binlog-event stream,
     decompressing if needed. ZSTD (the server default) is env-gated:
-    the ``zstandard`` wheel is not in this image (checked 2026-08-16 —
-    ``import zstandard`` → ModuleNotFoundError, no network to fetch it),
+    the ``zstandard`` wheel is not in this image (checked 2026-08-16,
+    rounds 8 AND 9 — ``import zstandard`` → ModuleNotFoundError, no
+    network to fetch it),
     so a ZSTD payload raises ImportError with a clear message and lands
     in the DLQ rather than crashing ingest; compression NONE (emitted
     when per-transaction compression is off/ineffective) decodes fully.
@@ -131,6 +132,22 @@ def decode_transaction_payload(body: bytes) -> bytes:
     if compression == TP_COMPRESSION_NONE:
         return payload
     if compression == TP_COMPRESSION_ZSTD:
+        # ADVICE r8: cap the single up-front allocation the declared
+        # size drives BEFORE touching the decompressor — a
+        # corrupt/hostile header claiming terabytes must not OOM the
+        # executor ahead of the mismatch check. zstd's worst practical
+        # ratio for binlog event streams is far under 2^10; anything
+        # above that is corrupt by construction. Checked before the
+        # env-gated import so hostile sizes reject identically with or
+        # without the wheel.
+        if uncompressed_size is not None:
+            cap = max(1024 * len(payload), 1 << 20)
+            if uncompressed_size > cap:
+                raise ValueError(
+                    f"zstd header claims {uncompressed_size} bytes from a"
+                    f" {len(payload)}-byte payload (> {cap} cap): corrupt"
+                    " or hostile size field"
+                )
         try:
             import zstandard  # noqa: PLC0415 — env-gated decompressor
         except ImportError as exc:
@@ -140,9 +157,15 @@ def decode_transaction_payload(body: bytes) -> bytes:
                 " (2026-08-16: not in image, no network); the event is"
                 " quarantined to the DLQ"
             ) from exc
-        data = zstandard.ZstdDecompressor().decompress(
-            payload, max_output_size=uncompressed_size or 0
-        )
+        # None = no size field: a streaming decompress, not "0 bytes";
+        # a declared 0 means exactly-empty output (the `or 0` form
+        # degraded it to unlimited — ADVICE r8).
+        if uncompressed_size is not None:
+            data = zstandard.ZstdDecompressor().decompress(
+                payload, max_output_size=max(uncompressed_size, 1)
+            )
+        else:
+            data = zstandard.ZstdDecompressor().decompress(payload)
         if uncompressed_size is not None and len(data) != uncompressed_size:
             raise ValueError(
                 f"zstd payload decompressed to {len(data)} bytes,"
@@ -195,11 +218,50 @@ class RawEvent:
     log_pos: int
     flags: int
     body: bytes  # checksum stripped
+    # False → the event's CRC32 trailer did not match header+body; the
+    # envelope loop quarantines it to the DLQ instead of decoding
+    # garbage (K4). Default True covers artificial/embedded events,
+    # checksum-NONE streams, and verify_checksum=False readers.
+    crc_ok: bool = True
 
 
-def read_raw_events(path: str) -> Iterator[RawEvent]:
+def verify_crc32(header: bytes, body: bytes) -> tuple[bytes, bool]:
+    """Split a CRC32-suffixed event body into (payload, crc_ok).
+
+    The server's checksum covers the 19-byte common header plus the
+    body up to the 4-byte little-endian CRC trailer (public
+    binlog_checksum format; the reference only STRIPS the trailer —
+    /root/reference/src/mysql/event/decode.rs:335-341 — so a
+    corrupt-on-disk event decodes as garbage or DLQs by luck there).
+
+    FDE special case (same one mysqlbinlog handles): the server
+    computes the FORMAT_DESCRIPTION event's CRC BEFORE setting the
+    LOG_EVENT_BINLOG_IN_USE_F header flag (0x0001), so an FDE copied
+    from an in-use binlog fails as-is — retry with that bit cleared.
+    Observed directly in the reference's own 8.0.21 fixtures
+    (tests/events/15_format_desc: flags=0x0001, CRC matches only with
+    the bit cleared) vs its 5.6.19 fixtures (flag clear, matches)."""
+    import zlib
+
+    payload, trailer = body[:-4], body[-4:]
+    expect = int.from_bytes(trailer, "little")
+    if zlib.crc32(header + payload) & 0xFFFFFFFF == expect:
+        return payload, True
+    if header[4] == FORMAT_DESCRIPTION_EVENT and header[17] & 0x1:
+        fixed = header[:17] + bytes([header[17] & ~0x1]) + header[18:]
+        if zlib.crc32(fixed + payload) & 0xFFFFFFFF == expect:
+            return payload, True
+    return payload, False
+
+
+def read_raw_events(
+    path: str, verify_checksum: bool = True
+) -> Iterator[RawEvent]:
     """Iterate events; learns the checksum algorithm from the
-    FORMAT_DESCRIPTION event and strips CRC32 suffixes accordingly."""
+    FORMAT_DESCRIPTION event, strips CRC32 suffixes, and (by default)
+    VERIFIES them — a mismatch marks the event ``crc_ok=False`` so the
+    envelope loop routes it to the DLQ rather than decoding corrupt
+    bytes. ``verify_checksum=False`` restores strip-only behavior."""
     with open(path, "rb") as fh:
         if fh.read(4) != MAGIC:
             raise ValueError(f"{path}: not a binlog file (bad magic)")
@@ -220,8 +282,16 @@ def read_raw_events(path: str) -> Iterator[RawEvent]:
                 # per-type post-header lens… + [checksum_alg + crc4]
                 alg = body[-5]
                 checksum_len = 4 if alg == 1 else 0
-            payload = body[:-checksum_len] if checksum_len else body
-            yield RawEvent(ts, type_code, server_id, event_size, log_pos, flags, payload)
+            crc_ok = True
+            if checksum_len:
+                payload, ok = verify_crc32(header, body)
+                crc_ok = ok or not verify_checksum
+            else:
+                payload = body
+            yield RawEvent(
+                ts, type_code, server_id, event_size, log_pos, flags,
+                payload, crc_ok,
+            )
 
 
 def _decode_query(body: bytes) -> tuple[str, str]:
@@ -296,6 +366,30 @@ def envelopes_from_events(
         BR.PARTIAL_UPDATE_ROWS_V2,
     }
     for ev in events:
+        if not ev.crc_ok:
+            # K4: the reader verified the event's CRC32 trailer against
+            # header+body and it did NOT match — the bytes are corrupt
+            # (disk rot, truncated copy, link corruption). Decoding them
+            # would produce garbage rows or, worse, a plausible-looking
+            # wrong image; quarantine instead (the reference only strips
+            # the trailer, decode.rs:335-341, so it decodes the garbage).
+            yield {
+                "ts": ev.timestamp,
+                "server_id": ev.server_id,
+                "file": file_name,
+                "pos": ev.log_pos,
+                "gtid": current_gtid,
+                "xid": None,
+                "database": "",
+                "table": "",
+                "op": "ERR",
+                "before": None,
+                "after": None,
+                "query": f"Crc32Mismatch: event checksum failed "
+                         f"[event_type={ev.type_code:#x} "
+                         f"body={ev.body[:64].hex()}]",
+            }
+            continue
         if ev.type_code == ROTATE_EVENT:
             # body: u64 next-pos + next file name. Covers both the real
             # rotation at the end of a file and the ARTIFICIAL rotate a
@@ -329,13 +423,24 @@ def envelopes_from_events(
             # ingest loop.
             try:
                 inner = decode_transaction_payload(ev.body)
-                yield from envelopes_from_events(
-                    iter_embedded_events(inner, ev.log_pos),
-                    file_name,
-                    registry,
-                    _gtid=current_gtid,
-                    _xa_state=xa,
+                # Materialize the whole replay BEFORE yielding anything:
+                # a payload that fails mid-replay (truncated inner
+                # frame) must quarantine as ONE unit, not emit a visibly
+                # partial transaction with a trailing ERR record nothing
+                # ties back to the earlier rows (ADVICE r8). A payload
+                # is one transaction — bounded by max_allowed_packet —
+                # so buffering it is the same memory class as the XA
+                # hold-until-commit buffer above.
+                replayed = list(
+                    envelopes_from_events(
+                        iter_embedded_events(inner, ev.log_pos),
+                        file_name,
+                        registry,
+                        _gtid=current_gtid,
+                        _xa_state=xa,
+                    )
                 )
+                yield from replayed
             except Exception as exc:  # noqa: BLE001 — quarantine
                 yield {
                     "ts": ev.timestamp,
@@ -532,10 +637,15 @@ def envelopes_from_events(
                 for env in xa["buffer"].pop(xid, []):
                     yield {**env, "file": file_name, "pos": ev.log_pos,
                            "gtid": current_gtid}
+                # render the decoded xid into the marker (same audit
+                # linkage the QUERY-form one-phase path preserves by
+                # carrying the full statement text; ADVICE r8)
+                fmt, gtrid, bqual = xid
                 yield {
                     **base, "database": "", "table": "",
                     "op": "TXN", "before": None, "after": None,
-                    "query": "XA COMMIT ONE PHASE",
+                    "query": f"XA COMMIT X'{gtrid.hex()}',X'{bqual.hex()}'"
+                             f",{fmt} ONE PHASE",
                 }
             continue
         elif ev.type_code == XID_EVENT:

@@ -357,8 +357,23 @@ def _decode_image(
             values[name] = None
         elif i in partial_cols:
             len_bytes = entry.column_metas[i][0] if entry.column_metas[i] else 4
+            if pos + len_bytes > len(body):
+                # A truncated event here would otherwise read an empty
+                # slice → n=0 → empty diff vector → the before-image
+                # passed through UNCHANGED: a silently wrong after value
+                # instead of a quarantine (ADVICE r8). Fail loudly so
+                # the envelope loop DLQs the event.
+                raise ValueError(
+                    f"partial-JSON diff length field truncated at {pos}"
+                    f" (need {len_bytes} bytes, have {len(body) - pos})"
+                )
             n = int.from_bytes(body[pos : pos + len_bytes], "little")
             pos += len_bytes
+            if pos + n > len(body):
+                raise ValueError(
+                    f"partial-JSON diff vector truncated at {pos}"
+                    f" (need {n} bytes, have {len(body) - pos})"
+                )
             diffs = JD.decode_diff_vector(bytes(body[pos : pos + n]))
             pos += n
             values[name] = JD.apply_diffs(

@@ -26,6 +26,7 @@ from rust_cdc_spark.sources.binlog_file import (
     FORMAT_DESCRIPTION_EVENT,
     HEADER_LEN,
     RawEvent,
+    verify_crc32,
 )
 
 MAX_PACKET = 0xFFFFFF
@@ -508,11 +509,17 @@ class DumpInterrupted(WireError):
         super().__init__(0, message)
 
 
-def binlog_events_from_stream(stream, strict: bool = False) -> Iterator[RawEvent]:
+def binlog_events_from_stream(
+    stream, strict: bool = False, verify_checksum: bool = True
+) -> Iterator[RawEvent]:
     """Post-COM_BINLOG_DUMP packet stream → RawEvents. Each packet is
     0x00 + event frame (19-byte header + body); 0xFE (short) ends the
     stream, 0xFF raises the server error. Learns the checksum algorithm
-    from the FORMAT_DESCRIPTION event exactly like the file reader.
+    from the FORMAT_DESCRIPTION event exactly like the file reader, and
+    (by default) VERIFIES each CRC32 trailer — a mismatch marks the
+    event ``crc_ok=False`` so the shared envelope loop quarantines it
+    to the DLQ instead of decoding bytes the link corrupted (the
+    reference only strips the trailer, decode.rs:335-341).
 
     ``strict=True`` (the live connector) raises :class:`DumpInterrupted`
     when the byte stream ends without an EOF packet — on a real server a
@@ -547,7 +554,12 @@ def binlog_events_from_stream(stream, strict: bool = False) -> Iterator[RawEvent
         if type_code == FORMAT_DESCRIPTION_EVENT:
             alg = body[-5]
             checksum_len = 4 if alg == 1 else 0
-        stripped = body[:-checksum_len] if checksum_len else body
+        crc_ok = True
+        if checksum_len:
+            stripped, ok = verify_crc32(header, body)
+            crc_ok = ok or not verify_checksum
+        else:
+            stripped = body
         yield RawEvent(
             timestamp=int.from_bytes(header[0:4], "little"),
             type_code=type_code,
@@ -556,6 +568,7 @@ def binlog_events_from_stream(stream, strict: bool = False) -> Iterator[RawEvent
             log_pos=int.from_bytes(header[13:17], "little"),
             flags=int.from_bytes(header[17:19], "little"),
             body=stripped,
+            crc_ok=crc_ok,
         )
 
 

@@ -225,6 +225,13 @@ def _resilient_dump(o: dict, start: dict):
         gtid_data = GtidSet(o["gtidexecuted"]).encode()
     anchored = gtid_data is None
     attempt = 0
+    # ``reconnectretries`` bounds attempts PER STALL, not per batch: a
+    # reconnect that made forward progress (the cursor advanced since
+    # the last failure) resets the counter, so a long microbatch over a
+    # flaky link doesn't exhaust the budget cumulatively and burn a full
+    # Spark task retry — the very cost this mechanism exists to avoid
+    # (ADVICE r8).
+    last_fail_at = (cur_file, cur_pos, anchored)
     while True:
         sock = None
         clean = False
@@ -260,7 +267,9 @@ def _resilient_dump(o: dict, start: dict):
                 sock.close()
         if clean:
             return  # server ended the dump with a clean EOF packet
-        attempt += 1
+        progressed = (cur_file, cur_pos, anchored) != last_fail_at
+        last_fail_at = (cur_file, cur_pos, anchored)
+        attempt = 1 if progressed else attempt + 1
         if attempt > retries:
             raise W.DumpInterrupted(
                 f"dump failed {attempt} times for {cur_file}:{cur_pos}"

@@ -335,7 +335,9 @@ class ParquetUpsertTable:
         ``import delta`` both still ImportError; no wheel has landed in
         the image and installs remain out of scope for this sandbox.
         Re-checked 2026-08-16 (round 8): both imports still
-        ModuleNotFoundError — unchanged. If
+        ModuleNotFoundError — unchanged.
+        Re-checked 2026-08-16 (round 9): ``import delta`` and
+        ``import deltalake`` both still ModuleNotFoundError. If
         a ``deltalake`` wheel (delta-rs) ever lands in the image, add:
         ``DeltaTable(path).to_pyarrow_table()`` and assert row/schema/
         partition parity with ``self.read()``."""

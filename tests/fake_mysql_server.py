@@ -126,6 +126,11 @@ class FakeMySQLServer:
         # network partition or master crash produces) after sending N
         # event frames, then re-arms to healthy so the retry succeeds
         self.drop_dump_after: int | None = None
+        # like drop_dump_after but does NOT re-arm: EVERY dump dies
+        # after N frames (until fewer than N remain, when it completes)
+        # — a persistently flaky link that still makes forward progress
+        # on each attempt. Exercises the per-stall retry budget.
+        self.drop_every_dump_after: int | None = None
         self.dump_requests: list[tuple[str, int]] = []
         self.queries: list[str] = []
         self.tls_upgrades = 0
@@ -253,6 +258,12 @@ class FakeMySQLServer:
                         ):
                             outer.drop_dump_after = None  # fail ONCE
                             sock.close()  # mid-dump transport death
+                            return
+                        if (
+                            outer.drop_every_dump_after is not None
+                            and sent >= outer.drop_every_dump_after
+                        ):
+                            sock.close()  # chronic flaky link
                             return
                         seq += 1
                         sock.sendall(W.write_packet(seq, b"\x00" + frame))

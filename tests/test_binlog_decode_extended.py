@@ -376,26 +376,36 @@ class TestJsonb:
 class TestDeadLetterQuarantine:
     def _binlog_file(self, tmp_path, events: list[tuple[int, bytes]]) -> str:
         """Synthesize a binlog: magic + FDE(crc32 alg) + events."""
+        # ends at the alg byte (1 = CRC32); frame() appends the real CRC
         fde_body = (
             b"\x04\x00" + b"x" * 50 + b"\x00" * 4 + bytes([19])
-            + bytes(39) + b"\x01" + b"\x00" * 4
+            + bytes(39) + b"\x01"
         )
         out = b"\xfebin"
         pos = 4
 
-        def frame(tc: int, body: bytes) -> bytes:
+        import zlib
+
+        def frame(tc: int, body: bytes, crc: bool = True) -> bytes:
             nonlocal pos
-            size = 19 + len(body)
+            size = 19 + len(body) + (4 if crc else 0)
             pos += size
-            return (
+            header = (
                 (1_600_000_000).to_bytes(4, "little") + bytes([tc])
                 + (1).to_bytes(4, "little") + size.to_bytes(4, "little")
-                + pos.to_bytes(4, "little") + b"\x00\x00" + body
+                + pos.to_bytes(4, "little") + b"\x00\x00"
             )
+            if not crc:
+                return header + body
+            # real CRC32 trailer — verification is on by default now
+            trailer = (zlib.crc32(header + body) & 0xFFFFFFFF).to_bytes(
+                4, "little"
+            )
+            return header + body + trailer
 
         out += frame(0x0F, fde_body)
         for tc, body in events:
-            out += frame(tc, body + b"\x00" * 4)  # fake crc32
+            out += frame(tc, body)
         p = tmp_path / "binlog.000009"
         p.write_bytes(out)
         return str(p)
@@ -616,6 +626,37 @@ class TestTransactionPayload:
         assert [e["op"] for e in evs] == ["ERR"]
         assert "compression" in evs[0]["query"]
 
+    def test_hostile_uncompressed_size_rejected_before_alloc(self):
+        """ADVICE r8: a corrupt/hostile header claiming terabytes must
+        reject on the size CAP — before any decompressor allocation,
+        and identically with or without the zstandard wheel."""
+        from rust_cdc_spark.sources.binlog_file import envelopes_from_events
+
+        body = self._tp_body(b"\x28\xb5\x2f\xfd tiny", compression=0,
+                             uncompressed=1 << 40)
+        evs = list(envelopes_from_events(iter(self._outer(body)), "b.000001"))
+        assert [e["op"] for e in evs] == ["ERR"]
+        assert "cap" in evs[0]["query"]
+
+    def test_mid_replay_failure_emits_no_partial_transaction(self):
+        """ADVICE r8: a payload whose embedded stream fails mid-replay
+        (complete first event, truncated second) must quarantine as ONE
+        ERR record — no already-replayed inner rows may precede it (a
+        downstream would otherwise apply a visibly partial
+        transaction)."""
+        from rust_cdc_spark.sources.binlog_file import envelopes_from_events
+
+        inner = self._inner_txn()
+        # keep the first full frame (TABLE_MAP), truncate inside the
+        # second frame's body so the rows event is incomplete
+        first_len = int.from_bytes(inner[9:13], "little")
+        cut = inner[: first_len + 25]
+        assert len(cut) < len(inner)
+        body = self._tp_body(cut, compression=255)
+        evs = list(envelopes_from_events(iter(self._outer(body)), "b.000001"))
+        assert [e["op"] for e in evs] == ["ERR"]
+        assert "claims" in evs[0]["query"] or "truncated" in evs[0]["query"]
+
 
 class TestPartialJsonUpdate:
     """PARTIAL_UPDATE_ROWS_EVENT (0x27, binlog_row_value_options=
@@ -710,6 +751,31 @@ class TestPartialJsonUpdate:
         envs = list(envelopes_from_events(iter([ev]), "b.1", registry=reg))
         assert [e["op"] for e in envs] == ["ERR"]
         assert "missing" in envs[0]["query"]
+
+    def test_truncated_diff_length_field_quarantines(self):
+        """ADVICE r8: an event truncated AT the diff-vector length field
+        must raise (→ DLQ), not read an empty slice as n=0 and pass the
+        before-image through unchanged — a silently wrong after value."""
+        import pytest
+
+        reg = self._registry()
+        diffs = self._diff(0, "$.a", 2)
+        body = self._event_body({"a": 1}, diffs)
+        # the JSON column is last: cutting its length byte + vector off
+        # leaves pos == len(body) when the length field is read
+        cut = body[: len(body) - (len(diffs) + 1)]
+        with pytest.raises(ValueError, match="length field truncated"):
+            BR.decode_rows_event(cut, BR.PARTIAL_UPDATE_ROWS_V2, reg)
+
+    def test_truncated_diff_vector_quarantines(self):
+        """Mid-vector truncation (length byte present, bytes missing)
+        raises before decode_diff_vector sees a short slice."""
+        import pytest
+
+        reg = self._registry()
+        body = self._event_body({"a": 1}, self._diff(0, "$.a", 2))
+        with pytest.raises(ValueError, match="diff vector truncated"):
+            BR.decode_rows_event(body[:-3], BR.PARTIAL_UPDATE_ROWS_V2, reg)
 
     def test_quoted_and_nested_paths(self):
         from rust_cdc_spark.functions.json_diff import (
@@ -904,6 +970,16 @@ class TestXaTransactions:
         assert envs[0]["after"]["col_0"] == 1  # decided at prepare (pos 300)
         assert envs[0]["pos"] == 300
         assert envs[2]["after"]["col_0"] == 2
+
+    def test_one_phase_marker_carries_decoded_xid(self):
+        """ADVICE r8: the prepare-event one-phase TXN marker renders the
+        decoded xid (gtrid/bqual/formatID) for audit linkage, matching
+        what the QUERY-form path preserves via the statement text."""
+        envs = self._run("one_phase")
+        marker = envs[1]["query"]
+        assert marker == (
+            f"XA COMMIT X'{b'gtrid'.hex()}',X'{b'bqual'.hex()}',1 ONE PHASE"
+        )
 
     def test_xid_text_roundtrip(self):
         from rust_cdc_spark.sources.binlog_file import _parse_xa_xid

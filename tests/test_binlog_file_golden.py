@@ -125,3 +125,120 @@ class TestRealBinlogThroughPipeline:
         q.stop()
         got = {r.col_0: r.col_1 for r in table.read(spark).collect()}
         assert got == {1: "cdc-1", 2: "cdc-2"}
+
+
+class TestCrc32Verification:
+    """VERDICT r8 #4: the readers must VERIFY the CRC32 trailer the
+    reference only strips (decode.rs:335-341). The fixtures carry real
+    server-computed CRC32s — including the 8.0.21 FDE written before
+    LOG_EVENT_BINLOG_IN_USE_F was set (the mysqlbinlog special case)."""
+
+    def test_goldens_verify_clean(self):
+        """Every event in every real fixture passes CRC32 verification
+        (default-on), across both the 5.6.19 and 8.0.21 capture eras."""
+        from rust_cdc_spark.sources.binlog_file import read_raw_events
+
+        for name in sorted(os.listdir(BASE)):
+            d = os.path.join(BASE, name)
+            if not os.path.isdir(d):
+                continue
+            bins = [
+                f for f in os.listdir(d)
+                if "bin" in f and not f.endswith(".md")
+            ]
+            if not bins:
+                continue
+            evs = list(read_raw_events(os.path.join(d, sorted(bins)[0])))
+            assert evs and all(e.crc_ok for e in evs), name
+
+    def test_corrupted_byte_routes_to_dlq(self, tmp_path):
+        """Flip one byte inside a row event's body: the event must land
+        in the DLQ as a Crc32Mismatch ERR record — NOT decode to a
+        garbage (or silently wrong) row image."""
+        src = _fixture("30_write_rows_v2")
+        data = bytearray(open(src, "rb").read())
+        # locate the first WRITE_ROWS_V2 (0x1E) event and flip a byte in
+        # the middle of its row payload
+        pos = 4
+        while pos < len(data):
+            size = int.from_bytes(data[pos + 9:pos + 13], "little")
+            if data[pos + 4] == 0x1E:
+                data[pos + size - 10] ^= 0xFF
+                break
+            pos += size
+        else:
+            pytest.fail("no WRITE_ROWS_V2 event in fixture")
+        bad = tmp_path / "binlog.corrupt"
+        bad.write_bytes(bytes(data))
+        evs = list(parse_binlog_file(str(bad)))
+        errs = [e for e in evs if e["op"] == "ERR"]
+        assert len(errs) == 1 and "Crc32Mismatch" in errs[0]["query"]
+        # the corrupted insert must NOT have decoded; the other insert
+        # in the same statement is in the same event, so both are gone
+        assert all(
+            e["after"] != {"col_0": 1, "col_1": "cdc-1"} or e["op"] != "I"
+            for e in evs
+        )
+
+    def test_verify_off_restores_strip_only(self, tmp_path):
+        """verify_checksum=False keeps the legacy strip-only behavior
+        (the reference's): the corrupt event decodes (to whatever the
+        bytes say) or DLQs on a decode error, but never Crc32Mismatch."""
+        from rust_cdc_spark.sources.binlog_file import (
+            envelopes_from_events,
+            read_raw_events,
+        )
+
+        src = _fixture("30_write_rows_v2")
+        data = bytearray(open(src, "rb").read())
+        pos = 4
+        while pos < len(data):
+            size = int.from_bytes(data[pos + 9:pos + 13], "little")
+            if data[pos + 4] == 0x1E:
+                data[pos + size - 10] ^= 0xFF
+                break
+            pos += size
+        bad = tmp_path / "binlog.corrupt"
+        bad.write_bytes(bytes(data))
+        evs = list(
+            envelopes_from_events(
+                read_raw_events(str(bad), verify_checksum=False), "b.000001"
+            )
+        )
+        assert not any(
+            e["op"] == "ERR" and "Crc32Mismatch" in (e["query"] or "")
+            for e in evs
+        )
+
+    def test_wire_stream_verifies(self):
+        """The live wire reader shares verification: a dump stream whose
+        row event is corrupted yields crc_ok=False on that event."""
+        import io
+
+        from rust_cdc_spark.sources.binlog_file import HEADER_LEN
+        from rust_cdc_spark.sources.wire import binlog_events_from_stream
+
+        # build a packet stream from the fixture's raw events
+        src = _fixture("30_write_rows_v2")
+        data = bytearray(open(src, "rb").read())
+        pos = 4
+        frames = []
+        while pos < len(data):
+            size = int.from_bytes(data[pos + 9:pos + 13], "little")
+            frames.append(bytearray(data[pos:pos + size]))
+            pos += size
+        for fr in frames:
+            if fr[4] == 0x1E:
+                fr[len(fr) - 10] ^= 0xFF
+                break  # corrupt only the FIRST row event
+        buf = bytearray()
+        seq = 0
+        for fr in frames:
+            payload = bytes([0x00]) + bytes(fr)
+            buf += len(payload).to_bytes(3, "little") + bytes([seq]) + payload
+            seq = (seq + 1) & 0xFF
+        buf += (5).to_bytes(3, "little") + bytes([seq]) + b"\xfe\x00\x00\x00\x00"
+        evs = list(binlog_events_from_stream(io.BytesIO(buf)))
+        bad = [e for e in evs if not e.crc_ok]
+        assert len(bad) == 1 and bad[0].type_code == 0x1E
+        assert all(e.crc_ok for e in evs if e.type_code != 0x1E)

@@ -422,6 +422,63 @@ class TestReconnectExhaustive:
                 assert sorted(have) == sorted(want), f"cut at frame {k}"
                 assert srv.drop_dump_after is None  # injection fired
 
+    def test_retry_budget_is_per_stall_not_per_batch(self):
+        """ADVICE r8: a chronically flaky link that still makes forward
+        progress on every attempt must NOT exhaust ``reconnectretries``
+        cumulatively. The fake server kills EVERY dump after 3 frames
+        (FDE + 2 data events — each reconnect advances the cursor), so
+        completing the batch takes more reconnects than the retry
+        budget (1); since each failure follows progress, the counter
+        resets per stall and the batch still completes losslessly."""
+        from rust_cdc_spark.sources.binlog_file import envelopes_from_events
+        from rust_cdc_spark.streaming.live_source import _resilient_dump
+
+        want = [_canon(e) for e in parse_binlog_file(FIX_INSERTS)]
+        with FakeMySQLServer(FIX_INSERTS, "mysql-bin.000002") as srv:
+            srv.drop_every_dump_after = 3
+            opts = {
+                "host": "127.0.0.1", "port": str(srv.port),
+                "user": srv.user, "password": srv.password,
+                "sslmode": "disabled", "reconnectbackoff": "0.01",
+                "reconnectretries": "1",
+            }
+            raw = _resilient_dump(
+                opts, {"file": "mysql-bin.000002", "pos": 4}
+            )
+            have = [
+                _canon(e)
+                for e in envelopes_from_events(raw, "mysql-bin.000002")
+            ]
+            n_dumps = len(srv.dump_requests)
+        assert sorted(have) == sorted(want)
+        assert n_dumps > 2  # needed more reconnects than the budget
+
+    def test_retry_budget_still_bounds_a_true_stall(self):
+        """The flip side: zero forward progress (every dump dies before
+        delivering ANY positioned event past the cursor) must still
+        exhaust the budget and raise — the reset is per stall, not a
+        retry-forever loop."""
+        import pytest as _pytest
+
+        from rust_cdc_spark.sources import wire as W
+        from rust_cdc_spark.streaming.live_source import _resilient_dump
+
+        with FakeMySQLServer(FIX_INSERTS, "mysql-bin.000002") as srv:
+            srv.drop_every_dump_after = 1  # FDE only: cursor never moves
+            opts = {
+                "host": "127.0.0.1", "port": str(srv.port),
+                "user": srv.user, "password": srv.password,
+                "sslmode": "disabled", "reconnectbackoff": "0.01",
+                "reconnectretries": "2",
+            }
+            raw = _resilient_dump(
+                opts, {"file": "mysql-bin.000002", "pos": 4}
+            )
+            with _pytest.raises(W.DumpInterrupted, match="exhausted"):
+                list(raw)
+            n_dumps = len(srv.dump_requests)
+        assert n_dumps == 3  # initial + 2 retries, then gave up
+
 
 class TestGtidAutoPosition:
     """COM_BINLOG_DUMP_GTID end-to-end: the client sends its executed

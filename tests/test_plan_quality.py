@@ -558,10 +558,6 @@ GLOBAL_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
         "bisect twin of events_survival_km: the same reverse-cumulative"
         " at-risk window over the span-bounded duration histogram",
     ),
-    "events_survival_km_rcte": (
-        2,
-        "bisect twin: runs events_survival_km verbatim (same caps)",
-    ),
     "orders_skyline_price_date": (
         1,
         "running min over the per-DAY minimum table — bounded by the"
