@@ -179,7 +179,12 @@ def _open_dump(o: dict, log_file: str, log_pos: int, gtid_data: bytes | None = N
             send(W.write_packet(0, W.build_com_binlog_dump(
                 server_id, log_file, log_pos
             )))
-        return sock, W.binlog_events_from_stream(stream, strict=True)
+        # CRC32 verification defaults ON (corrupt link bytes → DLQ);
+        # ``.option("verifychecksum", "false")`` restores strip-only.
+        verify = o.get("verifychecksum", "true").lower() != "false"
+        return sock, W.binlog_events_from_stream(
+            stream, strict=True, verify_checksum=verify
+        )
     except BaseException:
         sock.close()
         raise

@@ -242,3 +242,9 @@ class TestCrc32Verification:
         bad = [e for e in evs if not e.crc_ok]
         assert len(bad) == 1 and bad[0].type_code == 0x1E
         assert all(e.crc_ok for e in evs if e.type_code != 0x1E)
+        # verify_checksum=False (the live source's
+        # .option("verifychecksum","false")): strip-only, nothing flagged
+        evs2 = list(
+            binlog_events_from_stream(io.BytesIO(buf), verify_checksum=False)
+        )
+        assert all(e.crc_ok for e in evs2)
