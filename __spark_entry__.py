@@ -33,23 +33,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # hash-red to the epoch/day data path (_fold green / _hist red), so
 # round 9 rewrites the day derivation on BOTH sides into the
 # engine-proof integer-micros form and pins the parent, the _hist
-# twin (same data path, re-verifies the rewrite), and ONE new probe
-# twin emitting the raw ingredients under all three candidate
-# derivations (readout matrix at queries/timeseries.py
-# _KM_PREFIX_SQL). The two ANSWERED twins (_fold, _rcte) are
-# deregistered — their r8 rows delivered the verdict. (2) The
-# remaining 47 slots drain the r02 staleness tier (45 names, 7 rounds
-# old) plus the first 2 r03 names. Tier lists below are GENERATED
-# oldest-driver-row-first by tools/staleness.py from the
-# CORRECTNESS_r0N.json ledger — regenerate each round instead of
+# twin (same data path, re-verifies the rewrite), and TWO new 1-row
+# twins that 3-point-bisect the data path whatever the r9 ledger
+# says: _probe (scan-level raw ingredients under all three candidate
+# day derivations) and _obs (the per-user censoring stage between
+# probe and _hist) — readout matrices at queries/timeseries.py
+# _KM_PREFIX_SQL and the _obs register() note. The two ANSWERED
+# twins (_fold, _rcte) are deregistered — their r8 rows delivered the
+# verdict. (2) The remaining 46 slots drain the r02 staleness tier
+# (45 names, 7 rounds old) plus the first r03 name. Tier lists below
+# are GENERATED oldest-driver-row-first by tools/staleness.py from
+# the CORRECTNESS_r0N.json ledger — regenerate each round instead of
 # hand-rotating. No new non-diagnostic queries are registered this
-# round (the r8 cap carries: only the probe was added, 330 -> 329
-# after retiring the two answered twins). Everything below is green
+# round (the r8 cap carries: only the 2 diagnostics were added,
+# 330 -> 330 after retiring the two answered twins). Everything below
+# is green
 # under tools/check_correctness.py at sf0.01 AND sf0.001/sf0.1 +
 # vanilla-TZ sessions and the 0-row fixture sweep.
 _R09_PRIORITY = [
     "events_survival_km", "events_survival_km_hist",
-    "events_survival_km_probe",
+    "events_survival_km_probe", "events_survival_km_obs",
 ]
 
 # tier r02 — 45 names

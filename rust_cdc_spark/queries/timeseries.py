@@ -2829,11 +2829,13 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     epoch_us/unix_micros give the same integer whether the engine
 #     mapped the column to a naive or an instant timestamp type,
 #     which date-part casts (CAST(ts AS DATE)) do NOT;
-#   * adds ONE new twin, events_survival_km_probe — a single row of
-#     raw ingredients carrying all three candidate derivations
-#     (legacy floor(epoch) seconds, integer-micros day, date-cast day)
-#     so that if the parent is STILL red, the r9 ledger says exactly
-#     which read path the driver's engines disagree on.
+#   * adds TWO new 1-row twins that 3-point-bisect the data path:
+#     events_survival_km_probe — raw scan-level ingredients carrying
+#     all three candidate day derivations (legacy floor(epoch)
+#     seconds, integer-micros day, date-cast day); and
+#     events_survival_km_obs — the per-user censoring stage between
+#     the probe's scan level and _hist's histogram+window level (its
+#     own readout matrix sits on its register() note below).
 # Probe readout matrix (columns red ⇒ conclusion):
 #   * sum_epoch_s red, sum_day_us red, sum_day_date green → the engines
 #     disagree on the epoch value of the parquet timestamps themselves
@@ -2967,9 +2969,10 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _km_curve(_km_risk(spark, sf_dir))
 
 
-def _km_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data path shared by events_survival_km and its _hist twin:
-    per-user durations -> day histogram -> reverse-cumulative at-risk."""
+def _km_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `u` stage shared by events_survival_km, its _hist twin, and
+    the round-9 _obs twin: per-user first/error/last DAY (integer
+    micros; the engine-proof form of the round-9 note)."""
     utc(spark)
     ev = load_table(spark, "events", sf_dir)
     # Integer-micros day: no float, no date/TZ cast — the engine-proof
@@ -2978,13 +2981,19 @@ def _km_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UTC session so the micros equal the stored naive-UTC value under
     # either parquet timestamp inference.
     day = "unix_micros(cast(ts as timestamp)) div 86400000000"
-    u = ev.groupBy("user_id").agg(
+    return ev.groupBy("user_id").agg(
         F.expr(f"min({day})").alias("first_d"),
         F.expr(
             f"min(CASE WHEN event_type = 'error' THEN {day} END)"
         ).alias("err_d"),
         F.expr(f"max({day})").alias("last_d"),
     )
+
+
+def _km_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data path shared by events_survival_km and its _hist twin:
+    per-user durations -> day histogram -> reverse-cumulative at-risk."""
+    u = _km_u(spark, sf_dir)
     died = F.col("err_d").isNotNull()
     obs = u.select(
         F.when(died, F.col("err_d") - F.col("first_d"))
@@ -3111,6 +3120,56 @@ def events_survival_km_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.datediff(F.to_date("ts"), F.lit("1970-01-01")))
         .cast("long")
         .alias("sum_day_date"),
+    )
+
+
+@register(
+    "events_survival_km_obs",
+    # Diagnostic twin (round 9, the middle bisect point): ONE row of
+    # aggregates over the per-user `u`/`obs` stages — between the scan
+    # level the _probe covers and the histogram+at-risk-window level
+    # _hist covers. Whatever the r9 ledger says, the three twins give a
+    # 3-point bisect of the data path: probe red → the engines read the
+    # parquet timestamps differently; probe green + obs red → the
+    # per-user min/max/CASE censoring aggregation diverges; probe+obs
+    # green + hist red → the duration histogram / reverse-cumulative
+    # window diverges; all green + parent green → closed, retire all
+    # three in r10.
+    oracle=f"""
+    WITH {_KM_PREFIX_SQL}
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_users,
+           (SELECT CAST(count(err_d) AS BIGINT) FROM u) AS n_died,
+           (SELECT CAST(sum(first_d) AS BIGINT) FROM u) AS sum_first_d,
+           (SELECT CAST(sum(last_d) AS BIGINT) FROM u) AS sum_last_d,
+           (SELECT CAST(sum(err_d) AS BIGINT) FROM u) AS sum_err_d,
+           (SELECT CAST(sum(t) AS BIGINT) FROM obs) AS sum_t,
+           (SELECT CAST(min(t) AS BIGINT) FROM obs) AS min_t,
+           (SELECT CAST(max(t) AS BIGINT) FROM obs) AS max_t
+    """,
+)
+def events_survival_km_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisect twin of events_survival_km: one row summarizing the
+    per-user censoring stage (the SAME ``_km_u`` code path the parent
+    runs) — user/death counts, day-sums of first/last/error, and the
+    duration sum/min/max after the censoring CASE. Readout matrix in
+    the register() note above and at _KM_PREFIX_SQL.
+
+    Scale shape: one user-keyed partial agg (the parent's `u` exchange)
+    followed by a 1-row global agg — no window, no join."""
+    u = _km_u(spark, sf_dir)
+    died = F.col("err_d").isNotNull()
+    t = F.when(died, F.col("err_d") - F.col("first_d")).otherwise(
+        F.col("last_d") - F.col("first_d")
+    )
+    return u.agg(
+        F.count("*").alias("n_users"),
+        F.count("err_d").alias("n_died"),
+        F.sum("first_d").alias("sum_first_d"),
+        F.sum("last_d").alias("sum_last_d"),
+        F.sum("err_d").alias("sum_err_d"),
+        F.sum(t).alias("sum_t"),
+        F.min(t).alias("min_t"),
+        F.max(t).alias("max_t"),
     )
 
 
