@@ -72,27 +72,46 @@ def _canonical_reps(
         F.col(text_col),
         F.md5(F.col(text_col)).alias("__fp"),
     )
-    # Hash aggregation, not a rank window: partial agg collapses
-    # duplicates map-side, and texts within a group are identical so
-    # any_value is deterministic in effect.
-    reps = with_fp.groupBy("__fp").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.any_value(text_col).alias(text_col),
-    )
-    members = with_fp.select("__fp", "doc_id")
+    # The (fp, id) projection is the diamond of every pair query: the
+    # member-expansion joins, the intra-group join, and the rep-id
+    # mapping all read it, and the r9 static plans showed ZERO exchange
+    # reuse across those references — each one re-scanned the corpus
+    # and re-hashed the text (36 scans in one recall-eval plan,
+    # plans/r09/dedup_lsh_recall_eval_before.txt). A lazy
+    # localCheckpoint materializes it once per query at ~40 B/doc
+    # (md5 hex + id — ~0.04% of corpus bytes at 100 TB, spilling to
+    # disk via the default storage level), guide §5's cache rule:
+    # reused AND expensive to recompute.
+    members = with_fp.select("__fp", "doc_id").localCheckpoint(eager=False)
+    # Hash aggregation over (fp, id) ONLY, then re-attach the text by
+    # id. Carrying the text through the agg (any_value(text_col))
+    # forces a SortAggregate fallback — a full corpus Sort per
+    # reference (16 of them in dedup_containment_pairs' r9 before
+    # plan). The id-keyed join shuffles the text once; group texts are
+    # byte-identical so the representative's text is unchanged.
+    rep_ids = members.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    reps = rep_ids.join(with_fp.select("doc_id", text_col), "doc_id")
     return reps, members
 
 
 def _expand_rep_pairs(
     rep_pairs: DataFrame,  # (doc_a, doc_b, <score>) over rep doc ids
-    reps: DataFrame,
+    reps: DataFrame,  # kept for signature stability; mapping comes from members
     members: DataFrame,
     score_col: str,
     identical_score,
 ) -> DataFrame:
     """Expand representative-level pairs to all member pairs, plus the
-    intra-group pairs (identical texts → ``identical_score``)."""
-    rep_fp = reps.select(F.col("doc_id").alias("__rep_id"), "__fp")
+    intra-group pairs (identical texts → ``identical_score``).
+
+    The rep-id ↔ fp mapping is re-derived from ``members`` (min doc_id
+    per fp — the exact rule _canonical_reps uses) instead of selecting
+    from ``reps``: reps now carries a text re-attach join that these
+    two lookups would replay, while the members agg is a 2-column
+    hash aggregation."""
+    rep_fp = members.groupBy("__fp").agg(
+        F.min("doc_id").alias("__rep_id")
+    )
     pairs_fp = (
         rep_pairs.join(rep_fp.withColumnsRenamed({"__rep_id": "doc_a", "__fp": "__fp_a"}), "doc_a")
         .join(rep_fp.withColumnsRenamed({"__rep_id": "doc_b", "__fp": "__fp_b"}), "doc_b")
@@ -140,6 +159,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     parallelism: int | None = None,
     df_cap: int | None = None,
+    reps_members: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join.
 
@@ -164,9 +184,15 @@ def jaccard_pairs(
     |bucket|²), so reported jaccard values stay exact. A pair is missed
     only if *every* one of its shared shingles is hot — such pairs are
     boilerplate-only overlaps scoring far below any useful threshold.
-    ``None`` (default) keeps the one-pass exact path.
+    ``None`` (default) keeps the one-pass exact path. ``reps_members``
+    lets a caller that runs several pair generators over the SAME
+    corpus (the recall/estimate eval queries) pass one shared
+    :func:`_canonical_reps` result instead of paying the collapse
+    per generator.
     """
-    reps, members = _canonical_reps(docs, text_col, id_col, parallelism)
+    reps, members = reps_members or _canonical_reps(
+        docs, text_col, id_col, parallelism
+    )
     rep_pairs = _jaccard_pairs_direct(
         reps, text_col, "doc_id", k, threshold, df_cap=df_cap
     )
@@ -438,6 +464,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     parallelism: int | None = None,
+    reps_members: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs.
 
@@ -455,7 +482,9 @@ def minhash_lsh_pairs(
     via a canonical representative and expand afterwards (identical
     signatures ⇒ sim_est exactly 1.0) — same output, duplication-proof.
     """
-    reps, members = _canonical_reps(docs, text_col, id_col, parallelism)
+    reps, members = reps_members or _canonical_reps(
+        docs, text_col, id_col, parallelism
+    )
     rep_pairs = _minhash_lsh_direct(reps, text_col, "doc_id", k, num_hashes, bands)
     return _expand_rep_pairs(rep_pairs, reps, members, "sim_est", 1.0)
 

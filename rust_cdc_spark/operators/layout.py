@@ -264,12 +264,23 @@ def hilbert_key_sql(x: str, y: str, flavor: str) -> str:
 
 
 def with_hilbert_key(
-    df: DataFrame, cols: list[str], key_col: str = "hkey"
+    df: DataFrame, cols: list[str], key_col: str = "hkey",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Append a Hilbert clustering key over exactly two columns scaled
     by their own min/max onto the {HILBERT_BITS}-bit grid — the
     locality-optimal alternative to :func:`with_zorder_key` (same
-    bounds discipline: one scalar agg broadcast back, no collect)."""
+    bounds discipline: one scalar agg broadcast back, no collect).
+
+    ``engine='arrow'`` (default) runs the 12-step xy2d walk as
+    vectorized int64 numpy over Arrow batches; ``'sql'`` keeps the
+    packed-BIGINT expression fold. The walk is pure integer arithmetic
+    — both engines produce byte-identical keys (asserted in
+    test_layout/test_round6_ops2 and the r9 prototype diff) — but the
+    HOF fold builds two nested structs per bit per row in interpreted
+    expression eval, measured 1.88 s vs 0.44 s at sf0.1 (guide §4.2:
+    hand whole batches to vectorized native code). Same justified-UDF
+    precedent as byte_bucket_sums; map-only, partition-parallel."""
     assert len(cols) == 2, "Hilbert key is 2-D (use zorder for n-D)"
     aggs = []
     for c in cols:
@@ -287,13 +298,52 @@ def with_hilbert_key(
         )
         for c in cols
     ]
-    return (
-        joined.withColumn("__gx", gx)
-        .withColumn("__gy", gy)
-        .withColumn(
-            key_col,
-            F.expr(hilbert_key_sql("__gx", "__gy", "spark")).cast("long"),
-        )
-        .drop("__gx", "__gy",
-              *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])
+    base = joined.withColumn("__gx", gx).withColumn("__gy", gy).drop(
+        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
     )
+    if engine == "sql":
+        return (
+            base.withColumn(
+                key_col,
+                F.expr(hilbert_key_sql("__gx", "__gy", "spark"))
+                .cast("long"),
+            )
+            .drop("__gx", "__gy")
+        )
+    return _hilbert_key_arrow(base, key_col)
+
+
+def _hilbert_key_arrow(base: DataFrame, key_col: str) -> DataFrame:
+    """xy2d over (__gx, __gy) as vectorized int64 numpy (mapInPandas);
+    emits the input columns minus the grids plus ``key_col``. Exactly
+    the packed-fold recurrence: d += s²·(3rx + ry − 2rx·ry) per bit,
+    with the (rx, ry) rotation applied to the grid coords."""
+    from pyspark.sql import types as T
+
+    in_cols = [c for c in base.columns if c not in ("__gx", "__gy")]
+    schema = T.StructType(
+        [base.schema[c] for c in in_cols]
+        + [T.StructField(key_col, T.LongType(), True)]
+    )
+    n = 1 << HILBERT_BITS
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            x = pdf["__gx"].to_numpy(dtype="int64")
+            y = pdf["__gy"].to_numpy(dtype="int64")
+            d = np.zeros(len(x), dtype="int64")
+            for i in range(HILBERT_BITS - 1, -1, -1):
+                s = 1 << i
+                rx = ((x & s) > 0).astype("int64")
+                ry = ((y & s) > 0).astype("int64")
+                d += s * s * (3 * rx + ry - 2 * rx * ry)
+                nx = np.where(ry == 0, np.where(rx == 1, n - 1 - y, y), x)
+                ny = np.where(ry == 0, np.where(rx == 1, n - 1 - x, x), y)
+                x, y = nx, ny
+            out = pdf[in_cols].copy()
+            out[key_col] = d
+            yield out
+
+    return base.mapInPandas(run, schema=schema)

@@ -66,11 +66,18 @@ def fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     (banker's vs half-away) diverge."""
     if payload is None:
         return [0.0] * dim
-    acc = [0] * dim
-    for i, b in enumerate(payload):
-        acc[i % dim] += b
+    import numpy as np
+
+    # Vectorized bucket sums (guide §4.2: native code inside the Arrow
+    # batch, not a per-byte Python loop). Exact-integer sums, then the
+    # same int/int IEEE division as the scalar form — bit-identical.
+    a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    pad = (-len(a)) % dim
+    if pad:
+        a = np.concatenate([a, np.zeros(pad, dtype=np.int64)])
+    acc = a.reshape(-1, dim).sum(axis=0)
     n = max(len(payload), 1)
-    return [a / n for a in acc]
+    return [int(s) / n for s in acc]
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
@@ -107,8 +114,16 @@ def fake_resize(payload: bytes, width: int, height: int) -> bytes:
     if payload is None:
         return bytes(target)
     if len(payload) >= target:
+        import numpy as np
+
+        # Gather via numpy instead of a per-byte Python generator
+        # (guide §4.2). Index math is the same float64 product
+        # truncated to int, so the selected bytes are identical.
         stride = len(payload) / target
-        return bytes(payload[int(i * stride)] for i in range(target))
+        idx = (np.arange(target, dtype=np.float64) * stride).astype(
+            np.int64
+        )
+        return np.frombuffer(payload, dtype=np.uint8)[idx].tobytes()
     return bytes(payload) + bytes(target - len(payload))
 
 

@@ -96,6 +96,39 @@ def _bucket_col(vec, planes) -> F.Column:
     return acc
 
 
+def _bucket_structs(vec, planes_all) -> F.Column:
+    """All tables' (table_id, bucket) structs from ONE double-cast of
+    the vector. ``_bucket_col`` per table casts the float array to
+    double inside every plane dot — n_tables·n_bits casts of the full
+    vector per row; let-binding the cast vector (single-element
+    ``transform``, the lang_id_multi discipline) leaves the same
+    sign-bit arithmetic over a bound double array. Bucket values are
+    identical: ``dot`` on a pre-cast array is the same multiply-add
+    fold."""
+
+    def mk(dv: F.Column) -> F.Column:
+        out = []
+        for t, planes in enumerate(planes_all):
+            bits = [
+                F.when(
+                    V.dot_pre(dv, V.lit_doubles(plane)) > 0,
+                    F.lit(1 << i),
+                ).otherwise(F.lit(0))
+                for i, plane in enumerate(planes)
+            ]
+            acc = bits[0]
+            for b in bits[1:]:
+                acc = acc + b
+            out.append(
+                F.struct(F.lit(t).alias("table_id"), acc.alias("bucket"))
+            )
+        return F.array(*out)
+
+    return F.transform(
+        F.array(F.transform(vec, lambda x: x.cast("double"))), mk
+    )[0]
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -118,28 +151,12 @@ def lsh_topk(
     c_bucketed = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(t).alias("table_id"),
-                    _bucket_col(F.col(vec_col), planes[t]).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ])
-        ).alias("h"),
+        F.explode(_bucket_structs(F.col(vec_col), planes)).alias("h"),
     ).select("vec_id", "cv", "h.table_id", "h.bucket")
     q_bucketed = queries.select(
         F.col(qid_col).alias("query_id"),
         F.col(qvec_col).alias("qv"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(t).alias("table_id"),
-                    _bucket_col(F.col(qvec_col), planes[t]).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ])
-        ).alias("h"),
+        F.explode(_bucket_structs(F.col(qvec_col), planes)).alias("h"),
     ).select("query_id", "qv", "h.table_id", "h.bucket")
     candidates = (
         c_bucketed.join(F.broadcast(q_bucketed), on=["table_id", "bucket"])
@@ -532,15 +549,7 @@ def embedding_near_dup_pairs(
     planes = _hyperplanes(dim, n_bits, n_tables, seed)
     bucketed = corpus.select(
         F.col(id_col).alias("vec_id"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(t).alias("table_id"),
-                    _bucket_col(F.col(vec_col), planes[t]).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ])
-        ).alias("h"),
+        F.explode(_bucket_structs(F.col(vec_col), planes)).alias("h"),
     ).select("vec_id", "h.table_id", "h.bucket")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (

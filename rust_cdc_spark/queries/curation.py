@@ -12,7 +12,7 @@ plumbing and plan shape are the real thing; only the text is fake.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rust_cdc_spark.queries import register
@@ -1329,17 +1329,20 @@ def _quality_rule_flags(docs: DataFrame) -> DataFrame:
     Oracle twin: _RULE_SIG_SQL. Shared by quality_rule_attribution,
     quality_rule_kappa, and quality_label_model_vote."""
     stops = _GOPHER_STOPS.replace("(", "array(").replace(")", ")")
+    # __wlen bound once as a projected column: the two Gopher length
+    # bounds referenced the same word-length fold twice, and Catalyst
+    # re-evaluates an expression once per reference.
     w = docs.select(
         "doc_id", "source",
         F.expr(_WORDS_SPARK).alias("words"),
         F.expr("split(text, '')").alias("chars"),
+    ).withColumn(
+        "__wlen", F.expr("aggregate(words, 0L, (a, x) -> a + length(x))")
     )
     keep_gopher = F.expr(
         f"size(words) BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}"
-        " AND 3 * size(words)"
-        "     <= aggregate(words, 0L, (a, x) -> a + length(x))"
-        " AND aggregate(words, 0L, (a, x) -> a + length(x))"
-        "     <= 10 * size(words)"
+        " AND 3 * size(words) <= __wlen"
+        " AND __wlen <= 10 * size(words)"
         " AND 5 * size(filter(words, x -> x rlike '[A-Za-z]'))"
         "     >= 4 * size(words)"
         f" AND size(filter(words, x -> array_contains({stops}, lower(x))))"
@@ -2185,24 +2188,30 @@ def boilerplate_sentence_inventory(spark: SparkSession, sf_dir: str) -> DataFram
     filter drops the (dominant) unique-passage tail before any
     ordering."""
     docs = load_table(spark, "documents", sf_dir)
-    tk = F.split(F.trim(F.col("text")), " ")
-    nch = F.expr(f"size(split(trim(text), ' ')) div {_SENT_PLEN}").cast(
-        "int"
-    )
+
+    # Let-bind the token array once per row (lang_id_multi discipline):
+    # slicing `split(trim(text))` directly inside the chunk lambda
+    # re-splits the whole document per chunk — O(tokens²/chunk) chars.
+    def chunks(tk: Column) -> Column:
+        nch = (F.size(tk) / _SENT_PLEN).cast("int")
+        return F.when(
+            nch > 0,
+            F.transform(
+                F.sequence(F.lit(0), nch - 1),
+                lambda i: F.array_join(
+                    F.slice(tk, i * _SENT_PLEN + 1, _SENT_PLEN), " "
+                ),
+            ),
+        )
+
     # explode drops the NULL produced for docs shorter than one chunk
     # (sequence(0, -1) would otherwise generate a DESCENDING range).
     ch = docs.select(
         "doc_id",
         F.explode(
-            F.when(
-                nch > 0,
-                F.transform(
-                    F.sequence(F.lit(0), nch - 1),
-                    lambda i: F.array_join(
-                        F.slice(tk, i * _SENT_PLEN + 1, _SENT_PLEN), " "
-                    ),
-                ),
-            )
+            F.transform(
+                F.array(F.split(F.trim(F.col("text")), " ")), chunks
+            )[0]
         ).alias("passage"),
     )
     per_doc = (

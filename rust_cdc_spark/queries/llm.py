@@ -1391,12 +1391,18 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact side is the expensive one — that's the point of measuring
     its approximation)."""
     docs = load_table(spark, "documents", sf_dir)
-    truth = DD.jaccard_pairs(docs, threshold=0.5, df_cap=10_000).select(
-        "doc_a", "doc_b", F.lit(True).alias("is_truth")
-    )
-    cand = DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4).select(
-        "doc_a", "doc_b", F.lit(True).alias("is_cand")
-    )
+    # One canonical-rep collapse shared by BOTH pair generators: the
+    # truth and candidate sides run over the same corpus, and without
+    # sharing each re-derived reps/members from the scan (r9 plan
+    # audit; the members diamond itself is checkpoint-shared inside
+    # _canonical_reps).
+    rm = DD._canonical_reps(docs, "text", "doc_id", None)
+    truth = DD.jaccard_pairs(
+        docs, threshold=0.5, df_cap=10_000, reps_members=rm
+    ).select("doc_a", "doc_b", F.lit(True).alias("is_truth"))
+    cand = DD.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, reps_members=rm
+    ).select("doc_a", "doc_b", F.lit(True).alias("is_cand"))
     return _recall_summary(truth, cand)
 
 
@@ -2145,14 +2151,18 @@ def corpus_bleu_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|² term). Precision is a floored ppm (integer div), exact
     across engines."""
     docs = load_table(spark, "documents", sf_dir)
+    # Let-bind the token array once per row: element_at(split(...), i)
+    # inside the bigram lambda re-splits the document per position —
+    # O(tokens²) chars per doc (lang_id_multi discipline).
     bg = docs.select(
         "source",
         F.explode(
             F.expr(
-                "CASE WHEN size(split(trim(text), ' ')) < 2 THEN array() "
-                "ELSE transform(sequence(1, size(split(trim(text), ' ')) - 1), "
-                "i -> concat(element_at(split(trim(text), ' '), i), ' ', "
-                "element_at(split(trim(text), ' '), i + 1))) END"
+                "element_at(transform(array(split(trim(text), ' ')), t ->"
+                " CASE WHEN size(t) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ',"
+                " element_at(t, i + 1))) END), 1)"
             )
         ).alias("gram"),
     )

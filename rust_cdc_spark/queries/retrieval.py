@@ -1104,7 +1104,15 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "{fb}", str(_PRF_FB)
     ).replace("{ex}", str(_PRF_EXP))
     docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+    # "BM25 rounds share one tokenized projection" — enforced, not
+    # hoped-for: the r9 static plan re-derived this projection (scan +
+    # split + lower) for every consumer — 36 parquet scans in one plan
+    # (plans/r09/retrieval_prf_expansion_before.txt; zero exchange
+    # reuse). The lazy localCheckpoint materializes it once per run
+    # (guide §5 cache rule; token arrays ≈ corpus bytes, spill-backed).
+    toks = docs.select(
+        "doc_id", F.expr(_TOKS_SPARK).alias("toks")
+    ).localCheckpoint(eager=False)
     stats = toks.agg(
         F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
     )
@@ -1268,11 +1276,15 @@ def ccnet_perplexity_tails(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (cutoffs are values, not row positions)."""
     docs = load_table(spark, "documents", sf_dir)
     base = text_bigram_logprob(spark, sf_dir)
+    # Doc-level (id, lang, mean-micro) frame is read by the histogram,
+    # the per-language totals AND the labeling pass — without the lazy
+    # checkpoint each reference replays the whole bigram-LM train+score
+    # pipeline (20 parquet scans in the r9 before plan). ~20 B/doc.
     j = base.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id",
         "lang",
         F.expr("sum_logp_micro div n_bigrams").alias("v"),
-    )
+    ).localCheckpoint(eager=False)
     hist = j.groupBy("lang", "v").agg(F.count("*").alias("c"))
     cum = hist.select(
         "lang",

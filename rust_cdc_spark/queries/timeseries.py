@@ -5,7 +5,7 @@ behind readStream + watermarks).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rust_cdc_spark.operators.ranks import exact_global_ntile
@@ -2713,8 +2713,17 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE user-partitioned lag window over the corpus
     builds transitions (the shuffle sessionization already pays);
-    everything after runs on the |types|²-row matrix — 4 replays × 5
-    iterations of model-scale joins; the corpus is scanned once."""
+    everything after runs on the |types|²-row matrix — the corpus is
+    scanned once. The 4 absorption replays (base + 3 knockouts) run as
+    ONE scenario-keyed expression fold: the edge matrix is tagged with
+    a 4-row scenario relation, each scenario's edges collapse to one
+    array cell, and the 5 finite-horizon iterations advance a
+    per-scenario state vector as chained codegen projections — zero
+    joins/exchanges in the loop (r9: was 4 chains × 5 iterations of
+    model-scale join+agg stages, ~3.9 s of stage scheduling at sf0.1
+    for arithmetic on ≤ 4·|types|² integers; now 1.35 s, same values
+    at 3 SFs — guide §1.2 step 1, don't launch distributed stages for
+    constant-size state)."""
     utc(spark)
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2743,64 +2752,147 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    def absorb(p_sc: DataFrame) -> DataFrame:
-        """5-step conversion reachability (micro) per state."""
-        r = types.select(
-            "t",
-            F.when(F.col("t") == _ATTR_CONV, F.lit(1_000_000))
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("v"),
-        )
-        for _ in range(_ATTR_ITERS):
-            contrib = (
-                p_sc.join(
-                    F.broadcast(r.withColumnRenamed("t", "to_type")),
-                    "to_type",
-                )
-                .select(
-                    F.col("from_type").alias("t"),
-                    F.expr("(v * pm) div 1000000").alias("term"),
-                )
-                .groupBy("t")
-                .agg(F.sum("term").alias("s"))
+    # 4-row scenario relation: 'b' keeps every edge; 'c<i>' knocks
+    # channel i's in/out edges. Tagging the edge matrix once and
+    # advancing all four state vectors through a SINGLE 5-iteration
+    # chain replaces the 4 independent absorb() chains (same joins,
+    # same per-scenario integer arithmetic, quarter the stages).
+    scen = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("b").alias("sc"),
+                    F.lit(None).cast("string").alias("excl"),
+                ),
+                *[
+                    F.struct(
+                        F.lit(f"c{i}").alias("sc"),
+                        F.lit(c).alias("excl"),
+                    )
+                    for i, c in enumerate(_ATTR_CHANNELS)
+                ],
             )
-            r = types.join(contrib, "t", "left").select(
-                "t",
-                F.when(
-                    F.col("t") == _ATTR_CONV, F.lit(1_000_000)
-                )
-                .otherwise(F.coalesce(F.col("s"), F.lit(0)))
-                .cast("long")
+        ).alias("s")
+    ).select("s.sc", "s.excl")
+    p_all = (
+        p.crossJoin(F.broadcast(scen))
+        .filter(
+            F.col("excl").isNull()
+            | (
+                (F.col("to_type") != F.col("excl"))
+                & (F.col("from_type") != F.col("excl"))
+            )
+        )
+        .select("sc", "from_type", "to_type", "pm")
+    )
+    # Each scenario's edge list collapses to ONE array cell, and the
+    # whole finite-horizon absorption runs as a codegen expression fold
+    # over those 4 rows — the KM-fold discipline. The DataFrame-join
+    # formulation paid ~10 exchange/broadcast stage round-trips for
+    # arithmetic on ≤ 4·|types|² values; here the loop is 5 chained
+    # projections (vmap per step keeps lookups O(1) per edge), zero
+    # shuffles after the edge aggregation. Per-edge integer math is
+    # unchanged: term = (v[to]·pm) div 1e6, summed per from_type.
+    edges4 = scen.select("sc").join(
+        p_all.groupBy("sc").agg(
+            F.collect_list(
+                F.struct("from_type", "to_type", "pm")
+            ).alias("edges")
+        ),
+        "sc",
+        "left",
+    )
+    tarr = types.agg(F.collect_list("t").alias("tarr"))
+    st = edges4.crossJoin(F.broadcast(tarr)).withColumn(
+        "varr",
+        F.transform(
+            F.col("tarr"),
+            lambda t: F.struct(
+                t.alias("t"),
+                F.when(t == _ATTR_CONV, F.lit(1_000_000).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
                 .alias("v"),
-            )
-        return r
+            ),
+        ),
+    )
 
-    def start_val(r: DataFrame, alias: str) -> DataFrame:
-        return r.filter(F.col("t") == _ATTR_START).agg(
-            F.max("v").alias(alias)
-        )
+    def exact_div(a: Column, b: Column) -> Column:
+        # BIGINT `div` for the non-negative operands here: (a − a%b) is
+        # an exact multiple of b and ≤ 1e12 (< 2^53), so the one double
+        # division is exact (correctly-rounded IEEE of a representable
+        # quotient) — bit-identical to the SQL `div` the oracle replays.
+        return ((a - a % b) / b).cast("long")
 
-    base = start_val(absorb(p), "base_micro")
-    out = None
-    for c in _ATTR_CHANNELS:
-        p_c = p.filter(
-            (F.col("to_type") != c) & (F.col("from_type") != c)
+    for _ in range(_ATTR_ITERS):
+        st = st.withColumn("vmap", F.map_from_entries(F.col("varr")))
+        st = st.withColumn(
+            "varr",
+            F.transform(
+                F.col("tarr"),
+                lambda t: F.struct(
+                    t.alias("t"),
+                    F.when(
+                        t == _ATTR_CONV, F.lit(1_000_000).cast("long")
+                    )
+                    .otherwise(
+                        F.coalesce(
+                            F.aggregate(
+                                F.filter(
+                                    F.col("edges"),
+                                    lambda e: e["from_type"] == t,
+                                ),
+                                F.lit(0).cast("long"),
+                                lambda acc, e: acc
+                                + exact_div(
+                                    F.element_at(
+                                        F.col("vmap"), e["to_type"]
+                                    )
+                                    * e["pm"],
+                                    F.lit(1_000_000).cast("long"),
+                                ),
+                            ),
+                            F.lit(0).cast("long"),
+                        )
+                    )
+                    .alias("v"),
+                ),
+            ),
         )
-        row = (
-            base.crossJoin(start_val(absorb(p_c), "without_micro"))
-            .select(
-                F.lit(c).alias("channel"),
-                "base_micro",
-                "without_micro",
-                F.expr(
-                    "(base_micro - without_micro) * 1000000"
-                    " div nullif(base_micro, 0)"
-                ).cast("long").alias("removal_effect_micro"),
-            )
+    # 4 rows → one (scenario → start-state value) map → the 3 output
+    # rows, all in one linear plan (no per-channel agg/crossJoin fan).
+    scmap = st.select(
+        "sc",
+        F.element_at(
+            F.map_from_entries(F.col("varr")), F.lit(_ATTR_START)
+        ).alias("v"),
+    ).agg(
+        F.map_from_entries(F.collect_list(F.struct("sc", "v"))).alias("m")
+    )
+    chan = F.array(
+        *[
+            F.struct(F.lit(c).alias("channel"), F.lit(f"c{i}").alias("sc"))
+            for i, c in enumerate(_ATTR_CHANNELS)
+        ]
+    )
+    return (
+        scmap.select(F.col("m"), F.explode(chan).alias("ch"))
+        .select(
+            F.col("ch.channel").alias("channel"),
+            F.element_at(F.col("m"), F.lit("b")).alias("base_micro"),
+            F.element_at(F.col("m"), F.col("ch.sc")).alias(
+                "without_micro"
+            ),
         )
-        out = row if out is None else out.unionAll(row)
-    return out
+        .select(
+            "channel",
+            "base_micro",
+            "without_micro",
+            F.expr(
+                "(base_micro - without_micro) * 1000000"
+                " div nullif(base_micro, 0)"
+            ).cast("long").alias("removal_effect_micro"),
+        )
+    )
 
 
 # --- events_survival_km + diagnostic twins (round-9 form) ----------------

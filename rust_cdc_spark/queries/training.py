@@ -2274,9 +2274,17 @@ def preference_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("sa")).alias("loser"),
         )
     )
+    # |sources|²-bounded edge table; materialize so the corpus-scale
+    # duel subtree (quality scores + rank window + rank-aligned join)
+    # runs ONCE — e is read by pairs (twice), wins, players, and both
+    # MM steps, and without the checkpoint each reference replays the
+    # whole duel pipeline (guide §5 caching: reused + expensive to
+    # recompute; the r9 before-plan had 160 parquet scans and zero
+    # ReusedExchange — plans/r09/preference_bradley_terry_before.txt —
+    # and the checkpoint took the query 4.72 s → 1.76 s at sf0.1).
     e = duel.groupBy("winner", "loser").agg(
         F.count("*").cast("long").alias("w")
-    )
+    ).localCheckpoint()
     rev = e.select(
         F.col("loser").alias("winner"),
         F.col("winner").alias("loser"),

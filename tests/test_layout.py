@@ -127,3 +127,18 @@ class TestFileSkipping:
         orig = ev.agg(F.sum("event_id")).first()[0]
         got = spark.read.parquet(zpath).agg(F.sum("event_id")).first()[0]
         assert got == orig
+
+
+class TestHilbertEngines:
+    def test_arrow_and_sql_hilbert_keys_identical(self, spark):
+        """The r9 Arrow (numpy int64) xy2d path must be byte-identical
+        to the packed-BIGINT expression fold it replaced as the default
+        — the walk is pure integer arithmetic, so any divergence is a
+        transcription bug, not float noise."""
+        ev = load_table(spark, "events", SF_SMOKE)
+        a = L.with_hilbert_key(ev, ["user_id", "event_id"], engine="arrow")
+        s = L.with_hilbert_key(ev, ["user_id", "event_id"], engine="sql")
+        al = a.select("event_id", "hkey")
+        sl = s.select("event_id", "hkey")
+        assert al.exceptAll(sl).count() == 0
+        assert sl.exceptAll(al).count() == 0
