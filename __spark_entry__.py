@@ -27,85 +27,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["cdc_merge_upsert"].spark_fn(spark, "/root/testdata/sf0.001")
 
 
-# Round-9 priority order (the driver checks 50 names per round, in
-# this order), built per VERDICT r8 #1/#2: (1) the events_survival_km
-# family — the r8 bisect localized the three-round driver-only
-# hash-red to the epoch/day data path (_fold green / _hist red), so
-# round 9 rewrites the day derivation on BOTH sides into the
-# engine-proof integer-micros form and pins the parent, the _hist
-# twin (same data path, re-verifies the rewrite), and TWO new 1-row
-# twins that 3-point-bisect the data path whatever the r9 ledger
-# says: _probe (scan-level raw ingredients under all three candidate
-# day derivations) and _obs (the per-user censoring stage between
-# probe and _hist) — readout matrices at queries/timeseries.py
-# _KM_PREFIX_SQL and the _obs register() note. The two ANSWERED
-# twins (_fold, _rcte) are deregistered — their r8 rows delivered the
-# verdict. (2) The remaining 46 slots drain the r02 staleness tier
-# (45 names, 7 rounds old) plus the first r03 name. Tier lists below
-# are GENERATED oldest-driver-row-first by tools/staleness.py from
-# the CORRECTNESS_r0N.json ledger — regenerate each round instead of
-# hand-rotating. No new non-diagnostic queries are registered this
-# round (the r8 cap carries: only the 2 diagnostics were added,
-# 330 -> 330 after retiring the two answered twins). Everything below
-# is green
-# under tools/check_correctness.py at sf0.01 AND sf0.001/sf0.1 +
+# Round-10 priority order (the driver checks 50 names per round, in
+# this order), built per VERDICT r9 #1/#6: (1) the events_survival_km
+# family — round 10 found the ROOT CAUSE of the four-round hash-red
+# statically: of all 330 oracles, the only two emitting a HUGEINT
+# column are exactly the two red queries (DuckDB widens the window
+# sum behind n_risk to INT128; Spark stays LONG; the driver hash is
+# type-sensitive while its schema check is not). The oracle now CASTs
+# n_risk to BIGINT (value-identical), so the parent and _hist rows
+# verify the fix; _histnw is the new window-free histogram twin and
+# _obs gained multiset-strength columns (both per VERDICT r9 #1, as
+# insurance if the type diagnosis is somehow wrong — full note at
+# queries/timeseries.py _KM_PREFIX_SQL). (2) The remaining 45 slots
+# drain the r03 staleness tier (46 names, now 7 rounds old). Tier
+# lists below are GENERATED oldest-driver-row-first by
+# tools/staleness.py from the CORRECTNESS_r0N.json ledger —
+# regenerate each round instead of hand-rotating. ONE new diagnostic
+# registered this round (_histnw; 330 -> 331), inside the r8
+# diagnostic-minimum cap. Everything below is green under
+# tools/check_correctness.py at sf0.01 AND sf0.001/sf0.1 +
 # vanilla-TZ sessions and the 0-row fixture sweep.
-_R09_PRIORITY = [
+_R10_PRIORITY = [
     "events_survival_km", "events_survival_km_hist",
+    "events_survival_km_histnw",
     "events_survival_km_probe", "events_survival_km_obs",
 ]
 
-# tier r02 — 45 names
-_STALE_R02 = [
-    "asof_join_next_click_1h",
-    "bpe_encode_corpus",
-    "cdc_snapshot_bootstrap",
-    "dedup_keep_best",
-    "dense_rank_supplier_balance",
-    "events_funnel_conversion",
-    "events_json_props",
-    "events_retention_cohorts",
-    "events_sessionize",
-    "events_tumbling_window",
-    "grouping_sets_lineitem",
-    "join_left_outer_customer_orders",
-    "lag_lead_order_gaps",
-    "layout_zorder_key",
-    "multimodal_dedup_exact",
-    "multimodal_phash_buckets",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q20_excess_suppliers",
-    "q21_waiting_orders",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q4_order_priority_check",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "quality_classifier_train",
-    "range_join_click_attribution",
-    "retrieval_bm25_topk",
-    "retrieval_rrf_fusion",
-    "sample_weighted_documents",
-    "scalar_string_funcs_part",
-    "semantic_dedup_prune",
-    "set_union_nation_presence",
-    "subquery_above_avg_orders",
-    "table_column_stats",
-]
-# tier r03 — 47 names
 _STALE_R03 = [
-    "agg_filter_clauses",
     "bpe_merge_candidates",
     "bpe_train_merges",
     "c4_quality_rules",
@@ -153,7 +101,6 @@ _STALE_R03 = [
     "vocab_top_tokens",
     "window_frame_functions",
 ]
-# tier r04 — 43 names
 _STALE_R04 = [
     "agg_salted_event_totals",
     "boilerplate_sentence_inventory",
@@ -199,12 +146,11 @@ _STALE_R04 = [
     "vocab_countmin_topk",
     "vocab_oov_rate",
 ]
-
 def _ordered():
     reg = load_all()
     prio = [
-        *_R09_PRIORITY,
-        *_STALE_R02, *_STALE_R03, *_STALE_R04,
+        *_R10_PRIORITY,
+        *_STALE_R03, *_STALE_R04,
     ]
     seen: set[str] = set()
     first = [

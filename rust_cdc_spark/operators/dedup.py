@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rust_cdc_spark.functions import text as TX
+from rust_cdc_spark.operators.ranks import pin
 
 
 def _parallelize(df: DataFrame, parallelism: int | None) -> DataFrame:
@@ -81,8 +82,10 @@ def _canonical_reps(
     # localCheckpoint materializes it once per query at ~40 B/doc
     # (md5 hex + id — ~0.04% of corpus bytes at 100 TB, spilling to
     # disk via the default storage level), guide §5's cache rule:
-    # reused AND expensive to recompute.
-    members = with_fp.select("__fp", "doc_id").localCheckpoint(eager=False)
+    # reused AND expensive to recompute. pin() registers the blocks
+    # for release_pinned() (ADVICE r9: bare lazy checkpoints lingered
+    # across a 330-query single-session sweep).
+    members = pin(with_fp.select("__fp", "doc_id"))
     # Hash aggregation over (fp, id) ONLY, then re-attach the text by
     # id. Carrying the text through the agg (any_value(text_col))
     # forces a SortAggregate fallback — a full corpus Sort per
@@ -104,11 +107,16 @@ def _expand_rep_pairs(
     """Expand representative-level pairs to all member pairs, plus the
     intra-group pairs (identical texts → ``identical_score``).
 
-    The rep-id ↔ fp mapping is re-derived from ``members`` (min doc_id
-    per fp — the exact rule _canonical_reps uses) instead of selecting
-    from ``reps``: reps now carries a text re-attach join that these
-    two lookups would replay, while the members agg is a 2-column
-    hash aggregation."""
+    CONTRACT (ADVICE r9): ``rep_pairs``' ids MUST be the min-doc_id
+    representative of each fingerprint group — the rule
+    :func:`_canonical_reps` uses — because the rep-id ↔ fp mapping is
+    re-derived HERE from ``members`` as ``min(doc_id) per __fp`` (the
+    ``reps`` argument is kept only for signature stability; selecting
+    from it would replay its text re-attach join, while the members
+    agg is a 2-column hash aggregation). A caller passing
+    ``reps_members`` built under any OTHER representative rule gets
+    silently wrong pair expansion: always build the tuple with
+    ``_canonical_reps`` (the only constructor in this module)."""
     rep_fp = members.groupBy("__fp").agg(
         F.min("doc_id").alias("__rep_id")
     )
@@ -160,6 +168,7 @@ def jaccard_pairs(
     parallelism: int | None = None,
     df_cap: int | None = None,
     reps_members: tuple[DataFrame, DataFrame] | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join.
 
@@ -188,13 +197,17 @@ def jaccard_pairs(
     lets a caller that runs several pair generators over the SAME
     corpus (the recall/estimate eval queries) pass one shared
     :func:`_canonical_reps` result instead of paying the collapse
-    per generator.
+    per generator. ``shingled`` (r10, same sharing idea one stage
+    deeper) is an optional precomputed :func:`shingle_sets` frame —
+    it MUST be shingle_sets over the same reps with the same ``k``
+    (the recall eval pins one and feeds both its generators).
     """
     reps, members = reps_members or _canonical_reps(
         docs, text_col, id_col, parallelism
     )
     rep_pairs = _jaccard_pairs_direct(
-        reps, text_col, "doc_id", k, threshold, df_cap=df_cap
+        reps, text_col, "doc_id", k, threshold, df_cap=df_cap,
+        shingled=shingled,
     )
     return _expand_rep_pairs(rep_pairs, reps, members, "jaccard", 1.0).filter(
         F.col("jaccard") >= threshold
@@ -227,13 +240,19 @@ def _pair_intersections(
     k: int,
     parallelism: int | None = None,
     df_cap: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs with exact intersection counts:
     (doc_a, doc_b, size_a, size_b, n_common), doc_a < doc_b, for every
     pair sharing ≥1 (rare, when capped) shingle. The shared engine under
     Jaccard and containment scoring — see :func:`jaccard_pairs` for the
-    inverted-index / df_cap shape discussion."""
-    sh = shingle_sets(docs, text_col, id_col, k, parallelism)
+    inverted-index / df_cap shape discussion (and for the ``shingled``
+    sharing contract)."""
+    sh = (
+        shingled
+        if shingled is not None
+        else shingle_sets(docs, text_col, id_col, k, parallelism)
+    )
     inv = _hashed_inverted_index(sh)
     if df_cap is None:
         # One-pass exact path: the inverted-index join is both candidate
@@ -326,8 +345,11 @@ def _jaccard_pairs_direct(
     threshold: float,
     parallelism: int | None = None,
     df_cap: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
-    inter = _pair_intersections(docs, text_col, id_col, k, parallelism, df_cap)
+    inter = _pair_intersections(
+        docs, text_col, id_col, k, parallelism, df_cap, shingled=shingled
+    )
     return (
         inter.withColumn(
             "jaccard",
@@ -418,6 +440,7 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 16,
     parallelism: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, set_size, sig: array<bigint> of num_hashes minhashes).
 
@@ -429,8 +452,14 @@ def minhash_signatures(
     their own projection so the md5 pass runs ONCE, not once per
     signature component (no CSE inside a single expression tree). All
     arithmetic is exact BIGINT, so the DuckDB oracle replays the exact
-    signature (:data:`MINHASH_HS_SQL` + :func:`minhash_sig_sql`)."""
-    sh = shingle_sets(docs, text_col, id_col, k, parallelism)
+    signature (:data:`MINHASH_HS_SQL` + :func:`minhash_sig_sql`).
+    ``shingled``: optional precomputed :func:`shingle_sets` frame over
+    the same docs/k (see :func:`jaccard_pairs`)."""
+    sh = (
+        shingled
+        if shingled is not None
+        else shingle_sets(docs, text_col, id_col, k, parallelism)
+    )
     hs = sh.select(
         "doc_id",
         "set_size",
@@ -465,6 +494,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     parallelism: int | None = None,
     reps_members: tuple[DataFrame, DataFrame] | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs.
 
@@ -485,7 +515,9 @@ def minhash_lsh_pairs(
     reps, members = reps_members or _canonical_reps(
         docs, text_col, id_col, parallelism
     )
-    rep_pairs = _minhash_lsh_direct(reps, text_col, "doc_id", k, num_hashes, bands)
+    rep_pairs = _minhash_lsh_direct(
+        reps, text_col, "doc_id", k, num_hashes, bands, shingled=shingled
+    )
     return _expand_rep_pairs(rep_pairs, reps, members, "sim_est", 1.0)
 
 
@@ -497,6 +529,7 @@ def _minhash_lsh_direct(
     num_hashes: int,
     bands: int,
     parallelism: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     if num_hashes % bands:
         raise ValueError(
@@ -505,7 +538,9 @@ def _minhash_lsh_direct(
             "drop out of the banding while still counting in sim_est"
         )
     r = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes, parallelism)
+    sig = minhash_signatures(
+        docs, text_col, id_col, k, num_hashes, parallelism, shingled=shingled
+    )
     banded = sig.select(
         "doc_id",
         "sig",
@@ -774,6 +809,7 @@ def jaccard_pairs_prefix(
     k: int = 3,
     threshold: float = 0.5,
     parallelism: int | None = None,
+    positional: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via PPJoin-style prefix filtering
     (Xiao et al., WWW 2008) — same output as :func:`jaccard_pairs`,
@@ -799,9 +835,19 @@ def jaccard_pairs_prefix(
     self-join whose bucket sizes are df-bounded *by construction*, and
     two doc-keyed verify joins. Candidate volume: measured vs the full
     inverted index in SCALE.md.
+
+    ``positional`` (default on, r10) additionally applies PPJoin's
+    positional filter before verification — a lossless candidate
+    prune from the first prefix-match positions (derivation at the
+    filter in :func:`_jaccard_prefix_direct`); ``positional=False``
+    keeps the r9 prefix+size-ratio-only path, and
+    tests/test_scale_operators.py asserts output equality between the
+    two at two SFs (the Hilbert-style engine guard).
     """
     reps, members = _canonical_reps(docs, text_col, id_col, parallelism)
-    rep_pairs = _jaccard_prefix_direct(reps, text_col, "doc_id", k, threshold)
+    rep_pairs = _jaccard_prefix_direct(
+        reps, text_col, "doc_id", k, threshold, positional=positional
+    )
     return _expand_rep_pairs(rep_pairs, reps, members, "jaccard", 1.0).filter(
         F.col("jaccard") >= threshold
     )
@@ -813,6 +859,7 @@ def _jaccard_prefix_direct(
     id_col: str,
     k: int,
     threshold: float,
+    positional: bool = True,
 ) -> DataFrame:
     sh = shingle_sets(docs, text_col, id_col, k)
     inv = _hashed_inverted_index(sh)
@@ -841,19 +888,24 @@ def _jaccard_prefix_direct(
         # the inverted-index exchange — 8 B hashes per shingle) instead
         # of rebuilding the window+sort-collect three times (static
         # plan showed zero ReusedExchange across the three branches;
-        # measured 4.5 → 2.6 s at sf0.1).
-        .localCheckpoint()
+        # measured 4.5 → 2.6 s at sf0.1). Pinned-ledger registered
+        # (ADVICE r9).
     )
+    arr = pin(arr, eager=True)
     prefix_len = (
         F.col("set_size")
         - F.ceil(F.lit(threshold) * F.col("set_size")).cast("int")
         + 1
     )
+    # posexplode: `pos` is the 0-based position of the prefix token in
+    # the doc's FULL df-ascending hash array (the prefix is its head,
+    # so slice positions are global positions) — the input to the
+    # PPJoin positional filter below.
     pref = arr.select(
         "doc_id",
         "set_size",
-        F.explode(F.slice(F.col("hashes"), F.lit(1), prefix_len)).alias(
-            "token"
+        F.posexplode(F.slice(F.col("hashes"), F.lit(1), prefix_len)).alias(
+            "pos", "token"
         ),
     )
     a, b = pref.alias("a"), pref.alias("b")
@@ -865,6 +917,24 @@ def _jaccard_prefix_direct(
     # sf0.1: 408,647 → 309,604 candidates (−24% on this
     # length-homogeneous corpus; the rule's bite grows with length
     # spread, which is exactly the shape of a real crawl).
+    #
+    # Positional filter (the third PPJoin rule, r10 — VERDICT r9 #2):
+    # both docs' arrays follow ONE global total order, so at a pair's
+    # FIRST prefix match (the match minimizing pos_a — which also
+    # minimizes pos_b: common elements appear in the same relative
+    # order on both sides, and any common element ordered before the
+    # first match would itself be a prefix match on both sides, by the
+    # same argument as the prefix lemma), every other common element
+    # lies strictly after it in BOTH arrays. Hence
+    #   |A∩B| ≤ 1 + min(|A| − pos_a − 1, |B| − pos_b − 1)
+    # at that first match, while J ≥ t needs
+    #   |A∩B| ≥ α = ⌈t·(|A|+|B|)/(1+t)⌉.
+    # Keeping a pair iff the bound reaches α is LOSSLESS (the bound is
+    # exact algebra over the first match; the 1e-9 slack on α only
+    # ever RELAXES the cut against float division error, and the
+    # verify stage recomputes the exact jaccard anyway). The groupBy
+    # replaces the former `.distinct()` — same single pair-keyed
+    # exchange — and min(struct(pos_a, pos_b)) picks the first match.
     cand = (
         a.join(b, on="token")
         .filter(
@@ -875,12 +945,35 @@ def _jaccard_prefix_direct(
                 * F.greatest(F.col("a.set_size"), F.col("b.set_size"))
             )
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.set_size").alias("psize_a"),
+            F.col("b.set_size").alias("psize_b"),
         )
-        .distinct()
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("a.pos").alias("pa"), F.col("b.pos").alias("pb")
+                )
+            ).alias("__fm")
+        )
     )
+    if positional:
+        cand = cand.filter(
+            F.lit(1)
+            + F.least(
+                F.col("psize_a") - F.col("__fm.pa") - 1,
+                F.col("psize_b") - F.col("__fm.pb") - 1,
+            )
+            >= F.ceil(
+                F.lit(threshold)
+                * (F.col("psize_a") + F.col("psize_b"))
+                / F.lit(1.0 + threshold)
+                - F.lit(1e-9)
+            )
+        )
+    cand = cand.select("doc_a", "doc_b")
     va = arr.select(
         F.col("doc_id").alias("doc_a"),
         F.col("set_size").alias("size_a"),

@@ -280,7 +280,13 @@ def with_hilbert_key(
     HOF fold builds two nested structs per bit per row in interpreted
     expression eval, measured 1.88 s vs 0.44 s at sf0.1 (guide §4.2:
     hand whole batches to vectorized native code). Same justified-UDF
-    precedent as byte_bucket_sums; map-only, partition-parallel."""
+    precedent as byte_bucket_sums; map-only, partition-parallel.
+    NULL input coordinates map to grid cell 0 on BOTH engines
+    (scale_to_grid clamps; greatest() skips nulls — asserted
+    cross-engine in test_layout), and the arrow walk additionally
+    NULL-masks defensively for direct callers (ADVICE r9). Note for
+    pre-r9 callers: the default engine changed from 'sql' to 'arrow'
+    in round 9; pass ``engine='sql'`` to keep the expression fold."""
     assert len(cols) == 2, "Hilbert key is 2-D (use zorder for n-D)"
     aggs = []
     for c in cols:
@@ -329,10 +335,23 @@ def _hilbert_key_arrow(base: DataFrame, key_col: str) -> DataFrame:
 
     def run(batches):
         import numpy as np
+        import pandas as pd
 
         for pdf in batches:
-            x = pdf["__gx"].to_numpy(dtype="int64")
-            y = pdf["__gy"].to_numpy(dtype="int64")
+            # Defensive NULL handling (ADVICE r9): through
+            # with_hilbert_key nulls never reach here — scale_to_grid
+            # clamps a NULL input to grid 0 on both engines (greatest()
+            # skips nulls) — but a DIRECT caller passing nullable grid
+            # coords would crash to_numpy(dtype=int64). Mask to a NULL
+            # key instead; the no-null fast path stays plain int64.
+            na = pdf["__gx"].isna() | pdf["__gy"].isna()
+            has_na = bool(na.any())
+            x = (pdf["__gx"].fillna(0) if has_na else pdf["__gx"]).to_numpy(
+                dtype="int64"
+            )
+            y = (pdf["__gy"].fillna(0) if has_na else pdf["__gy"]).to_numpy(
+                dtype="int64"
+            )
             d = np.zeros(len(x), dtype="int64")
             for i in range(HILBERT_BITS - 1, -1, -1):
                 s = 1 << i
@@ -343,7 +362,12 @@ def _hilbert_key_arrow(base: DataFrame, key_col: str) -> DataFrame:
                 ny = np.where(ry == 0, np.where(rx == 1, n - 1 - x, x), y)
                 x, y = nx, ny
             out = pdf[in_cols].copy()
-            out[key_col] = d
+            if has_na:
+                key = pd.array(d, dtype="Int64")
+                key[na.to_numpy()] = pd.NA
+                out[key_col] = key
+            else:
+                out[key_col] = d
             yield out
 
     return base.mapInPandas(run, schema=schema)

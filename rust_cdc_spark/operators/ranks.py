@@ -67,11 +67,27 @@ _TOT = "__rank_n"
 _PINNED: list[DataFrame] = []
 
 
+def pin(df: DataFrame, eager: bool = False) -> DataFrame:
+    """``localCheckpoint`` + register in the session pinned ledger so
+    :func:`release_pinned` frees the executor blocks. Query code that
+    materializes a CORPUS-SCALE intermediate (shared tokenized/shingled
+    projections, dedup member maps) must use this instead of a bare
+    ``localCheckpoint()``: the bench/driver sweep calls
+    ``release_pinned()`` after each query, and an unregistered lazy
+    checkpoint otherwise lingers in executor storage until driver GC
+    across a 330-query single-session run (ADVICE r9). Bounded
+    model-scale frames (≤|types|², centroids) may keep the bare call —
+    their footprint is config-bounded, not data-bounded."""
+    p = df.localCheckpoint(eager=eager)
+    _PINNED.append(p)
+    return p
+
+
 def release_pinned(blocking: bool = False) -> int:
     """Unpersist every checkpoint block pinned by
-    :func:`with_global_rank` in this session. Call after the ranked
-    results have been materialized (collected/written); the returned
-    DataFrames become unusable. Returns the number of frames freed."""
+    :func:`with_global_rank` / :func:`pin` in this session. Call after
+    the ranked results have been materialized (collected/written); the
+    returned DataFrames become unusable. Returns the number freed."""
     n = 0
     while _PINNED:
         df = _PINNED.pop()

@@ -49,19 +49,28 @@ def brute_force_topk(
     qid_col: str = "query_id",
     qvec_col: str = "qv",
     exclude_self: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
     ``queries`` is expected to be small (a probe batch) → broadcast;
-    the corpus is scanned once, scored in codegen, and reduced per query
+    the corpus is scanned once, scored per row, and reduced per query
     with a rank window. ``exclude_self`` drops corpus rows whose id
     equals the query id *before* ranking. Returns
-    (query_id, vec_id, cos_sim, rank).
+    (query_id, vec_id, cos_sim, rank). ``dim`` (when the caller knows
+    the fixed vector width) switches the cosine to the unrolled flat
+    form — bit-identical values, whole-stage-codegen instead of the
+    interpreted HOF fold (V.dot_pre_unrolled contract).
     """
+    cos = (
+        V.cosine_unrolled(F.col(vec_col), F.col(qvec_col), dim)
+        if dim
+        else V.cosine(F.col(vec_col), F.col(qvec_col))
+    )
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         F.col(qid_col).alias("query_id"),
         F.col(id_col).alias("vec_id"),
-        F.round(V.cosine(F.col(vec_col), F.col(qvec_col)), 4).alias("cos_sim"),
+        F.round(cos, 4).alias("cos_sim"),
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("vec_id"))
@@ -166,7 +175,10 @@ def lsh_topk(
     scored = candidates.select(
         "query_id",
         "vec_id",
-        F.round(V.cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+        # unrolled flat cosine: same values, codegen instead of the
+        # interpreted HOF fold (dim is a required argument here)
+        F.round(V.cosine_unrolled(F.col("cv"), F.col("qv"), dim), 4)
+        .alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
@@ -508,12 +520,16 @@ def ivf_topk_indexed(
             F.explode("_cids").alias("cid"),
         )
     )
+    # unrolled flat cosine over the known centroid width: same values,
+    # codegen instead of the interpreted HOF fold
+    dim = len(centroids[0])
     scored = (
         assigned.join(F.broadcast(q_assigned), on="cid")
         .select(
             "query_id",
             "vec_id",
-            F.round(V.cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+            F.round(V.cosine_unrolled(F.col("cv"), F.col("qv"), dim), 4)
+            .alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -545,7 +561,12 @@ def embedding_near_dup_pairs(
     are then joined back pre-normalized (:func:`V.normalized`) and each
     surviving pair pays exactly one dot product. The previous
     score-then-dedup ordering cost n_tables× duplicate cosines, each
-    re-deriving both norms — measured 31.7 s → this shape at sf0.1."""
+    re-deriving both norms — measured 31.7 s → this shape at sf0.1.
+    The per-pair dot is the UNROLLED flat form (r10): the HOF fold is
+    CodegenFallback (interpreted, ~2 s over the ~820k-candidate join
+    at sf0.1) while the flat multiply-add chain whole-stage-codegens —
+    bit-identical values (V.dot_pre_unrolled contract + engine-equality
+    test)."""
     planes = _hyperplanes(dim, n_bits, n_tables, seed)
     bucketed = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -573,7 +594,9 @@ def embedding_near_dup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            F.round(V.dot_pre(F.col("__va"), F.col("__vb")), 4).alias("cos_sim"),
+            F.round(
+                V.dot_pre_unrolled(F.col("__va"), F.col("__vb"), dim), 4
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -151,7 +151,13 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the same byte pairs in the same order, so byte_sum is
         # value-identical (guide §1.2 per-task work; r9 paired
         # best-of-3 with the numpy resize runner: 3.63 s → 1.04 s
-        # at sf0.1).
+        # at sf0.1). One caveat (ADVICE r9): on a ZERO-LENGTH non-null
+        # payload the old sequence(1, length) fold null-poisoned to
+        # NULL while this form yields 0 — immaterial here because the
+        # generator never emits empty texts (verified 0 rows with
+        # length(text)=0 at all three SFs) and the resize stub always
+        # emits 256 bytes, but a reuse against empty payloads should
+        # know the NULL→0 divergence.
         F.expr(
             "aggregate(transform("
             " regexp_extract_all(hex(payload), '[0-9A-F]{2}', 0),"

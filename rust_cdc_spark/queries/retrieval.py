@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rust_cdc_spark.functions import vectors as V
-from rust_cdc_spark.operators.ranks import exact_global_ntile
+from rust_cdc_spark.operators.ranks import exact_global_ntile, pin
 from rust_cdc_spark.queries import register
 from rust_cdc_spark.queries.training import _assign_nearest, _centroid_sql
 from rust_cdc_spark.sources.tables import load_table
@@ -356,7 +356,9 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.crossJoin(F.broadcast(probe))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(V.cosine(F.col("embedding"), F.col("pv")) * 1e6)
+            F.round(
+                V.cosine_unrolled(F.col("embedding"), F.col("pv"), 64) * 1e6
+            )
             .cast("bigint")
             .alias("cmicro"),
         )
@@ -654,7 +656,10 @@ def semantic_dedup_prune(
             (F.col("cid") == F.col("cid_b")) & (F.col("va") < F.col("vb")),
         )
         .filter(
-            V.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            # unrolled flat dot (dim 64): same values, codegen instead
+            # of the interpreted per-pair HOF fold (r10)
+            V.dot_unrolled(F.col("ea"), F.col("eb"), 64)
+            / (F.col("na") * F.col("nb"))
             >= _SEM_TAU
         )
         .select("vb")
@@ -1108,11 +1113,11 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hoped-for: the r9 static plan re-derived this projection (scan +
     # split + lower) for every consumer — 36 parquet scans in one plan
     # (plans/r09/retrieval_prf_expansion_before.txt; zero exchange
-    # reuse). The lazy localCheckpoint materializes it once per run
-    # (guide §5 cache rule; token arrays ≈ corpus bytes, spill-backed).
-    toks = docs.select(
-        "doc_id", F.expr(_TOKS_SPARK).alias("toks")
-    ).localCheckpoint(eager=False)
+    # reuse). The lazy pinned checkpoint materializes it once per run
+    # (guide §5 cache rule; token arrays ≈ corpus bytes, spill-backed)
+    # and registers it for release_pinned() so the blocks don't linger
+    # across a long single-session sweep (ADVICE r9).
+    toks = pin(docs.select("doc_id", F.expr(_TOKS_SPARK).alias("toks")))
     stats = toks.agg(
         F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
     )
@@ -1280,11 +1285,13 @@ def ccnet_perplexity_tails(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-language totals AND the labeling pass — without the lazy
     # checkpoint each reference replays the whole bigram-LM train+score
     # pipeline (20 parquet scans in the r9 before plan). ~20 B/doc.
-    j = base.join(docs.select("doc_id", "lang"), "doc_id").select(
-        "doc_id",
-        "lang",
-        F.expr("sum_logp_micro div n_bigrams").alias("v"),
-    ).localCheckpoint(eager=False)
+    j = pin(
+        base.join(docs.select("doc_id", "lang"), "doc_id").select(
+            "doc_id",
+            "lang",
+            F.expr("sum_logp_micro div n_bigrams").alias("v"),
+        )
+    )
     hist = j.groupBy("lang", "v").agg(F.count("*").alias("c"))
     cum = hist.select(
         "lang",

@@ -2938,11 +2938,38 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * all probe columns green, parent red → the divergence is AFTER day
 #     derivation (censoring/group/window stage) → r10 bisects obs/hist.
 #   * everything green → closed; retire _hist and _probe in r10.
+#
+# ROUND-10 ROOT CAUSE (static, decisive): the r9 ledger came back
+# probe GREEN + obs GREEN + hist RED, pointing at the histogram /
+# at-risk stage — and a type sweep of ALL 330 oracles found that the
+# ONLY two whose DuckDB output carries a HUGEINT column are exactly
+# the two driver-red queries (events_survival_km and _hist), both via
+# the same expression: `sum(d + c) OVER (...)` — DuckDB's sum(BIGINT)
+# widens to HUGEINT (INT128) while Spark's sum(long) stays LONG. The
+# VALUES are identical (rows_match ✓ every round; local value-compare
+# green at 3 SFs for four rounds); a value hasher that feeds on the
+# typed binary representation (int128 vs int64) diverges on the TYPE
+# alone, while a name-normalized schema check passes — exactly the
+# observed rows ✓ / schema ✓ / hash ✗ signature, and exactly why every
+# fully-CAST twin (probe, obs, fold over a literal histogram) was
+# green while both n_risk emitters stayed red through r6-r9's
+# arithmetic rewrites. Fix: CAST the window sum to BIGINT in the
+# oracle's `ranked` CTE (value-identical; the at-risk count is far
+# below 2^63). Insurance if this diagnosis is somehow wrong
+# (VERDICT r9, Next round #1): _obs gains multiset-strength columns
+# (sum t², distinct-t, died-weighted sums) to kill the
+# "t-multiset differs while sums coincide" suspect, and a new
+# _histnw twin emits the histogram WITHOUT the window so a red
+# window evaluation can no longer hide behind a red histogram.
 
 # Shared data-path prefix: per-user durations -> day histogram ->
 # at-risk ranking. Plain (non-recursive) CTEs. Day derivation is
-# integer micros end-to-end (see the round-9 note above).
-_KM_PREFIX_SQL = """
+# integer micros end-to-end (see the round-9 note above). The u/obs/
+# hist portion is split out so the _histnw twin can stop before the
+# window. n_risk is CAST to BIGINT — DuckDB's window sum widens
+# BIGINT to HUGEINT, and the uncast INT128 was the round-6..9
+# driver-hash divergence (round-10 root-cause note above).
+_KM_HIST_SQL = """
     u AS (
         SELECT user_id,
                min(epoch_us(ts) // 86400000000) AS first_d,
@@ -2962,11 +2989,14 @@ _KM_PREFIX_SQL = """
         SELECT t, CAST(sum(died) AS BIGINT) AS d,
                CAST(count(*) - sum(died) AS BIGINT) AS c
         FROM obs GROUP BY t
-    ),
+    )"""
+
+_KM_PREFIX_SQL = _KM_HIST_SQL + """,
     ranked AS (
         SELECT t, d, c,
-               sum(d + c) OVER (ORDER BY t DESC
-                                ROWS UNBOUNDED PRECEDING) AS n_risk,
+               CAST(sum(d + c) OVER (ORDER BY t DESC
+                                     ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS n_risk,
                row_number() OVER (ORDER BY t) AS i
         FROM hist
     )"""
@@ -3082,9 +3112,10 @@ def _km_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _km_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data path shared by events_survival_km and its _hist twin:
-    per-user durations -> day histogram -> reverse-cumulative at-risk."""
+def _km_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram stage shared by events_survival_km, its _hist twin
+    and the round-10 _histnw twin: per-user durations -> (t, d, c)
+    day histogram, no window."""
     u = _km_u(spark, sf_dir)
     died = F.col("err_d").isNotNull()
     obs = u.select(
@@ -3093,10 +3124,16 @@ def _km_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.when(died, 1).otherwise(0).alias("died"),
     )
-    hist = obs.groupBy("t").agg(
+    return obs.groupBy("t").agg(
         F.sum("died").cast("long").alias("d"),
         (F.count("*") - F.sum("died")).cast("long").alias("c"),
     )
+
+
+def _km_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data path shared by events_survival_km and its _hist twin:
+    per-user durations -> day histogram -> reverse-cumulative at-risk."""
+    hist = _km_hist(spark, sf_dir)
     w_desc = (
         Window.orderBy(F.col("t").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3152,6 +3189,36 @@ def events_survival_km_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _km_risk(spark, sf_dir).select(
         F.col("t").alias("days_to_failure"),
         F.col("n_risk"),
+        F.col("d").alias("n_failures"),
+        F.col("c").alias("n_censored"),
+    )
+
+
+@register(
+    "events_survival_km_histnw",
+    # Diagnostic twin (round 10, VERDICT r9 Next round #1): the day
+    # histogram WITHOUT the at-risk window — the last bisect point
+    # between the green _obs stage and the red _hist stage. With the
+    # round-10 HUGEINT fix in place this should be green alongside the
+    # parent; if the parent somehow stays red while this is green, the
+    # divergence is in the window evaluation itself (values, not
+    # types) and r11 rewrites n_risk window-free on both sides.
+    oracle=f"""
+    WITH {_KM_HIST_SQL}
+    SELECT t AS days_to_failure, d AS n_failures, c AS n_censored
+    FROM hist
+    """,
+)
+def events_survival_km_histnw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisect twin of events_survival_km: the (t, d, c) duration-day
+    histogram with NO window, NO fold — isolates the GROUP BY t stage
+    from the reverse-cumulative at-risk sum that only _hist and the
+    parent carry. Shares _km_hist with both verbatim.
+
+    Scale shape: one user-keyed agg + one histogram agg over the
+    bounded duration-day values — no window, no join."""
+    return _km_hist(spark, sf_dir).select(
+        F.col("t").alias("days_to_failure"),
         F.col("d").alias("n_failures"),
         F.col("c").alias("n_censored"),
     )
@@ -3236,15 +3303,25 @@ def events_survival_km_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(sum(err_d) AS BIGINT) FROM u) AS sum_err_d,
            (SELECT CAST(sum(t) AS BIGINT) FROM obs) AS sum_t,
            (SELECT CAST(min(t) AS BIGINT) FROM obs) AS min_t,
-           (SELECT CAST(max(t) AS BIGINT) FROM obs) AS max_t
+           (SELECT CAST(max(t) AS BIGINT) FROM obs) AS max_t,
+           (SELECT CAST(sum(t * t) AS BIGINT) FROM obs) AS sum_t2,
+           (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM obs)
+               AS n_distinct_t,
+           (SELECT CAST(sum(t * died) AS BIGINT) FROM obs)
+               AS sum_t_died,
+           (SELECT CAST(sum(t * t * died) AS BIGINT) FROM obs)
+               AS sum_t2_died
     """,
 )
 def events_survival_km_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bisect twin of events_survival_km: one row summarizing the
     per-user censoring stage (the SAME ``_km_u`` code path the parent
     runs) — user/death counts, day-sums of first/last/error, and the
-    duration sum/min/max after the censoring CASE. Readout matrix in
-    the register() note above and at _KM_PREFIX_SQL.
+    duration sum/min/max after the censoring CASE. Round 10 adds
+    multiset-strength columns (Σt², distinct-t count, died-weighted
+    Σt and Σt²) so two different (t, died) multisets can no longer
+    hide behind coinciding plain sums (VERDICT r9, Next round #1).
+    Readout matrix in the register() note above and at _KM_PREFIX_SQL.
 
     Scale shape: one user-keyed partial agg (the parent's `u` exchange)
     followed by a 1-row global agg — no window, no join."""
@@ -3253,6 +3330,7 @@ def events_survival_km_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.when(died, F.col("err_d") - F.col("first_d")).otherwise(
         F.col("last_d") - F.col("first_d")
     )
+    died01 = F.when(died, F.lit(1)).otherwise(F.lit(0))
     return u.agg(
         F.count("*").alias("n_users"),
         F.count("err_d").alias("n_died"),
@@ -3262,6 +3340,10 @@ def events_survival_km_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(t).alias("sum_t"),
         F.min(t).alias("min_t"),
         F.max(t).alias("max_t"),
+        F.sum(t * t).alias("sum_t2"),
+        F.countDistinct(t).cast("long").alias("n_distinct_t"),
+        F.sum(t * died01).alias("sum_t_died"),
+        F.sum(t * t * died01).alias("sum_t2_died"),
     )
 
 

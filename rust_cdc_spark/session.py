@@ -38,12 +38,18 @@ def get_spark(app_name: str = "rust_cdc_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Let the planner pick shuffled-hash over sort-merge when its
         # size conditions fit (guide §3.1/§9): skips the two sorts on
-        # shuffle boundaries. Cluster-safe: the planner still requires
-        # the build side to fit per-partition memory, and AQE skew
-        # handling stays on; set SPARK_GRAFT_PREFER_SMJ=1 to restore
-        # sort-merge-first. r9 A-B-A-B on a 20-query join-heavy sample
-        # at sf0.1: −10% total, −13..18% on the join-bound rows, no
-        # regression beyond noise.
+        # shuffle boundaries. RISK, stated honestly (ADVICE r9): the
+        # gate is a STATS ESTIMATE (canBuildLocalHashMap), and unlike
+        # a sort-merge join the SHJ build-side hash map does not spill
+        # — a badly misestimated build side (post-filter/UDF stats are
+        # the usual culprits) becomes an executor OOM at scale rather
+        # than a slow spill. Mitigations: AQE skew-split stays on,
+        # per-partition build sides shrink as shuffle partitions grow,
+        # and SPARK_GRAFT_PREFER_SMJ=1 restores sort-merge-first as
+        # the one-switch escape hatch for any OOM-ing deployment.
+        # r9 A-B-A-B on a 20-query join-heavy sample at sf0.1: −10%
+        # total, −13..18% on the join-bound rows, no regression beyond
+        # noise; r10 re-validated at 8 cores (SCALE.md).
         .config(
             "spark.sql.join.preferSortMergeJoin",
             "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") else "false",

@@ -142,3 +142,28 @@ class TestHilbertEngines:
         sl = s.select("event_id", "hkey")
         assert al.exceptAll(sl).count() == 0
         assert sl.exceptAll(al).count() == 0
+
+    def test_null_coords_agree_across_engines(self, spark):
+        """ADVICE r9 follow-up: NULL input coordinates must not crash
+        the numpy path and must produce the SAME key as the SQL fold.
+        (Investigation note: scale_to_grid clamps a NULL input to grid
+        cell 0 before either engine runs — Spark's greatest() skips
+        nulls — so the walk never actually sees a NULL through
+        with_hilbert_key; the arrow path additionally NULL-masks
+        defensively for direct callers of _hilbert_key_arrow.)"""
+        df = spark.createDataFrame(
+            [(1, 10, 20), (2, None, 30), (3, 40, None), (4, 50, 60)],
+            "rid long, x long, y long",
+        )
+        a = {
+            r.rid: r.hkey
+            for r in L.with_hilbert_key(df, ["x", "y"], engine="arrow")
+            .collect()
+        }
+        s = {
+            r.rid: r.hkey
+            for r in L.with_hilbert_key(df, ["x", "y"], engine="sql")
+            .collect()
+        }
+        assert a == s
+        assert all(v is not None for v in a.values())
