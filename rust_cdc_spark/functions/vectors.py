@@ -72,61 +72,6 @@ def dot_pre(a: Column, b: Column) -> Column:
     )
 
 
-def dot_pre_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """Bit-identical unrolled form of :func:`dot_pre` for a KNOWN
-    fixed ``dim``: ``((0.0 + a[0]·b[0]) + a[1]·b[1]) + …`` — the same
-    left-to-right IEEE-double association as the ``aggregate`` fold,
-    but as a FLAT expression tree. Why it exists: higher-order
-    functions (aggregate/zip_with/transform) are CodegenFallback in
-    Spark — every per-candidate dot in a pair join runs interpreted,
-    with two struct allocations per element — while a flat
-    multiply-add chain whole-stage-codegens. Values are identical
-    because each op (getItem, ×, +) is the same IEEE-754 double op in
-    the same order (engine-equality asserted on the full embeddings
-    table in tests/test_operators.py::TestUnrolledVectorOps).
-
-    CONTRACT: both arrays must have exactly ``dim`` elements.
-    Element access is ``F.get`` (not ``[]``): under Spark 4's default
-    ANSI mode an out-of-range getItem RAISES, while ``get`` returns
-    NULL — so a SHORTER array NULL-poisons the chain (the fold's
-    zip_with null padding does the same) instead of crashing the
-    query; a LONGER one would be silently truncated here but summed
-    by the fold — callers pass the embedding dim they already assert
-    elsewhere (hyperplane literals are dim-length)."""
-    acc: Column = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + F.get(a, i) * F.get(b, i)
-    return acc
-
-
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """Unrolled :func:`dot` (casts each element to double, same as
-    ``_d``'s transform does element-wise). Same contract/association
-    as :func:`dot_pre_unrolled`."""
-    acc: Column = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
-    return acc
-
-
-def norm_unrolled(a: Column, dim: int) -> Column:
-    """Unrolled :func:`norm`: sqrt of the ``acc + x·x`` fold over the
-    double-cast elements, identical association."""
-    acc: Column = F.lit(0.0)
-    for i in range(dim):
-        x = F.get(a, i).cast("double")
-        acc = acc + x * x
-    return F.sqrt(acc)
-
-
-def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """Unrolled :func:`cosine` — dot/(norm·norm) with every fold
-    unrolled; bit-identical values, whole-stage-codegen'd."""
-    return dot_unrolled(a, b, dim) / (
-        norm_unrolled(a, dim) * norm_unrolled(b, dim)
-    )
-
-
 def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(

@@ -168,7 +168,6 @@ def jaccard_pairs(
     parallelism: int | None = None,
     df_cap: int | None = None,
     reps_members: tuple[DataFrame, DataFrame] | None = None,
-    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join.
 
@@ -197,17 +196,16 @@ def jaccard_pairs(
     lets a caller that runs several pair generators over the SAME
     corpus (the recall/estimate eval queries) pass one shared
     :func:`_canonical_reps` result instead of paying the collapse
-    per generator. ``shingled`` (r10, same sharing idea one stage
-    deeper) is an optional precomputed :func:`shingle_sets` frame —
-    it MUST be shingle_sets over the same reps with the same ``k``
-    (the recall eval pins one and feeds both its generators).
+    per generator. (Sharing one stage deeper — a precomputed
+    shingle_sets frame fed to both eval generators — was tried in r10
+    and reverted: neutral at sf0.1 and a ~3x-corpus-bytes pin at
+    scale; see dedup_lsh_recall_eval.)
     """
     reps, members = reps_members or _canonical_reps(
         docs, text_col, id_col, parallelism
     )
     rep_pairs = _jaccard_pairs_direct(
-        reps, text_col, "doc_id", k, threshold, df_cap=df_cap,
-        shingled=shingled,
+        reps, text_col, "doc_id", k, threshold, df_cap=df_cap
     )
     return _expand_rep_pairs(rep_pairs, reps, members, "jaccard", 1.0).filter(
         F.col("jaccard") >= threshold
@@ -240,19 +238,13 @@ def _pair_intersections(
     k: int,
     parallelism: int | None = None,
     df_cap: int | None = None,
-    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs with exact intersection counts:
     (doc_a, doc_b, size_a, size_b, n_common), doc_a < doc_b, for every
     pair sharing ≥1 (rare, when capped) shingle. The shared engine under
     Jaccard and containment scoring — see :func:`jaccard_pairs` for the
-    inverted-index / df_cap shape discussion (and for the ``shingled``
-    sharing contract)."""
-    sh = (
-        shingled
-        if shingled is not None
-        else shingle_sets(docs, text_col, id_col, k, parallelism)
-    )
+    inverted-index / df_cap shape discussion."""
+    sh = shingle_sets(docs, text_col, id_col, k, parallelism)
     inv = _hashed_inverted_index(sh)
     if df_cap is None:
         # One-pass exact path: the inverted-index join is both candidate
@@ -345,11 +337,8 @@ def _jaccard_pairs_direct(
     threshold: float,
     parallelism: int | None = None,
     df_cap: int | None = None,
-    shingled: DataFrame | None = None,
 ) -> DataFrame:
-    inter = _pair_intersections(
-        docs, text_col, id_col, k, parallelism, df_cap, shingled=shingled
-    )
+    inter = _pair_intersections(docs, text_col, id_col, k, parallelism, df_cap)
     return (
         inter.withColumn(
             "jaccard",
@@ -440,7 +429,6 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 16,
     parallelism: int | None = None,
-    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, set_size, sig: array<bigint> of num_hashes minhashes).
 
@@ -452,14 +440,8 @@ def minhash_signatures(
     their own projection so the md5 pass runs ONCE, not once per
     signature component (no CSE inside a single expression tree). All
     arithmetic is exact BIGINT, so the DuckDB oracle replays the exact
-    signature (:data:`MINHASH_HS_SQL` + :func:`minhash_sig_sql`).
-    ``shingled``: optional precomputed :func:`shingle_sets` frame over
-    the same docs/k (see :func:`jaccard_pairs`)."""
-    sh = (
-        shingled
-        if shingled is not None
-        else shingle_sets(docs, text_col, id_col, k, parallelism)
-    )
+    signature (:data:`MINHASH_HS_SQL` + :func:`minhash_sig_sql`)."""
+    sh = shingle_sets(docs, text_col, id_col, k, parallelism)
     hs = sh.select(
         "doc_id",
         "set_size",
@@ -494,7 +476,6 @@ def minhash_lsh_pairs(
     bands: int = 4,
     parallelism: int | None = None,
     reps_members: tuple[DataFrame, DataFrame] | None = None,
-    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs.
 
@@ -515,9 +496,7 @@ def minhash_lsh_pairs(
     reps, members = reps_members or _canonical_reps(
         docs, text_col, id_col, parallelism
     )
-    rep_pairs = _minhash_lsh_direct(
-        reps, text_col, "doc_id", k, num_hashes, bands, shingled=shingled
-    )
+    rep_pairs = _minhash_lsh_direct(reps, text_col, "doc_id", k, num_hashes, bands)
     return _expand_rep_pairs(rep_pairs, reps, members, "sim_est", 1.0)
 
 
@@ -529,7 +508,6 @@ def _minhash_lsh_direct(
     num_hashes: int,
     bands: int,
     parallelism: int | None = None,
-    shingled: DataFrame | None = None,
 ) -> DataFrame:
     if num_hashes % bands:
         raise ValueError(
@@ -538,9 +516,7 @@ def _minhash_lsh_direct(
             "drop out of the banding while still counting in sim_est"
         )
     r = num_hashes // bands
-    sig = minhash_signatures(
-        docs, text_col, id_col, k, num_hashes, parallelism, shingled=shingled
-    )
+    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes, parallelism)
     banded = sig.select(
         "doc_id",
         "sig",

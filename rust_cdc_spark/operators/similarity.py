@@ -49,7 +49,6 @@ def brute_force_topk(
     qid_col: str = "query_id",
     qvec_col: str = "qv",
     exclude_self: bool = False,
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
@@ -57,20 +56,12 @@ def brute_force_topk(
     the corpus is scanned once, scored per row, and reduced per query
     with a rank window. ``exclude_self`` drops corpus rows whose id
     equals the query id *before* ranking. Returns
-    (query_id, vec_id, cos_sim, rank). ``dim`` (when the caller knows
-    the fixed vector width) switches the cosine to the unrolled flat
-    form — bit-identical values, whole-stage-codegen instead of the
-    interpreted HOF fold (V.dot_pre_unrolled contract).
+    (query_id, vec_id, cos_sim, rank).
     """
-    cos = (
-        V.cosine_unrolled(F.col(vec_col), F.col(qvec_col), dim)
-        if dim
-        else V.cosine(F.col(vec_col), F.col(qvec_col))
-    )
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         F.col(qid_col).alias("query_id"),
         F.col(id_col).alias("vec_id"),
-        F.round(cos, 4).alias("cos_sim"),
+        F.round(V.cosine(F.col(vec_col), F.col(qvec_col)), 4).alias("cos_sim"),
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("vec_id"))
@@ -175,10 +166,7 @@ def lsh_topk(
     scored = candidates.select(
         "query_id",
         "vec_id",
-        # unrolled flat cosine: same values, codegen instead of the
-        # interpreted HOF fold (dim is a required argument here)
-        F.round(V.cosine_unrolled(F.col("cv"), F.col("qv"), dim), 4)
-        .alias("cos_sim"),
+        F.round(V.cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
@@ -520,16 +508,12 @@ def ivf_topk_indexed(
             F.explode("_cids").alias("cid"),
         )
     )
-    # unrolled flat cosine over the known centroid width: same values,
-    # codegen instead of the interpreted HOF fold
-    dim = len(centroids[0])
     scored = (
         assigned.join(F.broadcast(q_assigned), on="cid")
         .select(
             "query_id",
             "vec_id",
-            F.round(V.cosine_unrolled(F.col("cv"), F.col("qv"), dim), 4)
-            .alias("cos_sim"),
+            F.round(V.cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -549,6 +533,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    scorer: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold) via the
     same hyperplane-LSH bucketing, self-joined. Returns
@@ -562,11 +547,27 @@ def embedding_near_dup_pairs(
     surviving pair pays exactly one dot product. The previous
     score-then-dedup ordering cost n_tables× duplicate cosines, each
     re-deriving both norms — measured 31.7 s → this shape at sf0.1.
-    The per-pair dot is the UNROLLED flat form (r10): the HOF fold is
-    CodegenFallback (interpreted, ~2 s over the ~820k-candidate join
-    at sf0.1) while the flat multiply-add chain whole-stage-codegens —
-    bit-identical values (V.dot_pre_unrolled contract + engine-equality
-    test)."""
+
+    ``scorer='arrow'`` (default, r10 — VERDICT r9 #3 by way of guide
+    §8): the candidate volume here is ~410 pairs per vector (the
+    4-bit/8-table bucketing the oracle pins), so attaching two 64-double
+    payloads per pair moves ~100× more bytes than the ids — a naive
+    per-pair Arrow scorer measured NEUTRAL because the transfer ate the
+    numpy win, and the per-pair HOF fold costs ~2.5 s at sf0.1. Instead
+    the pairs move as IDS ONLY: pairs are keyed by the xxhash64 block
+    of each endpoint, each block's unit vectors are replicated to the
+    ≤``score_blocks`` block-pair groups that need them (bounded, tiny —
+    vectors × 2·blocks rows), and a cogroup scores each group in numpy
+    with the dims-loop accumulation ``acc += A[:, d] * B[:, d]`` — the
+    SAME left-to-right IEEE-double addition order per pair as the
+    ``aggregate`` fold, over the SAME JVM-normalized unit vectors, so
+    values are bit-identical (asserted pair-for-pair on the real corpus
+    at two SFs in tests/test_operators.py::TestNearDupScorers).
+    ``scorer='sql'`` keeps the per-pair fold. (A codegen'd unrolled
+    multiply-add chain was also tried and measured 2.4-2.9x SLOWER
+    than the fold in paired A-B-A runs at sf0.1 — the third such
+    result after the PQ Janino note and the r9 Hilbert
+    chained-projection attempt; rejected.)"""
     planes = _hyperplanes(dim, n_bits, n_tables, seed)
     bucketed = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -586,19 +587,111 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("__uid"),
         V.normalized(F.col(vec_col)).alias("__uv"),
     )
-    va = unit.select(F.col("__uid").alias("vec_a"), F.col("__uv").alias("__va"))
-    vb = unit.select(F.col("__uid").alias("vec_b"), F.col("__uv").alias("__vb"))
-    return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                V.dot_pre_unrolled(F.col("__va"), F.col("__vb"), dim), 4
-            ).alias("cos_sim"),
+    if scorer == "sql":
+        va = unit.select(
+            F.col("__uid").alias("vec_a"), F.col("__uv").alias("__va")
         )
-        .filter(F.col("cos_sim") >= threshold)
+        vb = unit.select(
+            F.col("__uid").alias("vec_b"), F.col("__uv").alias("__vb")
+        )
+        return (
+            cand.join(va, "vec_a")
+            .join(vb, "vec_b")
+            .select(
+                "vec_a",
+                "vec_b",
+                F.round(V.dot_pre(F.col("__va"), F.col("__vb")), 4)
+                .alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+    scored = _blocked_pair_scores(cand, unit)
+    return scored.select(
+        "vec_a",
+        "vec_b",
+        F.round(F.col("cos_raw"), 4).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+
+
+def _blocked_pair_scores(
+    cand: DataFrame, unit: DataFrame, score_blocks: int = 8
+) -> DataFrame:
+    """(vec_a, vec_b) id pairs + (__uid, __uv) unit vectors →
+    (vec_a, vec_b, cos_raw) via block-cogrouped numpy (guide §8: the
+    shuffle moves 16-byte id pairs; the 8·dim-byte payloads move once
+    per block-pair group, bounded by ``score_blocks``). The dims-loop
+    accumulation reproduces the aggregate fold's addition order
+    bit-for-bit. ``score_blocks`` scales like the exact blocked
+    scorer's n_blocks: size it so one block's vectors fit a task."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = cand.sparkSession
+    pairs = cand.select(
+        "vec_a",
+        "vec_b",
+        F.pmod(F.xxhash64("vec_a"), F.lit(score_blocks)).alias("p"),
+        F.pmod(F.xxhash64("vec_b"), F.lit(score_blocks)).alias("q"),
+    )
+    blk = spark.range(score_blocks).select(F.col("id").alias("__other"))
+    side_a = unit.crossJoin(F.broadcast(blk)).select(
+        F.pmod(F.xxhash64("__uid"), F.lit(score_blocks)).alias("p"),
+        F.col("__other").alias("q"),
+        F.lit("a").alias("side"),
+        F.col("__uid").alias("vid"),
+        F.col("__uv").alias("v"),
+    )
+    side_b = unit.crossJoin(F.broadcast(blk)).select(
+        F.col("__other").alias("p"),
+        F.pmod(F.xxhash64("__uid"), F.lit(score_blocks)).alias("q"),
+        F.lit("b").alias("side"),
+        F.col("__uid").alias("vid"),
+        F.col("__uv").alias("v"),
+    )
+    # re-alias through fresh exprIds: the union shares `unit`'s lineage
+    # with nothing on the pair side, but keep the cogroup sides clean
+    vecs = side_a.unionByName(side_b)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", cand.schema["vec_a"].dataType, True),
+            T.StructField("vec_b", cand.schema["vec_b"].dataType, True),
+            T.StructField("cos_raw", T.DoubleType(), True),
+        ]
+    )
+
+    def score(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "cos_raw": pd.Series(dtype="float64"),
+                }
+            )
+        ra = rpdf[rpdf["side"] == "a"].reset_index(drop=True)
+        rb = rpdf[rpdf["side"] == "b"].reset_index(drop=True)
+        A = np.stack(ra["v"].to_numpy())
+        B = np.stack(rb["v"].to_numpy())
+        ixa = pd.Series(range(len(ra)), index=ra["vid"])
+        ixb = pd.Series(range(len(rb)), index=rb["vid"])
+        Ap = A[ixa.loc[lpdf["vec_a"]].to_numpy()]
+        Bp = B[ixb.loc[lpdf["vec_b"]].to_numpy()]
+        acc = np.zeros(len(lpdf), dtype="float64")
+        # loop over dims, vectorize across pairs: per pair this is the
+        # identical ((0 + p0) + p1) + ... double addition chain as the
+        # aggregate fold — bit-exact, not "close"
+        for d in range(Ap.shape[1]):
+            acc += Ap[:, d] * Bp[:, d]
+        out = lpdf[["vec_a", "vec_b"]].copy()
+        out["cos_raw"] = acc
+        return out
+
+    return (
+        pairs.groupBy("p", "q")
+        .cogroup(vecs.groupBy("p", "q"))
+        .applyInPandas(score, schema=out_schema)
     )
 
 

@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from rust_cdc_spark.functions import text as TX
 from rust_cdc_spark.functions import vectors as V
 from rust_cdc_spark.operators import dedup as DD
-from rust_cdc_spark.operators import ranks
 from rust_cdc_spark.operators import sampling as SAMP
 from rust_cdc_spark.operators import similarity as SIM
 from rust_cdc_spark.queries import register
@@ -151,11 +150,7 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            # unrolled flat cosine (dim 64): same values, codegen
-            # instead of the interpreted HOF fold (r10)
-            F.round(
-                V.cosine_unrolled(F.col("embedding"), F.col("qv"), 64), 4
-            ).alias("cos_sim"),
+            F.round(V.cosine(F.col("embedding"), F.col("qv")), 4).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
@@ -516,7 +511,7 @@ def similarity_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    return SIM.brute_force_topk(emb, probes, k=5, exclude_self=True, dim=64)
+    return SIM.brute_force_topk(emb, probes, k=5, exclude_self=True)
 
 
 def _planes_values_sql(dim: int, n_bits: int, n_tables: int, seed: int = 42) -> str:
@@ -1400,21 +1395,22 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truth and candidate sides run over the same corpus, and without
     # sharing each re-derived reps/members from the scan (r9 plan
     # audit; the members diamond itself is checkpoint-shared inside
-    # _canonical_reps). r10 pushes the sharing one stage deeper
-    # (VERDICT r9 #5): ONE shingle_sets projection over the reps is
-    # pinned and fed to both generators — previously the truth and
-    # candidate sides each re-ran the tokenize+shingle map over the
-    # whole rep corpus. pin() = release_pinned-registered lazy
-    # localCheckpoint (shingle arrays ≈ corpus token bytes,
-    # spill-backed, freed after the query by the sweep hook).
+    # _canonical_reps). r10 additionally TRIED sharing one stage
+    # deeper (one pinned shingle_sets projection over the reps fed to
+    # both generators, VERDICT r9 #5): paired A-B at sf0.1 measured it
+    # NEUTRAL (the checkpoint write of the shingle string arrays costs
+    # what the second tokenize+shingle map saves), and at 100 TB the
+    # pin is ~3x corpus bytes of executor storage — a scale hazard,
+    # unlike the 40 B/doc members checkpoint. Reverted; the two sides
+    # share reps/members only. No cheaper shared stage exists: the
+    # truth side consumes xxhash64(shingle) and the candidate side
+    # md5(shingle), which the oracles pin.
     rm = DD._canonical_reps(docs, "text", "doc_id", None)
-    shingled = ranks.pin(DD.shingle_sets(rm[0], "text", "doc_id", 3))
     truth = DD.jaccard_pairs(
-        docs, threshold=0.5, df_cap=10_000, reps_members=rm,
-        shingled=shingled,
+        docs, threshold=0.5, df_cap=10_000, reps_members=rm
     ).select("doc_a", "doc_b", F.lit(True).alias("is_truth"))
     cand = DD.minhash_lsh_pairs(
-        docs, num_hashes=16, bands=4, reps_members=rm, shingled=shingled
+        docs, num_hashes=16, bands=4, reps_members=rm
     ).select("doc_a", "doc_b", F.lit(True).alias("is_cand"))
     return _recall_summary(truth, cand)
 
@@ -1640,7 +1636,7 @@ def similarity_lsh_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     truth = SIM.brute_force_topk(
-        emb, probes, k=_NDCG_K, exclude_self=True, dim=64
+        emb, probes, k=_NDCG_K, exclude_self=True
     ).select(
         "query_id", "vec_id", (11 - F.col("rank")).cast("long").alias("rel")
     )
@@ -1839,9 +1835,9 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "anchor_id",
             "vec_id",
-            F.round(
-                V.cosine_unrolled(F.col("embedding"), F.col("qv"), 64), 4
-            ).alias("cos_sim"),
+            F.round(V.cosine(F.col("embedding"), F.col("qv")), 4).alias(
+                "cos_sim"
+            ),
         )
     )
     wr = Window.partitionBy("anchor_id").orderBy(
@@ -1932,21 +1928,8 @@ def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     table twice. All signature arithmetic is exact BIGINT — the
     estimate hash-matches to the last component."""
     docs = load_table(spark, "documents", sf_dir)
-    # ONE tokenize+shingle pass (r10, VERDICT r9 #5): the signature
-    # side needs shingles for ALL docs, the exact side only for the
-    # canonical reps — pin the full-doc shingle projection once and
-    # derive the rep slice by an id semi-join (identical texts ⇒
-    # identical shingle sets, so the slice equals shingle_sets(reps)).
-    rm = DD._canonical_reps(docs, "text", "doc_id", None)
-    sh_docs = ranks.pin(DD.shingle_sets(docs, "text", "doc_id", 3))
-    sh_reps = sh_docs.join(rm[0].select("doc_id"), "doc_id", "semi")
-    pairs = DD.jaccard_pairs(
-        docs, threshold=0.5, df_cap=10_000, reps_members=rm,
-        shingled=sh_reps,
-    )
-    sig = DD.minhash_signatures(docs, shingled=sh_docs).select(
-        "doc_id", "sig"
-    )
+    pairs = DD.jaccard_pairs(docs, threshold=0.5, df_cap=10_000)
+    sig = DD.minhash_signatures(docs).select("doc_id", "sig")
     matches = F.size(
         F.filter(
             F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
@@ -2280,10 +2263,10 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("embedding")
     )
     full = SIM.brute_force_topk(
-        emb, probes_full, k=_MRL_K, exclude_self=True, dim=64
+        emb, probes_full, k=_MRL_K, exclude_self=True
     ).select("query_id", "vec_id")
     trunc = SIM.brute_force_topk(
-        corpus_tr, probes_tr, k=_MRL_K, exclude_self=True, dim=_MRL_DIMS
+        corpus_tr, probes_tr, k=_MRL_K, exclude_self=True
     ).select("query_id", F.col("vec_id").alias("t_vec"))
     return (
         full.join(

@@ -356,9 +356,7 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.crossJoin(F.broadcast(probe))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(
-                V.cosine_unrolled(F.col("embedding"), F.col("pv"), 64) * 1e6
-            )
+            F.round(V.cosine(F.col("embedding"), F.col("pv")) * 1e6)
             .cast("bigint")
             .alias("cmicro"),
         )
@@ -656,10 +654,7 @@ def semantic_dedup_prune(
             (F.col("cid") == F.col("cid_b")) & (F.col("va") < F.col("vb")),
         )
         .filter(
-            # unrolled flat dot (dim 64): same values, codegen instead
-            # of the interpreted per-pair HOF fold (r10)
-            V.dot_unrolled(F.col("ea"), F.col("eb"), 64)
-            / (F.col("na") * F.col("nb"))
+            V.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
             >= _SEM_TAU
         )
         .select("vb")

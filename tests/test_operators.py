@@ -553,67 +553,30 @@ class TestByteBucketSums:
         assert list(row.bucket_sums) == [18, 12, 15]
 
 
-class TestUnrolledVectorOps:
-    """Engine-equality gates for the r10 unrolled (flat, codegen)
-    vector expressions: values must be BIT-identical to the HOF folds
-    they replace — same left-to-right IEEE association, asserted over
-    the full real embeddings table, no rounding slack."""
+class TestNearDupScorers:
+    """Engine-equality gate for the r10 Arrow pair scorer in
+    embedding_near_dup_pairs: the numpy dims-loop accumulates the SAME
+    left-to-right double addition chain per pair as the aggregate
+    fold, so the full query output must be identical — pair set AND
+    scores, no rounding slack — on the real corpus at two SFs."""
 
-    def test_cosine_dot_bit_identical_on_embeddings(self, spark):
-        from rust_cdc_spark.functions import vectors as V
+    def test_arrow_scorer_equals_sql_fold(self, spark):
         from rust_cdc_spark.sources.tables import load_table
+        from tests.conftest import SF_CORRECT
 
-        emb = load_table(spark, "embeddings", SF_SMOKE)
-        q = emb.filter(F.col("vec_id") == 0).select(
-            F.col("embedding").alias("qv")
-        )
-        both = emb.crossJoin(F.broadcast(q)).select(
-            V.cosine(F.col("embedding"), F.col("qv")).alias("c_hof"),
-            V.cosine_unrolled(F.col("embedding"), F.col("qv"), 64)
-            .alias("c_unr"),
-            V.dot(F.col("embedding"), F.col("qv")).alias("d_hof"),
-            V.dot_unrolled(F.col("embedding"), F.col("qv"), 64)
-            .alias("d_unr"),
-            V.norm(F.col("embedding")).alias("n_hof"),
-            V.norm_unrolled(F.col("embedding"), 64).alias("n_unr"),
-        )
-        bad = both.filter(
-            (F.col("c_hof") != F.col("c_unr"))
-            | (F.col("d_hof") != F.col("d_unr"))
-            | (F.col("n_hof") != F.col("n_unr"))
-        ).count()
-        assert bad == 0
-
-    def test_dot_pre_bit_identical_on_normalized(self, spark):
-        from rust_cdc_spark.functions import vectors as V
-        from rust_cdc_spark.sources.tables import load_table
-
-        emb = load_table(spark, "embeddings", SF_SMOKE).limit(200)
-        unit = emb.select(
-            "vec_id", V.normalized(F.col("embedding")).alias("uv")
-        )
-        a = unit.select(F.col("vec_id").alias("va"), F.col("uv").alias("ua"))
-        b = unit.select(F.col("vec_id").alias("vb"), F.col("uv").alias("ub"))
-        pairs = a.crossJoin(b).filter(F.col("va") < F.col("vb"))
-        bad = pairs.select(
-            V.dot_pre(F.col("ua"), F.col("ub")).alias("h"),
-            V.dot_pre_unrolled(F.col("ua"), F.col("ub"), 64).alias("u"),
-        ).filter(F.col("h") != F.col("u")).count()
-        assert bad == 0
-
-    def test_short_array_yields_null_both_paths(self, spark):
-        from rust_cdc_spark.functions import vectors as V
-
-        df = spark.createDataFrame(
-            [(list(map(float, range(3))), list(map(float, range(3))))],
-            "a array<double>, b array<double>",
-        )
-        row = df.select(
-            V.dot_pre(F.col("a"), F.col("b")).alias("h3"),
-            V.dot_pre_unrolled(F.col("a"), F.col("b"), 64).alias("u64"),
-        ).first()
-        # fold over zip_with(3-elem, 3-elem) is non-null, but a
-        # 64-unrolled chain over 3 elements null-poisons — the
-        # CONTRACT is that callers pass the true fixed dim; this test
-        # pins the failure MODE (loud NULL, not a wrong number).
-        assert row.h3 is not None and row.u64 is None
+        for sf in (SF_SMOKE, SF_CORRECT):
+            emb = load_table(spark, "embeddings", sf)
+            kw = dict(threshold=0.35, n_bits=4, n_tables=8)
+            arrow = {
+                (r.vec_a, r.vec_b): r.cos_sim
+                for r in SIM.embedding_near_dup_pairs(
+                    emb, scorer="arrow", **kw
+                ).collect()
+            }
+            sql = {
+                (r.vec_a, r.vec_b): r.cos_sim
+                for r in SIM.embedding_near_dup_pairs(
+                    emb, scorer="sql", **kw
+                ).collect()
+            }
+            assert arrow == sql
